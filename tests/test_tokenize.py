@@ -1,0 +1,50 @@
+"""Tokenizer pins — reference tests/test_text_utils.py:75-95 plus the
+executed-regex quirks documented in SURVEY.md §2.2 O2."""
+
+from tribeca_insights_spark.functions.slug import slugify, url_slug
+from tribeca_insights_spark.functions.stopwords import get_stopwords
+from tribeca_insights_spark.functions.tokenize import clean_and_tokenize
+
+
+def test_reference_pins():
+    toks = clean_and_tokenize("This is a test. Testing, one, two, three!", "en")
+    assert "test" in toks and "this" not in toks
+    assert clean_and_tokenize("Numbers 123 and symbols! #$%", "en") == [
+        "numbers",
+        "symbols",
+    ]
+    assert clean_and_tokenize("Mixed CASE and StopWords of the", "en") == [
+        "mixed",
+        "case",
+        "stopwords",
+    ]
+
+
+def test_quirks():
+    # digits split tokens
+    assert clean_and_tokenize("test42case", "de") == ["test", "case"]
+    # × (U+00D7) and ÷ (U+00F7) sit inside the kept À-ÿ range
+    assert clean_and_tokenize("a×b ÷x", "de") == ["a×b", "÷x"]
+    # chars ≥ U+0100 dropped entirely
+    assert clean_and_tokenize("Привет мир", "ru") == []
+    assert clean_and_tokenize("日本語テキスト", "ja") == []
+    # accented Latin-1 kept, lowercased after cleaning
+    assert clean_and_tokenize("Ação CORAÇÃO", "de") == ["ação", "coração"]
+    # min length 2
+    assert clean_and_tokenize("a b cd", "de") == ["cd"]
+
+
+def test_stopword_profiles():
+    assert get_stopwords("en") == frozenset({"the", "a", "and", "of", "is", "this"})
+    assert "y" in get_stopwords("es")
+    assert "e" in get_stopwords("pt-br")
+    assert get_stopwords("zh-cn") == frozenset()
+    assert "because" in get_stopwords("en", "extended")
+
+
+def test_slug():
+    assert url_slug("https://mysite.com/path") == "path"
+    assert url_slug("https://mysite.com") == "home"  # empty path → "home"
+    assert url_slug("https://mysite.com/") == ""  # "/" edge preserved
+    assert url_slug("https://m.com/About-Us/Team_2024/") == "about-us-team-2024"
+    assert slugify("Ação & Reação") == "acao-reacao"

@@ -1,0 +1,96 @@
+"""Tokenization — reference ``clean_and_tokenize`` (text_utils.py:99-116).
+
+Semantics (pinned by the reference's tests, tests/test_text_utils.py:75-95):
+``re.sub(r"[^A-Za-zÀ-ÿ]+", " ", text)`` → collapse whitespace → strip →
+lower → split → keep tokens with ``len >= 2`` not in the language's
+stopword set.
+
+Verified quirks reproduced faithfully (SURVEY.md §2.2 O2): the keep-range is
+U+0041-5A / U+0061-7A / U+00C0-FF, so ``×`` (U+00D7) and ``÷`` (U+00F7) are
+kept inside tokens, digits split tokens, and any char ≥ U+0100 (CJK,
+Cyrillic, 'Ā'…) is dropped.
+
+Two equivalent implementations:
+
+* :func:`clean_and_tokenize` — pure Python, used by the oracle/tests and
+  (optionally) inside the extraction pandas UDF.
+* :func:`tokens_col` — native Spark Column expression (regexp_replace /
+  lower / split / filter) that stays entirely inside whole-stage codegen;
+  this is the hot path. The two are asserted identical in tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from .stopwords import get_stopwords
+
+MIN_TOKEN_LENGTH = 2  # text_utils.py:39
+_CLEAN_RE = re.compile(r"[^A-Za-zÀ-ÿ]+")  # text_utils.py:40
+_SPACE_RE = re.compile(r"\s+")  # text_utils.py:41
+
+# Same pattern, Java regex syntax (identical codepoint semantics here).
+CLEAN_PATTERN_SQL = "[^A-Za-zÀ-ÿ]+"
+
+
+def clean_and_tokenize(text: str, language: str = "en", profile: str = "compat") -> List[str]:
+    """Line-faithful reimplementation of text_utils.py:99-116."""
+    cleaned = _CLEAN_RE.sub(" ", text)
+    cleaned = _SPACE_RE.sub(" ", cleaned).strip().lower()
+    tokens = cleaned.split()
+    stop_words = get_stopwords(language, profile)
+    return [
+        t for t in tokens if len(t) >= MIN_TOKEN_LENGTH and t not in stop_words
+    ]
+
+
+def tokens_col(text_col, stop_col):
+    """Native-Spark tokenization: ``tokens_col(F.col("text"), F.col("stops"))``.
+
+    ``stop_col`` is an ``array<string>`` column of stopwords for the row's
+    language (attach via a broadcast join against the stopword dim table —
+    see :func:`stopwords_df`). Stays JVM-side: regexp_replace → lower →
+    trim → split → filter (higher-order function); no Python in the loop.
+    """
+    from pyspark.sql import functions as F
+
+    cleaned = F.lower(F.trim(F.regexp_replace(text_col, CLEAN_PATTERN_SQL, " ")))
+    toks = F.split(cleaned, " ")
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) >= MIN_TOKEN_LENGTH) & ~F.array_contains(stop_col, t),
+    )
+
+
+def stopwords_df(spark, languages, profile: str = "compat"):
+    """Tiny dimension table ``(lang, stops array<string>)`` meant to be
+    broadcast-joined onto the documents table (small-dim broadcast is the
+    scale-correct way to make stopwords available to 1000 executors)."""
+    rows = [
+        (lang, sorted(get_stopwords(lang, profile))) for lang in sorted(set(languages))
+    ]
+    return spark.createDataFrame(rows, "lang string, stops array<string>")
+
+
+def with_tokens(df, languages=None, profile: str = "compat",
+                text_col: str = "text", lang_col: str = "lang",
+                out_col: str = "tokens"):
+    """documents(text, lang, …) → + tokens column, fully native.
+
+    Broadcast-joins the per-language stopword dim (a few KB) so the plan is
+    scan → BroadcastHashJoin → project; no shuffle, no Python worker.
+    """
+    from pyspark.sql import functions as F
+
+    if languages is None:
+        languages = list(LANGUAGE_CODES)
+    dim = stopwords_df(df.sparkSession, languages, profile)
+    joined = df.join(F.broadcast(dim), df[lang_col] == dim["lang"], "left").drop(dim["lang"])
+    stops = F.coalesce(F.col("stops"), F.array().cast("array<string>"))
+    return joined.withColumn(out_col, tokens_col(F.col(text_col), stops)).drop("stops")
+
+
+LANGUAGE_CODES = (
+    "en", "pt-br", "es", "fr", "it", "de", "zh-cn", "zh", "ja", "ru", "ar", "pt",
+)

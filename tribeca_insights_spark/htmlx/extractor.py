@@ -1,0 +1,275 @@
+"""Pure-Python HTML extraction core.
+
+Reproduces the reference extraction semantics (tribeca-insights,
+``tribeca_insights/text_utils.py:119-135`` ``extract_visible_text`` and
+``tribeca_insights/crawler.py:60-101`` metadata extraction) WITHOUT
+BeautifulSoup: a single pass over :class:`html.parser.HTMLParser` events —
+the exact same stdlib tokenizer bs4's ``html.parser`` tree builder consumes —
+replicating the handful of tree-building decisions bs4 makes on top of it:
+
+* end tags pop the open-tag stack up to the nearest matching start tag and
+  are ignored when unmatched (bs4 ``BeautifulSoup._popToTag``);
+* consecutive character-data events merge into one string node
+  (bs4 ``BeautifulSoup.endData``);
+* comments / doctype / CDATA / processing instructions are never part of
+  ``get_text`` output (bs4 ≥4.9 ``interesting_string_types`` is the exact
+  ``NavigableString`` type);
+* ``<script>``/``<style>`` content is never part of ``get_text`` output
+  (bs4 ``string_containers`` types `Script`/`Stylesheet`; the reference
+  additionally ``decompose()``s them — same observable result);
+* visible text = text nodes outside any ``script/style/header/footer/nav``
+  subtree (the reference decomposes those five: text_utils.py:130), joined
+  with a single space, whitespace-collapsed, stripped (text_utils.py:132-134);
+* metadata (title / meta description / headings / images / links) is
+  extracted from the FULL tree — the reference parses a *fresh, undecomposed*
+  soup for metadata (crawler.py:143-146), so e.g. headings inside ``<nav>``
+  ARE reported while their text is absent from the visible text.
+
+This module is dependency-free and is used both by the Spark pandas UDFs
+(:mod:`tribeca_insights_spark.operators.extract`) and by the golden-fixture
+oracle in tests, with behavior pinned by the reference's own test
+expectations (tests/test_text_utils.py:98-111, tests/test_crawler.py:11-41).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Set, Tuple
+from urllib.parse import urljoin, urlparse
+
+# Tags whose whole subtree is removed before visible-text extraction
+# (reference: text_utils.py:130).
+DECOMPOSED_TAGS = frozenset({"script", "style", "header", "footer", "nav"})
+
+# Raw-text ("CDATA") elements: their content is a string-container type in
+# bs4 and never appears in get_text output even on the undecomposed tree.
+RAWTEXT_TAGS = frozenset({"script", "style"})
+
+# HTML void elements — never pushed on the open-tag stack.
+VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+_HEADING_RE = re.compile(r"^h[1-6]$")
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass
+class PageExtract:
+    """All per-page fields the reference computes (crawler.py:163-175)."""
+
+    text: str = ""
+    title: str = "(no title)"
+    meta_description: str = ""
+    headings: List[str] = field(default_factory=list)
+    images: List[Dict[str, str]] = field(default_factory=list)
+    links: List[str] = field(default_factory=list)  # all hrefs, doc order
+
+
+class _Walker(HTMLParser):
+    """Single-pass event consumer building every extraction output at once."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: List[str] = []  # open non-void tags, bs4-style
+        self._buf: List[str] = []  # pending character data (merged node)
+        self.visible: List[str] = []  # string nodes outside decomposed subtrees
+        # title capture: first <title>; emulate bs4 `.string` (None when the
+        # title element has element children)
+        self.title_value: Optional[str] = None
+        self._title_seen = False
+        self._title_depth: Optional[int] = None
+        self._title_parts: List[str] = []
+        self._title_has_elem = False
+        self.meta_description: Optional[str] = None
+        # headings: list of (hashes_prefix, [string nodes]) being collected;
+        # supports (degenerate) nested headings via a stack of collectors
+        self.headings: List[str] = []
+        self._open_headings: List[Tuple[int, int, List[str]]] = []  # (level, depth, parts)
+        self.images: List[Dict[str, str]] = []
+        self.links: List[str] = []
+
+    # -- bs4-style data-node merging -------------------------------------
+    def _end_data(self) -> None:
+        if not self._buf:
+            return
+        data = "".join(self._buf)
+        self._buf.clear()
+        in_rawtext = any(t in RAWTEXT_TAGS for t in self.stack)
+        if in_rawtext:
+            return  # Script/Stylesheet string containers: never in get_text
+        if not any(t in DECOMPOSED_TAGS for t in self.stack):
+            self.visible.append(data)
+        if self._title_depth is not None and len(self.stack) > self._title_depth:
+            self._title_parts.append(data)
+        for _level, _depth, parts in self._open_headings:
+            parts.append(data)
+
+    # -- tag events --------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
+        self._end_data()
+        ad: Dict[str, Optional[str]] = {}
+        for k, v in attrs:  # duplicate attribute: last wins (bs4 default)
+            ad[k] = v
+        if tag == "img":
+            src = ad.get("src")
+            alt = ad.get("alt")
+            self.images.append(
+                {
+                    "src": src if src is not None else "",
+                    "alt": alt.strip() if isinstance(alt, str) else "",
+                }
+            )
+        elif tag == "a":
+            href = ad.get("href")
+            if href is not None:
+                self.links.append(href)
+        elif tag == "meta":
+            if (
+                self.meta_description is None
+                and ad.get("name") == "description"
+            ):
+                content = ad.get("content")
+                self.meta_description = (
+                    content.strip() if isinstance(content, str) else ""
+                )
+        if self._title_depth is not None:
+            self._title_has_elem = True
+        if tag in VOID_TAGS:
+            return
+        if tag == "title" and not self._title_seen:
+            self._title_seen = True
+            self._title_depth = len(self.stack)
+            self._title_parts = []
+            self._title_has_elem = False
+        if _HEADING_RE.match(tag):
+            self._open_headings.append((int(tag[1]), len(self.stack), []))
+        self.stack.append(tag)
+
+    def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
+        # <tag/> → bs4 html.parser: start + immediate end
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_TAGS:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._end_data()
+        if tag in VOID_TAGS:
+            return
+        # bs4 _popToTag: find nearest matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i] == tag:
+                new_depth = i
+                del self.stack[i:]
+                self._close_collectors(new_depth)
+                return
+        # unmatched end tag → ignored
+
+    def close(self) -> None:  # EOF: implicit close of everything still open
+        super().close()
+        self._end_data()
+        self.stack.clear()
+        self._close_collectors(0)
+
+    def _close_collectors(self, depth: int) -> None:
+        if self._title_depth is not None and depth <= self._title_depth:
+            if self._title_has_elem:
+                self.title_value = None  # bs4 `.string` on multi-child tag
+            else:
+                merged = "".join(self._title_parts) if self._title_parts else None
+                self.title_value = merged
+            self._title_depth = None
+        while self._open_headings and depth <= self._open_headings[-1][1]:
+            level, _d, parts = self._open_headings.pop()
+            # bs4 get_text(strip=True): strip each string node, drop empties,
+            # join with "" (crawler.py:73-76)
+            text = "".join(p.strip() for p in parts if p.strip())
+            self.headings.append("#" * level + " " + text)
+
+    # -- non-text events: never part of get_text --------------------------
+    def handle_comment(self, data: str) -> None:
+        self._end_data()
+
+    def handle_decl(self, decl: str) -> None:
+        self._end_data()
+
+    def handle_pi(self, data: str) -> None:
+        self._end_data()
+
+    def unknown_decl(self, data: str) -> None:
+        self._end_data()
+
+    def handle_data(self, data: str) -> None:
+        self._buf.append(data)
+
+
+def parse_page(html: str) -> PageExtract:
+    """Parse once; return every extraction output the reference computes."""
+    w = _Walker()
+    try:
+        w.feed(html)
+        w.close()
+    except Exception:
+        # html.parser raises only on truly pathological input; mirror the
+        # reference's behavior of producing a best-effort page (bs4 recovers).
+        w._end_data()
+        w._close_collectors(0)
+    out = PageExtract()
+    # visible text: join string nodes with " ", collapse \s+, strip
+    # (text_utils.py:132-134)
+    out.text = _WS_RE.sub(" ", " ".join(w.visible)).strip()
+    if w._title_seen:
+        out.title = w.title_value.strip() if isinstance(w.title_value, str) else ""
+    else:
+        out.title = "(no title)"  # crawler.py:68
+    out.meta_description = (
+        w.meta_description if w.meta_description is not None else ""
+    )
+    out.headings = w.headings
+    out.images = w.images
+    out.links = w.links
+    return out
+
+
+def extract_visible_text(html: str) -> str:
+    """Reference ``extract_visible_text`` (text_utils.py:119-135)."""
+    return parse_page(html).text
+
+
+def external_links(links: List[str], domain: str) -> List[str]:
+    """Reference external-link rule (crawler.py:93-101): keep hrefs that
+    start with ``http`` and do NOT contain ``domain`` as a substring
+    (quirk preserved: substring test, not netloc comparison). Returns the
+    sorted de-duplicated list (crawler.py:172)."""
+    return sorted({h for h in links if h.startswith("http") and domain not in h})
+
+
+def internal_links(links: List[str], base_url: str, domain: str) -> List[str]:
+    """Legacy internal-link rule (scripts/main.py:111-120): href starts with
+    '/' or contains the domain → resolve against base_url, keep when the
+    netloc (www-stripped) equals domain, drop #fragments. Sorted distinct."""
+    out: Set[str] = set()
+    for href in links:
+        if href.startswith("/") or domain in href:
+            full = urljoin(base_url, href)
+            p = urlparse(full)
+            if p.netloc.replace("www.", "") == domain:
+                out.add(full.split("#", 1)[0])
+    return sorted(out)
+
+
+def page_hash(text: str) -> str:
+    """sha256 hexdigest of the visible text (crawler.py:162)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def url_domain(url: str) -> str:
+    """Hostname used for the internal/external link rule, per the reference's
+    own tests (tests/test_crawler.py:11-41 pass 'mysite.com')."""
+    return urlparse(url).netloc

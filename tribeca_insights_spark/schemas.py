@@ -1,0 +1,108 @@
+"""Canonical schemas (SURVEY.md §1).
+
+Input (BASELINE.json input_hint): Common-Crawl-style pages table
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+— Iceberg in production, plain parquet in this sandbox (no Iceberg runtime
+jars here; the state/lineage layer in plans/state.py keeps Iceberg-shaped
+semantics so the swap is a table-format change, not a redesign).
+
+Output: ``page_data`` per-page analysis record (reference
+crawler.py:163-175, SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+# Struct returned by the extraction pandas UDF — one parse per page, every
+# output at once (SURVEY.md §2.2 O1, O4-O11).
+EXTRACT_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("meta_description", StringType()),
+        StructField("headings", ArrayType(StringType())),
+        StructField(
+            "images",
+            ArrayType(
+                StructType(
+                    [StructField("src", StringType()), StructField("alt", StringType())]
+                )
+            ),
+        ),
+        StructField("external_links", ArrayType(StringType())),
+        StructField("internal_links", ArrayType(StringType())),
+        StructField("slug", StringType()),
+        StructField("page_hash", StringType()),
+    ]
+)
+
+# Full per-page record (reference page_data, crawler.py:163-175) + provenance.
+PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("slug", StringType()),
+        StructField("title", StringType()),
+        StructField("meta_description", StringType()),
+        StructField("headings", ArrayType(StringType())),
+        StructField("word_count", IntegerType()),
+        StructField("word_frequency", MapType(StringType(), IntegerType())),
+        StructField(
+            "images",
+            ArrayType(
+                StructType(
+                    [StructField("src", StringType()), StructField("alt", StringType())]
+                )
+            ),
+        ),
+        StructField("external_links", ArrayType(StringType())),
+        StructField("internal_links", ArrayType(StringType())),
+        StructField("page_hash", StringType()),
+        StructField("lang", StringType()),
+        StructField("bucket", IntegerType()),  # url-hash bucket (partition key)
+    ]
+)
+
+# Crawl/extract state table (reference visited_urls CSV, storage.py:65;
+# SURVEY.md §1.2): Status 2=pending, 1=done.
+STATE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("processed_at", StringType()),  # %Y-%m-%d, crawler.py:256
+        StructField("bucket", IntegerType()),
+        StructField("run_id", StringType()),
+    ]
+)
+
+# Per-partition extraction metrics / lineage (north_rule).
+METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("n_docs", LongType()),
+        StructField("n_failed", LongType()),
+        StructField("bytes_in", LongType()),
+        StructField("wall_ms", LongType()),
+    ]
+)
