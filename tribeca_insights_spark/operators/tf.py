@@ -1,0 +1,155 @@
+"""Term-frequency & report aggregations (SURVEY.md §2.3 R3-R7, R14-R16).
+
+All native DataFrame ops — partial (map-side) aggregation, whole-stage
+codegen, AQE-coalesced shuffles come free. Scale notes per operator:
+
+* ``corpus_tf`` — ``explode → groupBy(word).sum`` with an explicit two-stage
+  salted variant: tokens are Zipfian, so at 10^12 docs the top words would
+  each land on one reducer. Stage 1 groups on (word, salt) — the partial
+  aggregation already collapses per-partition duplicates, the salt spreads
+  the per-word FINAL combine across ``n_salts`` reducers; stage 2 is a tiny
+  combine. (The reference concat-then-Counter at crawler.py:275 is
+  distribution-equivalent: tokens never span the " " join glue — SURVEY §R4.)
+* ``domain_top_keywords`` — per-domain keyword report (north_star): skewed
+  domains (one site = 40% of a crawl) are handled the same way: salted
+  partial agg on (domain, word, salt), final agg, then a window top-k whose
+  partition key (domain) is already aggregated down to |domains × words|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def domain_col(url_col="url"):
+    """Hostname, e.g. per-domain grouping key (native parse_url)."""
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def exploded_tokens(extracted: DataFrame, extra_cols=()) -> DataFrame:
+    """(url, word) long format — the distributed TF representation."""
+    cols = ["url", *extra_cols]
+    return extracted.select(*cols, F.explode("tokens").alias("word"))
+
+
+def per_page_tf(extracted: DataFrame) -> DataFrame:
+    """Reference per-page Counter (crawler.py:160-161) as long format."""
+    return (
+        exploded_tokens(extracted)
+        .groupBy("url", "word")
+        .agg(F.count("*").cast("int").alias("freq"))
+    )
+
+
+def corpus_tf(extracted: DataFrame, n_salts: int = 0) -> DataFrame:
+    """Global (word, freq) desc — reference keyword_frequency table
+    (exporters/csv.py:40-53). ``n_salts>0`` → explicit two-stage salted agg."""
+    words = exploded_tokens(extracted)
+    if n_salts and n_salts > 1:
+        partial = (
+            words.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+            .groupBy("word", "_salt")
+            .agg(F.count("*").alias("_pf"))
+        )
+        agg = partial.groupBy("word").agg(F.sum("_pf").alias("freq"))
+    else:
+        agg = words.groupBy("word").agg(F.count("*").alias("freq"))
+    return agg.orderBy(F.desc("freq"), "word")
+
+
+def merge_tf(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Legacy TF merge (scripts/main.py:436-445): Counter union."""
+    return (
+        existing.unionByName(new)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+    )
+
+
+def doc_frequency(extracted: DataFrame) -> DataFrame:
+    """(word, n_docs): distinct per doc then count — classic DF table."""
+    return (
+        exploded_tokens(extracted)
+        .dropDuplicates(["url", "word"])
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "word")
+    )
+
+
+def top_k_words_per_page(extracted: DataFrame, k: int = 50) -> DataFrame:
+    """Reference ``local_freq.most_common(50)`` (markdown.py:101) — computed
+    per-row with array ops (NO shuffle: tokens are already co-located with
+    the page). Ties broken by word asc, as Counter.most_common does for
+    equal counts via insertion order — we pin lexicographic for determinism."""
+    tf = per_page_tf(extracted)
+    w = Window.partitionBy("url").orderBy(F.desc("freq"), "word")
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def domain_top_keywords(
+    extracted: DataFrame, k: int = 10, n_salts: int = 0
+) -> DataFrame:
+    """Per-domain keyword top-k report (north_star). Optional explicit
+    salting for skewed domains: partial agg on (domain, word, salt) spreads
+    a hot domain's combine over ``n_salts`` reducers before the final agg."""
+    words = exploded_tokens(extracted).withColumn("domain", domain_col())
+    if n_salts and n_salts > 1:
+        counts = (
+            words.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+            .groupBy("domain", "word", "_salt")
+            .agg(F.count("*").alias("_pf"))
+            .groupBy("domain", "word")
+            .agg(F.sum("_pf").alias("freq"))
+        )
+    else:
+        counts = words.groupBy("domain", "word").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("domain").orderBy(F.desc("freq"), "word")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("domain", "rank")
+    )
+
+
+def external_urls_global(extracted: DataFrame) -> DataFrame:
+    """Global sorted distinct external links — reference external_urls sink
+    (exporters/json.py:61-81): explode → distinct → orderBy."""
+    return (
+        extracted.select(F.explode("external_links").alias("ext_url"))
+        .distinct()
+        .orderBy("ext_url")
+    )
+
+
+def link_counts(extracted: DataFrame) -> DataFrame:
+    """Per-page internal/external link counts (north_star)."""
+    return extracted.select(
+        "url",
+        F.size("external_links").alias("n_external"),
+        F.size("internal_links").alias("n_internal"),
+        F.size("images").alias("n_images"),
+        F.size("headings").alias("n_headings"),
+    )
+
+
+def index_entries(extracted: DataFrame) -> DataFrame:
+    """index.json projection {slug, title, md_filename} (json.py:40-58)."""
+    return extracted.select(
+        "slug", "title", F.concat(F.col("slug"), F.lit(".md")).alias("md_filename")
+    )
+
+
+def merge_pages_by_slug(pages: DataFrame, order_col: str = "warc_ts") -> DataFrame:
+    """Project-JSON merge-by-slug, last-wins (json.py:197-201) as a
+    window dedup: row_number over slug ordered by recency desc."""
+    w = Window.partitionBy("slug").orderBy(F.desc(order_col), F.desc("url"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -18,8 +18,23 @@ ones that matter on a real multi-executor cluster and are harmless locally:
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors — the same artifact you
+    would pass to ``spark-submit --py-files`` on a real cluster. Rebuilt on
+    demand (the package is a few tens of KB)."""
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(tempfile.gettempdir(), "tribeca_insights_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, os.path.join(pkg_dir.name, p.relative_to(pkg_dir)))
+    return zpath
 
 
 def get_spark(
@@ -49,4 +64,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Ship the package to Python workers — equivalent of --py-files; makes
+    # pandas UDFs importable regardless of the driver's working directory.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
