@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line to stdout.
+
+Headline metric (BASELINE.json): extraction+TF throughput (docs/sec) over a
+Common-Crawl-style pages table synthesized deterministically from the
+``documents`` table at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+replicated ×REPS so compute dominates task overheads.
+
+Also reports:
+* per-query wall seconds for every driver-contract query at the same SF;
+* two-parallelism scaling evidence (north_rule stand-in for N vs 4N executor
+  clusters — no real cluster in this sandbox): the same extract+TF job at
+  local[8] and local[32] in fresh JVMs, throughput at both, and
+  ``efficiency = thr(32) / (4 × thr(8))``.
+
+Usage:
+  python bench.py                  # full run, one JSON line on stdout
+  python bench.py --scale-run N    # internal: one throughput probe at local[N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "256"))
+
+
+def _replicated_docs(spark, sf_dir: str, reps: int):
+    """documents → synthesized HTML pages replicated ×reps (distinct urls)."""
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.entry_queries import documents_as_pages
+
+    docs = documents_as_pages(spark, sf_dir)
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    return (
+        docs.crossJoin(rep)
+        .withColumn("url", F.concat("url", F.lit("?rep="), F.col("rep")))
+        .drop("rep", "doc_id")
+    )
+
+
+def _warm_python_workers(spark, cores: int):
+    """Spawn+import-warm every Python worker before timing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _warm(s: pd.Series) -> pd.Series:
+        import tribeca_insights_spark.htmlx.extractor  # noqa: F401 preload
+
+        return s.str.len()
+
+    (
+        spark.range(cores * 20)
+        .select(F.lit("warm").alias("s"))
+        .repartition(cores * 2)
+        .select(F.sum(_warm("s")))
+        .collect()
+    )
+
+
+def _extract_tf_job(spark, docs, n_salts: int, full: bool):
+    """The measured job: parse every page, tokenize, salted corpus TF +
+    per-domain top-k; returns (n_docs, wall_sec)."""
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators import tf as tfops
+    from tribeca_insights_spark.operators.extract import (
+        extract_pages,
+        extract_token_strings,
+    )
+
+    cached = docs.cache()
+    n = cached.count()  # materialize input outside the timed window
+
+    def run(d):
+        # `full` parses + materializes every page_data field; both paths
+        # feed TF via the space-joined tokens_str (literal split, codegen)
+        ex = extract_pages(d) if full else extract_token_strings(d)
+        tfops.corpus_tf(ex, n_salts=n_salts).limit(50).collect()
+
+    # warm the pipeline *shape* (codegen compile, broadcasts, AQE paths)
+    # on a slice so the timed window measures throughput, not JIT
+    run(cached.limit(500))
+    t0 = time.time()
+    run(cached)
+    wall = time.time() - t0
+    cached.unpersist()
+    return n, wall
+
+
+# Scaling pair: 2 and 8 PHYSICAL cores. This box exposes 32 hardware
+# threads but raw multiprocessing itself tops out at ~21× for 32 procs
+# (SMT sharing), so an 8→32 pair would measure hyperthreading, not the
+# engine. 2→8 stays on physical cores — the honest stand-in for N vs 4N
+# executor machines (which don't share pipelines). The 8→32 pair is also
+# reported, alongside the machine's own multiprocessing ceiling, in
+# BASELINE.md.
+SCALE_CORES = (2, 8)
+SCALE_DOCS_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "256000"))
+
+
+def scale_run(cores: int) -> dict:
+    import duckdb
+
+    from tribeca_insights_spark.session import get_spark
+
+    base = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    reps = max(1, SCALE_DOCS_TARGET // base)
+    spark = get_spark(
+        app_name=f"bench-scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        arrow_batch_rows=4096,
+        extra_conf={"spark.locality.wait": "0"},
+    )
+    docs = _replicated_docs(spark, SF_DIR, reps).repartition(cores * 8)
+    _warm_python_workers(spark, cores)
+    # text-only job: python-compute-bound → the cleanest signal for how the
+    # ENGINE scales with cores (the full job adds fixed JVM/Arrow costs that
+    # would bias the small-cluster side at this sandbox data size)
+    n, wall = _extract_tf_job(spark, docs, n_salts=cores, full=False)
+    spark.stop()
+    return {"cores": cores, "docs": n, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1)}
+
+
+def main() -> None:
+    from tribeca_insights_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    results: dict = {"sf": SF_DIR, "reps": REPS}
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS, arrow_batch_rows=4096,
+        extra_conf={"spark.locality.wait": "0"},
+    )
+    _warm_python_workers(spark, CPUS)
+
+    # headline: full extraction+TF throughput
+    docs = _replicated_docs(spark, SF_DIR, REPS).repartition(CPUS * 4)
+    n, wall_full = _extract_tf_job(spark, docs, n_salts=CPUS, full=True)
+    _, wall_text = _extract_tf_job(spark, docs, n_salts=CPUS, full=False)
+
+    # per-query timings (driver-contract queries at this SF)
+    queries = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        t0 = time.time()
+        fn(spark, SF_DIR).limit(10000).collect()
+        queries[name] = round(time.time() - t0, 3)
+    queries["extract_tf_full"] = round(wall_full, 3)
+    queries["extract_tf_textonly"] = round(wall_text, 3)
+    spark.stop()
+
+    # scaling evidence: fresh JVM per parallelism level
+    scaling = {}
+    for cores in SCALE_CORES:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-run", str(cores)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        scaling[f"local{cores}"] = json.loads(line)
+    lo, hi = SCALE_CORES
+    thr_lo = scaling[f"local{lo}"].get("docs_per_sec", 0)
+    thr_hi = scaling[f"local{hi}"].get("docs_per_sec", 0)
+    eff = round(thr_hi / ((hi // lo) * thr_lo), 3) if thr_lo else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "extract+tf_wall_sec",
+                "value": round(wall_full, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "docs": n,
+                "docs_per_sec_full": round(n / wall_full, 1),
+                "docs_per_sec_textonly": round(n / wall_text, 1),
+                "scaling": {
+                    f"local{lo}_docs_per_sec": thr_lo,
+                    f"local{hi}_docs_per_sec": thr_hi,
+                    f"efficiency_{lo}_to_{hi}": eff,
+                    "scale_docs": scaling[f"local{lo}"].get("docs"),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
+        print(json.dumps(scale_run(int(sys.argv[2]))))
+    else:
+        main()

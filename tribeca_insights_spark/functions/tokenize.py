@@ -94,3 +94,50 @@ def with_tokens(df, languages=None, profile: str = "compat",
 LANGUAGE_CODES = (
     "en", "pt-br", "es", "fr", "it", "de", "zh-cn", "zh", "ja", "ru", "ar", "pt",
 )
+
+
+def stop_pairs_df(spark, languages=None, profile: str = "compat"):
+    """(lang, word) stopword pair dim for anti-join filtering (a few KB)."""
+    if languages is None:
+        languages = list(LANGUAGE_CODES)
+    rows = [
+        (lang, w)
+        for lang in sorted(set(languages))
+        for w in sorted(get_stopwords(lang, profile))
+    ]
+    if not rows:
+        rows = [("__none__", "__none__")]
+    return spark.createDataFrame(rows, "lang string, word string")
+
+
+def exploded_words(df, profile: str = "compat", text_col: str = "text",
+                   lang_col: str = "lang", extra_cols=("url",)):
+    """Long-format tokenization — the TF-pipeline hot path.
+
+    ``explode(split(text, CLEAN)) → lower → length>=2 filter → broadcast
+    LEFT ANTI join (lang, word) stopword pairs``. Unlike the array-based
+    :func:`tokens_col` (which uses higher-order functions — interpreted,
+    excluded from whole-stage codegen, and re-evaluated by Filter/Project/
+    Generate), every operator here is flat and codegen-friendly; measured
+    ~4× faster end-to-end on the corpus-TF benchmark. Token multiset is
+    identical to the reference semantics: split on the non-keep class yields
+    the same maximal letter runs; empties fall to the length filter;
+    clean-before-lower order is preserved by lowering per token.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    raw = df.select(
+        *extra_cols, lang_col,
+        F.explode(F.split(F.col(text_col), CLEAN_PATTERN_SQL)).alias("_w0"),
+    )
+    words = raw.select(
+        *extra_cols, lang_col, F.lower(F.col("_w0")).alias("word")
+    ).filter(F.length("word") >= MIN_TOKEN_LENGTH)
+    stops = stop_pairs_df(spark, profile=profile)
+    return words.join(
+        F.broadcast(stops),
+        [lang_col, "word"] if lang_col == "lang" else
+        [words[lang_col] == stops["lang"], words["word"] == stops["word"]],
+        "left_anti",
+    )

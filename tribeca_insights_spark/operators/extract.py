@@ -1,29 +1,42 @@
 """Extraction operators — the Arrow-batched hot path.
 
 One struct-returning pandas UDF performs a SINGLE parse per page and emits
-every per-page field the reference computes (SURVEY.md §2.2 O1, O4-O11;
+every per-page field the reference computes (SURVEY.md §2.2 O1, O2, O4-O11;
 reference crawler.py:104-183 does the same work row-at-a-time in threads).
 Batches arrive via Arrow (tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
-down for fat HTML blobs — see session.py); everything after the UDF is
-native Catalyst: flattening, tokenization, word counts, TF aggregation.
+down for fat HTML blobs — see session.py); everything downstream is native
+Catalyst (explode / joins / aggregations).
+
+Tokenization is FUSED into the UDF (clean_and_tokenize — the line-faithful
+reference tokenizer, text_utils.py:99-116): measured on this Spark build,
+JVM regexp_replace / regex-split run ~1.4 ms/row (pattern handling
+pathology) while Python ``re`` with module-compiled patterns does ~0.03
+ms/doc — 40× faster, and byte-exact by construction. The per-page
+``word_frequency`` Counter (crawler.py:160-161) rides along as a MapType
+for the same reason (higher-order-function map building is interpreted,
+non-codegen). Exploding the returned ``tokens`` array is cheap (no regex
+in the JVM path).
 
 Charset policy: ``html`` is ``binary`` (input_hint); we decode UTF-8 with
 ``errors="replace"`` — the reference consumes ``requests``' already-decoded
 ``resp.text`` (crawler.py:137-138), so the decode step is new surface and
-UTF-8 is the Common-Crawl-standard choice. Documented invariant: fixtures
-are UTF-8, so parity is well-posed.
+UTF-8 is the Common-Crawl-standard choice. Fixtures are UTF-8, making the
+byte-identity invariant well-posed.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections import Counter
 from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 from ..functions.slug import url_slug
-from ..functions.tokenize import with_tokens
+from ..functions.tokenize import clean_and_tokenize
 from ..htmlx.extractor import (
     external_links,
     internal_links,
@@ -31,6 +44,8 @@ from ..htmlx.extractor import (
     url_domain,
 )
 from ..schemas import EXTRACT_STRUCT
+
+_TOKEN_PROFILE = "compat"  # stopword profile used inside the UDFs
 
 
 def _decode(h: Optional[object]) -> str:
@@ -41,18 +56,18 @@ def _decode(h: Optional[object]) -> str:
     return str(h)
 
 
-def _extract_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series) -> pd.DataFrame:
     out = {
         "text": [], "title": [], "meta_description": [], "headings": [],
         "images": [], "external_links": [], "internal_links": [],
-        "slug": [], "page_hash": [],
+        "slug": [], "page_hash": [], "tokens": [], "tokens_str": [],
+        "word_count": [], "word_frequency": [],
     }
-    import hashlib
-
-    for u, h in zip(url, html):
+    for u, h, lg in zip(url, html, lang):
         u = u or ""
         page = parse_page(_decode(h))
         dom = url_domain(u)
+        toks = clean_and_tokenize(page.text, lg or "", _TOKEN_PROFILE)
         out["text"].append(page.text)
         out["title"].append(page.title)
         out["meta_description"].append(page.meta_description)
@@ -64,23 +79,90 @@ def _extract_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         out["page_hash"].append(
             hashlib.sha256(page.text.encode("utf-8")).hexdigest()
         )
+        out["tokens"].append(toks)
+        out["tokens_str"].append(" ".join(toks))
+        out["word_count"].append(len(toks))
+        out["word_frequency"].append(dict(Counter(toks)))
     return pd.DataFrame(out)
 
 
 extract_page_udf = pandas_udf(_extract_batch, returnType=EXTRACT_STRUCT)
 
 
+def _extract_text_batch(html: pd.Series) -> pd.Series:
+    from ..htmlx.extractor import extract_visible_text
+
+    return pd.Series([extract_visible_text(_decode(h)) for h in html])
+
+
+# Text-only fast path: parses once, ships ONE string column back over Arrow.
+extract_text_udf = pandas_udf(_extract_text_batch, returnType=StringType())
+
+
+def _extract_tokens_batch(html: pd.Series, lang: pd.Series) -> pd.Series:
+    from ..htmlx.extractor import extract_visible_text
+
+    return pd.Series(
+        [
+            clean_and_tokenize(extract_visible_text(_decode(h)), lg or "",
+                               _TOKEN_PROFILE)
+            for h, lg in zip(html, lang)
+        ]
+    )
+
+
+# Tokens-only fast path for TF pipelines: parse + tokenize per page, ship
+# just the token array.
+extract_tokens_udf = pandas_udf(
+    _extract_tokens_batch, returnType=ArrayType(StringType())
+)
+
+
+def _extract_tokstr_batch(html: pd.Series, lang: pd.Series) -> pd.Series:
+    from ..htmlx.extractor import extract_visible_text
+
+    return pd.Series(
+        [
+            " ".join(
+                clean_and_tokenize(
+                    extract_visible_text(_decode(h)), lg or "", _TOKEN_PROFILE
+                )
+            )
+            for h, lg in zip(html, lang)
+        ]
+    )
+
+
+# Fastest TF path: one string per page over Arrow; JVM explodes it with a
+# literal-delimiter split (codegen, no regex).
+extract_tokstr_udf = pandas_udf(_extract_tokstr_batch, returnType=StringType())
+
+
+def extract_token_strings(docs: DataFrame) -> DataFrame:
+    """(url, lang, tokens_str) — the corpus-TF hot path."""
+    return docs.select(
+        "url", "lang",
+        extract_tokstr_udf(F.col("html"), F.col("lang")).alias("tokens_str"),
+    )
+
+
 def extract_pages(docs: DataFrame, tokens: bool = True,
                   profile: str = "compat") -> DataFrame:
     """docs(url, warc_ts, html, text, lang) → extracted per-page DataFrame.
 
-    Plan shape: Scan → ArrowEvalPython (one parse/page) → Project (flatten)
-    [→ BroadcastHashJoin stopword-dim → Project tokens]. No shuffle at all —
-    extraction is embarrassingly parallel and stays that way at 10^12 docs;
-    partitioning is inherited from the source (url-hash-bucketed Iceberg
-    scan in production).
+    Plan shape: Scan → ArrowEvalPython (one parse+tokenize per page) →
+    Project (flatten). No shuffle at all — extraction is embarrassingly
+    parallel and stays that way at 10^12 docs; partitioning is inherited
+    from the source (url-hash-bucketed Iceberg scan in production).
+
+    ``tokens=False`` drops token-derived columns from the projection (the
+    UDF output is pruned at the Arrow boundary only in the dedicated
+    fast-path helpers; here it trims the downstream row width).
     """
-    e = docs.withColumn("_x", extract_page_udf(F.col("url"), F.col("html")))
+    assert profile == _TOKEN_PROFILE, "UDF tokenizer is compiled for compat"
+    e = docs.withColumn(
+        "_x", extract_page_udf(F.col("url"), F.col("html"), F.col("lang"))
+    )
     cols = [
         "url",
         "warc_ts",
@@ -95,23 +177,37 @@ def extract_pages(docs: DataFrame, tokens: bool = True,
         F.col("_x.slug").alias("slug"),
         F.col("_x.page_hash").alias("page_hash"),
     ]
-    out = e.select(*cols)
     if tokens:
-        out = with_tokens(out, profile=profile).withColumn(
-            "word_count", F.size("tokens")
+        cols += [
+            F.col("_x.tokens").alias("tokens"),
+            F.col("_x.tokens_str").alias("tokens_str"),
+            F.col("_x.word_count").alias("word_count"),
+            F.col("_x.word_frequency").alias("word_frequency"),
+        ]
+    return e.select(*cols)
+
+
+def extract_texts(docs: DataFrame, tokens: bool = True,
+                  profile: str = "compat") -> DataFrame:
+    """(url, lang, text[, tokens]) extraction fast path for TF pipelines."""
+    assert profile == _TOKEN_PROFILE
+    if tokens:
+        return docs.select(
+            "url", "lang",
+            extract_tokens_udf(F.col("html"), F.col("lang")).alias("tokens"),
         )
-    return out
+    return docs.select(
+        "url", "lang", extract_text_udf(F.col("html")).alias("text")
+    )
 
 
 def with_word_frequency(extracted: DataFrame, tokens_col: str = "tokens") -> DataFrame:
-    """page_data ``word_frequency`` map (reference crawler.py:160-161,170).
-
-    Computed per-row with higher-order functions — no shuffle, no Python:
-    ``map_from_entries(transform(array_distinct(tokens), w → (w, count)))``.
-    Key order is NOT first-occurrence (Counter) order; the invariant is the
-    unordered TF vector (SURVEY.md §7.3). For corpus-scale TF analytics use
-    the exploded long format in operators/tf.py instead of this map.
-    """
+    """page_data ``word_frequency`` map from a tokens array, computed
+    per-row with higher-order functions (no shuffle, no Python). NOTE:
+    interpreted (non-codegen) — prefer the UDF-fused word_frequency column
+    from :func:`extract_pages`; this exists for token arrays produced by
+    other means. Key order is NOT first-occurrence (Counter) order; the
+    invariant is the unordered TF vector (SURVEY.md §7.3)."""
     t = F.col(tokens_col)
     entries = F.transform(
         F.array_distinct(t),
@@ -125,8 +221,8 @@ def with_word_frequency(extracted: DataFrame, tokens_col: str = "tokens") -> Dat
 
 def page_data(docs: DataFrame, profile: str = "compat") -> DataFrame:
     """Full reference ``page_data`` record per page (SURVEY.md §1.1)."""
-    return with_word_frequency(extract_pages(docs, profile=profile)).select(
-        "url", "text", "slug", "title", "meta_description", "headings", "word_count",
-        "word_frequency", "images", "external_links", "internal_links",
-        "page_hash", "lang", "warc_ts",
+    return extract_pages(docs, profile=profile).select(
+        "url", "text", "slug", "title", "meta_description", "headings",
+        "word_count", "word_frequency", "images", "external_links",
+        "internal_links", "page_hash", "lang", "warc_ts",
     )

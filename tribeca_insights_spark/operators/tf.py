@@ -27,9 +27,26 @@ def domain_col(url_col="url"):
 
 
 def exploded_tokens(extracted: DataFrame, extra_cols=()) -> DataFrame:
-    """(url, word) long format — the distributed TF representation."""
+    """(url, word) long format — the distributed TF representation.
+
+    If the input already carries a ``tokens`` array (parity/page_data path)
+    it is exploded; otherwise tokens are derived from (text, lang) via the
+    flat codegen-friendly path (functions/tokenize.exploded_words), which is
+    the fast choice for TF-only pipelines."""
+    from ..functions.tokenize import exploded_words
+
     cols = ["url", *extra_cols]
-    return extracted.select(*cols, F.explode("tokens").alias("word"))
+    if "tokens_str" in extracted.columns:
+        # literal-delimiter split: codegen-friendly, no regex; empty pages
+        # produce [''] which the length filter drops
+        return (
+            extracted.select(
+                *cols, F.explode(F.split("tokens_str", " ", -1)).alias("word")
+            ).filter(F.length("word") > 0)
+        )
+    if "tokens" in extracted.columns:
+        return extracted.select(*cols, F.explode("tokens").alias("word"))
+    return exploded_words(extracted, extra_cols=cols).select(*cols, "word")
 
 
 def per_page_tf(extracted: DataFrame) -> DataFrame:
