@@ -1,0 +1,164 @@
+"""Semantic tests for the training-data operators: do they actually find
+planted duplicates/neighbors (beyond the driver's engine-vs-oracle parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tribeca_insights_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_near_pairs,
+)
+from tribeca_insights_spark.operators.multimodal import (
+    decode_image_stub,
+    media_metadata,
+)
+from tribeca_insights_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_bucketed_topk,
+    embedding_near_dup_pairs,
+)
+from tribeca_insights_spark.operators.textstats import (
+    lang_guess,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and dreams of distant mice"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("warm", "cold")),  # near-dup of 1
+        (3, "completely different content about spark query engines and "
+            "distributed columnar execution at terabyte scale"),
+        (4, base),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tok_str string")
+
+
+def test_exact_dedup_groups(spark, near_dup_docs):
+    out = {
+        r["keeper_id"]: r["n_dups"]
+        for r in exact_dedup(near_dup_docs, text_col="tok_str").collect()
+    }
+    assert out[1] == 1  # docs 1 and 4 collapse
+    assert out[2] == 0 and out[3] == 0
+
+
+def test_minhash_lsh_finds_near_dup(near_dup_docs):
+    sh = char_shingles(near_dup_docs, text_col="tok_str", k=12)
+    bands = lsh_bands(minhash_signatures(sh, n_hashes=12), rows_per_band=3)
+    pairs = {(r["a_id"], r["b_id"]) for r in lsh_candidate_pairs(bands).collect()}
+    assert (1, 4) in pairs  # identical docs always collide
+    assert (1, 2) in pairs  # one-word edit: high jaccard, should collide
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_values(near_dup_docs):
+    sh = char_shingles(near_dup_docs, text_col="tok_str", k=12)
+    j = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh).collect()
+    }
+    assert j[(1, 4)] == 1.0
+    assert j[(1, 2)] > 0.7
+    assert j.get((1, 3), 0.0) < 0.05
+
+
+def test_simhash_hamming(spark, near_dup_docs):
+    tc = (
+        near_dup_docs.select(
+            "doc_id", F.explode(F.split("tok_str", " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sim = simhash32(tc)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[4]
+    assert 0 <= bin(vals[1] ^ vals[2]).count("1") <= 8  # near-dup: small distance
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_pairs(sim, max_hamming=8).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.5]),
+        (1, [0.99, -0.01, 0.0, 0.5]),  # near 0 (same sign pattern)
+        (2, [0.0, 1.0, 0.0, -0.5]),
+        (3, [0.0, 0.98, 0.05, -0.5]),  # near 2
+        (4, [-1.0, -1.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_bruteforce(vectors):
+    out = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_bruteforce_topk(vectors, [0, 2], k=2).collect()
+    }
+    assert out[(0, 1)] == 1
+    assert out[(2, 1)] == 3
+
+
+def test_ann_bucketed_matches_bruteforce_within_bucket(vectors):
+    out = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_bucketed_topk(vectors, [0], k=1, bits=4).collect()
+    }
+    assert out[(0, 1)] == 1  # same sign pattern → same bucket
+
+
+def test_embedding_near_dups(vectors):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in embedding_near_dup_pairs(vectors, threshold=0.99).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(s >= 0.99 for s in pairs.values())
+
+
+def test_textstats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog and the bird of this house"),
+            (2, "der hund und die katze und das haus nicht hier"),
+            (3, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    lg = {r["doc_id"]: r["lang_guess"] for r in lang_guess(docs).collect()}
+    assert lg[1] == "en" and lg[2] == "de" and lg[3] == "none"
+    qs = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert qs[1]["n_words"] == 11 and qs[1]["quality_ok"]
+    assert not qs[3]["quality_ok"]
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[1]["n_ws_tokens"] == 11
+    assert tc[3]["n_word_tokens"] == 1
+
+
+def test_multimodal_stub_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, b"fake-image-bytes"), (2, b"")], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in media_metadata(media).collect()}
+    assert out[1]["n_bytes"] == 16
+    assert out[1]["format_guess"] in ("png", "jpeg", "webp")
+    assert 64 <= out[1]["width"] < 256
+    # real decode path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"x")

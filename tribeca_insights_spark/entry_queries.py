@@ -477,6 +477,451 @@ def q15_event_type_stats(spark, sf_dir):
     )
 
 
+# --- training-data pipeline: dedup / similarity / textstats / multimodal ----
+# (beyond-reference capability per task brief; SURVEY.md §2.4 extensions)
+
+# DuckDB fragment: ordered token string per doc (same tokens, same order as
+# the engine's tokenizer — list ops preserve order).
+_TOKSTR_CTE = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+    array_to_string(
+      list_filter(
+        string_split(lower(trim(regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+        w -> length(w) >= 2
+             AND NOT (lang = 'en' AND w IN ('the','a','and','of','is','this'))
+             AND NOT (lang = 'es' AND w IN ('y','de','la','que'))
+             AND NOT (lang IN ('pt','pt-br') AND w IN ('e','de','que','o'))
+      ), ' ') AS tok_str
+  FROM documents
+)
+"""
+
+_MINHASH_CTES = _TOKSTR_CTE + """
+, sh AS (
+  SELECT DISTINCT doc_id, substr(tok_str, i, 12) AS gram
+  FROM (
+    SELECT doc_id, tok_str,
+           unnest(range(1, greatest(length(tok_str) - 11, 1) + 1)) AS i
+    FROM base WHERE length(tok_str) > 0
+  )
+), mh AS (
+  SELECT doc_id, seed, min(substr(md5(seed || ':' || gram), 1, 8)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         string_agg(minhash, '' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
+)
+"""
+
+
+def _tokstr_df(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return with_tokens(d).select(
+        "doc_id", "source", "lang",
+        F.concat_ws(" ", "tokens").alias("tok_str"),
+    )
+
+
+@q(
+    "q16_dedup_exact",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 < 2 THEN 'duplicate content block' ELSE text END AS text
+      FROM documents
+    )
+    SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) - 1 AS n_dups
+    FROM d GROUP BY sha256(text)
+    """,
+)
+def q16_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash; dup group synthesized deterministically
+    (doc_id%7<2 → shared payload) so the group semantics are exercised."""
+    from .operators.dedup import exact_dedup
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 < 2, F.lit("duplicate content block"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return exact_dedup(d)
+
+
+@q(
+    "q17_minhash_bands",
+    _MINHASH_CTES + "SELECT doc_id, band, band_key FROM bands",
+)
+def q17_minhash_bands(spark, sf_dir):
+    """MinHash signatures (12 hashes, md5-prefix family) banded 4×3 for LSH."""
+    from .operators.dedup import char_shingles, lsh_bands, minhash_signatures
+
+    t = _tokstr_df(spark, sf_dir)
+    sh = char_shingles(t, text_col="tok_str", k=12)
+    return lsh_bands(minhash_signatures(sh, n_hashes=12), rows_per_band=3)
+
+
+@q(
+    "q18_lsh_candidate_pairs",
+    _MINHASH_CTES
+    + """
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q18_lsh_candidate_pairs(spark, sf_dir):
+    """LSH candidate pairs: equi-join on band buckets — the 10^12-doc-safe
+    candidate generator (never a cross join)."""
+    from .operators.dedup import (
+        char_shingles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    t = _tokstr_df(spark, sf_dir)
+    bands = lsh_bands(
+        minhash_signatures(char_shingles(t, text_col="tok_str", k=12), n_hashes=12),
+        rows_per_band=3,
+    )
+    return lsh_candidate_pairs(bands)
+
+
+@q(
+    "q19_ngram_jaccard",
+    _MINHASH_CTES.replace("WHERE length(tok_str) > 0",
+                          "WHERE length(tok_str) > 0 AND doc_id < 100")
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def q19_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over char-12-gram shingle sets (bounded sample:
+    doc_id<100 — at scale this runs on LSH candidates, not all pairs)."""
+    from .operators.dedup import char_shingles, ngram_jaccard_pairs
+
+    t = _tokstr_df(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sh = char_shingles(t, text_col="tok_str", k=12)
+    return ngram_jaccard_pairs(sh, min_jaccard=0.2)
+
+
+_SIMHASH_CTES = _TOKENS_CTE + """
+, tc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word)
+, hx AS (SELECT doc_id, cnt, substr(md5(word), 1, 8) AS h8 FROM tc)
+, bits AS (
+  SELECT doc_id, j,
+         sum(cnt * (2 * (((strpos('0123456789abcdef', substr(h8, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                          // CAST(power(2, 3 - j % 4) AS INT)) % 2) - 1)) AS s
+  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+  GROUP BY doc_id, j
+), simhashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN power(2, j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+@q("q20_simhash", _SIMHASH_CTES + "SELECT doc_id, simhash FROM simhashes")
+def q20_simhash(spark, sf_dir):
+    """32-bit weighted SimHash per document (md5-hex bit family)."""
+    from .operators.dedup import simhash32
+
+    t = _tokens_df(spark, sf_dir)
+    tc = (
+        t.select("doc_id", F.explode("tokens").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return simhash32(tc)
+
+
+@q(
+    "q21_simhash_near_pairs",
+    _SIMHASH_CTES
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, j AS band,
+             (simhash // CAST(power(2, j * 8) AS BIGINT)) % 256 AS band_val
+      FROM simhashes CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def q21_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded pigeonhole candidates (4×8 bits)
+    verified by Hamming distance ≤ 6."""
+    from .operators.dedup import simhash32, simhash_near_pairs
+
+    t = _tokens_df(spark, sf_dir)
+    tc = (
+        t.select("doc_id", F.explode("tokens").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return simhash_near_pairs(simhash32(tc), max_hamming=6)
+
+
+@q(
+    "q22_ann_bruteforce",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+    scored AS (
+      SELECT qs.query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qs.qv, b.v), 4) AS sim
+      FROM base b, qs WHERE b.vec_id != qs.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q22_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 20 query vectors (brute force baseline)."""
+    from .operators.similarity import ann_bruteforce_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_bruteforce_topk(emb, range(20), k=5).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@q(
+    "q23_ann_signlsh",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM base WHERE vec_id < 20),
+    scored AS (
+      SELECT qs.query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qs.qv, b.v), 4) AS sim
+      FROM base b JOIN qs USING (bucket) WHERE b.vec_id != qs.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q23_ann_signlsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN: candidates share an 8-bit sign bucket —
+    bucket equi-join instead of a cross join (the scale path)."""
+    from .operators.similarity import ann_bucketed_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    # NOTE: bucket computed on RAW float sign — identical to double sign
+    return ann_bucketed_topk(emb, range(20), k=3, bits=8).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@q(
+    "q24_embedding_near_dups",
+    """
+    WITH orig AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dups AS (
+      SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+      FROM orig WHERE vec_id < 50
+    ),
+    allv AS (SELECT * FROM orig UNION ALL SELECT * FROM dups),
+    a AS (SELECT vec_id AS a_id, v AS va FROM allv WHERE a_id < 200),
+    pairs AS (
+      SELECT a.a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(a.va, b.v), 4) AS sim
+      FROM a, allv b WHERE a.a_id < b.vec_id
+    )
+    SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.99
+    """,
+)
+def q24_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs; 50 deterministic near-duplicates
+    synthesized (v×1.001 at vec_id+10000) so the detector provably fires."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dups = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = emb.unionByName(dups)
+    return embedding_near_dup_pairs(allv, threshold=0.99, max_left_id=200)
+
+
+@q(
+    "q25_lang_guess",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        w -> length(w) > 0)) AS w
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        sum(CASE WHEN w IN ('der','die','und','das','ein','nicht') THEN 1 ELSE 0 END) AS s_de,
+        sum(CASE WHEN w IN ('the','and','of','is','this','that','with') THEN 1 ELSE 0 END) AS s_en,
+        sum(CASE WHEN w IN ('que','la','de','los','las','una') THEN 1 ELSE 0 END) AS s_es,
+        sum(CASE WHEN w IN ('le','la','et','les','des','une') THEN 1 ELSE 0 END) AS s_fr,
+        sum(CASE WHEN w IN ('que','de','não','uma','os','das') THEN 1 ELSE 0 END) AS s_pt
+      FROM words GROUP BY doc_id
+    ), unp AS (
+      SELECT doc_id, 'de' AS lg, s_de AS s FROM scores UNION ALL
+      SELECT doc_id, 'en', s_en FROM scores UNION ALL
+      SELECT doc_id, 'es', s_es FROM scores UNION ALL
+      SELECT doc_id, 'fr', s_fr FROM scores UNION ALL
+      SELECT doc_id, 'pt', s_pt FROM scores
+    )
+    SELECT doc_id,
+           CASE WHEN s > 0 THEN lg ELSE 'none' END AS lang_guess,
+           s AS best_score
+    FROM (
+      SELECT doc_id, lg, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lg) AS rn
+      FROM unp
+    ) WHERE rn = 1
+    """,
+)
+def q25_lang_guess(spark, sf_dir):
+    """Marker-word language ID (argmax with lang-asc tie-break)."""
+    from .operators.textstats import lang_guess
+
+    return lang_guess(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q26_quality_scores",
+    """
+    WITH words AS (
+      SELECT doc_id, length(text) AS n_chars,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                w -> length(w) > 0)) AS w
+      FROM documents
+    )
+    SELECT doc_id, n_chars, count(*) AS n_words,
+           count(DISTINCT w) AS n_distinct_words,
+           round(count(DISTINCT w) / CAST(count(*) AS DOUBLE), 4) AS type_token_ratio,
+           round(sum(CASE WHEN w IN ('the','a','and','of','is','this','that','to','in','it')
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS stopword_ratio,
+           round(sum(length(w)) / CAST(count(*) AS DOUBLE), 4) AS mean_word_len,
+           CAST(count(*) >= 10 AND count(DISTINCT w) / CAST(count(*) AS DOUBLE) >= 0.2
+                AS INT) AS quality_ok
+    FROM words GROUP BY doc_id, n_chars
+    """,
+)
+def q26_quality_scores(spark, sf_dir):
+    """Pre-training quality gates: length, lexical diversity, stopword
+    ratio, mean word length, boolean gate."""
+    from .operators.textstats import quality_scores
+
+    return quality_scores(_read(spark, sf_dir, "documents")).withColumn(
+        "quality_ok", F.col("quality_ok").cast("int")
+    )
+
+
+@q(
+    "q27_token_counts",
+    """
+    SELECT doc_id, length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_ws_tokens,
+           len(list_filter(string_split_regex(text, '[^A-Za-zÀ-ÿ]+'),
+                           w -> length(w) > 0)) AS n_word_tokens
+    FROM documents
+    """,
+)
+def q27_token_counts(spark, sf_dir):
+    """Whitespace-chunk and letter-run token counts + char count."""
+    from .operators.textstats import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q28_fingerprints",
+    """
+    WITH norm AS (SELECT doc_id, lower(text) AS s FROM documents),
+    grams AS (
+      SELECT doc_id, md5(substr(s, i, 16)) AS gh
+      FROM (SELECT doc_id, s,
+                   unnest(range(1, greatest(length(s) - 15, 1) + 1)) AS i
+            FROM norm)
+    )
+    SELECT n.doc_id, md5(n.s) AS content_md5, m.min_gram_hash
+    FROM norm n JOIN (SELECT doc_id, min(gh) AS min_gram_hash
+                      FROM grams GROUP BY doc_id) m USING (doc_id)
+    """,
+)
+def q28_fingerprints(spark, sf_dir):
+    """Content md5 + min char-16-gram hash fingerprint (winnowing-lite)."""
+    from .operators.textstats import fingerprints
+
+    return fingerprints(_read(spark, sf_dir, "documents"), k=16)
+
+
+@q(
+    "q29_multimodal_meta",
+    """
+    WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha, encode(text) AS payload
+               FROM documents)
+    SELECT media_id, octet_length(payload) AS n_bytes, sha AS sha256,
+           ['png','jpeg','webp'][
+             ((strpos('0123456789abcdef', substr(sha,1,1))-1)*16
+              + strpos('0123456789abcdef', substr(sha,2,1))-1) % 3 + 1
+           ] AS format_guess,
+           CAST(64 + ((strpos('0123456789abcdef', substr(sha,3,1))-1)*16
+              + strpos('0123456789abcdef', substr(sha,4,1))-1) % 192 AS INT) AS width,
+           CAST(64 + ((strpos('0123456789abcdef', substr(sha,5,1))-1)*16
+              + strpos('0123456789abcdef', substr(sha,6,1))-1) % 192 AS INT) AS height
+    FROM m
+    """,
+)
+def q29_multimodal_meta(spark, sf_dir):
+    """Opaque binary payload → typed metadata via mapInPandas (decode layer
+    stubbed deterministically; the Spark plumbing — schema, Arrow batching,
+    partition inheritance — is the real artifact)."""
+    from .operators.multimodal import media_metadata
+
+    media = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return media_metadata(media, deterministic_fake=True)
+
+
 # ---------------------------------------------------------------------------
 
 

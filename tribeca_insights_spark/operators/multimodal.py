@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Beyond-reference capability (task brief). The Spark-side mechanics are real
+and tested — schema, ``mapInPandas`` batching, partition inheritance; the
+actual media decoding is STUBBED (image/audio libraries are not in this
+container): :func:`decode_image_stub` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which derives pseudo-metadata from the payload
+hash so pipelines and tests exercise identical dataflow shapes.
+
+Design for 100 TB: payloads stay in columnar storage and move through
+``mapInPandas`` (iterator of pandas batches → bounded worker memory even
+for MB-scale blobs — pair with a small
+``spark.sql.execution.arrow.maxRecordsPerBatch``); metadata lands as plain
+columns so downstream filters/joins prune without touching bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("format_guess", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
+    """Decode an image payload → (format, width, height).
+
+    Real decoding requires an image library not present in this container;
+    production drops in PIL/libvips here. ``deterministic_fake`` derives
+    stable pseudo-dimensions from the payload hash (for plumbing tests)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an image library; not available in this "
+            "container — pass deterministic_fake=True for plumbing tests"
+        )
+    h = hashlib.sha256(payload).digest()
+    fmt = ["png", "jpeg", "webp"][h[0] % 3]
+    return fmt, 64 + h[1] % 192, 64 + h[2] % 192
+
+
+def media_metadata(media: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload",
+                   deterministic_fake: bool = True) -> DataFrame:
+    """binary payload table → typed metadata table via mapInPandas."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "media_id": [], "n_bytes": [], "sha256": [],
+                "format_guess": [], "width": [], "height": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                fmt, w, h = decode_image_stub(b, deterministic_fake)
+                rows["media_id"].append(int(mid))
+                rows["n_bytes"].append(len(b))
+                rows["sha256"].append(hashlib.sha256(b).hexdigest())
+                rows["format_guess"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample_stub(payload: bytes, every_n: int = 30,
+                      deterministic_fake: bool = False):
+    """Video frame sampling stub: returns frame byte offsets (fake: evenly
+    spaced offsets derived from payload length)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video decoding requires a media library; not available here"
+        )
+    n = max(1, len(payload) // max(1, every_n))
+    step = max(1, len(payload) // n)
+    return list(range(0, len(payload), step))[:n]
