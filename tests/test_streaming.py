@@ -1,0 +1,85 @@
+"""Structured Streaming tests: streamed extraction equals batch extraction;
+windowed TF with watermark; checkpointed incremental drain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tribeca_insights_spark.fixtures import corpus_df, gen_corpus, golden_records
+from tribeca_insights_spark.streaming.stream_extract import (
+    stream_extract,
+    stream_windowed_tf,
+)
+
+N = 80
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "out": str(tmp_path / "out"),
+        "chk": str(tmp_path / "chk"),
+    }
+
+
+def _write_src(spark, dirs, n=N, seed=42, mode="append"):
+    corpus_df(spark, n, seed, partitions=4).write.mode(mode).parquet(dirs["src"])
+
+
+def test_stream_extract_matches_batch(spark, dirs):
+    _write_src(spark, dirs)
+    q = stream_extract(spark, dirs["src"], dirs["out"], dirs["chk"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    got = {r["url"]: r for r in out.collect()}
+    golden = {g["url"]: g for g in golden_records(gen_corpus(N))}
+    assert set(got) == set(golden)
+    for u, g in golden.items():
+        assert got[u]["page_hash"] == g["page_hash"], u
+        assert got[u]["word_count"] == g["word_count"], u
+
+
+def test_stream_is_incremental_via_checkpoint(spark, dirs):
+    _write_src(spark, dirs)
+    stream_extract(spark, dirs["src"], dirs["out"], dirs["chk"]).awaitTermination(120)
+    n1 = spark.read.parquet(dirs["out"]).count()
+    assert n1 == N
+    # second drain with no new files → nothing re-processed
+    stream_extract(spark, dirs["src"], dirs["out"], dirs["chk"]).awaitTermination(120)
+    assert spark.read.parquet(dirs["out"]).count() == N
+    # append new files → only they are processed
+    corpus_df(spark, 30, seed=7, partitions=2).write.mode("append").parquet(dirs["src"])
+    stream_extract(spark, dirs["src"], dirs["out"], dirs["chk"]).awaitTermination(120)
+    assert spark.read.parquet(dirs["out"]).count() == N + 30
+
+
+def test_stream_windowed_tf(spark, dirs):
+    _write_src(spark, dirs)
+    agg = stream_windowed_tf(spark, dirs["src"], window="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wtf")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["word"]): r["freq"]
+        for r in spark.sql("SELECT * FROM wtf").collect()
+    }
+    assert got
+    # oracle: batch per-minute window counts from golden tokens
+    from collections import Counter
+
+    golden = golden_records(gen_corpus(N))
+    rows = gen_corpus(N)
+    oracle = Counter()
+    for r, g in zip(rows, golden):
+        minute = r["warc_ts"].replace(second=0, microsecond=0)
+        for t in g["tokens"]:
+            oracle[(minute, t)] += 1
+    assert sum(got.values()) == sum(oracle.values())
+    # spot-check a few keys (timezone-naive match)
+    for (w, word), freq in list(oracle.items())[:20]:
+        assert got.get((w, word)) == freq, (w, word)

@@ -922,6 +922,34 @@ def q29_multimodal_meta(spark, sf_dir):
     return media_metadata(media, deterministic_fake=True)
 
 
+# --- resumable pipeline (north_rule) — rows-only check (filesystem state
+# and run wall-clock are not SQL-expressible; pytest covers exact semantics
+# in tests/test_state_resume.py) ---------------------------------------------
+
+@q("q30_pipeline_run_metrics")
+def q30_pipeline_run_metrics(spark, sf_dir):
+    """Run the checkpointed extraction pipeline twice over synthesized pages
+    (second run must be a no-op) and return the per-partition lineage/metrics
+    table plus an idempotency marker row set: one row per partition with
+    n_docs, n_empty, bytes_in, wall_ms, url range."""
+    import tempfile
+
+    from .plans import state as st
+    from .plans.pipeline import run_extraction
+
+    docs = documents_as_pages(spark, sf_dir).drop("doc_id")
+    with tempfile.TemporaryDirectory() as root:
+        s1 = run_extraction(spark, docs, root, run_id="r1", n_buckets=16)
+        s2 = run_extraction(spark, docs, root, run_id="r2", n_buckets=16)
+        assert s2["n_processed"] == 0, "resume must skip completed urls"
+        m = st.read_metrics(spark, root).select(
+            "run_id", "partition_id", "n_docs", "n_empty", "bytes_in"
+        )
+        m = m.cache()
+        m.count()  # materialize before the tempdir vanishes
+        return m
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,75 @@
+"""Structured Streaming extraction (SURVEY.md §2.4 noted the reference has
+no streaming; this is the streaming re-expression of the same pipeline for
+continuously-arriving crawl data).
+
+* :func:`stream_extract` — file-source stream of docs parquet → the SAME
+  extraction UDF → append sink with checkpointing. Exactly-once via the
+  sink's checkpoint/WAL; resume semantics come from the stream checkpoint
+  rather than the batch log table.
+* :func:`stream_windowed_tf` — event-time windowed token counts with a
+  watermark for late pages (update mode), the streaming form of corpus TF.
+
+Both run under ``Trigger.AvailableNow`` in tests (bounded drain of whatever
+is in the source) — the same code runs unbounded in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import extract_page_udf
+from ..schemas import DOCS_SCHEMA
+
+
+def read_docs_stream(spark: SparkSession, src_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
+
+
+def extracted_stream(docs_stream: DataFrame) -> DataFrame:
+    e = docs_stream.withColumn(
+        "_x", extract_page_udf(F.col("url"), F.col("html"), F.col("lang"))
+    )
+    return e.select(
+        "url", "warc_ts", "lang",
+        F.col("_x.text").alias("text"),
+        F.col("_x.title").alias("title"),
+        F.col("_x.slug").alias("slug"),
+        F.col("_x.page_hash").alias("page_hash"),
+        F.col("_x.tokens_str").alias("tokens_str"),
+        F.col("_x.word_count").alias("word_count"),
+    )
+
+
+def stream_extract(spark: SparkSession, src_dir: str, out_dir: str,
+                   checkpoint_dir: str, available_now: bool = True):
+    """Stream docs → extracted parquet with checkpointed exactly-once sink."""
+    q = (
+        extracted_stream(read_docs_stream(spark, src_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
+def stream_windowed_tf(spark: SparkSession, src_dir: str,
+                       window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed corpus TF with late-data watermark: returns the
+    streaming DataFrame (attach your sink; tests drain to memory)."""
+    ex = extracted_stream(read_docs_stream(spark, src_dir))
+    words = ex.withWatermark("warc_ts", watermark).select(
+        "warc_ts", F.explode(F.split("tokens_str", " ", -1)).alias("word")
+    ).filter(F.length("word") > 0)
+    return words.groupBy(
+        F.window("warc_ts", window).alias("w"), "word"
+    ).agg(F.count("*").alias("freq")).select(
+        F.col("w.start").alias("window_start"), "word", "freq"
+    )
