@@ -922,6 +922,185 @@ def q29_multimodal_meta(spark, sf_dir):
     return media_metadata(media, deterministic_fake=True)
 
 
+# --- report sinks (SURVEY §2.1 S7-S14) — byte-layout parity, driver-checked -
+
+def documents_as_simple_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal closed-form page per documents row: the full report layout
+    (top-50 incl. Counter tie order, previews, truncation markers) is
+    SQL-expressible, so DuckDB can state the EXACT report bytes."""
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), sid
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title></head><body><h1>Heading "), sid,
+        F.lit('</h1><p>alpha alpha beta gamma</p>'),
+        F.lit('<a href="https://ext.example.org/p">ext</a>'),
+        F.lit('<img src="/i.png" alt="pic"></body></html>'),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+_SIMPLE_HTML_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head><body>"
+    "<h1>Heading ' || doc_id || '</h1><p>alpha alpha beta gamma</p>"
+    '<a href="https://ext.example.org/p">ext</a>'
+    "<img src=\"/i.png\" alt=\"pic\"></body></html>'"
+)
+_SIMPLE_TEXT_SQL = (
+    "'Doc ' || doc_id || ' Heading ' || doc_id || ' alpha alpha beta gamma ext'"
+)
+
+
+@q(
+    "q31_page_markdown",
+    f"""
+    SELECT doc_id,
+      '# `https://' || source || '.example.com/docs/' || doc_id || e'`\\n\\n'
+      || '**Title**: Doc ' || doc_id || e'\\n\\n'
+      || e'**Meta Description**: \\n\\n'
+      || e'## Headings\\n- # Heading ' || doc_id || e'\\n\\n'
+      || e'## Word Frequency (Top 50)\\n'
+      || e'- **alpha**: 2\\n- **doc**: 1\\n- **heading**: 1\\n'
+      || e'- **beta**: 1\\n- **gamma**: 1\\n- **ext**: 1\\n\\n'
+      || e'## External Links\\n- https://ext.example.org/p\\n\\n'
+      || e'## Images with ALT\\n- `src`: /i.png\\n  - alt: pic\\n'
+      || e'## Cleaned Text\\n```\\n' || {_SIMPLE_TEXT_SQL} || e'...\\n```\\n\\n'
+      || e'## Raw HTML\\n```html\\n' || {_SIMPLE_HTML_SQL}
+      || e'\\n... (truncated)\\n```\\n\\n'
+      || e'---\\n_Total words analyzed: 7_\\n' AS md_doc
+    FROM documents
+    """,
+)
+def q31_page_markdown(spark, sf_dir):
+    """Per-page Markdown report (markdown.py:34-128 layout) rendered by an
+    Arrow-batched pandas UDF; byte-exact vs the closed-form oracle."""
+    from .operators.sinks import page_markdown_udf
+
+    docs = documents_as_simple_pages(spark, sf_dir)
+    return docs.select(
+        "doc_id", page_markdown_udf(F.col("url"), F.col("html")).alias("md_doc")
+    )
+
+
+@q(
+    "q32_page_json",
+    f"""
+    SELECT doc_id,
+      e'{{\\n  "url": "https://' || source || '.example.com/docs/' || doc_id
+      || e'",\\n  "slug": "docs-' || doc_id
+      || e'",\\n  "title": "Doc ' || doc_id
+      || e'",\\n  "meta_description": "",\\n  "headings": [\\n    "# Heading '
+      || doc_id || e'"\\n  ],\\n  "word_count": 7,\\n  "word_frequency": {{'
+      || e'\\n    "doc": 1,\\n    "heading": 1,\\n    "alpha": 2,'
+      || e'\\n    "beta": 1,\\n    "gamma": 1,\\n    "ext": 1\\n  }},'
+      || e'\\n  "images": [\\n    {{\\n      "src": "/i.png",\\n      "alt": "pic"\\n    }}\\n  ],'
+      || e'\\n  "external_links": [\\n    "https://ext.example.org/p"\\n  ],'
+      || e'\\n  "page_hash": "' || sha256({_SIMPLE_TEXT_SQL})
+      || e'",\\n  "md_filename": "docs-' || doc_id || e'.md"\\n}}' AS page_json
+    FROM documents
+    """,
+)
+def q32_page_json(spark, sf_dir):
+    """pages_json/<slug>.json body (json.py:24-37: indent=2, key order =
+    crawler.py:163-175, word_frequency = first-occurrence order)."""
+    from .operators.sinks import page_json_udf
+
+    docs = documents_as_simple_pages(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        page_json_udf(F.col("url"), F.col("html"), F.col("lang")).alias(
+            "page_json"
+        ),
+    )
+
+
+@q(
+    "q33_visited_rows",
+    """
+    SELECT 'https://' || source || '.example.com/docs/' || doc_id AS "URL",
+           1 AS "Status",
+           '2026-01-01' AS "Data",
+           'docs-' || doc_id || '.md' AS "MD File",
+           'docs-' || doc_id || '.json' AS "JSON File"
+    FROM documents
+    """,
+)
+def q33_visited_rows(spark, sf_dir):
+    """visited_urls state rows in the reference CSV shape (storage.py:65,
+    crawler.py:253-260: Status=1, Data=%Y-%m-%d)."""
+    from .operators.sinks import visited_urls_rows
+
+    return visited_urls_rows(_extracted(spark, sf_dir))
+
+
+@q(
+    "q34_keyword_csv_lines",
+    _TOKENS_CTE
+    + """
+    SELECT word, count(*) AS freq, word || ',' || count(*) AS line
+    FROM words GROUP BY word
+    """,
+)
+def q34_keyword_csv_lines(spark, sf_dir):
+    """keyword_frequency CSV body lines (csv.py:40-53)."""
+    from .operators.sinks import keyword_frequency_csv_lines
+
+    return keyword_frequency_csv_lines(
+        tfops.corpus_tf(
+            _tokens_df(spark, sf_dir).withColumn(
+                "url", F.col("doc_id").cast("string")
+            )
+        )
+    )
+
+
+@q(
+    "q35_index_md_lines",
+    """
+    SELECT DISTINCT 'docs-' || doc_id AS slug,
+           '- [Docs ' || doc_id || '](pages_md/docs-' || doc_id || '.md)' AS line
+    FROM documents
+    """,
+)
+def q35_index_md_lines(spark, sf_dir):
+    """index.md link lines (markdown.py:131-154: slug title-cased, glob
+    order = slug sort)."""
+    from .operators.sinks import index_markdown_lines
+
+    return index_markdown_lines(_extracted(spark, sf_dir))
+
+
+@q(
+    "q36_external_urls_md_doc",
+    """
+    WITH ext AS (
+      SELECT DISTINCT 'https://ext' || (doc_id % 5) || '.example.org/page' AS u
+      FROM documents
+      UNION
+      SELECT DISTINCT 'https://nav.example.net/x' FROM documents
+    )
+    SELECT '# External URLs' || chr(10) || chr(10)
+           || string_agg('- ' || u, chr(10) ORDER BY u) || chr(10) AS doc
+    FROM ext
+    """,
+)
+def q36_external_urls_md_doc(spark, sf_dir):
+    """Complete external_urls.md document (csv.py:60-83 + MD_HEADER)."""
+    from .operators.sinks import external_urls_markdown_doc
+
+    return external_urls_markdown_doc(_extracted(spark, sf_dir))
+
+
 # --- resumable pipeline (north_rule) — rows-only check (filesystem state
 # and run wall-clock are not SQL-expressible; pytest covers exact semantics
 # in tests/test_state_resume.py) ---------------------------------------------

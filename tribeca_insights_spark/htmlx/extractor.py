@@ -70,6 +70,12 @@ class PageExtract:
     headings: List[str] = field(default_factory=list)
     images: List[Dict[str, str]] = field(default_factory=list)
     links: List[str] = field(default_factory=list)  # all hrefs, doc order
+    # raw (src, alt) attr values with missing-vs-empty preserved — the
+    # markdown exporter's defaults differ from page_data's (markdown.py:75-78
+    # uses src default "–"; crawler.py:86-89 uses ""): sinks need the raw view
+    images_raw: List[Tuple[Optional[str], Optional[str]]] = field(
+        default_factory=list
+    )
 
 
 class _Walker(HTMLParser):
@@ -92,7 +98,7 @@ class _Walker(HTMLParser):
         # supports (degenerate) nested headings via a stack of collectors
         self.headings: List[str] = []
         self._open_headings: List[Tuple[int, int, List[str]]] = []  # (level, depth, parts)
-        self.images: List[Dict[str, str]] = []
+        self.images: List[Tuple[Optional[str], Optional[str]]] = []  # raw attrs
         self.links: List[str] = []
 
     # -- bs4-style data-node merging -------------------------------------
@@ -118,14 +124,7 @@ class _Walker(HTMLParser):
         for k, v in attrs:  # duplicate attribute: last wins (bs4 default)
             ad[k] = v
         if tag == "img":
-            src = ad.get("src")
-            alt = ad.get("alt")
-            self.images.append(
-                {
-                    "src": src if src is not None else "",
-                    "alt": alt.strip() if isinstance(alt, str) else "",
-                }
-            )
+            self.images.append((ad.get("src"), ad.get("alt")))
         elif tag == "a":
             href = ad.get("href")
             if href is not None:
@@ -232,7 +231,15 @@ def parse_page(html: str) -> PageExtract:
         w.meta_description if w.meta_description is not None else ""
     )
     out.headings = w.headings
-    out.images = w.images
+    out.images_raw = w.images
+    # page_data view (crawler.py:86-89): missing src → "", alt stripped/""
+    out.images = [
+        {
+            "src": src if src is not None else "",
+            "alt": alt.strip() if isinstance(alt, str) else "",
+        }
+        for src, alt in w.images
+    ]
     out.links = w.links
     return out
 
