@@ -40,7 +40,8 @@ def _normalize(v):
 def _rows_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_normalize(r[i]) for i in order) for r in rows
+        (tuple(_normalize(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
     )
 
 

@@ -1,0 +1,104 @@
+"""Physical-plan assertions — the 100-TB design invariants, checked on the
+actual Catalyst output (SURVEY.md §4). These pin:
+
+* column pruning + predicate pushdown reach the parquet scan;
+* small-dim joins broadcast (no sort-merge for customer⋈orders at test SF);
+* extraction is shuffle-free (Scan → ArrowEvalPython → Project only);
+* corpus TF does partial (map-side) aggregation before its single shuffle;
+* the native tokenizer stays inside WholeStageCodegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    p = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: scan reads only the 3 needed columns of 16
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in rs and "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_small_dim_join_broadcasts(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).groupBy(
+        "c_mktsegment"
+    ).count()
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_extraction_plan_is_shuffle_free(spark):
+    from tribeca_insights_spark.fixtures import corpus_df
+    from tribeca_insights_spark.operators.extract import extract_pages
+
+    docs = corpus_df(spark, 8)
+    p = plan_str(extract_pages(docs))
+    assert "ArrowEvalPython" in p  # vectorized UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in p  # no per-row Python
+    assert "Exchange" not in p  # embarrassingly parallel — no shuffle
+
+
+def test_corpus_tf_partial_aggregation(spark):
+    from tribeca_insights_spark.fixtures import corpus_df
+    from tribeca_insights_spark.operators.extract import extract_token_strings
+    from tribeca_insights_spark.operators.tf import corpus_tf
+
+    docs = corpus_df(spark, 8)
+    p = plan_str(corpus_tf(extract_token_strings(docs), n_salts=4))
+    # partial (map-side) HashAggregate before the exchange, final after;
+    # salted two-stage adds a second (word,salt)→word combine
+    assert p.count("HashAggregate") >= 4
+    first_agg = p.index("HashAggregate")
+    first_exchange = p.index("Exchange")
+    # formatted mode lists operators leaf-first: the scan-side partial
+    # aggregate must appear before the first shuffle in the tree walk
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_native_tokenizer_stays_in_codegen(spark):
+    from tribeca_insights_spark.functions.tokenize import with_tokens
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = with_tokens(d).select("doc_id", F.size("tokens").alias("n"))
+    p = plan_str(t)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # stopword dim joins as a broadcast, never a shuffle join
+    assert "SortMergeJoin" not in p
+    # codegen spans are only visible on the non-adaptive physical plan
+    # (AQE's pre-execution plan hides WholeStageCodegen subtrees)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t2 = with_tokens(d).select("doc_id", F.size("tokens").alias("n"))
+        assert "Found 0 WholeStageCodegen" not in plan_str(t2, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_anti_join_resume_no_cartesian(spark):
+    """The resume scan (pending = docs ANTI completed) must plan as a real
+    anti join — broadcast or shuffled-hash — never nested-loop/cartesian."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    done = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    pending = d.join(done, "doc_id", "left_anti")
+    p = plan_str(pending)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p

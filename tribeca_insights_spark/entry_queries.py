@@ -922,6 +922,59 @@ def q29_multimodal_meta(spark, sf_dir):
     return media_metadata(media, deterministic_fake=True)
 
 
+# --- TF merge + rollup (SURVEY §2.3 R5; §2.4 grouping-sets extension) -------
+
+@q(
+    "q37_merge_tf",
+    _TOKENS_CTE
+    + """
+    , a AS (SELECT word, count(*) AS freq FROM words WHERE doc_id % 2 = 0 GROUP BY word)
+    , b AS (SELECT word, count(*) AS freq FROM words WHERE doc_id % 2 = 1 GROUP BY word)
+    SELECT word, sum(freq) AS freq FROM (
+      SELECT * FROM a UNION ALL SELECT * FROM b
+    ) GROUP BY word ORDER BY freq DESC, word
+    """,
+)
+def q37_merge_tf(spark, sf_dir):
+    """Legacy Counter-union TF merge (scripts/main.py:436-445): two runs'
+    keyword tables unioned and re-summed — the incremental-crawl TF update."""
+    t = _tokens_df(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+    a = tfops.corpus_tf(t.filter(F.col("doc_id") % 2 == 0))
+    b = tfops.corpus_tf(t.filter(F.col("doc_id") % 2 == 1))
+    return tfops.merge_tf(a, b)
+
+
+@q(
+    "q38_token_rollup",
+    _TOKENS_CTE
+    + """
+    SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+           count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+    FROM words GROUP BY ROLLUP(source, lang)
+    """,
+)
+def q38_token_rollup(spark, sf_dir):
+    """domain×lang token rollup with subtotals (SURVEY §2.4: grouping-sets
+    extension for corpus composition reports). Subtotal NULL keys coalesced
+    to '(all)' so the cross-engine value-hash has no NULL ordering issues."""
+    words = _tokens_df(spark, sf_dir).select(
+        "source", "lang", F.explode("tokens").alias("word")
+    )
+    return (
+        words.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_tokens",
+            "n_distinct",
+        )
+    )
+
+
 # --- report sinks (SURVEY §2.1 S7-S14) — byte-layout parity, driver-checked -
 
 def documents_as_simple_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
