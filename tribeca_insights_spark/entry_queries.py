@@ -1154,6 +1154,108 @@ def q36_external_urls_md_doc(spark, sf_dir):
     return external_urls_markdown_doc(_extracted(spark, sf_dir))
 
 
+# --- sitemap seeding (SURVEY §2.1 S3) + event sessionization (§2.4 ext) ----
+
+@q(
+    "q39_sitemap_seed",
+    """
+    SELECT 'https://' || source || '.example.com/docs/' || doc_id AS "URL",
+           1 AS "Status"
+    FROM documents
+    UNION ALL
+    SELECT 'https://' || source || '.example.com/new/' || doc_id, 2
+    FROM documents
+    """,
+)
+def q39_sitemap_seed(spark, sf_dir):
+    """Sitemap URL-universe seeding (storage.py:85-117): parse <loc> from
+    synthesized sitemap XML (half with namespace prefixes + padding, to
+    exercise trim/prefix handling), anti-join against the state table,
+    append unseen urls as Status=2."""
+    from .sources.sitemap import seed_urls, sitemap_locs
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    plain = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>  '),
+        base, F.lit("/docs/"), sid,
+        F.lit("</loc></url><url><loc>"),
+        base, F.lit("/new/"), sid,
+        F.lit("</loc></url></urlset>"),
+    )
+    prefixed = F.concat(
+        F.lit("<sm:urlset><sm:url><sm:loc>"),
+        base, F.lit("/docs/"), sid,
+        F.lit("</sm:loc></sm:url><sm:url><sm:loc> "),
+        base, F.lit("/new/"), sid,
+        F.lit(" </sm:loc></sm:url></sm:urlset>"),
+    )
+    sitemaps = d.select(
+        F.when(F.col("doc_id") % 2 == 1, prefixed).otherwise(plain).alias(
+            "sitemap_xml"
+        )
+    )
+    state = d.select(
+        F.concat(base, F.lit("/docs/"), sid).alias("URL"),
+        F.lit(1).alias("Status"),
+        F.lit("2026-01-01").alias("Data"),
+        F.concat(F.lit("docs-"), sid, F.lit(".md")).alias("MD File"),
+        F.concat(F.lit("docs-"), sid, F.lit(".json")).alias("JSON File"),
+    )
+    return seed_urls(sitemap_locs(sitemaps), state).select("URL", "Status")
+
+
+@q(
+    "q40_user_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM e
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+             AS duration_sec
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q40_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch form of streaming session windows (SURVEY §2.4: window-fn
+    coverage beyond the reference)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagts = F.lag("ts").over(w)
+    new_s = F.when(
+        lagts.isNull()
+        | ((F.col("ts") - lagts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    s = e.select("user_id", "ts", "event_id").withColumn(
+        "session_idx",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+
+
 # --- resumable pipeline (north_rule) — rows-only check (filesystem state
 # and run wall-clock are not SQL-expressible; pytest covers exact semantics
 # in tests/test_state_resume.py) ---------------------------------------------
