@@ -1,0 +1,60 @@
+"""CLI parity (reference cli.py:29-96 command surface over Spark).
+
+Runs in a subprocess because the CLI owns its SparkSession lifecycle
+(it stops the session on exit, which must not kill the shared test
+fixture's)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=300):
+    out = subprocess.run(
+        [sys.executable, "-m", "tribeca_insights_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_crawl_resume_export(spark, tmp_path):
+    from tribeca_insights_spark.fixtures import corpus_df
+
+    docs_path = str(tmp_path / "docs.parquet")
+    proj = str(tmp_path / "proj")
+    corpus_df(spark, 12).write.mode("overwrite").parquet(docs_path)
+
+    # run 1: limited work queue (crawler.py:215 semantics)
+    r1 = _run(["crawl", "--input", docs_path, "--project-dir", proj,
+               "--slug", "demo", "--max-pages", "8", "--reports",
+               "--master", "local[2]"])
+    assert r1["n_processed"] == 8 and r1["n_pages"] == 8
+
+    # run 2: resume picks up exactly the remainder
+    r2 = _run(["crawl", "--input", docs_path, "--project-dir", proj,
+               "--slug", "demo", "--reports", "--master", "local[2]"])
+    assert r2["n_processed"] == 4 and r2["n_pages"] == 12
+
+    # project tree complete
+    for artifact in (
+        "index.md", "index.json", "external_urls.md", "external_urls.json",
+        "keyword_frequency_demo.csv", "visited_urls_demo.csv",
+        "project_demo.json",
+    ):
+        assert os.path.exists(os.path.join(proj, artifact)), artifact
+    pages = json.load(open(os.path.join(proj, "project_demo.json")))
+    assert pages["pages_count"] == 12
+
+    # export re-derivations (exporters/__init__.py:6-22 dispatch)
+    rj = _run(["export", "--project-dir", proj, "--slug", "demo",
+               "--format", "json"])
+    combined = json.load(open(rj["exported"]))
+    assert len(combined) == 12
+    rc = _run(["export", "--project-dir", proj, "--slug", "demo",
+               "--format", "csv"])
+    first = open(rc["exported"]).read().splitlines()
+    assert first[0] == "word,freq"

@@ -1,0 +1,164 @@
+"""CLI — the reference's command surface re-expressed over Spark.
+
+Reference (``tribeca_insights/cli.py:29-96``, console script
+``tribeca-insights``):
+
+* ``crawl --slug S --base-url U --language L --max-pages N [--playwright]``
+* ``export --slug S --format {csv,json,markdown}``
+
+Here fetching is out of scope (input_hint: the docs table already carries
+``html``), so ``crawl`` maps to: read the pages table → resumable
+checkpointed extraction (anti-join vs the project's done-log, limit
+``--max-pages`` pending rows, reference crawler.py:215 semantics) → write
+the extracted table → optionally emit the reference's full on-disk report
+tree. ``export`` re-derives artifacts from an existing project folder
+exactly like the reference's export dispatch (exporters/__init__.py:6-22).
+
+Usage:
+    python -m tribeca_insights_spark crawl --input /data/docs.parquet \
+        --project-dir ./proj --slug my-site --max-pages 1000 --reports
+    python -m tribeca_insights_spark export --project-dir ./proj \
+        --slug my-site --format csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(
+        app_name=f"tribeca-insights-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_crawl(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.sinks import write_project_tree
+    from .plans import state as st
+    from .plans.pipeline import run_extraction
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.language:
+        docs = docs.withColumn("lang", F.lit(args.language))
+    if args.max_pages:
+        # reference work-queue limit (crawler.py:215): at most N pending
+        # pages per run; the checkpoint log carries the rest to later runs
+        pending = st.pending(docs, spark, args.project_dir).limit(args.max_pages)
+        docs = pending
+    stats = run_extraction(
+        spark, docs, args.project_dir, n_buckets=args.buckets
+    )
+    if args.reports:
+        done = spark.read.parquet(f"{args.project_dir}/extracted")
+        # report tree renders from the raw pages of this project's universe
+        src = spark.read.parquet(args.input).join(
+            done.select("url").distinct(), "url", "left_semi"
+        )
+        if args.language:
+            src = src.withColumn("lang", F.lit(args.language))
+        tree = write_project_tree(
+            src,
+            args.project_dir,
+            args.slug,
+            base_url=args.base_url,
+            language=args.language or "en",
+            max_pages=args.max_pages or 0,
+        )
+        stats.update(tree)
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Re-derive artifacts from pages_json — reference export dispatch
+    (exporters/__init__.py:6-22; csv.py:86-105; json.py:124-147;
+    markdown.py:157-167). File-level by nature → driver-side; at scale
+    these are queries over the extracted table instead."""
+    import glob
+    import os
+    from collections import Counter
+
+    from .functions.tokenize import clean_and_tokenize
+
+    pages_dir = os.path.join(args.project_dir, "pages_json")
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.json")))
+    pages = []
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            pages.append(json.load(fh))
+
+    if args.format == "json":
+        out = os.path.join(args.project_dir, f"combined_{args.slug}.json")
+        with open(out, "w", encoding="utf-8") as f:
+            json.dump(pages, f, ensure_ascii=False, indent=2)
+        print(json.dumps({"exported": out, "n_pages": len(pages)}))
+    elif args.format == "csv":
+        # csv.py:86-105: concat page word_frequency (equivalent to re-
+        # tokenizing the concatenated text — SURVEY §R4 distributivity)
+        freq: Counter = Counter()
+        for p in pages:
+            wf = p.get("word_frequency")
+            if wf is None:
+                wf = Counter(clean_and_tokenize(p.get("text", ""), "en"))
+            freq.update(wf)
+        out = os.path.join(
+            args.project_dir, f"keyword_frequency_{args.slug}.csv"
+        )
+        with open(out, "w", encoding="utf-8") as f:
+            f.write("word,freq\n")
+            for w, n in sorted(freq.items(), key=lambda kv: -kv[1]):
+                f.write(f"{w},{n}\n")
+        print(json.dumps({"exported": out, "n_words": len(freq)}))
+    else:  # markdown: regenerate index over pages_md*
+        lines = ["# Analyzed Pages Index", ""]
+        for p in sorted(pages, key=lambda p: p["slug"]):
+            title = p["slug"].replace("-", " ").title()
+            lines.append(f"- [{title}](pages_md/{p['slug']}.md)")
+        out = os.path.join(args.project_dir, "index.md")
+        with open(out, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        print(json.dumps({"exported": out, "n_pages": len(pages)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tribeca_insights_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="resumable extraction run over a docs table")
+    c.add_argument("--input", required=True, help="docs parquet path")
+    c.add_argument("--project-dir", required=True)
+    c.add_argument("--slug", default="project")
+    c.add_argument("--base-url", default="")
+    c.add_argument("--language", default="", help="override the lang column")
+    c.add_argument("--max-pages", type=int, default=0)
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--reports", action="store_true",
+                   help="emit the reference on-disk report tree")
+    c.add_argument("--master", default=None)
+    c.add_argument("--shuffle-partitions", type=int, default=None)
+
+    e = sub.add_parser("export", help="re-derive artifacts from pages_json")
+    e.add_argument("--project-dir", required=True)
+    e.add_argument("--slug", default="project")
+    e.add_argument("--format", choices=["csv", "json", "markdown"],
+                   required=True)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "crawl":
+        return cmd_crawl(args)
+    return cmd_export(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
