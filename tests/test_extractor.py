@@ -179,3 +179,47 @@ def test_empty_and_garbage_html():
     assert extract_visible_text("plain text only") == "plain text only"
     p = parse_page("<<<>>> &unknownentity; <b")
     assert isinstance(p.text, str)
+
+
+def test_internal_links_fast_path_equivalence():
+    """The root-relative and absolute-url fast paths must agree exactly with
+    the pure urljoin/urlparse reference semantics (scripts/main.py:111-120)
+    on adversarial hrefs — dot segments, WHATWG-stripped control chars,
+    userinfo, ports, repeated www., case, fragments, schemeless forms."""
+    import random
+    from urllib.parse import urljoin, urlparse
+
+    def ref_impl(links, base_url, domain):
+        out = set()
+        for href in links:
+            if href.startswith("/") or domain in href:
+                full = urljoin(base_url, href)
+                p = urlparse(full)
+                if p.netloc.replace("www.", "") == domain:
+                    out.add(full.split("#", 1)[0])
+        return sorted(out)
+
+    rng = random.Random(99)
+    schemes = ["http://", "https://", "ftp://", ""]
+    hosts = [
+        "site.com", "www.site.com", "sub.site.com", "other.com",
+        "site.com:8080", "user@site.com", "www.www.site.com", "SITE.com",
+    ]
+    paths = [
+        "", "/", "/a", "/a/b.html", "/a/../b", "/./x", "/a%20b", "/a;p=1",
+        "/q?x=1", "/p#f", "/\tq", "/a//b", "/..", "/.", "/x\ny", "/x\r",
+        "//cdn.site.com/z",
+    ]
+    bases = [
+        "https://site.com/d/p", "https://www.site.com", "http://site.com/",
+    ]
+    for _ in range(4000):
+        href = (
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+            if rng.random() < 0.7
+            else rng.choice(paths)
+        )
+        base = rng.choice(bases)
+        assert internal_links([href], base, "site.com") == ref_impl(
+            [href], base, "site.com"
+        ), (href, base)
