@@ -223,3 +223,23 @@ def test_internal_links_fast_path_equivalence():
         assert internal_links([href], base, "site.com") == ref_impl(
             [href], base, "site.com"
         ), (href, base)
+
+
+def test_whitespace_collapse_equivalence():
+    """" ".join(s.split()) must equal re.sub(r"\\s+", " ", s).strip() for
+    every Unicode codepoint's whitespace-ness (parse_page relies on this).
+    Sweeps the BMP (all White_Space chars live there) + random mixes."""
+    import random
+    import re
+
+    ws_re = re.compile(r"\s+")
+    for cp in range(0x10000):
+        c = chr(cp)
+        is_re_ws = bool(ws_re.fullmatch(c))
+        is_split_ws = len(("a" + c + "b").split()) == 2
+        assert is_re_ws == is_split_ws, hex(cp)
+    rng = random.Random(5)
+    pool = "ab \t\n\r\x0b\x0c\xa0  　日ç"
+    for _ in range(2000):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+        assert " ".join(s.split()) == ws_re.sub(" ", s).strip(), repr(s)

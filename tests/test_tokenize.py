@@ -48,3 +48,21 @@ def test_slug():
     assert url_slug("https://mysite.com/") == ""  # "/" edge preserved
     assert url_slug("https://m.com/About-Us/Team_2024/") == "about-us-team-2024"
     assert slugify("Ação & Reação") == "acao-reacao"
+
+
+def test_second_sub_redundant():
+    """Reference text_utils.py:107-110 does clean-sub → \\s+-sub → strip →
+    lower → split; the middle sub+strip are no-ops before split() because the
+    clean pattern already swallows every whitespace run. Pin equality."""
+    import random
+    import re
+
+    clean = re.compile(r"[^A-Za-zÀ-ÿ]+")
+    ws = re.compile(r"\s+")
+    rng = random.Random(2)
+    pool = "abc ÀÿZz09 \t\n\xa0　日ç×÷.,!-"
+    for _ in range(20000):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 25)))
+        full = ws.sub(" ", clean.sub(" ", s)).strip().lower().split()
+        fast = clean.sub(" ", s).lower().split()
+        assert full == fast, repr(s)

@@ -35,9 +35,15 @@ CLEAN_PATTERN_SQL = "[^A-Za-zÀ-ÿ]+"
 
 
 def clean_and_tokenize(text: str, language: str = "en", profile: str = "compat") -> List[str]:
-    """Line-faithful reimplementation of text_utils.py:99-116."""
-    cleaned = _CLEAN_RE.sub(" ", text)
-    cleaned = _SPACE_RE.sub(" ", cleaned).strip().lower()
+    """Line-faithful reimplementation of text_utils.py:99-116.
+
+    The reference's second pass (``\\s+``→" " then strip) is provably a
+    no-op before ``.split()``: the first sub replaces every non-letter RUN
+    (which includes all whitespace) with a single space, and split() ignores
+    leading/trailing/repeated whitespace anyway. Token-stream equality is
+    pinned by tests/test_tokenize.py::test_second_sub_redundant; dropping
+    the pass saves a full regex scan per page in every extraction UDF."""
+    cleaned = _CLEAN_RE.sub(" ", text).lower()
     tokens = cleaned.split()
     stop_words = get_stopwords(language, profile)
     return [

@@ -223,8 +223,12 @@ def parse_page(html: str) -> PageExtract:
         w._close_collectors(0)
     out = PageExtract()
     # visible text: join string nodes with " ", collapse \s+, strip
-    # (text_utils.py:132-134)
-    out.text = _WS_RE.sub(" ", " ".join(w.visible)).strip()
+    # (text_utils.py:132-134). " ".join(s.split()) is byte-identical to
+    # re.sub(r"\s+"," ",s).strip() — str.split()'s whitespace set equals
+    # \s's for every Unicode codepoint (pinned by
+    # tests/test_extractor.py::test_whitespace_collapse_equivalence) —
+    # and ~3× faster on page-sized strings.
+    out.text = " ".join(" ".join(w.visible).split())
     if w._title_seen:
         out.title = w.title_value.strip() if isinstance(w.title_value, str) else ""
     else:
