@@ -93,3 +93,87 @@ def frame_sample_stub(payload: bytes, every_n: int = 30,
     n = max(1, len(payload) // max(1, every_n))
     step = max(1, len(payload) // n)
     return list(range(0, len(payload), step))[:n]
+
+
+def media_features(media: DataFrame, dim: int = 16, id_col: str = "media_id",
+                   payload_col: str = "payload",
+                   deterministic_fake: bool = True) -> DataFrame:
+    """binary payload → ``array<float>`` feature vector via ``mapInPandas``
+    (production drops a real vision/audio encoder into ``_embed``; the fake
+    derives a stable unit-norm vector from the payload hash). Output feeds
+    :mod:`..operators.similarity` ANN/near-dup directly."""
+    import math
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def _embed(payload: bytes):
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "feature extraction requires a media/vision library; not "
+                "available in this container"
+            )
+        h = hashlib.sha256(payload).digest()
+        raw = [(h[i % 32] - 127.5) / 127.5 for i in range(dim)]
+        norm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        return [x / norm for x in raw]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": [int(m) for m in pdf[id_col]],
+                    "embedding": [
+                        _embed(bytes(p) if p is not None else b"")
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=schema)
+
+
+def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
+                 payload_col: str = "payload",
+                 deterministic_fake: bool = True) -> DataFrame:
+    """binary payload → resized binary payload + new dims, ``mapInPandas``
+    end to end so MB-scale blobs never materialize as a whole-partition list
+    (production: PIL/libvips thumbnail; fake: payload truncated to a
+    hash-derived length with dims scaled to fit ``max_px``)."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def _resize(payload: bytes):
+        fmt, w, h = decode_image_stub(payload, deterministic_fake)
+        scale = min(1.0, max_px / max(w, h, 1))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        keep = max(1, int(len(payload) * scale * scale)) if payload else 0
+        return payload[:keep], nw, nh
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p) if p is not None else b""
+                out, w, h = _resize(b)
+                rows["media_id"].append(int(mid))
+                rows["payload"].append(out)
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=schema)
