@@ -1273,8 +1273,10 @@ def q30_pipeline_run_metrics(spark, sf_dir):
 
     docs = documents_as_pages(spark, sf_dir).drop("doc_id")
     with tempfile.TemporaryDirectory() as root:
-        s1 = run_extraction(spark, docs, root, run_id="r1", n_buckets=16)
-        s2 = run_extraction(spark, docs, root, run_id="r2", n_buckets=16)
+        s1 = run_extraction(spark, docs, root, run_id="r1", n_buckets=16,
+                            repartition_by_bucket=True)
+        s2 = run_extraction(spark, docs, root, run_id="r2", n_buckets=16,
+                            repartition_by_bucket=True)
         assert s2["n_processed"] == 0, "resume must skip completed urls"
         m = st.read_metrics(spark, root).select(
             "run_id", "partition_id", "n_docs", "n_empty", "bytes_in"

@@ -75,8 +75,16 @@ def run_extraction(
     run_id: Optional[str] = None,
     n_buckets: int = 64,
     reconcile_first: bool = True,
+    repartition_by_bucket: bool = False,
 ) -> dict:
-    """Execute one resumable extraction run; returns run stats."""
+    """Execute one resumable extraction run; returns run stats.
+
+    ``repartition_by_bucket`` shuffles the pending set onto its url-hash
+    buckets before extraction, so each task owns whole buckets (one output
+    file per bucket, per-bucket metrics rows). Default off: in production
+    the Iceberg scan is already bucket-partitioned and the shuffle of raw
+    html bytes is wasted work; without it each task may write several
+    bucket files (small-files tradeoff handled by table compaction)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     if reconcile_first:
         st.reconcile(spark, root)
@@ -84,6 +92,8 @@ def run_extraction(
     todo = st.pending(docs, spark, root).withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
+    if repartition_by_bucket:
+        todo = todo.repartition(n_buckets, "bucket")
 
     t0 = time.time()
     extracted = todo.select(
