@@ -54,15 +54,23 @@ EXTRACT_STRUCT = StructType(
         StructField("internal_links", ArrayType(StringType())),
         StructField("slug", StringType()),
         StructField("page_hash", StringType()),
-        StructField("tokens", ArrayType(StringType())),
         # tokens joined with " " — lossless (tokens cannot contain spaces);
-        # exploding via split(tokens_str, ' ') [literal, codegen] measured
-        # far faster than exploding an Arrow-produced array<string>
+        # the ONLY token representation crossing Arrow: exploding/splitting
+        # split(tokens_str, ' ') [literal, codegen] is near-free JVM-side,
+        # while shipping a redundant array<string> alongside measurably
+        # slows the full-extraction path (Arrow child-array overhead)
         StructField("tokens_str", StringType()),
         StructField("word_count", IntegerType()),
-        StructField("word_frequency", MapType(StringType(), IntegerType())),
+        # per-page TF as compact JSON text: Arrow map serialization (two
+        # child arrays + offsets per row) measurably drags the whole batch;
+        # a single JSON string crosses cheap and from_json() rebuilds the
+        # MapType lazily — consumers that never touch it (TF pipelines)
+        # get it pruned away entirely by Catalyst
+        StructField("wf_json", StringType()),
     ]
 )
+
+WORD_FREQUENCY_TYPE = MapType(StringType(), IntegerType())
 
 # Full per-page record (reference page_data, crawler.py:163-175) + provenance.
 PAGE_SCHEMA = StructType(
