@@ -1256,6 +1256,50 @@ def q40_user_sessions(spark, sf_dir):
     )
 
 
+@q(
+    "q41_url_canonical",
+    """
+    SELECT doc_id,
+      CASE doc_id % 3
+        WHEN 0 THEN 'https://' || lower(source) || '.example.com/P/' || doc_id
+        WHEN 1 THEN 'http://' || lower(source) || '.example.com/Docs/' || doc_id
+                    || '?a=' || (doc_id % 5) || '&b=2'
+        ELSE 'http://' || lower(source) || '.example.com/q/' || doc_id
+      END AS canon_url
+    FROM documents
+    """,
+)
+def q41_url_canonical(spark, sf_dir):
+    """URL canonicalization (native Column ops): case-insensitive
+    scheme/host, default-port strip, fragment drop, empty-query drop,
+    query-param sort. Messy variants synthesized per doc; oracle states
+    the canonical form in closed form."""
+    from .functions.urlnorm import canonical_url
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://"), F.upper("source"),
+                     F.lit(".EXAMPLE.com:443/P/"), sid, F.lit("#sec")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".Example.COM:80/Docs/"), sid,
+                     F.lit("?b=2&a="), (F.col("doc_id") % 5).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTP://"), F.col("source"),
+                     F.lit(".example.com/q/"), sid, F.lit("?")),
+        )
+    )
+    return d.select(
+        "doc_id", canonical_url(messy).alias("canon_url")
+    )
+
+
 # --- resumable pipeline (north_rule) — rows-only check (filesystem state
 # and run wall-clock are not SQL-expressible; pytest covers exact semantics
 # in tests/test_state_resume.py) ---------------------------------------------

@@ -1,0 +1,55 @@
+"""URL canonicalization — native Column expressions (no Python).
+
+Standard web-pipeline normalization for dedup/state keys at Common-Crawl
+scale (beyond-reference capability; the reference compares raw url strings
+everywhere, e.g. storage.py:80's drop_duplicates, so equivalent urls like
+``HTTP://Site.com:80/a#x`` vs ``http://site.com/a`` count as different
+documents — this operator is the fix, kept OPT-IN for parity).
+
+Steps (conservative, lossless for path/query semantics):
+1. lowercase scheme and host (authority case is insignificant per RFC 3986);
+2. strip default ports (``:80`` http, ``:443`` https);
+3. drop the fragment;
+4. drop a trailing ``?`` (empty query);
+5. sort query parameters (``b=2&a=1`` → ``a=1&b=2``) — order-insensitive
+   services dominate the web; opt-out via ``sort_query=False``.
+
+Everything stays inside whole-stage codegen except the query-param sort
+(array_sort — interpreted but tiny). Equivalent ANSI-SQL form used in the
+driver oracle: see entry_queries q41.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def canonical_url(url, sort_query: bool = True) -> Column:
+    u = F.col(url) if isinstance(url, str) else url
+    # 1-2. scheme://host[:port] → lowercase, default ports stripped
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    authority = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.substring(authority, 1, F.length(authority) - 3),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.substring(authority, 1, F.length(authority) - 4),
+    ).otherwise(authority)
+    # 3. strip fragment, then split path vs query
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    if sort_query:
+        query = F.array_join(F.array_sort(F.split(query, "&", -1)), "&")
+    # 4-5. reassemble; trailing '?' dropped when query is empty
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(F.length(query) > 0, F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
