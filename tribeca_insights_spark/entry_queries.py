@@ -1257,6 +1257,57 @@ def q40_user_sessions(spark, sf_dir):
 
 
 @q(
+    "q42_tf_idf",
+    _TOKENS_CTE
+    + """
+    , tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word)
+    , dfr AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word)
+    , n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf, dfr.df,
+           round(tf.tf * ln(n.n / CAST(dfr.df AS DOUBLE)), 6) AS tf_idf
+    FROM tf JOIN dfr USING (word) CROSS JOIN n
+    """,
+)
+def q42_tf_idf(spark, sf_dir):
+    """Per-document TF-IDF (tf × ln(N/df)) — broadcast df-dim join, the
+    big TF table never reshuffles."""
+    t = _tokens_df(spark, sf_dir).withColumn("url", F.col("doc_id"))
+    out = tfops.tf_idf(t)
+    return out.select(
+        F.col("url").alias("doc_id"), "word", "tf", "df",
+        F.round("tf_idf", 6).alias("tf_idf"),
+    )
+
+
+@q(
+    "q43_bigram_tf",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(
+          string_split(lower(trim(regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+          w -> length(w) >= 2
+               AND NOT (lang = 'en' AND w IN ('the','a','and','of','is','this'))
+               AND NOT (lang = 'es' AND w IN ('y','de','la','que'))
+               AND NOT (lang IN ('pt','pt-br') AND w IN ('e','de','que','o'))
+        ) AS toks
+      FROM documents
+    )
+    SELECT toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS freq
+    FROM (
+      SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM base
+    )
+    GROUP BY bigram ORDER BY freq DESC, bigram
+    """,
+)
+def q43_bigram_tf(spark, sf_dir):
+    """Corpus bigram counts — per-row zip_with(tokens, tail) so n-gram
+    construction never shuffles; only the final count aggregates."""
+    t = _tokens_df(spark, sf_dir).withColumn("url", F.col("doc_id"))
+    return tfops.bigram_tf(t)
+
+
+@q(
     "q41_url_canonical",
     """
     SELECT doc_id,

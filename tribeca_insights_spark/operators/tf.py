@@ -133,6 +133,66 @@ def domain_top_keywords(
     )
 
 
+def tf_idf(extracted: DataFrame, min_df: int = 1) -> DataFrame:
+    """Per-(url, word) TF-IDF: ``tf × ln(N / df)``.
+
+    Three aggregations, one broadcast: per-doc TF (shuffle on url,word),
+    document frequency (reuses the same exploded input), and the scalar
+    doc count N joined in as a literal via crossJoin of a 1-row DataFrame
+    (broadcast — no shuffle). df table is |vocab|-sized → broadcast join
+    back onto TF, so the big TF table never reshuffles."""
+    words = exploded_tokens(extracted)
+    n_docs = extracted.select("url").distinct().count()  # scalar, driver
+    tf = words.groupBy("url", "word").agg(F.count("*").alias("tf"))
+    df = (
+        words.dropDuplicates(["url", "word"])
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select(
+            "url",
+            "word",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+                "tf_idf"
+            ),
+        )
+    )
+
+
+def bigram_tf(extracted: DataFrame, k: int | None = None) -> DataFrame:
+    """Corpus bigram counts from per-page token arrays — the n-gram
+    generalization of corpus TF. Bigrams are built per-row with array ops
+    (zip tokens with its own tail — no shuffle until the count), so pages
+    never explode into quadratic join work."""
+    toks = (
+        extracted.select("url", "tokens")
+        if "tokens" in extracted.columns
+        else exploded_tokens(extracted)
+        .groupBy("url")
+        .agg(F.collect_list("word").alias("tokens"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tokens"), 1, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                F.slice(F.col("tokens"), 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    out = (
+        pairs.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+    )
+    return out.limit(k) if k else out
+
+
 def external_urls_global(extracted: DataFrame) -> DataFrame:
     """Global sorted distinct external links — reference external_urls sink
     (exporters/json.py:61-81): explode → distinct → orderBy."""
