@@ -59,3 +59,34 @@ def test_identical_tf_vectors(golden, spark_pages):
         s = spark_pages[u]
         assert s["word_count"] == g["word_count"], u
         assert s["word_frequency"] == g["word_frequency"], u
+
+
+def test_null_and_edge_rows(spark):
+    """Null html/lang/url, empty html, and non-utf8 bytes must flow through
+    the full extraction without error (reference returns an empty record on
+    missing html, crawler.py:139-141; decode policy: utf-8 errors=replace)."""
+    from tribeca_insights_spark.operators.extract import extract_pages
+    from tribeca_insights_spark.schemas import DOCS_SCHEMA
+
+    rows = [
+        {"url": "https://x.com/a", "warc_ts": None, "html": None,
+         "text": "", "lang": "en"},
+        {"url": "https://x.com/b", "warc_ts": None, "html": b"",
+         "text": "", "lang": None},
+        {"url": None, "warc_ts": None, "html": b"<p>hi there</p>",
+         "text": "", "lang": "en"},
+        {"url": "https://x.com/d", "warc_ts": None,
+         "html": b"\xff\xfe<p>bad bytes\x80</p>", "text": "", "lang": "en"},
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = {r["url"]: r for r in extract_pages(docs).collect()}
+    assert out["https://x.com/a"]["text"] == ""
+    assert out["https://x.com/a"]["title"] == "(no title)"
+    assert out["https://x.com/a"]["tokens"] == []
+    assert out["https://x.com/a"]["word_frequency"] == {}
+    assert out["https://x.com/b"]["page_hash"] == (
+        # sha256 of empty string
+        "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    )
+    assert out[None]["slug"] == "home"  # empty path → "home" (crawler.py:77)
+    assert "bad bytes" in out["https://x.com/d"]["text"]
