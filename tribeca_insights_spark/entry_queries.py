@@ -1308,6 +1308,48 @@ def q43_bigram_tf(spark, sf_dir):
 
 
 @q(
+    "q44_main_content",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text,
+           'div' AS node_tag,
+           'article-content' AS node_hint,
+           0.0 AS link_density
+    FROM documents
+    """,
+)
+def q44_main_content(spark, sf_dir):
+    """Readability-style main-content extraction (north_star: DOM-tree
+    link/text-density scoring). Page synthesized with nav/footer
+    boilerplate around an article div; the classifier must pick the
+    article body — whose text is closed-form — every time."""
+    from .operators.readability import extract_main
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><nav class="nav"><a href="/a">Home</a>'
+              '<a href="/b">About</a><a href="/c">Contact</a></nav>'
+              '<div class="sidebar"><a href="/x">one link</a>'
+              '<a href="/y">two link</a></div>'
+              '<div class="article-content"><p>'),
+        F.col("text"),
+        F.lit('</p></div><footer class="footer">(c) example</footer>'
+              "</body></html>"),
+    )
+    docs = d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/r/"), sid).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_main(docs).select(
+        F.regexp_extract("url", r"/r/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "main_text", "node_tag", "node_hint", "link_density",
+    )
+
+
+@q(
     "q41_url_canonical",
     """
     SELECT doc_id,
