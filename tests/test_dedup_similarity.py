@@ -162,3 +162,28 @@ def test_multimodal_stub_plumbing(spark):
     # real decode path is explicitly stubbed
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"x")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (KMeans cells + multi-probe) must recover most of the exact
+    top-k: recall@5 ≥ 0.6 with 16 cells / 6 probes on the test embeddings.
+    The synthetic vectors are near-random (worst case for any cell
+    quantizer — real text/image embeddings cluster far better), so recall
+    tracks probed-fraction: measured 0.48 / 0.68 / 0.78 at 3 / 6 / 8
+    probes of 16 cells."""
+    from tribeca_insights_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = range(10)
+    exact = ann_bruteforce_topk(emb, queries, k=5).collect()
+    approx = ann_ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall}"
+    # determinism: same seed → same result
+    again = ann_ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))

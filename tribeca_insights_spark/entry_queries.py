@@ -1393,6 +1393,19 @@ def q41_url_canonical(spark, sf_dir):
     )
 
 
+@q("q45_ann_ivf")
+def q45_ann_ivf(spark, sf_dir):
+    """IVF ANN (MLlib KMeans coarse quantizer, 16 cells, 6-probe, exact
+    re-rank). Rows-only driver check: KMeans isn't DuckDB-expressible;
+    recall vs brute force is pinned in tests/test_dedup_similarity.py."""
+    from .operators.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, range(10), k=5, n_cells=16, n_probe=6).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
 # --- resumable pipeline (north_rule) — rows-only check (filesystem state
 # and run wall-clock are not SQL-expressible; pytest covers exact semantics
 # in tests/test_state_resume.py) ---------------------------------------------

@@ -91,6 +91,68 @@ def ann_bucketed_topk(emb: DataFrame, query_ids, k: int = 3, bits: int = 8,
     )
 
 
+def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 5, n_cells: int = 16,
+                 n_probe: int = 3, seed: int = 42, sample_fraction: float = 1.0,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: MLlib KMeans coarse quantizer → inverted cells.
+
+    Index: fit K centroids (on a sample at scale), assign every vector to
+    its nearest cell — at 10^12 rows the assignment is one broadcast of K
+    centroids and the table is stored bucketed by ``cell``. Search: each
+    query probes its ``n_probe`` nearest cells; candidates come from a
+    cell equi-join (≈ n·n_probe/K of the corpus), then exact cosine re-rank.
+    Deterministic given ``seed``; recall vs brute force is pinned in tests
+    (not SQL-oracle-able — KMeans isn't expressible in DuckDB)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = emb.select(F.col(id_col), _dbl(F.col(vec_col)).alias("v"))
+    fit_on = base if sample_fraction >= 1.0 else base.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="feat", predictionCol="cell")
+    model = km.fit(fit_on.withColumn("feat", array_to_vector("v")))
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = emb.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    )
+
+    assigned = (
+        model.transform(base.withColumn("feat", array_to_vector("v")))
+        .drop("feat")
+    )
+    q = assigned.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    # multi-probe: n_probe nearest centroids per query (tiny cross join:
+    # |queries| × K, both broadcast-scale)
+    qc = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "qv", "cell",
+        F.round(cosine_col(F.col("qv"), F.col("center")), 6).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), "cell")
+    probes = (
+        qc.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cands = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              max_left_id: int | None = None,
                              id_col: str = "vec_id",

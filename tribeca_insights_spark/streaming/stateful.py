@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator — cross-batch first-seen dedup via
+``applyInPandasWithState`` (task brief: "applyInPandasWithState for custom
+stateful operators").
+
+A crawl stream revisits urls (refetches, mirrors, replayed WARCs); exactly
+one record per url should enter the extraction pipeline no matter how many
+micro-batches apart the duplicates arrive. Built-in
+``dropDuplicatesWithinWatermark`` bounds state by event time; this operator
+is the unbounded-key variant with explicit per-key state (a seen flag +
+first timestamp), the template for richer custom state (per-domain rate
+stats, incremental TF, crawl frontier).
+
+State sizing at 10^12 urls: group key IS the url, so state lives in the
+state store partitioned by ``spark.sql.shuffle.partitions`` — size that to
+the key cardinality, or key by ``xxhash64(url)`` to keep keys fixed-width.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "url string, first_ts timestamp, n_batch_dups long"
+STATE_SCHEMA = "seen long"
+
+
+def _first_seen(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    first = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("warc_ts", kind="stable")
+        if first is None:
+            first = pdf.iloc[0]
+        n += len(pdf)
+    if n == 0:
+        return
+    if state.exists:  # url already emitted in an earlier micro-batch
+        return
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "url": [key[0]],
+            "first_ts": [first["warc_ts"]],
+            "n_batch_dups": [n - 1],
+        }
+    )
+
+
+def dedup_first_seen(stream: DataFrame) -> DataFrame:
+    """Streaming (url, warc_ts, …) → one row per url, first occurrence
+    wins across micro-batches; per-url state persists in the checkpoint."""
+    return (
+        stream.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _first_seen,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
