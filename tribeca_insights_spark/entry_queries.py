@@ -1393,6 +1393,100 @@ def q41_url_canonical(spark, sf_dir):
     )
 
 
+@q(
+    "q46_gopher_flags",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        w -> length(w) > 0)) AS w
+      FROM documents
+    ), pw AS (
+      SELECT doc_id, count(*) AS n_words,
+             round(avg(length(w)), 4) AS mean_word_len,
+             sum(CASE WHEN regexp_matches(w, '[A-Za-zÀ-ÿ]') THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN w IN ('#','...','…') THEN 1 ELSE 0 END) AS ns
+      FROM words GROUP BY doc_id
+    ), ln AS (
+      SELECT doc_id, count(*) AS nl,
+             sum(CASE WHEN line LIKE '%...' OR line LIKE '%…' THEN 1 ELSE 0 END) AS ne
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                              l -> length(l) > 0)) AS line
+            FROM documents) GROUP BY doc_id
+    )
+    SELECT pw.doc_id, n_words, mean_word_len,
+           round(na / CAST(n_words AS DOUBLE), 4) AS alpha_word_ratio,
+           round(ns / CAST(n_words AS DOUBLE), 4) AS symbol_word_ratio,
+           round(coalesce(ne, 0) / CAST(coalesce(nl, 1) AS DOUBLE), 4) AS ellipsis_line_ratio,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+           na / CAST(n_words AS DOUBLE) >= 0.8 AS ok_alpha_ratio,
+           ns / CAST(n_words AS DOUBLE) <= 0.1 AS ok_symbol_ratio,
+           coalesce(ne, 0) / CAST(coalesce(nl, 1) AS DOUBLE) <= 0.3 AS ok_ellipsis,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+             AND na / CAST(n_words AS DOUBLE) >= 0.8
+             AND ns / CAST(n_words AS DOUBLE) <= 0.1
+             AND coalesce(ne, 0) / CAST(coalesce(nl, 1) AS DOUBLE) <= 0.3 AS gopher_ok
+    FROM pw LEFT JOIN ln ON pw.doc_id = ln.doc_id
+    """,
+)
+def q46_gopher_flags(spark, sf_dir):
+    """Gopher-style quality rules (word-count window, mean word length,
+    alpha/symbol ratios, ellipsis lines) — each inspectable + conjunction."""
+    from .operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q47_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             text || chr(10) || 'Alpha Beta' || chr(10) || 'Alpha Beta' AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, unnest(list_filter(string_split(t, chr(10)),
+                                        l -> length(trim(l)) > 0)) AS line
+      FROM base
+    ), ls AS (
+      SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup
+      FROM (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line)
+      GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split(lower(t), ' '),
+                                 w -> length(w) > 0) AS ws
+      FROM base
+    ), bgs AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+            FROM toks)
+    ), bs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top
+      FROM (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT ls.doc_id, n_lines,
+           round(n_dup / CAST(n_lines AS DOUBLE), 4) AS dup_line_ratio,
+           n_bigrams,
+           round(top / CAST(n_bigrams AS DOUBLE), 4) AS top_bigram_ratio
+    FROM ls JOIN bs ON ls.doc_id = bs.doc_id
+    """,
+)
+def q47_repetition(spark, sf_dir):
+    """Duplicate-line and top-bigram repetition signals (C4/Gopher family);
+    duplicate lines synthesized deterministically so the detector provably
+    fires (dup_line_ratio = 1/3 per doc)."""
+    from .operators.textstats import repetition_stats
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nAlpha Beta\nAlpha Beta")
+        ).alias("text"),
+    )
+    return repetition_stats(d)
+
+
 @q("q45_ann_ivf")
 def q45_ann_ivf(spark, sf_dir):
     """IVF ANN (MLlib KMeans coarse quantizer, 16 cells, 6-probe, exact

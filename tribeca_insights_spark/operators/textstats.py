@@ -118,6 +118,139 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1, closed-form
+    subset): word-count window, mean-word-length window, symbol-to-word
+    ratio, fraction of words with an alphabetic char, ellipsis-line
+    fraction. Each rule a boolean column + the conjunction — filters stay
+    inspectable instead of one opaque gate."""
+    ws = _ws_words(F.col(text_col))
+    words = df.select(
+        F.col(id_col),
+        F.explode(ws).alias("w"),
+    )
+    per_word = words.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.round(F.avg(F.length("w")), 4).alias("mean_word_len"),
+        F.sum(
+            F.when(F.col("w").rlike("[A-Za-zÀ-ÿ]"), 1).otherwise(0)
+        ).alias("n_alpha_words"),
+        F.sum(F.when(F.col("w").isin("#", "...", "…"), 1).otherwise(0)).alias(
+            "n_symbol_words"
+        ),
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n", -1),
+                     lambda l: F.length(l) > 0)
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.col("line").endswith("..."), 1)
+            .when(F.col("line").endswith("…"), 1)
+            .otherwise(0)
+        ).alias("n_ellipsis_lines"),
+    )
+    j = per_word.join(per_line, id_col, "left").na.fill(
+        {"n_lines": 1, "n_ellipsis_lines": 0}
+    )
+    return j.select(
+        F.col(id_col),
+        "n_words",
+        "mean_word_len",
+        F.round(F.col("n_alpha_words") / F.col("n_words").cast("double"), 4).alias(
+            "alpha_word_ratio"
+        ),
+        F.round(
+            F.col("n_symbol_words") / F.col("n_words").cast("double"), 4
+        ).alias("symbol_word_ratio"),
+        F.round(
+            F.col("n_ellipsis_lines") / F.col("n_lines").cast("double"), 4
+        ).alias("ellipsis_line_ratio"),
+        (F.col("n_words").between(50, 100000)).alias("ok_word_count"),
+        (F.col("mean_word_len").between(3, 10)).alias("ok_mean_word_len"),
+        (F.col("n_alpha_words") / F.col("n_words").cast("double") >= 0.8).alias(
+            "ok_alpha_ratio"
+        ),
+        (F.col("n_symbol_words") / F.col("n_words").cast("double") <= 0.1).alias(
+            "ok_symbol_ratio"
+        ),
+        (
+            F.col("n_ellipsis_lines") / F.col("n_lines").cast("double") <= 0.3
+        ).alias("ok_ellipsis"),
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("n_alpha_words") / F.col("n_words").cast("double") >= 0.8)
+            & (F.col("n_symbol_words") / F.col("n_words").cast("double") <= 0.1)
+            & (F.col("n_ellipsis_lines") / F.col("n_lines").cast("double") <= 0.3)
+        ).alias("gopher_ok"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Repetition signals (C4/Gopher family): duplicate-line fraction and
+    top-bigram fraction — boilerplate and listicle/spam detectors. All
+    native: per-doc line/bigram frequency tables collapse before any join
+    back, so the doc text is scanned once."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n", -1),
+                     lambda l: F.length(F.trim(l)) > 0)
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.col("c") - 1).alias("n_dup_lines"),
+        )
+    )
+    toks = df.select(
+        F.col(id_col), _ws_words(F.lower(F.col(text_col))).alias("ws")
+    )
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c"))
+    )
+    j = line_stats.join(bg_stats, id_col, "full")
+    return j.select(
+        F.col(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.round(
+            F.coalesce(F.col("n_dup_lines") / F.col("n_lines").cast("double"),
+                       F.lit(0.0)), 4
+        ).alias("dup_line_ratio"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.coalesce(
+                F.col("top_bigram_c") / F.col("n_bigrams").cast("double"),
+                F.lit(0.0),
+            ), 4
+        ).alias("top_bigram_ratio"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 16) -> DataFrame:
     """(id, content_md5, min_gram_hash): full-content hash plus the minimum
