@@ -187,3 +187,34 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # determinism: same seed → same result
     again = ann_ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_gopher_flags_edges(spark):
+    from tribeca_insights_spark.operators.textstats import gopher_quality_flags
+
+    rows = [
+        (1, "word " * 60),                      # passes count, short words
+        (2, "# # # " + "chapter " * 60),        # symbols but diluted
+        (3, "only four tiny words"),            # fails word count
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["ok_word_count"] and not out[3]["ok_word_count"]
+    assert out[1]["ok_alpha_ratio"]
+    assert out[2]["symbol_word_ratio"] > 0
+    assert not out[3]["gopher_ok"]
+
+
+def test_repetition_stats_edges(spark):
+    from tribeca_insights_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b\na b\na b"),          # 3 identical lines -> dup ratio 2/3
+        (2, "x y z w"),                # no newlines, all-distinct bigrams
+        (3, "spam spam spam spam"),    # one bigram repeated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 3 and abs(out[1]["dup_line_ratio"] - 2 / 3) < 1e-3
+    assert out[2]["dup_line_ratio"] == 0.0
+    assert out[3]["top_bigram_ratio"] == 1.0  # "spam spam" x3 of 3 bigrams
