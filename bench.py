@@ -121,7 +121,7 @@ SCALE_DOCS_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "512000"))
 # and single timed runs at high core counts vary ±2×; min-wall over several
 # repeats converges to true capability. The high-core level gets more
 # repeats because its runs are shorter and noise hits it harder.
-SCALE_REPEATS = {2: 3, 8: 5}
+SCALE_REPEATS = {2: 4, 8: 7}
 
 
 def scale_run(cores: int) -> dict:
