@@ -1487,6 +1487,31 @@ def q47_repetition(spark, sf_dir):
     return repetition_stats(d)
 
 
+@q(
+    "q48_pdf_roundtrip",
+    """
+    SELECT doc_id, text || chr(10) || 'Page ' || doc_id AS pdf_text
+    FROM documents
+    """,
+)
+def q48_pdf_roundtrip(spark, sf_dir):
+    """PDF parse (north_rule "PDF/layout parse"): deterministic PDFs built
+    per doc (FlateDecode for odd ids), text re-extracted by the pure-python
+    parser — round trip must equal the source text exactly."""
+    from .operators.pdf import extract_pdf_pages, make_pdf_udf
+
+    d = _read(spark, sf_dir, "documents")
+    pdfs = d.select(
+        "doc_id",
+        make_pdf_udf(
+            F.concat(F.col("text"), F.lit("\nPage "),
+                     F.col("doc_id").cast("string")),
+            (F.col("doc_id") % 2 == 1),
+        ).alias("pdf"),
+    )
+    return extract_pdf_pages(pdfs).select("doc_id", "pdf_text")
+
+
 @q("q45_ann_ivf")
 def q45_ann_ivf(spark, sf_dir):
     """IVF ANN (MLlib KMeans coarse quantizer, 16 cells, 6-probe, exact
