@@ -1512,6 +1512,37 @@ def q48_pdf_roundtrip(spark, sf_dir):
     return extract_pdf_pages(pdfs).select("doc_id", "pdf_text")
 
 
+@q(
+    "q49_robots_delay",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 9.0
+                ELSE CAST(doc_id % 7 AS DOUBLE) END AS crawl_delay
+    FROM documents
+    """,
+)
+def q49_robots_delay(spark, sf_dir):
+    """robots.txt crawl-delay parse (config.py:31-47 semantics: specific
+    UA group over '*' fallback). robots bodies synthesized: every domain
+    sets '*' delay = doc_id%7; even ids add a specific 'tribeca' group with
+    delay 9 — the engine, asked for UA 'tribeca', must prefer it."""
+    from .sources.robots import crawl_delays
+
+    d = _read(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("User-agent: tribeca\nCrawl-delay: 9\n\n"),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\nDisallow: /private\n"),
+    )
+    return crawl_delays(
+        d.select("doc_id", txt.alias("robots_txt")), user_agent="tribeca"
+    ).select("doc_id", "crawl_delay")
+
+
 @q("q45_ann_ivf")
 def q45_ann_ivf(spark, sf_dir):
     """IVF ANN (MLlib KMeans coarse quantizer, 16 cells, 6-probe, exact
