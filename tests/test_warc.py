@@ -53,3 +53,21 @@ def test_read_warc_to_docs(spark, tmp_path):
     # declared iso-8859-1 payload transcoded to utf-8 at ingestion:
     # accents survive the engine's utf-8 decode
     assert ex["https://b.com/2"]["text"] == "ação coração"
+
+
+def test_read_wet_to_docs(spark, tmp_path):
+    from tribeca_insights_spark.functions.tokenize import with_tokens
+    from tribeca_insights_spark.sources.warc import make_wet, read_wet
+
+    pages = [
+        ("https://a.com/1", "pre extracted text one two two"),
+        ("https://b.com/2", "another converted document body"),
+    ]
+    (tmp_path / "x.wet.gz").write_bytes(make_wet(pages, gzip_file=True))
+    docs = read_wet(spark, str(tmp_path) + "/*.wet.gz", default_lang="en")
+    rows = {r["url"]: r for r in docs.collect()}
+    assert rows["https://a.com/1"]["text"] == pages[0][1]
+    assert rows["https://a.com/1"]["html"] == bytearray(b"")
+    # text feeds the token/TF layer directly, no extraction pass
+    toks = {r["url"]: r["tokens"] for r in with_tokens(docs).select("url", "tokens").collect()}
+    assert toks["https://a.com/1"] == ["pre", "extracted", "text", "one", "two", "two"]

@@ -148,9 +148,100 @@ def read_warc(spark: SparkSession, path: str, default_lang: str = "") -> DataFra
     return files.select("content").mapInPandas(_records, schema=DOCS_SCHEMA)
 
 
+def parse_wet(data: bytes) -> List[dict]:
+    """WET (Common Crawl extracted-text) records: ``conversion`` type,
+    payload IS the utf-8 text → [{url, warc_ts, text}]."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            return []
+    out: List[dict] = []
+    pos = 0
+    while pos < len(data):
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers = _split_headers(data[start:hdr_end])
+        try:
+            length = int(headers.get("content-length", b"0"))
+        except ValueError:
+            length = 0
+        body = data[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get("warc-type", b"").lower() != b"conversion":
+            continue
+        url = headers.get("warc-target-uri", b"").decode("latin-1") or None
+        ts: Optional[datetime] = None
+        try:
+            ts = datetime.strptime(
+                headers.get("warc-date", b"").decode("ascii", "ignore"),
+                "%Y-%m-%dT%H:%M:%SZ",
+            )
+        except ValueError:
+            pass
+        out.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "text": body.decode("utf-8", errors="replace"),
+            }
+        )
+    return out
+
+
+def read_wet(spark: SparkSession, path: str, default_lang: str = "") -> DataFrame:
+    """WET files → docs DataFrame with ``text`` ALREADY populated (html
+    empty): the TF / dedup / quality layers run directly, no extraction."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _records(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for content in pdf["content"]:
+                recs = parse_wet(bytes(content))
+                if not recs:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "url": [r["url"] for r in recs],
+                        "warc_ts": [r["warc_ts"] for r in recs],
+                        "html": [b"" for _ in recs],
+                        "text": [r["text"] for r in recs],
+                        "lang": [default_lang for _ in recs],
+                    }
+                )
+
+    return files.select("content").mapInPandas(_records, schema=DOCS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # deterministic WARC builder (fixtures/tests)
 # ---------------------------------------------------------------------------
+
+
+def make_wet(pages: List[Tuple[str, str]], gzip_file: bool = False,
+             ts: str = "2026-01-01T00:00:00Z") -> bytes:
+    """pages = [(url, text)] → a WET byte string (conversion records)."""
+    buf = io.BytesIO()
+    for url, text in pages:
+        body = text.encode("utf-8")
+        h = [
+            "WARC/1.0",
+            "WARC-Type: conversion",
+            f"WARC-Date: {ts}",
+            f"WARC-Target-URI: {url}",
+            "Content-Type: text/plain",
+            f"Content-Length: {len(body)}",
+        ]
+        buf.write("\r\n".join(h).encode("latin-1"))
+        buf.write(b"\r\n\r\n")
+        buf.write(body)
+        buf.write(b"\r\n\r\n")
+    data = buf.getvalue()
+    return gzip.compress(data) if gzip_file else data
 
 
 def make_warc(pages: List[Tuple[str, str, str]], gzip_file: bool = False,
