@@ -218,3 +218,25 @@ def test_repetition_stats_edges(spark):
     assert out[1]["n_lines"] == 3 and abs(out[1]["dup_line_ratio"] - 2 / 3) < 1e-3
     assert out[2]["dup_line_ratio"] == 0.0
     assert out[3]["top_bigram_ratio"] == 1.0  # "spam spam" x3 of 3 bigrams
+
+
+def test_connected_components_clusters(spark):
+    from tribeca_insights_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], ["a_id", "b_id"]
+    )
+    cc = {r["node"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert cc[1] == cc[2] == cc[3] == cc[9] == 1  # chain + extra edge
+    assert cc[5] == cc[6] == 5
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["doc_id"])
+    lab = {r["doc_id"]: (r["rep"], r["is_keeper"])
+           for r in dedup_clusters(pairs, ids).collect()}
+    assert lab[7] == (7, True)  # singleton keeps itself
+    assert lab[3] == (1, False)
+    assert lab[1] == (1, True)
+    keepers = [d for d, (_, k) in lab.items() if k]
+    assert sorted(keepers) == [1, 5, 7]

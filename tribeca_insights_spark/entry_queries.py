@@ -1543,6 +1543,34 @@ def q49_robots_delay(spark, sf_dir):
     ).select("doc_id", "crawl_delay")
 
 
+@q(
+    "q50_dedup_clusters",
+    """
+    SELECT doc_id, doc_id - doc_id % 4 AS rep,
+           doc_id % 4 = 0 AS is_keeper
+    FROM documents
+    """,
+)
+def q50_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs → duplicate clusters with
+    min-id representatives (iterative min-label propagation, all joins).
+    Edge list synthesized as chains of 4 consecutive ids, so the expected
+    labeling is closed-form."""
+    from .operators.dedup import dedup_clusters
+
+    d = _read(spark, sf_dir, "documents")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"))
+    pairs = (
+        d.filter(F.col("doc_id") % 4 != 3)
+        .join(nxt, "doc_id", "left_semi")  # (id, id+1) only when id+1 exists
+        .select(
+            F.col("doc_id").alias("a_id"),
+            (F.col("doc_id") + 1).alias("b_id"),
+        )
+    )
+    return dedup_clusters(pairs, d)
+
+
 @q("q45_ann_ivf")
 def q45_ann_ivf(spark, sf_dir):
     """IVF ANN (MLlib KMeans coarse quantizer, 16 cells, 6-probe, exact

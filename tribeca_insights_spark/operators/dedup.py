@@ -217,3 +217,80 @@ def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id", max_iter: int = 50) -> DataFrame:
+    """(node, rep): connected components of an undirected pair list —
+    the step that turns near-dup PAIRS into duplicate CLUSTERS (keep the
+    min-id representative, drop the rest).
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the minimum representative among itself and its neighbors'
+    reps; converges in O(diameter) rounds (near-dup clusters are
+    shallow — a handful of rounds in practice; ``max_iter`` bounds
+    pathological chains). Each round is two hash joins + an aggregation,
+    all key-partitioned — no driver-side graph. Deterministic: labels are
+    min ids. Checkpoint-truncates lineage each round so plans stay flat."""
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.x, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
+                ).alias("rep"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        labels.count()  # materialize before unpersisting the parent
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, rep, is_keeper): every document labeled with its duplicate-
+    cluster representative (min id; singletons keep themselves). Join this
+    back to the corpus and filter ``is_keeper`` to deduplicate."""
+    cc = connected_components(pairs)
+    return (
+        all_ids.select(F.col(id_col))
+        .join(cc, all_ids[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("rep", F.col(id_col)).alias("rep"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("rep"))
+    )
