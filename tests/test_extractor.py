@@ -243,3 +243,50 @@ def test_whitespace_collapse_equivalence():
     for _ in range(2000):
         s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
         assert " ".join(s.split()) == ws_re.sub(" ", s).strip(), repr(s)
+
+
+def test_fast_tag_paths_equivalence():
+    """The simple-tag fast paths must be event-identical to stdlib
+    html.parser: compare a _Walker WITHOUT the mixin against the production
+    one across the nasty corpus + adversarial tag shapes."""
+    from html.parser import HTMLParser
+
+    from tribeca_insights_spark.fixtures import gen_corpus
+    from tribeca_insights_spark.htmlx.extractor import _WS_RE, _Walker
+
+    class SlowWalker(_Walker, HTMLParser):
+        # re-expose stdlib parse paths (skip the FastTagPaths overrides)
+        parse_starttag = HTMLParser.parse_starttag
+        parse_endtag = HTMLParser.parse_endtag
+
+    def run(cls, html):
+        w = cls()
+        try:
+            w.feed(html)
+            w.close()
+        except Exception:
+            w._end_data()
+            w._close_collectors(0)
+        return w
+
+    cases = [r["html"].decode() for r in gen_corpus(300, seed=11)] + [
+        "<P>upper</P>",
+        "<script>x<p></p>y</script>ok",
+        "<p >spaced</p >",
+        "<br>",
+        "<title>t</title><style>s{}</style>body",
+        "<script>a</ script>b</script>c",
+        "<div>x</div >y",
+        "<style>p{color:red}</style><p>vis</p>",
+        "<script><!-- </script> --></script>tail",
+        "<h1>head</h1><h2>two</h2>",
+        "<div><p>unclosed <b>bold",
+        "</stray></p><p>after stray ends</p>",
+    ]
+    for h in cases:
+        fast, slow = run(_Walker, h), run(SlowWalker, h)
+        assert fast.visible == slow.visible, h[:80]
+        assert fast.headings == slow.headings, h[:80]
+        assert fast.links == slow.links, h[:80]
+        assert fast.images == slow.images, h[:80]
+        assert fast.meta_description == slow.meta_description, h[:80]

@@ -37,7 +37,7 @@ import re
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
-from .extractor import RAWTEXT_TAGS, VOID_TAGS
+from .extractor import RAWTEXT_TAGS, VOID_TAGS, FastTagPaths
 
 CANDIDATE_TAGS = frozenset(
     {"div", "section", "article", "main", "td", "li", "blockquote", "body"}
@@ -66,7 +66,7 @@ class Node:
         self.parent = parent
 
 
-class _TreeBuilder(HTMLParser):
+class _TreeBuilder(FastTagPaths, HTMLParser):
     """Same event semantics as the parity extractor's _Walker (stray end
     tags ignored, void tags not pushed), but materializing a tree."""
 
