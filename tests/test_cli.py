@@ -58,3 +58,24 @@ def test_cli_crawl_resume_export(spark, tmp_path):
                "--format", "csv"])
     first = open(rc["exported"]).read().splitlines()
     assert first[0] == "word,freq"
+
+
+def test_cli_report(spark, tmp_path):
+    import csv
+
+    from tribeca_insights_spark.fixtures import corpus_df
+
+    docs_path = str(tmp_path / "docs.parquet")
+    proj = str(tmp_path / "proj")
+    corpus_df(spark, 10).write.mode("overwrite").parquet(docs_path)
+    _run(["crawl", "--input", docs_path, "--project-dir", proj,
+          "--slug", "demo", "--master", "local[2]"])
+    r = _run(["report", "--project-dir", proj, "--master", "local[2]"])
+    assert set(r["rows"]) == {
+        "corpus_tf", "doc_frequency", "domain_top_keywords", "link_counts",
+        "index",
+    }
+    assert r["rows"]["link_counts"] == 10
+    with open(os.path.join(r["reports_dir"], "corpus_tf.csv")) as f:
+        head = next(csv.reader(f))
+    assert head == ["word", "freq"]

@@ -131,6 +131,40 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Analytical reports over the extracted table (north_star: per-domain
+    keyword reports, document frequency, link counts) — written as CSVs
+    under <project-dir>/reports/."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators import tf as tfops
+
+    spark = _spark(args)
+    ex = spark.read.parquet(f"{args.project_dir}/extracted")
+    out_dir = os.path.join(args.project_dir, "reports")
+    os.makedirs(out_dir, exist_ok=True)
+    reports = {
+        "corpus_tf": tfops.corpus_tf(ex, n_salts=args.salts).limit(args.top),
+        "doc_frequency": tfops.doc_frequency(ex).limit(args.top),
+        "domain_top_keywords": tfops.domain_top_keywords(
+            ex, k=10, n_salts=args.salts
+        ),
+        "link_counts": tfops.link_counts(ex),
+        "index": tfops.index_entries(ex),
+    }
+    stats = {}
+    for name, df in reports.items():
+        pdf = df.toPandas()
+        path = os.path.join(out_dir, f"{name}.csv")
+        pdf.to_csv(path, index=False)
+        stats[name] = len(pdf)
+    print(json.dumps({"reports_dir": out_dir, "rows": stats}))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tribeca_insights_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -154,9 +188,19 @@ def main(argv=None) -> int:
     e.add_argument("--format", choices=["csv", "json", "markdown"],
                    required=True)
 
+    r = sub.add_parser("report", help="analytical reports over the "
+                                      "extracted table")
+    r.add_argument("--project-dir", required=True)
+    r.add_argument("--top", type=int, default=1000)
+    r.add_argument("--salts", type=int, default=8)
+    r.add_argument("--master", default=None)
+    r.add_argument("--shuffle-partitions", type=int, default=None)
+
     args = ap.parse_args(argv)
     if args.cmd == "crawl":
         return cmd_crawl(args)
+    if args.cmd == "report":
+        return cmd_report(args)
     return cmd_export(args)
 
 
