@@ -808,7 +808,7 @@ def q24_embedding_near_dups(spark, sf_dir):
     )
     SELECT doc_id,
            CASE WHEN s > 0 THEN lg ELSE 'none' END AS lang_guess,
-           s AS best_score
+           CAST(s AS BIGINT) AS best_score
     FROM (
       SELECT doc_id, lg, s,
              row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lg) AS rn
@@ -930,7 +930,7 @@ def q29_multimodal_meta(spark, sf_dir):
     + """
     , a AS (SELECT word, count(*) AS freq FROM words WHERE doc_id % 2 = 0 GROUP BY word)
     , b AS (SELECT word, count(*) AS freq FROM words WHERE doc_id % 2 = 1 GROUP BY word)
-    SELECT word, sum(freq) AS freq FROM (
+    SELECT word, CAST(sum(freq) AS BIGINT) AS freq FROM (
       SELECT * FROM a UNION ALL SELECT * FROM b
     ) GROUP BY word ORDER BY freq DESC, word
     """,
@@ -1222,7 +1222,8 @@ def q39_sitemap_seed(spark, sf_dir):
                               ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM e
     )
-    SELECT user_id, session_idx, count(*) AS n_events,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
            CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
              AS duration_sec
@@ -1465,9 +1466,9 @@ def q46_gopher_flags(spark, sf_dir):
       FROM (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg)
       GROUP BY doc_id
     )
-    SELECT ls.doc_id, n_lines,
+    SELECT ls.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
            round(n_dup / CAST(n_lines AS DOUBLE), 4) AS dup_line_ratio,
-           n_bigrams,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
            round(top / CAST(n_bigrams AS DOUBLE), 4) AS top_bigram_ratio
     FROM ls JOIN bs ON ls.doc_id = bs.doc_id
     """,
