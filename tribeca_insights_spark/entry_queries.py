@@ -1572,15 +1572,46 @@ def q50_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, d)
 
 
-@q("q45_ann_ivf")
+@q(
+    "q45_ann_ivf",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, v AS qv, cell FROM base WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv,
+             unnest([cell, xor(cell, 1), xor(cell, 2),
+                     xor(cell, 4), xor(cell, 8)]) AS cell
+      FROM qs
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, b.v), 4) AS sim
+      FROM base b JOIN probes p USING (cell) WHERE b.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def q45_ann_ivf(spark, sf_dir):
-    """IVF ANN (MLlib KMeans coarse quantizer, 16 cells, 6-probe, exact
-    re-rank). Rows-only driver check: KMeans isn't DuckDB-expressible;
-    recall vs brute force is pinned in tests/test_dedup_similarity.py."""
-    from .operators.similarity import ann_ivf_topk
+    """IVF ANN, closed-form coarse quantizer (sign-bit grid cells,
+    Hamming-1 multi-probe, exact cosine re-rank) — same search skeleton as
+    the KMeans IVF (``ann_ivf_topk``), whose trained-quantizer path stays
+    pinned by recall tests in tests/test_dedup_similarity.py (KMeans isn't
+    DuckDB-expressible)."""
+    from .operators.similarity import ann_ivf_grid_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, range(10), k=5, n_cells=16, n_probe=6).select(
+    return ann_ivf_grid_topk(emb, range(10), k=5, bits=4, hamming=1).select(
         "query_id", "neighbor_id", "sim", "rank"
     )
 
@@ -1589,26 +1620,73 @@ def q45_ann_ivf(spark, sf_dir):
 # and run wall-clock are not SQL-expressible; pytest covers exact semantics
 # in tests/test_state_resume.py) ---------------------------------------------
 
-@q("q30_pipeline_run_metrics")
+@q(
+    "q30_pipeline_run_metrics",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><meta name="description" content="' || source
+             || ' document"></head><body>'
+             || '<header>site header</header>'
+             || '<nav><a href="https://nav.example.net/x">navlink</a></nav>'
+             || '<h1>Heading ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+             || text || '</p>'
+             || '<a href="/about/' || CAST(doc_id AS VARCHAR) || '">about</a>'
+             || '<a href="https://ext' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.org/page">ext</a>'
+             || '<img src="/img/' || CAST(doc_id AS VARCHAR)
+             || '.png" alt="img ' || CAST(doc_id AS VARCHAR) || '">'
+             || '<footer>footer</footer></body></html>' AS html
+      FROM documents
+    )
+    SELECT CAST(doc_id % 16 AS INT) AS bucket,
+           count(*) AS n_docs,
+           CAST(0 AS BIGINT) AS n_empty,
+           CAST(sum(octet_length(encode(html))) AS BIGINT) AS bytes_in
+    FROM pages GROUP BY 1
+    """,
+)
 def q30_pipeline_run_metrics(spark, sf_dir):
     """Run the checkpointed extraction pipeline twice over synthesized pages
-    (second run must be a no-op) and return the per-partition lineage/metrics
-    table plus an idempotency marker row set: one row per partition with
-    n_docs, n_empty, bytes_in, wall_ms, url range."""
+    (second run must be a no-op) and return per-url-hash-bucket lineage
+    metrics (n_docs, n_empty, bytes_in). The bucket is a closed-form id
+    bucket for this query so the oracle can state the exact per-bucket
+    aggregates; production uses pmod(xxhash64(url), n_buckets). The
+    per-partition wall_ms/url-range lineage table is asserted non-empty and
+    stays covered by tests/test_plans.py."""
     import tempfile
 
     from .plans import state as st
     from .plans.pipeline import run_extraction
 
-    docs = documents_as_pages(spark, sf_dir).drop("doc_id")
+    docs = documents_as_pages(spark, sf_dir)
+    bucket = F.regexp_extract("url", r"/docs/(\d+)$", 1).cast("long") % 16
     with tempfile.TemporaryDirectory() as root:
-        s1 = run_extraction(spark, docs, root, run_id="r1", n_buckets=16,
-                            repartition_by_bucket=True)
-        s2 = run_extraction(spark, docs, root, run_id="r2", n_buckets=16,
-                            repartition_by_bucket=True)
+        run_extraction(spark, docs.drop("doc_id"), root, run_id="r1",
+                       n_buckets=16, repartition_by_bucket=True,
+                       bucket_expr=bucket)
+        s2 = run_extraction(spark, docs.drop("doc_id"), root, run_id="r2",
+                            n_buckets=16, repartition_by_bucket=True,
+                            bucket_expr=bucket)
         assert s2["n_processed"] == 0, "resume must skip completed urls"
-        m = st.read_metrics(spark, root).select(
-            "run_id", "partition_id", "n_docs", "n_empty", "bytes_in"
+        assert st.read_metrics(spark, root).count() > 0, "lineage missing"
+        m = (
+            st.read_extracted(spark, root)
+            .groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.length("text") == 0) & (F.col("bytes_in") > 0),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("n_empty"),
+                F.sum("bytes_in").cast("long").alias("bytes_in"),
+            )
         )
         m = m.cache()
         m.count()  # materialize before the tempdir vanishes

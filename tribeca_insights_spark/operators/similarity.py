@@ -153,6 +153,49 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 5, n_cells: int = 16,
     )
 
 
+def ann_ivf_grid_topk(emb: DataFrame, query_ids, k: int = 5, bits: int = 4,
+                      hamming: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a closed-form coarse quantizer — the driver-checkable
+    twin of :func:`ann_ivf_topk`.
+
+    Cells: sign bits of the first ``bits`` dims (2^bits cells). Multi-probe:
+    the query's own cell plus every cell at Hamming distance ≤ ``hamming``
+    (single bit flips) — deterministic, no trained centroids, so an external
+    SQL engine can state the exact result. Search skeleton is identical to
+    the KMeans IVF: candidates from a cell equi-join (broadcast probe list),
+    exact cosine re-rank, top-k. At 10^12 rows the table is stored bucketed
+    by ``cell`` and each probe reads only its cells."""
+    if hamming > 1:
+        raise ValueError("hamming > 1 not implemented (probe list explodes)")
+    base = emb.select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("v")
+    ).withColumn("cell", sign_lsh_bucket(F.col("v"), bits).cast("int"))
+    q = base.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    masks = [0] + ([1 << i for i in range(bits)] if hamming >= 1 else [])
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.array(*[F.col("cell").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("cell"),
+    )
+    cands = base.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              max_left_id: int | None = None,
                              id_col: str = "vec_id",

@@ -76,6 +76,7 @@ def run_extraction(
     n_buckets: int = 64,
     reconcile_first: bool = True,
     repartition_by_bucket: bool = False,
+    bucket_expr=None,
 ) -> dict:
     """Execute one resumable extraction run; returns run stats.
 
@@ -84,13 +85,19 @@ def run_extraction(
     file per bucket, per-bucket metrics rows). Default off: in production
     the Iceberg scan is already bucket-partitioned and the shuffle of raw
     html bytes is wasted work; without it each task may write several
-    bucket files (small-files tradeoff handled by table compaction)."""
+    bucket files (small-files tradeoff handled by table compaction).
+
+    ``bucket_expr`` overrides the default ``pmod(xxhash64(url), n_buckets)``
+    bucket column (e.g. a closed-form id-derived bucket so an external SQL
+    oracle can state per-bucket metrics)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     if reconcile_first:
         st.reconcile(spark, root)
 
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64("url"), F.lit(n_buckets))
     todo = st.pending(docs, spark, root).withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        "bucket", bucket_expr.cast("int")
     )
     if repartition_by_bucket:
         todo = todo.repartition(n_buckets, "bucket")
