@@ -42,6 +42,46 @@ def test_stopword_profiles():
     assert "because" in get_stopwords("en", "extended")
 
 
+def test_nltk_profile_full_lists():
+    """`nltk` profile = reference's corpora-present path (text_utils.py:
+    75-96): full per-language NLTK Stopwords Corpus lists (vendored), with
+    the reference's degraded corpus→fallback→empty rule for languages that
+    have no list."""
+    en = get_stopwords("en", "nltk")
+    assert len(en) > 150  # full corpus list, not the 6-word fallback
+    assert {"i", "me", "myself", "wouldn't", "the", "of"} <= en
+    # every compat fallback word is in the full list too (en augmentation)
+    assert get_stopwords("en") <= en
+    for lang, probe in [("de", "und"), ("fr", "les"), ("es", "los"),
+                        ("pt-br", "não"), ("ru", "не"), ("it", "della")]:
+        assert probe in get_stopwords(lang, "nltk"), lang
+    # no corpus list AND no fallback → empty (reference text_utils.py:84-96)
+    assert get_stopwords("zh", "nltk") == frozenset()
+    assert get_stopwords("ja", "nltk") == frozenset()
+    # tokenizer actually honors the profile
+    toks = clean_and_tokenize("I me myself the spark engine", "en", "nltk")
+    assert toks == ["spark", "engine"]
+
+
+def test_nltk_data_dir_override(tmp_path, monkeypatch):
+    """A real NLTK data directory ($NLTK_DATA) takes precedence over the
+    vendored lists — exact parity with the environment's corpus version."""
+    from tribeca_insights_spark.functions import stopwords as sw
+
+    d = tmp_path / "corpora" / "stopwords"
+    d.mkdir(parents=True)
+    (d / "english").write_text("zzonlyword\n", encoding="utf-8")
+    monkeypatch.setenv("NLTK_DATA", str(tmp_path))
+    sw._load_full_list.cache_clear()
+    sw.get_stopwords.cache_clear()
+    try:
+        assert sw.get_stopwords("en", "nltk") == frozenset({"zzonlyword"})
+    finally:
+        monkeypatch.delenv("NLTK_DATA")
+        sw._load_full_list.cache_clear()
+        sw.get_stopwords.cache_clear()
+
+
 def test_slug():
     assert url_slug("https://mysite.com/path") == "path"
     assert url_slug("https://mysite.com") == "home"  # empty path → "home"

@@ -1693,6 +1693,57 @@ def q30_pipeline_run_metrics(spark, sf_dir):
         return m
 
 
+def _sql_stop_clause(cli_lang: str, profile: str = "nltk") -> str:
+    """``AND NOT (lang = '<l>' AND word IN (...))`` filter for the oracle,
+    generated from the SAME vendored stopword data the engine broadcasts —
+    the oracle states the full-list semantics, not a copy of engine code."""
+    from .functions.stopwords import get_stopwords
+
+    words = sorted(get_stopwords(cli_lang, profile))
+    if not words:
+        return ""
+    quoted = ",".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"AND NOT (lang = '{cli_lang}' AND word IN ({quoted}))\n"
+
+
+@q(
+    "q51_corpus_tf_full_stopwords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(trim(regexp_replace({_EXPECTED_TEXT},
+                    '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' ')) AS word
+      FROM documents
+    ), words AS (
+      SELECT word FROM toks
+      WHERE length(word) >= 2
+      {_sql_stop_clause('en')}{_sql_stop_clause('es')}{_sql_stop_clause('fr')}{_sql_stop_clause('de')}{_sql_stop_clause('zh')}
+    )
+    SELECT word, count(*) AS freq FROM words
+    GROUP BY word ORDER BY freq DESC, word
+    """,
+)
+def q51_corpus_tf_full_stopwords(spark, sf_dir):
+    """Corpus TF through the extraction UDF with the ``nltk`` stopword
+    profile (full vendored per-language NLTK corpus lists — the reference's
+    corpora-present primary path, text_utils.py:75-96), exercising the
+    profile threading end-to-end: parse → tokenize(profile) → explode →
+    count. Languages without a list (zh) degrade to the reference's
+    fallback-or-empty rule."""
+    from .operators.extract import extract_token_strings
+
+    docs = documents_as_pages(spark, sf_dir)
+    t = extract_token_strings(docs, profile="nltk")
+    words = t.select(
+        F.explode(F.split("tokens_str", " ", -1)).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

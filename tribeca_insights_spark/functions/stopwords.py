@@ -6,13 +6,25 @@ unavailable (tribeca_insights/text_utils.py:44-48, 75-96). A distributed
 engine cannot depend on per-executor downloads, so we vendor the lists as
 repo data and broadcast them.
 
-Two profiles:
+Three profiles:
 
 * ``compat`` (default) — exactly the reference's hermetic behavior: its
   ``FALLBACK_STOPWORDS`` sets for english/spanish/portuguese
   (text_utils.py:44-48) and the empty set otherwise. This is what the
   reference CLI produces in an offline environment and is the profile the
-  golden-parity tests and the DuckDB oracles pin.
+  golden-parity tests and most DuckDB oracles pin.
+* ``nltk`` — the reference's PRIMARY path (corpora present): full
+  per-language NLTK Stopwords Corpus lists, vendored under
+  ``tribeca_insights_spark/data/stopwords/`` (public corpus data; the
+  copies ship inside Apache Spark's MLlib jar with the NLTK corpus README —
+  Snowball-derived, English augmented per nltk/nltk_data#22, identical
+  content to ``nltk.corpus.stopwords.words(lang)``). If a real NLTK data
+  directory is present at runtime (``$NLTK_DATA`` or ``~/nltk_data``), its
+  ``corpora/stopwords/<lang>`` files take precedence, giving exact parity
+  with whatever corpus version the environment installed. Languages with
+  no list (chinese/japanese/arabic here) degrade exactly like the offline
+  reference: fallback set if one exists, else empty
+  (text_utils.py:84-96).
 * ``extended`` — a fuller English function-word list used by the
   training-data quality/lang-id operators, where richer filtering beats
   strict reference parity. Makes no NLTK-equivalence claim.
@@ -22,7 +34,9 @@ CLI language codes map per text_utils.py:24-35.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
+from importlib import resources
 from typing import Dict, FrozenSet
 
 LANGUAGE_MAP: Dict[str, str] = {
@@ -40,7 +54,10 @@ LANGUAGE_MAP: Dict[str, str] = {
     "ar": "arabic",
 }
 
-# Reference FALLBACK_STOPWORDS, text_utils.py:44-48 — normative for `compat`.
+PROFILES = ("compat", "nltk", "extended")
+
+# Reference FALLBACK_STOPWORDS, text_utils.py:44-48 — normative for `compat`
+# and the degraded path of `nltk`.
 COMPAT_STOPWORDS: Dict[str, FrozenSet[str]] = {
     "english": frozenset({"the", "a", "and", "of", "is", "this"}),
     "spanish": frozenset({"y", "de", "la", "que"}),
@@ -64,10 +81,50 @@ EXTENDED_STOPWORDS: Dict[str, FrozenSet[str]] = dict(COMPAT_STOPWORDS)
 EXTENDED_STOPWORDS["english"] = EXTENDED_EN
 
 
+def _nltk_data_file(lang_key: str) -> str | None:
+    """Path to a real NLTK corpus file for ``lang_key`` if the runtime has
+    one (``$NLTK_DATA`` dirs, then ``~/nltk_data``), else None."""
+    candidates = [
+        p for p in os.environ.get("NLTK_DATA", "").split(os.pathsep) if p
+    ]
+    candidates.append(os.path.join(os.path.expanduser("~"), "nltk_data"))
+    for base in candidates:
+        path = os.path.join(base, "corpora", "stopwords", lang_key)
+        if os.path.isfile(path):
+            return path
+    return None
+
+
+@lru_cache(maxsize=None)
+def _load_full_list(lang_key: str) -> FrozenSet[str] | None:
+    """Full stopword list for an NLTK language key: runtime NLTK corpus if
+    installed, else the vendored copy; None when neither exists."""
+    runtime = _nltk_data_file(lang_key)
+    if runtime is not None:
+        with open(runtime, encoding="utf-8") as fh:
+            return frozenset(w for w in (ln.strip() for ln in fh) if w)
+    ref = resources.files("tribeca_insights_spark").joinpath(
+        "data", "stopwords", f"{lang_key}.txt"
+    )
+    try:
+        text = ref.read_text(encoding="utf-8")
+    except FileNotFoundError:
+        return None
+    return frozenset(w for w in (ln.strip() for ln in text.splitlines()) if w)
+
+
 @lru_cache(maxsize=None)
 def get_stopwords(language: str, profile: str = "compat") -> FrozenSet[str]:
     """Stopword set for a CLI language code (mirrors text_utils.py:75-96:
-    unknown codes pass through the map unchanged, missing corpora → empty)."""
+    unknown codes pass through the map unchanged; ``nltk`` profile degrades
+    corpus → fallback set → empty exactly like the reference)."""
+    if profile not in PROFILES:
+        raise ValueError(f"unknown stopword profile {profile!r}")
     lang_key = LANGUAGE_MAP.get(language, language)
+    if profile == "nltk":
+        full = _load_full_list(lang_key)
+        if full is not None:
+            return full
+        return COMPAT_STOPWORDS.get(lang_key, frozenset())
     table = COMPAT_STOPWORDS if profile == "compat" else EXTENDED_STOPWORDS
     return table.get(lang_key, frozenset())

@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import json
 from collections import Counter
+from functools import lru_cache
 from typing import Optional
 
 import pandas as pd
@@ -49,7 +50,7 @@ from ..htmlx.extractor import (
 )
 from ..schemas import EXTRACT_STRUCT, WORD_FREQUENCY_TYPE
 
-_TOKEN_PROFILE = "compat"  # stopword profile used inside the UDFs
+_TOKEN_PROFILE = "compat"  # default stopword profile inside the UDFs
 
 
 def _decode(h: Optional[object]) -> str:
@@ -60,7 +61,8 @@ def _decode(h: Optional[object]) -> str:
     return str(h)
 
 
-def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series) -> pd.DataFrame:
+def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series,
+                   profile: str = _TOKEN_PROFILE) -> pd.DataFrame:
     out = {
         "text": [], "title": [], "meta_description": [], "headings": [],
         "images": [], "external_links": [], "internal_links": [],
@@ -71,7 +73,7 @@ def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series) -> pd.DataF
         u = u or ""
         page = parse_page(_decode(h))
         dom = url_domain(u)
-        toks = clean_and_tokenize(page.text, lg or "", _TOKEN_PROFILE)
+        toks = clean_and_tokenize(page.text, lg or "", profile)
         out["text"].append(page.text)
         out["title"].append(page.title)
         out["meta_description"].append(page.meta_description)
@@ -93,7 +95,19 @@ def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series) -> pd.DataF
     return pd.DataFrame(out)
 
 
-extract_page_udf = pandas_udf(_extract_batch, returnType=EXTRACT_STRUCT)
+@lru_cache(maxsize=None)
+def make_extract_page_udf(profile: str = _TOKEN_PROFILE):
+    """Struct-returning extraction pandas UDF bound to a stopword profile
+    (the profile rides the closure; stopword sets are lru-cached per
+    executor — no per-batch reload)."""
+
+    def batch(url: pd.Series, html: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        return _extract_batch(url, html, lang, profile)
+
+    return pandas_udf(batch, returnType=EXTRACT_STRUCT)
+
+
+extract_page_udf = make_extract_page_udf(_TOKEN_PROFILE)
 
 
 def _extract_text_batch(html: pd.Series) -> pd.Series:
@@ -106,50 +120,61 @@ def _extract_text_batch(html: pd.Series) -> pd.Series:
 extract_text_udf = pandas_udf(_extract_text_batch, returnType=StringType())
 
 
-def _extract_tokens_batch(html: pd.Series, lang: pd.Series) -> pd.Series:
-    from ..htmlx.extractor import extract_visible_text
+@lru_cache(maxsize=None)
+def make_extract_tokens_udf(profile: str = _TOKEN_PROFILE):
+    """Tokens-only fast path for TF pipelines: parse + tokenize per page,
+    ship just the token array."""
 
-    return pd.Series(
-        [
-            clean_and_tokenize(extract_visible_text(_decode(h)), lg or "",
-                               _TOKEN_PROFILE)
-            for h, lg in zip(html, lang)
-        ]
-    )
+    def batch(html: pd.Series, lang: pd.Series) -> pd.Series:
+        from ..htmlx.extractor import extract_visible_text
+
+        return pd.Series(
+            [
+                clean_and_tokenize(extract_visible_text(_decode(h)),
+                                   lg or "", profile)
+                for h, lg in zip(html, lang)
+            ]
+        )
+
+    return pandas_udf(batch, returnType=ArrayType(StringType()))
 
 
-# Tokens-only fast path for TF pipelines: parse + tokenize per page, ship
-# just the token array.
-extract_tokens_udf = pandas_udf(
-    _extract_tokens_batch, returnType=ArrayType(StringType())
-)
+extract_tokens_udf = make_extract_tokens_udf(_TOKEN_PROFILE)
 
 
-def _extract_tokstr_batch(html: pd.Series, lang: pd.Series) -> pd.Series:
-    from ..htmlx.extractor import extract_visible_text
+@lru_cache(maxsize=None)
+def make_extract_tokstr_udf(profile: str = _TOKEN_PROFILE):
+    """Fastest TF path: one space-joined token string per page over Arrow;
+    JVM explodes it with a literal-delimiter split (codegen, no regex)."""
 
-    return pd.Series(
-        [
-            " ".join(
-                clean_and_tokenize(
-                    extract_visible_text(_decode(h)), lg or "", _TOKEN_PROFILE
+    def batch(html: pd.Series, lang: pd.Series) -> pd.Series:
+        from ..htmlx.extractor import extract_visible_text
+
+        return pd.Series(
+            [
+                " ".join(
+                    clean_and_tokenize(
+                        extract_visible_text(_decode(h)), lg or "", profile
+                    )
                 )
-            )
-            for h, lg in zip(html, lang)
-        ]
-    )
+                for h, lg in zip(html, lang)
+            ]
+        )
+
+    return pandas_udf(batch, returnType=StringType())
 
 
-# Fastest TF path: one string per page over Arrow; JVM explodes it with a
-# literal-delimiter split (codegen, no regex).
-extract_tokstr_udf = pandas_udf(_extract_tokstr_batch, returnType=StringType())
+extract_tokstr_udf = make_extract_tokstr_udf(_TOKEN_PROFILE)
 
 
-def extract_token_strings(docs: DataFrame) -> DataFrame:
+def extract_token_strings(docs: DataFrame,
+                          profile: str = _TOKEN_PROFILE) -> DataFrame:
     """(url, lang, tokens_str) — the corpus-TF hot path."""
     return docs.select(
         "url", "lang",
-        extract_tokstr_udf(F.col("html"), F.col("lang")).alias("tokens_str"),
+        make_extract_tokstr_udf(profile)(
+            F.col("html"), F.col("lang")
+        ).alias("tokens_str"),
     )
 
 
@@ -166,9 +191,11 @@ def extract_pages(docs: DataFrame, tokens: bool = True,
     UDF output is pruned at the Arrow boundary only in the dedicated
     fast-path helpers; here it trims the downstream row width).
     """
-    assert profile == _TOKEN_PROFILE, "UDF tokenizer is compiled for compat"
     e = docs.withColumn(
-        "_x", extract_page_udf(F.col("url"), F.col("html"), F.col("lang"))
+        "_x",
+        make_extract_page_udf(profile)(
+            F.col("url"), F.col("html"), F.col("lang")
+        ),
     )
     cols = [
         "url",
@@ -206,11 +233,12 @@ def extract_pages(docs: DataFrame, tokens: bool = True,
 def extract_texts(docs: DataFrame, tokens: bool = True,
                   profile: str = "compat") -> DataFrame:
     """(url, lang, text[, tokens]) extraction fast path for TF pipelines."""
-    assert profile == _TOKEN_PROFILE
     if tokens:
         return docs.select(
             "url", "lang",
-            extract_tokens_udf(F.col("html"), F.col("lang")).alias("tokens"),
+            make_extract_tokens_udf(profile)(
+                F.col("html"), F.col("lang")
+            ).alias("tokens"),
         )
     return docs.select(
         "url", "lang", extract_text_udf(F.col("html")).alias("text")
