@@ -79,3 +79,19 @@ def test_cli_report(spark, tmp_path):
     with open(os.path.join(r["reports_dir"], "corpus_tf.csv")) as f:
         head = next(csv.reader(f))
     assert head == ["word", "freq"]
+    # O(n_docs) reports are distributed CSV directories (no driver collect)
+    import glob
+
+    lc_dir = os.path.join(r["reports_dir"], "link_counts")
+    assert os.path.isdir(lc_dir)
+    parts = glob.glob(os.path.join(lc_dir, "part-*.csv"))
+    assert parts
+    rows = []
+    for p in parts:
+        with open(p) as f:
+            rdr = csv.reader(f)
+            hdr = next(rdr, None)
+            if hdr is not None:
+                assert hdr[0] == "url"
+                rows.extend(rdr)
+    assert len(rows) == 10

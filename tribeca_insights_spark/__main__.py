@@ -145,9 +145,14 @@ def cmd_report(args) -> int:
     ex = spark.read.parquet(f"{args.project_dir}/extracted")
     out_dir = os.path.join(args.project_dir, "reports")
     os.makedirs(out_dir, exist_ok=True)
-    reports = {
+    # limit()-bounded frames may come to the driver (≤ --top rows);
+    # everything O(n_docs) / O(n_domains) is written executor-side as a
+    # distributed CSV directory — the driver never holds those rows.
+    bounded = {
         "corpus_tf": tfops.corpus_tf(ex, n_salts=args.salts).limit(args.top),
         "doc_frequency": tfops.doc_frequency(ex).limit(args.top),
+    }
+    unbounded = {
         "domain_top_keywords": tfops.domain_top_keywords(
             ex, k=10, n_salts=args.salts
         ),
@@ -155,11 +160,16 @@ def cmd_report(args) -> int:
         "index": tfops.index_entries(ex),
     }
     stats = {}
-    for name, df in reports.items():
+    for name, df in bounded.items():
         pdf = df.toPandas()
-        path = os.path.join(out_dir, f"{name}.csv")
-        pdf.to_csv(path, index=False)
+        pdf.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
         stats[name] = len(pdf)
+    for name, df in unbounded.items():
+        path = os.path.join(out_dir, name)
+        df = df.cache()
+        df.write.mode("overwrite").option("header", True).csv(path)
+        stats[name] = df.count()
+        df.unpersist()
     print(json.dumps({"reports_dir": out_dir, "rows": stats}))
     spark.stop()
     return 0
