@@ -895,31 +895,52 @@ def q28_fingerprints(spark, sf_dir):
 @q(
     "q29_multimodal_meta",
     """
-    WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha, encode(text) AS payload
-               FROM documents)
-    SELECT media_id, octet_length(payload) AS n_bytes, sha AS sha256,
-           ['png','jpeg','webp'][
-             ((strpos('0123456789abcdef', substr(sha,1,1))-1)*16
-              + strpos('0123456789abcdef', substr(sha,2,1))-1) % 3 + 1
-           ] AS format_guess,
-           CAST(64 + ((strpos('0123456789abcdef', substr(sha,3,1))-1)*16
-              + strpos('0123456789abcdef', substr(sha,4,1))-1) % 192 AS INT) AS width,
-           CAST(64 + ((strpos('0123456789abcdef', substr(sha,5,1))-1)*16
-              + strpos('0123456789abcdef', substr(sha,6,1))-1) % 192 AS INT) AS height
-    FROM m
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(16 + doc_id % 64 AS INT) AS width,
+             CAST(16 + (doc_id * 7) % 64 AS INT) AS height
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(68 + height * (width + 1) AS BIGINT) AS n_bytes,
+           'png' AS format_guess, width, height
+    FROM dims
     """,
 )
 def q29_multimodal_meta(spark, sf_dir):
-    """Opaque binary payload → typed metadata via mapInPandas (decode layer
-    stubbed deterministically; the Spark plumbing — schema, Arrow batching,
-    partition inheritance — is the real artifact)."""
+    """Opaque binary payload → typed metadata via mapInPandas, with REAL
+    decoding: valid PNGs are synthesized per doc (imagex.make_png —
+    stored-block zlib, so the exact byte size is closed-form
+    68 + h*(w+1)) and the metadata pass parses actual IHDR headers
+    (imagex.sniff_image). The oracle states format/dims/size without ever
+    seeing the bytes — only a real parser can match it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .imagex import make_png
     from .operators.multimodal import media_metadata
+
+    def _png_batch(doc_id):
+        # (module uses `from __future__ import annotations`, so type-hint
+        # inference is unavailable — classic pandas_udf form instead)
+        return pd.Series(
+            [
+                make_png(16 + int(i) % 64, 16 + (int(i) * 7) % 64,
+                         seed=int(i))
+                for i in doc_id
+            ]
+        )
+
+    png_udf = pandas_udf(_png_batch, BinaryType())
 
     media = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+        png_udf(F.col("doc_id")).alias("payload"),
     )
-    return media_metadata(media, deterministic_fake=True)
+    return media_metadata(media, deterministic_fake=False).select(
+        "media_id", "n_bytes", "format_guess", "width", "height"
+    )
 
 
 # --- TF merge + rollup (SURVEY §2.3 R5; §2.4 grouping-sets extension) -------

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Beyond-reference capability (task brief). The Spark-side mechanics are real
-and tested — schema, ``mapInPandas`` batching, partition inheritance; the
-actual media decoding is STUBBED (image/audio libraries are not in this
-container): :func:`decode_image_stub` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which derives pseudo-metadata from the payload
-hash so pipelines and tests exercise identical dataflow shapes.
+Beyond-reference capability (task brief). The Spark-side mechanics — schema,
+``mapInPandas`` batching, partition inheritance — are real and tested, and
+so is the decode layer for the common web formats: :mod:`..imagex` parses
+PNG/JPEG/GIF/BMP/WebP headers (format + dimensions) and fully decodes /
+resizes / re-encodes 8-bit grey/RGB/RGBA PNGs in pure python. Payloads
+outside that subset (actual JPEG pixel decode, video, audio) either raise
+``UnsupportedImageError`` or — with ``deterministic_fake=True`` — take a
+clearly-marked hash-derived fallback so plumbing tests can run on arbitrary
+bytes; production swaps PIL/libvips/ffmpeg into the same seams.
 
 Design for 100 TB: payloads stay in columnar storage and move through
 ``mapInPandas`` (iterator of pandas batches → bounded worker memory even
@@ -29,6 +32,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..imagex import (
+    UnsupportedImageError,
+    decode_png,
+    encode_png,
+    resize_nearest,
+    sniff_image,
+)
+
 MEDIA_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -41,26 +52,41 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
-def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
-    """Decode an image payload → (format, width, height).
-
-    Real decoding requires an image library not present in this container;
-    production drops in PIL/libvips here. ``deterministic_fake`` derives
-    stable pseudo-dimensions from the payload hash (for plumbing tests)."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding requires an image library; not available in this "
-            "container — pass deterministic_fake=True for plumbing tests"
-        )
+def _fake_meta(payload: bytes):
+    """Legacy hash-derived pseudo-metadata for non-image payloads in
+    plumbing tests — never used when the sniffer recognizes the bytes."""
     h = hashlib.sha256(payload).digest()
     fmt = ["png", "jpeg", "webp"][h[0] % 3]
     return fmt, 64 + h[1] % 192, 64 + h[2] % 192
 
 
+def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
+    """Decode an image payload → (format, width, height).
+
+    Real header parsing (:func:`..imagex.sniff_image`) handles PNG/JPEG/
+    GIF/BMP/WebP. For unrecognizable payloads: ``deterministic_fake=True``
+    derives stable pseudo-dimensions from the payload hash (plumbing tests
+    over arbitrary bytes); otherwise raise."""
+    s = sniff_image(payload)
+    if s is not None:
+        return s
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "payload matches no known image signature; pass "
+            "deterministic_fake=True for plumbing tests on arbitrary bytes"
+        )
+    return _fake_meta(payload)
+
+
 def media_metadata(media: DataFrame, id_col: str = "media_id",
                    payload_col: str = "payload",
                    deterministic_fake: bool = True) -> DataFrame:
-    """binary payload table → typed metadata table via mapInPandas."""
+    """binary payload table → typed metadata via mapInPandas.
+
+    Format and dimensions come from real header parsing; payloads the
+    sniffer can't identify get ``('unknown', NULL, NULL)`` — or, with
+    ``deterministic_fake=True``, the legacy hash-derived pseudo-metadata
+    (kept so plumbing tests can run over arbitrary text bytes)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -70,7 +96,13 @@ def media_metadata(media: DataFrame, id_col: str = "media_id",
             }
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                fmt, w, h = decode_image_stub(b, deterministic_fake)
+                s = sniff_image(b)
+                if s is not None:
+                    fmt, w, h = s
+                elif deterministic_fake:
+                    fmt, w, h = _fake_meta(b)
+                else:
+                    fmt, w, h = "unknown", None, None
                 rows["media_id"].append(int(mid))
                 rows["n_bytes"].append(len(b))
                 rows["sha256"].append(hashlib.sha256(b).hexdigest())
@@ -114,13 +146,23 @@ def media_features(media: DataFrame, dim: int = 16, id_col: str = "media_id",
     )
 
     def _embed(payload: bytes):
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "feature extraction requires a media/vision library; not "
-                "available in this container"
-            )
-        h = hashlib.sha256(payload).digest()
-        raw = [(h[i % 32] - 127.5) / 127.5 for i in range(dim)]
+        try:
+            w, h_, ch, px = decode_png(payload)
+        except UnsupportedImageError:
+            if not deterministic_fake:
+                raise
+            hh = hashlib.sha256(payload).digest()
+            raw = [(hh[i % 32] - 127.5) / 127.5 for i in range(dim)]
+        else:
+            # real feature for decodable PNGs: L2-normalized luminance
+            # histogram (production swaps in a vision encoder here)
+            import numpy as np
+
+            arr = np.frombuffer(px, dtype=np.uint8)
+            if ch > 1:
+                arr = arr.reshape(-1, ch)[:, :3].mean(axis=1)
+            hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+            raw = hist.astype(float).tolist()
         norm = math.sqrt(sum(x * x for x in raw)) or 1.0
         return [x / norm for x in raw]
 
@@ -143,9 +185,11 @@ def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
                  payload_col: str = "payload",
                  deterministic_fake: bool = True) -> DataFrame:
     """binary payload → resized binary payload + new dims, ``mapInPandas``
-    end to end so MB-scale blobs never materialize as a whole-partition list
-    (production: PIL/libvips thumbnail; fake: payload truncated to a
-    hash-derived length with dims scaled to fit ``max_px``)."""
+    end to end so MB-scale blobs never materialize as a whole-partition list.
+    Decodable PNGs get a REAL nearest-neighbor thumbnail (decode → resample
+    → re-encode, pure python); other payloads fall back to the
+    hash-derived fake when ``deterministic_fake=True`` (production:
+    PIL/libvips in the same seam)."""
     from pyspark.sql.types import BinaryType
 
     schema = StructType(
@@ -158,11 +202,23 @@ def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
     )
 
     def _resize(payload: bytes):
-        fmt, w, h = decode_image_stub(payload, deterministic_fake)
+        try:
+            w, h, ch, px = decode_png(payload)
+        except UnsupportedImageError:
+            fmt, w, h = decode_image_stub(payload, deterministic_fake)
+            scale = min(1.0, max_px / max(w, h, 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            keep = max(1, int(len(payload) * scale * scale)) if payload else 0
+            return payload[:keep], nw, nh
         scale = min(1.0, max_px / max(w, h, 1))
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-        keep = max(1, int(len(payload) * scale * scale)) if payload else 0
-        return payload[:keep], nw, nh
+        if (nw, nh) == (w, h):
+            return payload, w, h
+        return (
+            encode_png(resize_nearest(px, w, h, ch, nw, nh), nw, nh, ch),
+            nw,
+            nh,
+        )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
