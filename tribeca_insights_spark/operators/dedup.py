@@ -62,22 +62,32 @@ def char_shingles(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
                        n_hashes: int = 12) -> DataFrame:
     """(id, seed, minhash) — minhash = min over shingles of the first 8 hex
-    chars of md5(seed ':' gram). String min == numeric min (fixed width)."""
-    seeds = shingles.sparkSession.range(n_hashes).select(
-        F.col("id").cast("int").alias("seed")
+    chars of md5(seed ':' gram). String min == numeric min (fixed width).
+
+    Plan shape: ONE projection computes all ``n_hashes`` md5 prefixes per
+    shingle row, the partial aggregate takes per-column mins map-side, and
+    the shuffle carries a single n-column row per doc. (The previous
+    ``crossJoin(broadcast(seeds))`` inflated rows — and shuffle input —
+    ×n_hashes before the partial agg; same output, ~n_hashes× less I/O.)"""
+    hcols = [
+        F.substring(
+            F.md5(F.encode(F.concat_ws(":", F.lit(s), F.col("gram")), "UTF-8")),
+            1, 8,
+        ).alias(f"_h{s}")
+        for s in range(n_hashes)
+    ]
+    per_doc = (
+        shingles.select(F.col(id_col), *hcols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{s}").alias(f"_m{s}") for s in range(n_hashes)])
     )
-    return (
-        shingles.crossJoin(F.broadcast(seeds))
-        .select(
-            F.col(id_col),
-            "seed",
-            F.substring(
-                F.md5(F.encode(F.concat_ws(":", F.col("seed"), F.col("gram")), "UTF-8")),
-                1, 8,
-            ).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    return per_doc.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"_m{s}") for s in range(n_hashes)])),
+    ).select(
+        id_col,
+        F.col("pos").cast("int").alias("seed"),
+        F.col("col").alias("minhash"),
     )
 
 
@@ -229,9 +239,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     adopts the minimum representative among itself and its neighbors'
     reps; converges in O(diameter) rounds (near-dup clusters are
     shallow — a handful of rounds in practice; ``max_iter`` bounds
-    pathological chains). Each round is two hash joins + an aggregation,
-    all key-partitioned — no driver-side graph. Deterministic: labels are
-    min ids. Checkpoint-truncates lineage each round so plans stay flat."""
+    pathological chains and raises if hit before convergence, so callers
+    never silently get partially-propagated labels). Each round is two
+    hash joins + an aggregation, all key-partitioned — no driver-side
+    graph. Deterministic: labels are min ids. Checkpoint-truncates lineage
+    each round so plans stay flat. The returned DataFrame is cached
+    (``.unpersist()`` it when done)."""
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(
@@ -246,6 +259,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         .withColumn("rep", F.col("node"))
         .cache()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.y == labels.node)
@@ -276,6 +290,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter"
+        )
     return labels
 
 

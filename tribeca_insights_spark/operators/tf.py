@@ -142,7 +142,13 @@ def tf_idf(extracted: DataFrame, min_df: int = 1) -> DataFrame:
     (broadcast — no shuffle). df table is |vocab|-sized → broadcast join
     back onto TF, so the big TF table never reshuffles."""
     words = exploded_tokens(extracted)
-    n_docs = extracted.select("url").distinct().count()  # scalar, driver
+    # scalar N stays in the dataflow: a 1-row aggregate broadcast in via
+    # crossJoin — no separate driver-side count job over the corpus
+    ndf = (
+        extracted.select("url")
+        .distinct()
+        .agg(F.count("*").cast("double").alias("_n_docs"))
+    )
     tf = words.groupBy("url", "word").agg(F.count("*").alias("tf"))
     df = (
         words.dropDuplicates(["url", "word"])
@@ -152,12 +158,13 @@ def tf_idf(extracted: DataFrame, min_df: int = 1) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(ndf))
         .select(
             "url",
             "word",
             "tf",
             "df",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias(
                 "tf_idf"
             ),
         )
@@ -169,13 +176,21 @@ def bigram_tf(extracted: DataFrame, k: int | None = None) -> DataFrame:
     generalization of corpus TF. Bigrams are built per-row with array ops
     (zip tokens with its own tail — no shuffle until the count), so pages
     never explode into quadratic join work."""
-    toks = (
-        extracted.select("url", "tokens")
-        if "tokens" in extracted.columns
-        else exploded_tokens(extracted)
-        .groupBy("url")
-        .agg(F.collect_list("word").alias("tokens"))
-    )
+    if "tokens" in extracted.columns:
+        toks = extracted.select("url", "tokens")
+    elif "tokens_str" in extracted.columns:
+        # order-preserving per-row split — never collect_list after a
+        # shuffle, whose order is nondeterministic
+        toks = extracted.select(
+            "url",
+            F.filter(
+                F.split("tokens_str", " ", -1), lambda t: F.length(t) > 0
+            ).alias("tokens"),
+        )
+    else:
+        from ..functions.tokenize import with_tokens
+
+        toks = with_tokens(extracted).select("url", "tokens")
     pairs = toks.select(
         F.explode(
             F.zip_with(

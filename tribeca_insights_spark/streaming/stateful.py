@@ -35,9 +35,11 @@ def _first_seen(
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        pdf = pdf.sort_values("warc_ts", kind="stable")
-        if first is None:
-            first = pdf.iloc[0]
+        # a group's micro-batch may arrive as several Arrow chunks — take
+        # the min across ALL of them, not the head of the first
+        m = pdf["warc_ts"].min()
+        if first is None or m < first:
+            first = m
         n += len(pdf)
     if n == 0:
         return
@@ -47,7 +49,7 @@ def _first_seen(
     yield pd.DataFrame(
         {
             "url": [key[0]],
-            "first_ts": [first["warc_ts"]],
+            "first_ts": [first],
             "n_batch_dups": [n - 1],
         }
     )
