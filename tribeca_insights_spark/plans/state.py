@@ -4,7 +4,9 @@ storage.py:52-82, SURVEY.md §1.2 — re-expressed as append-only tables).
 Layout under a root directory (plain parquet in this sandbox; in production
 each of these is an Iceberg table and a run's output+log+metrics land in ONE
 transaction via a single snapshot commit — the read-side last-wins dedup
-below is the sandbox approximation of that atomicity):
+below is the sandbox approximation of that atomicity; the Iceberg-proper
+implementation — MERGE INTO log upserts, snapshot-commit writes, runtime
+jar detection — is :mod:`.iceberg`):
 
 * ``extracted/``   — per-page output, partitioned by url-hash ``bucket``
 * ``extract_log/`` — (url, status, processed_at, bucket, run_id) append-only;
