@@ -183,3 +183,40 @@ def test_page_data_matches_extract_udf_fields():
         assert pd_["external_links"] == g["external_links"]
         assert pd_["page_hash"] == g["page_hash"]
         assert pd_["slug"] == g["slug"]
+
+
+def test_markdown_title_meta_error_fallbacks(monkeypatch):
+    """Reference exporters/markdown.py:53-65 parity: when title/meta
+    extraction blows up, the report still renders with the literal
+    '(error extracting title)' / '(error extracting description)' bytes."""
+    from tribeca_insights_spark.operators import sinks as sk
+
+    real_parse = sk.parse_page
+
+    class PathologicalPage:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def title(self):
+            # TypeError, not AttributeError: a property raising
+            # AttributeError silently falls back to __getattr__
+            raise TypeError("bs4-edge: unexpected node type in .string")
+
+        @property
+        def meta_description(self):
+            raise TypeError("bs4-edge: unexpected node type")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    monkeypatch.setattr(
+        sk, "parse_page", lambda html: PathologicalPage(real_parse(html))
+    )
+    md = sk.render_page_markdown(
+        "https://x.example.com/p",
+        "<html><head><title>T</title></head><body><p>hello world</p></body></html>",
+    )
+    assert "**Title**: (error extracting title)\n\n" in md
+    assert "**Meta Description**: (error extracting description)\n\n" in md
+    assert "hello world" in md  # rest of the report still rendered

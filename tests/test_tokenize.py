@@ -106,3 +106,50 @@ def test_second_sub_redundant():
         full = ws.sub(" ", clean.sub(" ", s)).strip().lower().split()
         fast = clean.sub(" ", s).lower().split()
         assert full == fast, repr(s)
+
+
+def test_legacy_tokenizer_pins():
+    """scripts/main.py:91-97 semantics, pinned including the three
+    divergences from the package tokenizer."""
+    from tribeca_insights_spark.functions.tokenize import (
+        clean_and_tokenize as pkg_tok,
+        legacy_clean_and_tokenize as leg,
+    )
+
+    # non-letters DELETED in place → fragments join (package splits them,
+    # leaving 1-char fragments that fall to the length filter)
+    assert leg("don't a1b2c3 stop-word") == ["dont", "abc", "stopword"]
+    assert pkg_tok("don't a1b2c3", "xx") == ["don"]
+    # accented letters vanish (package keeps À-ÿ); 'here' is an NLTK
+    # english stopword, 'ao' falls to len>2
+    assert leg("Ação coração here") == ["corao"]
+    # len > 2, not >= 2
+    assert leg("ab abc") == ["abc"]
+    # english NLTK stopwords always (script ignores the CLI language)
+    assert leg("the quick brown fox itself") == ["quick", "brown", "fox"]
+
+
+def test_legacy_tokens_col_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.functions.stopwords import get_stopwords
+    from tribeca_insights_spark.functions.tokenize import (
+        legacy_clean_and_tokenize,
+        legacy_tokens_col,
+    )
+
+    texts = [
+        "The quick brown fox", "don't a1b2c3", "Ação coração here",
+        "", "   ", "...!!!", "itself was having a herself-day",
+    ]
+    stops = F.array(
+        *[F.lit(w) for w in sorted(get_stopwords("english", "nltk"))]
+    )
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["toks"]
+        for r in df.select(
+            legacy_tokens_col(F.col("text"), stops).alias("toks")
+        ).collect()
+    ]
+    assert got == [legacy_clean_and_tokenize(t) for t in texts]

@@ -1714,16 +1714,23 @@ def q30_pipeline_run_metrics(spark, sf_dir):
         return m
 
 
-def _sql_stop_clause(cli_lang: str, profile: str = "nltk") -> str:
-    """``AND NOT (lang = '<l>' AND word IN (...))`` filter for the oracle,
-    generated from the SAME vendored stopword data the engine broadcasts —
-    the oracle states the full-list semantics, not a copy of engine code."""
+def _sql_quoted_stoplist(lang: str, profile: str = "nltk") -> str:
+    """SQL-quoted stopword IN-list from the SAME vendored stopword data
+    the engine broadcasts — the oracle states the full-list semantics, not
+    a copy of engine code."""
     from .functions.stopwords import get_stopwords
 
-    words = sorted(get_stopwords(cli_lang, profile))
-    if not words:
+    return ",".join(
+        "'" + w.replace("'", "''") + "'"
+        for w in sorted(get_stopwords(lang, profile))
+    )
+
+
+def _sql_stop_clause(cli_lang: str, profile: str = "nltk") -> str:
+    """``AND NOT (lang = '<l>' AND word IN (...))`` filter for the oracle."""
+    quoted = _sql_quoted_stoplist(cli_lang, profile)
+    if not quoted:
         return ""
-    quoted = ",".join("'" + w.replace("'", "''") + "'" for w in words)
     return f"AND NOT (lang = '{cli_lang}' AND word IN ({quoted}))\n"
 
 
@@ -1758,6 +1765,45 @@ def q51_corpus_tf_full_stopwords(spark, sf_dir):
     words = t.select(
         F.explode(F.split("tokens_str", " ", -1)).alias("word")
     ).filter(F.length("word") > 0)
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+    )
+
+
+@q(
+    "q52_legacy_tf",
+    f"""
+    WITH words AS (
+      SELECT unnest(list_filter(
+        string_split(lower(trim(regexp_replace(
+          regexp_replace(text, '[^a-zA-Z\\s]', '', 'g'), '\\s+', ' ', 'g'
+        ))), ' '),
+        w -> length(w) > 2
+             AND w NOT IN ({_sql_quoted_stoplist('english')}))) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS freq FROM words
+    GROUP BY word ORDER BY freq DESC, word
+    """,
+)
+def q52_legacy_tf(spark, sf_dir):
+    """Corpus TF under the LEGACY tokenizer profile (scripts/main.py:91-97:
+    non-letters deleted in place so fragments join, len>2, english NLTK
+    stopword list for every doc) — completes the SURVEY §2.5 tokenizer
+    surface. Fully JVM-side: regexp chain + higher-order filter against an
+    inline stopword array literal."""
+    from .functions.stopwords import get_stopwords
+    from .functions.tokenize import legacy_tokens_col
+
+    stops = F.array(
+        *[F.lit(w) for w in sorted(get_stopwords("english", "nltk"))]
+    )
+    d = _read(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(legacy_tokens_col(F.col("text"), stops)).alias("word")
+    )
     return (
         words.groupBy("word")
         .agg(F.count("*").alias("freq"))

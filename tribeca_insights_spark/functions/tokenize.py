@@ -69,6 +69,48 @@ def tokens_col(text_col, stop_col):
     )
 
 
+_LEGACY_STRIP_RE = re.compile(r"[^a-zA-Z\s]")  # scripts/main.py:93
+
+
+def legacy_clean_and_tokenize(text: str, language: str = "english",
+                              profile: str = "nltk") -> List[str]:
+    """Legacy ``scripts/main.py:91-97`` tokenizer — semantics differ from
+    the package tokenizer (text_utils.py:99-116) in three pinned ways:
+
+    * non-ASCII-letter chars are DELETED in place, not replaced by a
+      space, so fragments join ("don't" → "dont", "a1b" → "ab") and
+      accented letters vanish entirely;
+    * minimum kept length is 3 (``len > 2``), not 2;
+    * the stopword set is looked up by NLTK language NAME ("english"),
+      straight ``nltk.corpus.stopwords.words`` — no CLI-code mapping, no
+      fallback sets — served here from the vendored corpus (profile
+      'nltk')."""
+    cleaned = _SPACE_RE.sub(" ", _LEGACY_STRIP_RE.sub("", text))
+    tokens = cleaned.lower().split()
+    stop_words = get_stopwords(language, profile)
+    return [t for t in tokens if t not in stop_words and len(t) > 2]
+
+
+def legacy_tokens_col(text_col, stop_col):
+    """Native-Column form of :func:`legacy_clean_and_tokenize`
+    (``stop_col``: array<string> of stopwords, e.g. a broadcast dim or an
+    inline literal array)."""
+    from pyspark.sql import functions as F
+
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(text_col, r"[^a-zA-Z\s]", ""), r"\s+", " "
+            )
+        )
+    )
+    toks = F.split(cleaned, " ")
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) > 2) & ~F.array_contains(stop_col, t),
+    )
+
+
 def stopwords_df(spark, languages, profile: str = "compat"):
     """Tiny dimension table ``(lang, stops array<string>)`` meant to be
     broadcast-joined onto the documents table (small-dim broadcast is the

@@ -66,10 +66,20 @@ def render_page_markdown(url: str, html: str) -> str:
     # markdown.py tokenizes without a language arg → 'en' stopwords always
     tokens = clean_and_tokenize(page.text, "en", "compat")
     freq = Counter(tokens)
+    # reference markdown.py:53-65: title/meta extraction failures degrade
+    # to literal error markers, the rest of the report still renders
+    try:
+        title = page.title
+    except (AttributeError, TypeError):
+        title = "(error extracting title)"
+    try:
+        meta_description = page.meta_description
+    except (AttributeError, TypeError):
+        meta_description = "(error extracting description)"
     parts: List[str] = [
         f"# `{url}`\n\n",
-        f"**Title**: {page.title}\n\n",
-        f"**Meta Description**: {page.meta_description}\n\n",
+        f"**Title**: {title}\n\n",
+        f"**Meta Description**: {meta_description}\n\n",
         "## Headings\n",
         "\n".join(f"- {h}" for h in page.headings)
         if page.headings
