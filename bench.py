@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -99,13 +100,13 @@ def _extract_tf_job(spark, docs, n_salts: int, full: bool, repeats: int = 1):
     # warm the pipeline *shape* (codegen compile, broadcasts, AQE paths)
     # on a slice so the timed window measures throughput, not JIT
     run(cached.limit(500))
-    wall = float("inf")
+    walls = []
     for _ in range(max(1, repeats)):
         t0 = time.time()
         run(cached)
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
     cached.unpersist()
-    return n, wall
+    return n, walls
 
 
 # Scaling pair: 2 and 8 PHYSICAL cores. This box exposes 32 hardware
@@ -163,14 +164,19 @@ def scale_run(cores: int) -> dict:
         ).collect()
 
     run(docs.limit(cores * 64))  # warm the exact pipeline shape
-    wall = float("inf")
+    walls = []
     for _ in range(SCALE_REPEATS.get(cores, 3)):
         t0 = time.time()
         run(docs)
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
     spark.stop()
+    wall = min(walls)
+    med = statistics.median(walls)
     return {"cores": cores, "docs": n, "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n / wall, 1)}
+            "wall_sec_median": round(med, 3),
+            "docs_per_sec": round(n / wall, 1),
+            "docs_per_sec_median": round(n / med, 1),
+            "n_repeats": len(walls)}
 
 
 def main() -> None:
@@ -189,10 +195,13 @@ def main() -> None:
 
     # headline: full extraction+TF throughput
     docs = _replicated_docs(spark, SF_DIR, REPS).repartition(CPUS * 4)
-    n, wall_full = _extract_tf_job(spark, docs, n_salts=CPUS, full=True,
-                                   repeats=2)
-    _, wall_text = _extract_tf_job(spark, docs, n_salts=CPUS, full=False,
-                                   repeats=2)
+    n, walls_full = _extract_tf_job(spark, docs, n_salts=CPUS, full=True,
+                                    repeats=2)
+    _, walls_text = _extract_tf_job(spark, docs, n_salts=CPUS, full=False,
+                                    repeats=2)
+    wall_full, wall_text = min(walls_full), min(walls_text)
+    med_full = statistics.median(walls_full)
+    med_text = statistics.median(walls_text)
 
     # per-query timings (driver-contract queries at this SF)
     queries = {}
@@ -217,6 +226,11 @@ def main() -> None:
     thr_lo = scaling[f"local{lo}"].get("docs_per_sec", 0)
     thr_hi = scaling[f"local{hi}"].get("docs_per_sec", 0)
     eff = round(thr_hi / ((hi // lo) * thr_lo), 3) if thr_lo else None
+    thr_lo_med = scaling[f"local{lo}"].get("docs_per_sec_median", 0)
+    thr_hi_med = scaling[f"local{hi}"].get("docs_per_sec_median", 0)
+    eff_med = (
+        round(thr_hi_med / ((hi // lo) * thr_lo_med), 3) if thr_lo_med else None
+    )
 
     print(
         json.dumps(
@@ -228,13 +242,29 @@ def main() -> None:
                 "sf": SF_DIR,
                 "docs": n,
                 "docs_per_sec_full": round(n / wall_full, 1),
+                "docs_per_sec_full_median": round(n / med_full, 1),
                 "docs_per_sec_textonly": round(n / wall_text, 1),
+                "docs_per_sec_textonly_median": round(n / med_text, 1),
                 "scaling": {
                     f"local{lo}_docs_per_sec": thr_lo,
                     f"local{hi}_docs_per_sec": thr_hi,
                     f"efficiency_{lo}_to_{hi}": eff,
+                    f"local{lo}_docs_per_sec_median": thr_lo_med,
+                    f"local{hi}_docs_per_sec_median": thr_hi_med,
+                    f"efficiency_{lo}_to_{hi}_median": eff_med,
                     "scale_docs": scaling[f"local{lo}"].get("docs"),
+                    "scale_job": "extraction stage only (parse+tokenize, "
+                                 "shuffle-free — the north-rule subject); "
+                                 "headline extract+tf includes the TF "
+                                 "shuffle and runs at full parallelism",
                 },
+                "methodology": (
+                    "shared-tenant host: every wall is best-of-N "
+                    "(min) with median alongside; repeats: headline=2, "
+                    f"scaling={SCALE_REPEATS}; fresh JVM per scaling level; "
+                    "scaling pair uses 2 vs 8 physical cores (32 SMT "
+                    "threads measure hyperthreading, not the engine)"
+                ),
             }
         )
     )
