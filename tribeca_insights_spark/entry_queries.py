@@ -1811,6 +1811,57 @@ def q52_legacy_tf(spark, sf_dir):
     )
 
 
+@q(
+    "q53_av_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(44 + (100 + doc_id % 400) * 2 AS BIGINT)
+                ELSE CAST(140 AS BIGINT) END AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT)
+                ELSE CAST(1000 + (doc_id * 3) % 5000 AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(8000 AS INT)
+                ELSE CAST(NULL AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS INT)
+                ELSE CAST(NULL AS INT) END AS channels
+    FROM documents
+    """,
+)
+def q53_av_metadata(spark, sf_dir):
+    """Audio/video metadata over REAL synthesized containers: even ids get
+    a valid PCM WAV (mediax.make_wav — closed-form size 44 + n·2, exact
+    duration from fmt/data chunks), odd ids a valid MP4 ftyp+mvhd skeleton
+    (fixed 140 bytes, duration from the mvhd box). The engine must parse
+    actual RIFF chunks / ISO-BMFF boxes to match the oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .mediax import make_mp4, make_wav
+    from .operators.multimodal import av_metadata
+
+    def _av_batch(doc_id):
+        out = []
+        for i in doc_id:
+            i = int(i)
+            if i % 2 == 0:
+                out.append(make_wav(100 + i % 400, rate=8000, channels=1,
+                                    seed=i))
+            else:
+                out.append(make_mp4(1000 + (i * 3) % 5000))
+        return pd.Series(out)
+
+    av_udf = pandas_udf(_av_batch, BinaryType())
+    media = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        av_udf(F.col("doc_id")).alias("payload"),
+    )
+    return av_metadata(media)
+
+
 # ---------------------------------------------------------------------------
 
 
