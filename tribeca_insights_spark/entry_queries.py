@@ -505,13 +505,20 @@ _MINHASH_CTES = _TOKSTR_CTE + """
            unnest(range(1, greatest(length(tok_str) - 11, 1) + 1)) AS i
     FROM base WHERE length(tok_str) > 0
   )
+), hsh AS (
+  -- Kirsch–Mitzenmacher double hashing: one md5 per shingle, two 32-bit
+  -- halves, h_s = (a + s·b) mod 2^32 (matches operators/dedup.py)
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT AS a,
+         ('0x' || substr(md5(gram), 9, 8))::BIGINT AS b
+  FROM sh
 ), mh AS (
-  SELECT doc_id, seed, min(substr(md5(seed || ':' || gram), 1, 8)) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed)
+  SELECT doc_id, seed, min((a + seed * b) % 4294967296) AS mhv
+  FROM hsh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed)
   GROUP BY doc_id, seed
 ), bands AS (
   SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         string_agg(minhash, '' ORDER BY seed) AS band_key
+         string_agg(lower(lpad(hex(mhv), 8, '0')), '' ORDER BY seed) AS band_key
   FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
 )
 """
@@ -557,7 +564,8 @@ def q16_dedup_exact(spark, sf_dir):
     _MINHASH_CTES + "SELECT doc_id, band, band_key FROM bands",
 )
 def q17_minhash_bands(spark, sf_dir):
-    """MinHash signatures (12 hashes, md5-prefix family) banded 4×3 for LSH."""
+    """MinHash signatures (12 hashes, md5 double-hash family) banded 4×3
+    for LSH."""
     from .operators.dedup import char_shingles, lsh_bands, minhash_signatures
 
     t = _tokstr_df(spark, sf_dir)
@@ -1860,6 +1868,120 @@ def q53_av_metadata(spark, sf_dir):
         av_udf(F.col("doc_id")).alias("payload"),
     )
     return av_metadata(media)
+
+
+@q(
+    "q54_cdx_seed",
+    """
+    -- expected pending fetch list, stated closed-form: per url the LATEST
+    -- valid (html, 200) capture wins — capture B (day 2) unless B is
+    -- non-html (doc_id%5=0) or non-200 (doc_id%7=0), then capture A;
+    -- urls already done (doc_id%3=0) are excluded
+    SELECT 'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 5 != 0 AND doc_id % 7 != 0
+                THEN 'sha1:B' ELSE 'sha1:A' END
+             || CAST(doc_id AS VARCHAR) AS digest,
+           'crawl-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS filename,
+           CAST(CASE WHEN doc_id % 5 != 0 AND doc_id % 7 != 0
+                     THEN doc_id * 1000 + 500 ELSE doc_id * 1000 END
+                AS BIGINT) AS "offset",
+           CAST(500 + doc_id % 100 AS BIGINT) AS length
+    FROM documents WHERE doc_id % 3 != 0
+    """,
+)
+def q54_cdx_seed(spark, sf_dir):
+    """Common-Crawl CDXJ index → pending fetch list: the engine builds raw
+    CDXJ text lines (two captures per url; the newer one sometimes non-html
+    or non-200), then must regex-split them, parse the JSON blobs, filter
+    to (html, 200), keep the latest capture per url, and anti-join the done
+    set — all native column ops (sources/cdx.py). The oracle states the
+    final fetch list closed-form; only a correct parse+plan matches it."""
+    from .sources.cdx import parse_cdxj, seed_fetch_list, split_cdxj
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), sid)
+    surt = F.concat(F.lit("com,example)/docs/"), sid)
+
+    def blob(ts_lit, digest_prefix, mime, status, offset):
+        return F.concat(
+            surt, F.lit(" "), F.lit(ts_lit), F.lit(' {"url": "'), url,
+            F.lit('", "mime": "'), mime,
+            F.lit('", "status": "'), status,
+            F.lit('", "digest": "'), F.lit(digest_prefix), sid,
+            F.lit('", "length": "'), (F.lit(500) + F.col("doc_id") % 100).cast("string"),
+            F.lit('", "offset": "'), offset.cast("string"),
+            F.lit('", "filename": "crawl-'), (F.col("doc_id") % 10).cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+
+    line_a = blob("20260101000000", "sha1:A", F.lit("text/html"),
+                  F.lit("200"), F.col("doc_id") * 1000)
+    line_b = blob(
+        "20260102000000", "sha1:B",
+        F.when(F.col("doc_id") % 5 == 0, "application/pdf").otherwise("text/html"),
+        F.when(F.col("doc_id") % 7 == 0, "404").otherwise("200"),
+        F.col("doc_id") * 1000 + 500,
+    )
+    lines = d.select(line_a.alias("value")).unionByName(
+        d.select(line_b.alias("value"))
+    )
+    captures = parse_cdxj(split_cdxj(lines))
+    done = d.filter(F.col("doc_id") % 3 == 0).select(url.alias("url"))
+    return seed_fetch_list(captures, done).select(
+        "url", "digest", "filename", "offset", "length"
+    )
+
+
+@q(
+    "q55_embedding_near_dups_lsh",
+    """
+    WITH orig AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dups AS (
+      SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+      FROM orig WHERE vec_id < 50
+    ),
+    allv AS (SELECT * FROM orig UNION ALL SELECT * FROM dups),
+    bk AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM allv
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM bk a JOIN bk b USING (bucket) WHERE a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.99
+    """,
+)
+def q55_embedding_near_dups_lsh(spark, sf_dir):
+    """Embedding near-dup detection, SCALE path: sign-LSH bucket equi-join
+    candidates → exact cosine verify (no bounded side, no cross join) —
+    the composition q24's verifier is meant to sit behind at 10^12 rows.
+    Same synthesized near-duplicates as q24; the LSH path must find them
+    all (scaled vectors keep their sign pattern → same bucket)."""
+    from .operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dups = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = emb.unionByName(dups)
+    return embedding_near_dup_pairs_lsh(allv, threshold=0.99, bits=8)
 
 
 # ---------------------------------------------------------------------------

@@ -196,13 +196,44 @@ def ann_ivf_grid_topk(emb: DataFrame, query_ids, k: int = 5, bits: int = 4,
     )
 
 
+def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                                 bits: int = 8, id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """(a_id, b_id, sim ≥ threshold): embedding near-dup detection at
+    corpus scale — candidates come from a sign-LSH bucket EQUI-JOIN
+    (Σ bucket² work, never n²), then exact cosine verify + threshold.
+
+    Recall: a pair is found iff it agrees on all ``bits`` leading signs;
+    for near-identical vectors (threshold ≥ ~0.95) sign flips are confined
+    to coordinates near 0, so recall is high — raise it further by
+    unioning several bit-subsets (banding) or Hamming-probing buckets, the
+    same trade as MinHash bands. This is the 10^12-row path; the bounded
+    cross-join verifier below is for candidate lists only."""
+    base = emb.select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+    a = base.select(F.col(id_col).alias("a_id"), F.col("v").alias("va"),
+                    "bucket")
+    b = base.select(F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
+                    "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              max_left_id: int | None = None,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
-    """(a_id, b_id, sim ≥ threshold): embedding-cosine near-dup detection.
-    Bounded left side (or LSH buckets) keeps the pair space tractable; at
-    corpus scale compose with :func:`sign_lsh_bucket` candidates."""
+    """(a_id, b_id, sim ≥ threshold): embedding-cosine near-dup VERIFIER.
+    Bounded left side keeps the pair space tractable; at corpus scale use
+    :func:`embedding_near_dup_pairs_lsh` (bucket equi-join) instead."""
     base = emb.select(F.col(id_col), _dbl(F.col(vec_col)).alias("v"))
     left = base if max_left_id is None else base.filter(F.col(id_col) < max_left_id)
     a = left.select(F.col(id_col).alias("a_id"), F.col("v").alias("va"))
