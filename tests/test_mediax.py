@@ -91,3 +91,35 @@ def test_av_metadata_operator(spark):
             assert r["container"] == "mp4"
             assert r["duration_ms"] == 1000 + i
             assert r["sample_rate"] is None and r["channels"] is None
+
+
+def test_mp4_sample_table_roundtrip():
+    from tribeca_insights_spark.mediax import (
+        make_mp4_with_chunks,
+        mp4_chunk_offsets,
+        frame_sample_mp4,
+        parse_mp4,
+    )
+
+    offsets = [1000, 2000, 3500, 7000, 9000, 12000, 15000]
+    b = make_mp4_with_chunks(2500, offsets)
+    assert parse_mp4(b) == ("mp4", 2500, None, None)  # mvhd still parses
+    assert mp4_chunk_offsets(b) == offsets
+    assert frame_sample_mp4(b, every_n=3) == [1000, 7000, 15000]
+    # bare skeleton has no sample table
+    from tribeca_insights_spark.mediax import make_mp4
+
+    assert mp4_chunk_offsets(make_mp4(1000)) == []
+
+
+def test_frame_sample_real_vs_fake():
+    import pytest
+
+    from tribeca_insights_spark.mediax import make_mp4_with_chunks
+    from tribeca_insights_spark.operators.multimodal import frame_sample_stub
+
+    b = make_mp4_with_chunks(1000, [10, 20, 30, 40])
+    assert frame_sample_stub(b, every_n=2) == [10, 30]  # real stco offsets
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(b"not video", deterministic_fake=False)
+    assert frame_sample_stub(b"x" * 100, every_n=10, deterministic_fake=True)

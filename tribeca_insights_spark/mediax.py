@@ -124,25 +124,10 @@ def parse_mp3(b: bytes) -> Optional[AVResult]:
 def parse_mp4(b: bytes) -> Optional[AVResult]:
     if len(b) < 12 or b[4:8] != b"ftyp":
         return None
-
-    def walk(start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            (size,) = struct.unpack(">I", b[pos : pos + 4])
-            tag = b[pos + 4 : pos + 8]
-            if size == 1:  # 64-bit largesize
-                if pos + 16 > end:
-                    return None
-                (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
-            if size < 8:
-                return None
-            yield pos, tag, size
-            pos += size
-
     mvhd = None
-    for pos, tag, size in walk(0, len(b)):
+    for pos, tag, size in _walk_boxes(b, 0, len(b)):
         if tag == b"moov":
-            for p2, t2, s2 in walk(pos + 8, min(pos + size, len(b))):
+            for p2, t2, s2 in _walk_boxes(b, pos + 8, pos + size):
                 if t2 == b"mvhd":
                     mvhd = (p2, s2)
                     break
@@ -160,12 +145,78 @@ def parse_mp4(b: bytes) -> Optional[AVResult]:
     return "mp4", ms, None, None
 
 
-def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
-    """Minimal valid ftyp + moov/mvhd skeleton (version-0 mvhd). Size is
-    exactly 24 + 8 + 108 = 140 bytes — closed-form for oracles."""
-    ftyp = struct.pack(">I", 24) + b"ftyp" + b"isom" \
+def _walk_boxes(b: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+        if size < 8:
+            return
+        yield pos, tag, min(size, end - pos)
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_chunk_offsets(b: bytes) -> list:
+    """Real frame-sample anchors: every chunk byte offset from the first
+    track's ``stco`` box (the sample-table structure demuxers seek by).
+    Empty when the file has no sample table (e.g. a bare mvhd skeleton)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return []
+
+    def find_stco(start: int, end: int):
+        for pos, tag, size in _walk_boxes(b, start, end):
+            if tag == b"stco":
+                return pos, size
+            if tag in _MP4_CONTAINERS:
+                got = find_stco(pos + 8, pos + size)
+                if got is not None:
+                    return got
+        return None
+
+    got = find_stco(0, len(b))
+    if got is None:
+        return []
+    pos, size = got
+    if pos + 16 > len(b):
+        return []
+    (n,) = struct.unpack(">I", b[pos + 12 : pos + 16])
+    out = []
+    p = pos + 16
+    for _ in range(min(n, (pos + size - p) // 4)):
+        out.append(struct.unpack(">I", b[p : p + 4])[0])
+        p += 4
+    return out
+
+
+def frame_sample_mp4(b: bytes, every_n: int = 1) -> list:
+    """Every ``every_n``-th chunk offset of an MP4 — the real byte
+    positions a frame sampler would range-read, straight from the sample
+    table (no codec needed to LOCATE frames; decoding them is the
+    production ffmpeg seam)."""
+    offs = mp4_chunk_offsets(b)
+    return offs[:: max(1, every_n)]
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _ftyp() -> bytes:
+    return (
+        struct.pack(">I", 24) + b"ftyp" + b"isom"
         + struct.pack(">I", 512) + b"isomiso2"
-    mvhd_body = (
+    )
+
+
+def _mvhd(duration_ms: int, timescale: int) -> bytes:
+    body = (
         b"\x00\x00\x00\x00"                    # version+flags
         + struct.pack(">II", 0, 0)             # creation/modification
         + struct.pack(">II", timescale, duration_ms * timescale // 1000)
@@ -176,9 +227,29 @@ def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
         + b"\x00" * 24                         # pre_defined
         + struct.pack(">I", 2)                 # next_track_id
     )
-    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
-    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
-    return ftyp + moov
+    return _box(b"mvhd", body)
+
+
+def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ftyp + moov/mvhd skeleton (version-0 mvhd). Size is
+    exactly 24 + 8 + 108 = 140 bytes — closed-form for oracles."""
+    return _ftyp() + _box(b"moov", _mvhd(duration_ms, timescale))
+
+
+def make_mp4_with_chunks(duration_ms: int, chunk_offsets,
+                         timescale: int = 1000) -> bytes:
+    """ftyp + moov{mvhd, trak{mdia{minf{stbl{stco}}}}} — a real sample
+    table whose chunk offsets :func:`mp4_chunk_offsets` round-trips."""
+    stco = _box(
+        b"stco",
+        b"\x00" * 4
+        + struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", int(o)) for o in chunk_offsets),
+    )
+    trak = _box(b"trak", _box(b"mdia", _box(b"minf", _box(b"stbl", stco))))
+    return _ftyp() + _box(
+        b"moov", _mvhd(duration_ms, timescale) + trak
+    )
 
 
 def sniff_av(b: bytes) -> Optional[AVResult]:

@@ -243,16 +243,17 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     the step that turns near-dup PAIRS into duplicate CLUSTERS (keep the
     min-id representative, drop the rest).
 
-    Algorithm: iterative min-label propagation — each round every node
-    adopts the minimum representative among itself and its neighbors'
-    reps; converges in O(diameter) rounds (near-dup clusters are
-    shallow — a handful of rounds in practice; ``max_iter`` bounds
-    pathological chains and raises if hit before convergence, so callers
-    never silently get partially-propagated labels). Each round is two
-    hash joins + an aggregation, all key-partitioned — no driver-side
-    graph. Deterministic: labels are min ids. Checkpoint-truncates lineage
-    each round so plans stay flat. The returned DataFrame is cached
-    (``.unpersist()`` it when done)."""
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node adopts the minimum rep among itself and its
+    neighbors' reps, then compresses one hop (rep ← rep's rep, valid
+    because labels are min-monotone), so convergence is O(log diameter)
+    rounds instead of O(diameter); ``max_iter`` bounds pathological inputs
+    and raises if hit before convergence, so callers never silently get
+    partially-propagated labels. Each round is three hash joins + an
+    aggregation, all key-partitioned — no driver-side graph.
+    Deterministic: labels are min ids. Materializes each round so plans
+    stay flat. The returned DataFrame is cached (``.unpersist()`` it when
+    done)."""
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(
@@ -268,22 +269,32 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         .cache()
     )
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.y == labels.node)
             .groupBy("x")
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.x, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
-                ).alias("rep"),
-            )
-            .cache()
+        stepped = labels.join(nbr_min, labels.node == nbr_min.x, "left").select(
+            "node",
+            F.least(
+                F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
+            ).alias("rep"),
         )
+        if it >= 2:
+            # pointer jumping: rep ← rep's rep (min-monotone ⇒ always ≤
+            # rep). Only from round 3 on: shallow components (the common
+            # near-dup case) converge in ≤2 rounds and would pay the extra
+            # join for nothing; deep chains still finish in O(log d).
+            reps = stepped.select(
+                F.col("node").alias("_rn"), F.col("rep").alias("_rr")
+            )
+            stepped = stepped.join(
+                reps, stepped.rep == reps._rn, "left"
+            ).select(
+                "node", F.coalesce("_rr", F.col("rep")).alias("rep")
+            )
+        new_labels = stepped.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -159,11 +159,22 @@ def av_metadata(media: DataFrame, id_col: str = "media_id",
 
 def frame_sample_stub(payload: bytes, every_n: int = 30,
                       deterministic_fake: bool = False):
-    """Video frame sampling stub: returns frame byte offsets (fake: evenly
-    spaced offsets derived from payload length)."""
+    """Video frame-sample anchors: for MP4s with a sample table the
+    offsets are REAL — every ``every_n``-th chunk byte offset from the
+    ``stco`` box (mediax.frame_sample_mp4), exactly what a range-reading
+    sampler seeks to. Other containers: evenly-spaced fake offsets when
+    ``deterministic_fake=True`` (decoding frames needs ffmpeg —
+    production's seam), else raise."""
+    from ..mediax import frame_sample_mp4
+
+    offs = frame_sample_mp4(payload, every_n)
+    if offs:
+        return offs
     if not deterministic_fake:
         raise NotImplementedError(
-            "video decoding requires a media library; not available here"
+            "no MP4 sample table in payload; frame decode for other "
+            "containers requires a media library — pass "
+            "deterministic_fake=True for plumbing tests"
         )
     n = max(1, len(payload) // max(1, every_n))
     step = max(1, len(payload) // n)
