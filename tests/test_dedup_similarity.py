@@ -240,3 +240,41 @@ def test_connected_components_clusters(spark):
     assert lab[1] == (1, True)
     keepers = [d for d, (_, k) in lab.items() if k]
     assert sorted(keepers) == [1, 5, 7]
+
+
+def test_paragraph_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha one\nSHARED\nunique to one"),
+        (2, "beta two\nSHARED\nunique to two"),
+        (3, "gamma three only\n\n  "),  # blank paras dropped pre-count
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["kept_text"] == "alpha one\nunique to one"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_paras"] == 3
+    assert out[2]["kept_text"] == "beta two\nunique to two"
+    assert out[3]["kept_text"] == "gamma three only"
+    assert out[3]["n_dropped"] == 0 and out[3]["n_paras"] == 1
+
+
+def test_decontaminate(spark):
+    from tribeca_insights_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o"),   # contains bench 13-gram
+            (2, "x y z totally different words here no overlap at all ok fine"),
+            (3, "a b c"),                            # too short for any 13-gram
+        ],
+        "doc_id long, tokens_str string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l m")], "doc_id long, tokens_str string"
+    )
+    got = {(r["corpus_id"], r["benchmark_id"]): r["n_shared"]
+           for r in decontaminate(corpus, bench, n=13).collect()}
+    assert got == {(1, 100): 1}

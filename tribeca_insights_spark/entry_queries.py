@@ -1984,6 +1984,96 @@ def q55_embedding_near_dups_lsh(spark, sf_dir):
     return embedding_near_dup_pairs_lsh(allv, threshold=0.99, bits=8)
 
 
+@q(
+    "q56_paragraph_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             text || chr(10) || 'Shared boilerplate paragraph'
+                  || chr(10) || 'Unique ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, i AS pos, ps[i] AS para
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ps,
+                   unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+            FROM base)
+      WHERE length(trim(ps[i])) > 0
+    ), pc AS (
+      SELECT para, count(DISTINCT doc_id) AS nd FROM paras GROUP BY para
+    ), marked AS (
+      SELECT p.doc_id, p.pos, p.para, (pc.nd > 1) AS dup
+      FROM paras p JOIN pc USING (para)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dup THEN para END,
+                               chr(10) ORDER BY pos), '') AS kept_text,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q56_paragraph_dedup(spark, sf_dir):
+    """C4-style corpus-wide paragraph dedup: a boilerplate paragraph is
+    appended to EVERY doc (so it provably occurs in >1 doc and is dropped
+    everywhere) plus a per-doc unique paragraph (provably kept). Keys, not
+    paragraph texts, cross the shuffle; reassembly is position-sorted."""
+    from .operators.dedup import paragraph_dedup
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nShared boilerplate paragraph\nUnique "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(d)
+
+
+@q(
+    "q57_decontaminate",
+    """
+    WITH corpus AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0) AS t
+      FROM documents
+    ), bench AS (SELECT * FROM corpus WHERE doc_id % 100 = 3),
+    cg AS (
+      SELECT DISTINCT doc_id AS corpus_id,
+             array_to_string(t[i:i+12], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+            FROM corpus WHERE len(t) >= 13)
+    ), bg AS (
+      SELECT DISTINCT doc_id AS benchmark_id,
+             array_to_string(t[i:i+12], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+            FROM bench WHERE len(t) >= 13)
+    )
+    SELECT corpus_id, benchmark_id, count(*) AS n_shared
+    FROM cg JOIN bg USING (g)
+    GROUP BY corpus_id, benchmark_id
+    """,
+)
+def q57_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the public 13-gram rule): flag corpus
+    docs sharing any word 13-gram with an eval set — here the eval set is
+    a slice of the corpus itself (doc_id%100=3), simulating leakage, so
+    at minimum every leaked doc flags itself. Equi-join on gram hashes;
+    benchmark side broadcasts; docs under 13 tokens have no grams."""
+    from .operators.dedup import decontaminate
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split("text", " "), lambda w: F.length(w) > 0
+            ),
+        ).alias("tokens_str"),
+    )
+    bench = d.filter(F.col("doc_id") % 100 == 3)
+    return decontaminate(d, bench, n=13)
+
+
 # ---------------------------------------------------------------------------
 
 

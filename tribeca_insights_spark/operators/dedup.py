@@ -237,6 +237,102 @@ def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id",
     )
 
 
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """C4-style paragraph-level dedup: (id, text) → (id, kept_text,
+    n_paras, n_dropped) where every paragraph that occurs in MORE than one
+    document corpus-wide is dropped from all of them (C4 keeps three-
+    sentence spans; the unit here is the ``sep``-delimited paragraph).
+
+    Shape: posexplode (order-preserving) → md5 paragraph key → corpus-wide
+    count on the key (two-stage partial agg — Zipf-safe: boilerplate paras
+    are the hot keys) → broadcast-join the small duplicate-key dim back →
+    re-assemble per doc with sort_array on position (never collect_list
+    order). Keys, not texts, cross the shuffle."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)),
+    ).select(
+        id_col, "pos",
+        F.col("col").alias("para"),
+        F.md5(F.col("col")).alias("pkey"),
+    ).filter(F.length(F.trim("para")) > 0)
+
+    dup_keys = (
+        paras.groupBy("pkey")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("pkey")
+    )
+    marked = paras.join(
+        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "pkey", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dup").isNull(),
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("kept_text"),
+            F.count("*").alias("n_paras"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "tokens_str",
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram with a benchmark/eval set (the standard 13-gram rule from
+    public LM training practice). Returns (corpus_id, benchmark_id,
+    n_shared) per contaminated pair.
+
+    Shape: both sides explode to (id, gram-hash) DISTINCT; the join is an
+    equi-join on the hash — at 10^12 corpus docs the benchmark side is
+    tiny (broadcast) and the corpus side streams; nothing quadratic,
+    no text crosses the shuffle."""
+    def grams(df, out_id):
+        # docs shorter than n tokens have no n-grams; filter BEFORE the
+        # sequence explode (sequence(1, 0) would DESCEND in Spark)
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.split(F.col(text_col), " ").alias("_t"),
+        ).filter(F.size("_t") >= n)
+        return base.select(
+            out_id,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1))
+            ).alias("_i"),
+            "_t",
+        ).select(
+            out_id,
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+            ).alias("gkey"),
+        ).distinct()
+
+    cg = grams(corpus, "corpus_id")
+    bg = grams(benchmark, "benchmark_id")
+    return (
+        cg.join(F.broadcast(bg), "gkey")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id", max_iter: int = 50) -> DataFrame:
     """(node, rep): connected components of an undirected pair list —
