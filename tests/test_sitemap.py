@@ -35,3 +35,42 @@ def test_seed_urls_anti_join_and_union(spark):
     assert out["https://a.com/1"]["MD File"] == "one.md"
     new = out["https://a.com/new"]
     assert (new["Status"], new["Data"], new["MD File"]) == (2, "", "")
+
+
+def test_robots_sitemap_discovery_and_rules(spark):
+    from tribeca_insights_spark.sources.robots import (
+        disallow_rules,
+        sitemaps_from_robots,
+    )
+
+    txt = (
+        "# comment\n"
+        "Sitemap: https://a.example.com/s1.xml\r\n"
+        "sitemap:https://a.example.com/s2.xml\n"
+        "User-agent: specialbot\n"
+        "Disallow: /only-special\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /everyone\n"
+        "Allow: /everyone/ok\n"
+    )
+    robots = spark.createDataFrame(
+        [(1, txt), (2, "User-agent: *\nDisallow: /x\n")],
+        "domain_id long, robots_txt string",
+    )
+    maps = sitemaps_from_robots(robots).collect()
+    got = sorted((r["domain_id"], r["sitemap_url"]) for r in maps)
+    assert got == [
+        (1, "https://a.example.com/s1.xml"),
+        (1, "https://a.example.com/s2.xml"),
+    ]
+    # specific group REPLACES '*' (robots group semantics)
+    special = disallow_rules(robots, "specialbot").collect()
+    assert sorted((r["domain_id"], r["path_prefix"]) for r in special) == [
+        (1, "/only-special"), (2, "/x"),
+    ]
+    # unknown UA falls back to '*'; Allow lines are not Disallows
+    other = disallow_rules(robots, "otherbot").collect()
+    assert sorted((r["domain_id"], r["path_prefix"]) for r in other) == [
+        (1, "/everyone"), (2, "/x"),
+    ]

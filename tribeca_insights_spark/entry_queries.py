@@ -2074,6 +2074,50 @@ def q57_decontaminate(spark, sf_dir):
     return decontaminate(d, bench, n=13)
 
 
+@q(
+    "q58_robots_rules",
+    """
+    -- effective Disallow prefixes for UA 'tribeca': the specific group
+    -- (even ids) REPLACES '*' per robots group semantics; odd ids fall
+    -- back to the '*' group. Sitemap directives surface for all ids.
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN '/secret/' || CAST(doc_id AS VARCHAR)
+                ELSE '/private/' || CAST(doc_id AS VARCHAR) END AS path_prefix,
+           'https://s' || CAST(doc_id % 4 AS VARCHAR)
+             || '.example.com/sitemap.xml' AS sitemap_url
+    FROM documents
+    """,
+)
+def q58_robots_rules(spark, sf_dir):
+    """robots.txt Disallow-rule + Sitemap-directive extraction (stdlib
+    RobotFileParser group semantics — a specific UA group replaces '*',
+    it does not merge). Bodies synthesized: '*' disallows /private/{id};
+    even ids add a 'tribeca' group disallowing /secret/{id}; every body
+    carries a Sitemap: directive. Asked for UA 'tribeca', even ids must
+    yield the specific group's rule only."""
+    from .sources.robots import disallow_rules, sitemaps_from_robots
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("Sitemap: https://s"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example.com/sitemap.xml\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("User-agent: tribeca\nDisallow: /secret/"), sid,
+                     F.lit("\n\n")),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /private/"), sid, F.lit("\n"),
+    )
+    robots = d.select("doc_id", txt.alias("robots_txt"))
+    rules = disallow_rules(robots, user_agent="tribeca")
+    maps = sitemaps_from_robots(robots)
+    return rules.join(maps, "doc_id").select(
+        "doc_id", "path_prefix", "sitemap_url"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
