@@ -102,3 +102,27 @@ def test_anti_join_resume_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "LeftAnti" in p
+
+
+def test_schedule_fetches(spark):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.plans.frontier import schedule_fetches
+
+    frontier = spark.createDataFrame(
+        [(f"https://a.com/{i}",) for i in range(4)]
+        + [("https://b.com/x",), ("https://c.com/y",)],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.0), ("b.com", 5.0)], "domain string, crawl_delay double"
+    )
+    out = {r["url"]: r for r in schedule_fetches(frontier, delays).collect()}
+    # a.com urls ranked by url asc, spaced 2s apart
+    for i in range(4):
+        r = out[f"https://a.com/{i}"]
+        assert r["fetch_rank"] == i + 1
+        assert r["scheduled_offset_sec"] == 2.0 * i
+    assert out["https://b.com/x"]["scheduled_offset_sec"] == 0.0
+    # domain missing from the dim → reference default delay 0
+    assert out["https://c.com/y"]["scheduled_offset_sec"] == 0.0

@@ -2118,6 +2118,54 @@ def q58_robots_rules(spark, sf_dir):
     )
 
 
+@q(
+    "q59_politeness_schedule",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             source || '.example.com' AS domain,
+             CAST(length(source) % 5 AS DOUBLE) AS crawl_delay
+      FROM documents
+    )
+    SELECT url, domain, fetch_rank,
+           CAST((fetch_rank - 1) * crawl_delay AS DOUBLE)
+             AS scheduled_offset_sec
+    FROM (
+      SELECT url, domain, crawl_delay,
+             CAST(row_number() OVER (PARTITION BY domain ORDER BY url)
+                  AS INT) AS fetch_rank
+      FROM f
+    )
+    """,
+)
+def q59_politeness_schedule(spark, sf_dir):
+    """Distributed politeness: each domain's pending urls get slot
+    (rank−1)×crawl_delay so concurrent executors never exceed one request
+    per delay interval per domain (the dataflow form of the reference's
+    sequential sleep, crawler.py:142). Window over the pending set +
+    broadcast delay dim."""
+    from .plans.frontier import schedule_fetches
+
+    d = _read(spark, sf_dir, "documents")
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    delays = d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        (F.length("source") % 5).cast("double").alias("crawl_delay"),
+    ).distinct()
+    return schedule_fetches(frontier, delays).select(
+        "url", "domain",
+        F.col("fetch_rank").cast("int").alias("fetch_rank"),
+        "scheduled_offset_sec",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
