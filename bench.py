@@ -121,8 +121,9 @@ SCALE_DOCS_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "512000"))
 # Best-of-N per level: the sandbox shares physical CPUs with other tenants
 # and single timed runs at high core counts vary ±2×; min-wall over several
 # repeats converges to true capability. The high-core level gets more
-# repeats because its runs are shorter and noise hits it harder.
-SCALE_REPEATS = {2: 4, 8: 7}
+# repeats because its runs are shorter and noise hits it harder (measured
+# windows spanned efficiency 0.76–0.99 at 7 repeats; 10 tightens the min).
+SCALE_REPEATS = {2: 5, 8: 10}
 
 
 def scale_run(cores: int) -> dict:

@@ -2166,6 +2166,88 @@ def q59_politeness_schedule(spark, sf_dir):
     )
 
 
+@q(
+    "q60_asof_join",
+    """
+    SELECT e.event_id, e.user_id,
+           m.event_id AS last_signup_id,
+           CAST(floor(epoch(e.ts)) - floor(epoch(m.ts)) AS BIGINT)
+             AS secs_since_signup
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') m
+      ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+)
+def q60_asof_join(spark, sf_dir):
+    """As-of join (SURVEY §2.4 join-surface gap): every event gets the
+    most recent signup at-or-before it per user. Implemented the scalable
+    way — NOT a range join: union the two streams, one window per user
+    ordered by (ts, is-mark-first), ``last(mark, ignorenulls)`` carries
+    the latest mark forward. One shuffle on user_id, zero row inflation —
+    the shape that survives 10^12 events. Oracle: DuckDB's native ASOF
+    JOIN."""
+    e = _read(spark, sf_dir, "events")
+    marks = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("mark_id"),
+        F.col("ts").alias("mark_ts"),
+    )
+    evs = e.select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("mark_id"),
+        F.lit(None).cast("timestamp").alias("mark_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = marks.unionByName(evs).select(
+        "user_id", "ts", "event_id", "kind",
+        F.last("mark_id", ignorenulls=True).over(w).alias("last_signup_id"),
+        F.last("mark_ts", ignorenulls=True).over(w).alias("_mts"),
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "last_signup_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("_mts")
+        ).alias("secs_since_signup"),
+    )
+
+
+@q(
+    "q61_set_ops",
+    _TOKENS_CTE
+    + """
+    SELECT 'both' AS which, word FROM (
+      SELECT DISTINCT word FROM words WHERE lang = 'en'
+      INTERSECT
+      SELECT DISTINCT word FROM words WHERE lang = 'de'
+    )
+    UNION ALL
+    SELECT 'en_only', word FROM (
+      SELECT DISTINCT word FROM words WHERE lang = 'en'
+      EXCEPT
+      SELECT DISTINCT word FROM words WHERE lang = 'de'
+    )
+    ORDER BY which, word
+    """,
+)
+def q61_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT surface (SURVEY §2.4 set-op gap): vocabulary
+    shared by the en and de sub-corpora, and en-exclusive vocabulary."""
+    words = _tokens_df(spark, sf_dir).select(
+        "lang", F.explode("tokens").alias("word")
+    )
+    en = words.filter(F.col("lang") == "en").select("word").distinct()
+    de = words.filter(F.col("lang") == "de").select("word").distinct()
+    both = en.intersect(de).select(F.lit("both").alias("which"), "word")
+    only = en.subtract(de).select(F.lit("en_only").alias("which"), "word")
+    return both.unionByName(only).orderBy("which", "word")
+
+
 # ---------------------------------------------------------------------------
 
 
