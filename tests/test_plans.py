@@ -126,3 +126,36 @@ def test_schedule_fetches(spark):
     assert out["https://b.com/x"]["scheduled_offset_sec"] == 0.0
     # domain missing from the dim → reference default delay 0
     assert out["https://c.com/y"]["scheduled_offset_sec"] == 0.0
+
+
+def test_bucketed_interval_join_vs_naive(spark):
+    """Bucketed equi-join rewrite must equal the naive theta join,
+    including windows spanning bucket boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.joins import bucketed_interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = spark.createDataFrame(
+        [(i, 1, base + dt.timedelta(minutes=17 * i)) for i in range(40)]
+        + [(100, 2, base + dt.timedelta(minutes=5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [
+            (1, 1, base + dt.timedelta(minutes=50),
+             base + dt.timedelta(minutes=130)),   # spans 2 hour-buckets
+            (2, 1, base, base + dt.timedelta(minutes=1)),
+            (3, 2, base, base + dt.timedelta(hours=3)),
+        ],
+        "win_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    fast = bucketed_interval_join(events, windows, keys=["user_id"])
+    naive = events.join(
+        windows, "user_id"
+    ).filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+    k = lambda rows: sorted((r["event_id"], r["win_id"]) for r in rows)
+    assert k(fast.collect()) == k(naive.collect())
+    assert k(fast.collect())  # non-empty

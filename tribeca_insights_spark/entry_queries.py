@@ -2248,6 +2248,45 @@ def q61_set_ops(spark, sf_dir):
     return both.unionByName(only).orderBy("which", "word")
 
 
+@q(
+    "q62_interval_join",
+    """
+    WITH w AS (
+      SELECT event_id AS signup_id, user_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT w.signup_id, count(e.event_id) AS n_events_2h
+    FROM w LEFT JOIN events e
+      ON e.user_id = w.user_id
+     AND e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.signup_id
+    """,
+)
+def q62_interval_join(spark, sf_dir):
+    """Range/interval join (SURVEY §2.4 join-surface gap): events within
+    2 h of each signup, per user — via the bucketed equi-join rewrite
+    (operators/joins.py), never Catalyst's nested-loop plan for theta
+    joins. Windows with zero matches are impossible here (a signup falls
+    in its own window), so the inner bucket join suffices for the count."""
+    from .operators.joins import bucketed_interval_join
+
+    e = _read(spark, sf_dir, "events")
+    w = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = bucketed_interval_join(
+        e.select("user_id", "ts", "event_id"), w, keys=["user_id"],
+        bucket_secs=3600,
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count("event_id").alias("n_events_2h")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
