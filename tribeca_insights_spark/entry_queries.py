@@ -2287,6 +2287,33 @@ def q62_interval_join(spark, sf_dir):
     )
 
 
+@q(
+    "q63_token_cube",
+    _TOKENS_CTE
+    + """
+    SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+           count(*) AS n_tokens
+    FROM words GROUP BY CUBE(source, lang)
+    """,
+)
+def q63_token_cube(spark, sf_dir):
+    """source×lang token CUBE — all four grouping sets (completes the
+    §2.4 grouping-sets surface next to q38's ROLLUP). NULL subtotal keys
+    coalesced so the cross-engine hash sees no NULL-ordering issues."""
+    words = _tokens_df(spark, sf_dir).select(
+        "source", "lang", F.explode("tokens").alias("word")
+    )
+    return (
+        words.cube("source", "lang")
+        .agg(F.count("*").alias("n_tokens"))
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_tokens",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -113,6 +113,12 @@ class FastTagPaths:
                 return m.end()
         return super().parse_endtag(i)
 
+    def updatepos(self, i, j):
+        # stdlib tracks line/column purely for error reporting, scanning
+        # every consumed chunk for newlines (~8% of whole-page parse);
+        # this extractor never reads positions — skip the bookkeeping.
+        return j
+
 
 class _Walker(FastTagPaths, HTMLParser):
     """Single-pass event consumer building every extraction output at once."""
