@@ -197,9 +197,9 @@ def main() -> None:
     # headline: full extraction+TF throughput
     docs = _replicated_docs(spark, SF_DIR, REPS).repartition(CPUS * 4)
     n, walls_full = _extract_tf_job(spark, docs, n_salts=CPUS, full=True,
-                                    repeats=2)
+                                    repeats=3)
     _, walls_text = _extract_tf_job(spark, docs, n_salts=CPUS, full=False,
-                                    repeats=2)
+                                    repeats=3)
     wall_full, wall_text = min(walls_full), min(walls_text)
     med_full = statistics.median(walls_full)
     med_text = statistics.median(walls_text)
@@ -261,7 +261,7 @@ def main() -> None:
                 },
                 "methodology": (
                     "shared-tenant host: every wall is best-of-N "
-                    "(min) with median alongside; repeats: headline=2, "
+                    "(min) with median alongside; repeats: headline=3, "
                     f"scaling={SCALE_REPEATS}; fresh JVM per scaling level; "
                     "scaling pair uses 2 vs 8 physical cores (32 SMT "
                     "threads measure hyperthreading, not the engine)"
