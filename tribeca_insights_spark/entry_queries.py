@@ -2314,6 +2314,110 @@ def q63_token_cube(spark, sf_dir):
     )
 
 
+@q(
+    "q64_warc_roundtrip",
+    """
+    SELECT doc_id,
+           'https://w.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(1767225600 AS BIGINT) AS ts_epoch,
+           '<html><body><p>café ' || CAST(doc_id AS VARCHAR)
+             || '</p></body></html>' AS html_text
+    FROM documents
+    """,
+)
+def q64_warc_roundtrip(spark, sf_dir):
+    """WARC record round trip (S1-equivalent data layer, driver-checked):
+    a valid WARC/1.0 response record is built per doc — gzipped for odd
+    ids, charset latin-1 for ids ≡ 1 (mod 2) — then parsed back by the
+    engine's WARC parser (header walk, HTTP split, charset detection,
+    utf-8 transcoding). The 'café' byte differs between latin-1 (0xE9)
+    and utf-8 — skipping the transcode would corrupt it, so the oracle
+    only matches a correct parse."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources.warc import make_warc, parse_warc
+
+    out_t = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("ts_epoch", LongType()),
+            StructField("html_text", StringType()),
+        ]
+    )
+
+    def _rt(doc_id):
+        urls, eps, texts = [], [], []
+        for i in doc_id:
+            i = int(i)
+            url = f"https://w.example.com/docs/{i}"
+            html = f"<html><body><p>café {i}</p></body></html>"
+            charset = "latin-1" if i % 2 else "utf-8"
+            blob = make_warc([(url, html, charset)], gzip_file=bool(i % 2),
+                             ts="2026-01-01T00:00:00Z")
+            recs = parse_warc(blob)
+            (r,) = recs
+            payload = r["html"]
+            if r["charset"] not in ("utf-8", "utf8", "ascii", "us-ascii"):
+                payload = payload.decode(r["charset"], "replace").encode()
+            urls.append(r["url"])
+            eps.append(int(r["warc_ts"].timestamp()))
+            texts.append(payload.decode("utf-8"))
+        return pd.DataFrame({"url": urls, "ts_epoch": eps,
+                             "html_text": texts})
+
+    udf = pandas_udf(_rt, out_t)
+    d = _read(spark, sf_dir, "documents")
+    e = d.withColumn("_r", udf(F.col("doc_id")))
+    return e.select(
+        "doc_id",
+        F.col("_r.url").alias("url"),
+        F.col("_r.ts_epoch").alias("ts_epoch"),
+        F.col("_r.html_text").alias("html_text"),
+    )
+
+
+@q(
+    "q65_streaming_extract",
+    f"""
+    SELECT 'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           {_EXPECTED_TEXT} AS text,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           sha256({_EXPECTED_TEXT}) AS page_hash
+    FROM documents
+    """,
+)
+def q65_streaming_extract(spark, sf_dir):
+    """Structured Streaming extraction, driver-checked: the synthesized
+    pages flow through readStream → extraction UDF → checkpointed parquet
+    sink under Trigger.AvailableNow (bounded drain; the same code runs
+    unbounded), and the sink's contents must equal the batch extractor's
+    closed-form output — streaming and batch share one extraction core."""
+    import tempfile
+
+    from .streaming.stream_extract import stream_extract
+
+    docs = documents_as_pages(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as root:
+        docs.write.mode("overwrite").parquet(f"{root}/src")
+        qry = stream_extract(spark, f"{root}/src", f"{root}/out",
+                             f"{root}/ckpt", available_now=True)
+        qry.awaitTermination(300)
+        out = spark.read.parquet(f"{root}/out").select(
+            "url", "text", "title", "page_hash"
+        )
+        out = out.cache()
+        out.count()  # materialize before the tempdir vanishes
+        return out
+
+
 # ---------------------------------------------------------------------------
 
 
