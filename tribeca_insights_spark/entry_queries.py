@@ -2418,6 +2418,40 @@ def q65_streaming_extract(spark, sf_dir):
         return out
 
 
+@q(
+    "q66_reconcile_lost_outputs",
+    """
+    SELECT 'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) AS url
+    FROM documents WHERE doc_id % 16 = 0
+    """,
+)
+def q66_reconcile_lost_outputs(spark, sf_dir):
+    """Crash-recovery reconcile, driver-checked (reference storage.py:
+    120-150 semantics; R12 was pytest-only in round 1): run the pipeline,
+    DELETE one url-hash bucket's output files (simulating a lost/corrupt
+    partition), reconcile — the done-but-missing urls must be re-pended,
+    and the pending set must be exactly that bucket's urls."""
+    import shutil
+    import tempfile
+
+    from .plans import state as st
+    from .plans.pipeline import run_extraction
+
+    docs = documents_as_pages(spark, sf_dir)
+    bucket = F.regexp_extract("url", r"/docs/(\d+)$", 1).cast("long") % 16
+    with tempfile.TemporaryDirectory() as root:
+        run_extraction(spark, docs.drop("doc_id"), root, run_id="r1",
+                       n_buckets=16, repartition_by_bucket=True,
+                       bucket_expr=bucket)
+        shutil.rmtree(f"{root}/extracted/bucket=0")
+        st.reconcile(spark, root)
+        pend = st.pending(docs.drop("doc_id"), spark, root).select("url")
+        pend = pend.cache()
+        pend.count()  # materialize before the tempdir vanishes
+        return pend
+
+
 # ---------------------------------------------------------------------------
 
 
