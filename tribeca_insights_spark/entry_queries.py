@@ -2452,6 +2452,75 @@ def q66_reconcile_lost_outputs(spark, sf_dir):
         return pend
 
 
+@q(
+    "q67_streaming_first_seen",
+    """
+    SELECT 'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(1767225600 + doc_id % 3600 AS BIGINT) AS first_epoch,
+           CAST(1 AS BIGINT) AS n_batch_dups
+    FROM documents
+    """,
+)
+def q67_streaming_first_seen(spark, sf_dir):
+    """Custom stateful streaming operator, driver-checked
+    (applyInPandasWithState first-seen dedup; pytest-only in round 1):
+    every url is streamed TWICE with different timestamps (later one
+    first in file order), drained under Trigger.AvailableNow into a
+    checkpointed sink — exactly one row per url must come out, carrying
+    the MIN warc_ts and the duplicate count."""
+    import tempfile
+
+    from .streaming.stateful import dedup_first_seen
+    from .streaming.stream_extract import read_docs_stream
+
+    d = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    base_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    early = (F.unix_timestamp(base_ts) + F.col("doc_id") % 3600).cast(
+        "timestamp"
+    )
+    late = (F.unix_timestamp(base_ts) + F.col("doc_id") % 3600 + 7200).cast(
+        "timestamp"
+    )
+
+    def docs_with(ts):
+        return d.select(
+            url.alias("url"),
+            ts.alias("warc_ts"),
+            F.encode(F.lit("<html></html>"), "UTF-8").alias("html"),
+            F.lit("").alias("text"),
+            F.col("lang"),
+        )
+
+    with tempfile.TemporaryDirectory() as root:
+        # late copy written first — arrival order must not matter
+        docs_with(late).unionByName(docs_with(early)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/src")
+        stream = dedup_first_seen(read_docs_stream(spark, f"{root}/src"))
+        qry = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qry.awaitTermination(300)
+        out = spark.read.parquet(f"{root}/out").select(
+            "url",
+            F.unix_timestamp("first_ts").alias("first_epoch"),
+            "n_batch_dups",
+        )
+        out = out.cache()
+        out.count()  # materialize before the tempdir vanishes
+        return out
+
+
 # ---------------------------------------------------------------------------
 
 
