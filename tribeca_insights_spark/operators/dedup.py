@@ -245,10 +245,12 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     sentence spans; the unit here is the ``sep``-delimited paragraph).
 
     Shape: posexplode (order-preserving) → md5 paragraph key → corpus-wide
-    count on the key (two-stage partial agg — Zipf-safe: boilerplate paras
-    are the hot keys) → broadcast-join the small duplicate-key dim back →
+    count on the key (partial agg map-side — Zipf-safe: boilerplate paras
+    collapse before the shuffle) → join the duplicate-key dim back →
     re-assemble per doc with sort_array on position (never collect_list
-    order). Keys, not texts, cross the shuffle."""
+    order). Keys, not texts, cross the shuffle. The dup-key dim is NOT
+    broadcast-hinted: at web scale distinct duplicated paragraphs number
+    in the billions — AQE broadcasts it only when it is actually small."""
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)),
@@ -265,7 +267,7 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         .select("pkey")
     )
     marked = paras.join(
-        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "pkey", "left"
+        dup_keys.withColumn("_dup", F.lit(1)), "pkey", "left"
     )
     return (
         marked.groupBy(id_col)

@@ -25,11 +25,13 @@ def bucketed_interval_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_secs: int = 3600,
-    how: str = "inner",
 ) -> DataFrame:
     """Rows of ``events`` matched to ``windows`` with
     ``start_ts <= ts < end_ts`` on equal ``keys`` — via a bucket equi-join,
-    never a nested-loop theta join."""
+    never a nested-loop theta join. Inner-match semantics only: an outer
+    variant would need the range predicate inside the join condition (the
+    post-join filter here would silently drop unmatched outer rows);
+    outer-count use cases left-join the AGGREGATED result back instead."""
     keys = list(keys)
     ev_epoch = F.unix_timestamp(F.col(ts_col))
     w = windows.withColumn(
@@ -42,7 +44,7 @@ def bucketed_interval_join(
         ),
     )
     e = events.withColumn("_b", F.floor(ev_epoch / bucket_secs))
-    joined = e.join(w, [*keys, "_b"], how).filter(
+    joined = e.join(w, [*keys, "_b"]).filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_b")
