@@ -171,3 +171,35 @@ def test_media_ops_real_png(spark):
     for r in feats:
         assert len(r["embedding"]) == 8
         assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+
+
+def test_corrupt_payloads_fail_per_payload_not_per_job(spark):
+    """Review findings: truncated PNG bodies must raise
+    UnsupportedImageError (not struct/zlib errors), and recognized-but-
+    dimensionless payloads must not crash media_resize."""
+    import struct as _s
+
+    import pytest
+
+    from tribeca_insights_spark.imagex import UnsupportedImageError
+
+    truncated = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + b"\x00" * 8
+    with pytest.raises(UnsupportedImageError):
+        decode_png(truncated)
+    # sniff still recognizes it as png (dims unreadable)
+    assert sniff_image(truncated)[0] == "png"
+
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.multimodal import media_resize
+
+    sofless_jpeg = b"\xff\xd8\xff\xd9"  # SOI+EOI, no SOF → dims None
+    media = spark.createDataFrame(
+        [(1, bytearray(truncated)), (2, bytearray(sofless_jpeg))],
+        "media_id long, payload binary",
+    ).select("media_id", F.col("payload").cast("binary").alias("payload"))
+    rows = {r["media_id"]: r
+            for r in media_resize(media, deterministic_fake=True).collect()}
+    assert bytes(rows[2]["payload"]) == sofless_jpeg  # passthrough
+    assert rows[2]["width"] is None and rows[2]["height"] is None
+    assert rows[1]["width"] is not None  # unsniffable-dims PNG → hash fake

@@ -123,3 +123,14 @@ def test_frame_sample_real_vs_fake():
     with pytest.raises(NotImplementedError):
         frame_sample_stub(b"not video", deterministic_fake=False)
     assert frame_sample_stub(b"x" * 100, every_n=10, deterministic_fake=True)
+
+
+def test_mp3_layer12_no_bogus_duration():
+    """Layer I/II frames must not get Layer-III bitrate-table durations."""
+    # MPEG1 Layer I (layer bits 11): FF FF 90 00
+    l1 = b"\xff\xff\x90\x00" + b"\x00" * 996
+    cont, dur, rate, ch = parse_mp3(l1)
+    assert cont == "mp3" and rate == 44100 and dur is None
+    # MPEG1 Layer II (layer bits 10): FF FD ...
+    l2 = b"\xff\xfd\x90\x00" + b"\x00" * 996
+    assert parse_mp3(l2)[1] is None

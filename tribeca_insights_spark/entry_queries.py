@@ -2367,7 +2367,12 @@ def q64_warc_roundtrip(spark, sf_dir):
             if r["charset"] not in ("utf-8", "utf8", "ascii", "us-ascii"):
                 payload = payload.decode(r["charset"], "replace").encode()
             urls.append(r["url"])
-            eps.append(int(r["warc_ts"].timestamp()))
+            # WARC-Date is UTC by spec; the parsed datetime is naive, so
+            # pin UTC before .timestamp() (host-TZ independence)
+            from datetime import timezone
+
+            eps.append(int(r["warc_ts"].replace(tzinfo=timezone.utc)
+                           .timestamp()))
             texts.append(payload.decode("utf-8"))
         return pd.DataFrame({"url": urls, "ts_epoch": eps,
                              "html_text": texts})
@@ -2497,8 +2502,12 @@ def q67_streaming_first_seen(spark, sf_dir):
         )
 
     with tempfile.TemporaryDirectory() as root:
-        # late copy written first — arrival order must not matter
-        docs_with(late).unionByName(docs_with(early)).write.mode(
+        # late copy written first — arrival order within the batch must
+        # not matter. coalesce(1): ONE source file ⇒ the file source
+        # admits everything in a single micro-batch, which is the scope
+        # of the operator's min/dup-count guarantee (see stateful.py —
+        # across batches, first-arriving wins; append sinks can't retract)
+        docs_with(late).unionByName(docs_with(early)).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{root}/src")
         stream = dedup_first_seen(read_docs_stream(spark, f"{root}/src"))

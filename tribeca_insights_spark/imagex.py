@@ -234,9 +234,21 @@ def _defilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
 
 def decode_png(b: bytes) -> Tuple[int, int, int, bytes]:
     """PNG → (width, height, channels, interleaved 8-bit pixel bytes).
-    Supports bit depth 8, color types 0/2/6, non-interlaced."""
+    Supports bit depth 8, color types 0/2/6, non-interlaced. Truncated or
+    corrupt bodies raise :class:`UnsupportedImageError` (never raw
+    struct/zlib errors — web-crawled payloads must fail per-payload, not
+    per-job)."""
     if _parse_png(b) is None:
         raise UnsupportedImageError("not a PNG")
+    try:
+        return _decode_png_inner(b)
+    except UnsupportedImageError:
+        raise
+    except Exception as exc:  # struct.error, zlib.error, IndexError, ...
+        raise UnsupportedImageError(f"corrupt PNG body: {exc}") from exc
+
+
+def _decode_png_inner(b: bytes) -> Tuple[int, int, int, bytes]:
     w, h = struct.unpack(">II", b[16:24])
     depth, ctype, _comp, _filt, interlace = struct.unpack(">BBBBB", b[24:29])
     if depth != 8 or ctype not in _CHANNELS or interlace:

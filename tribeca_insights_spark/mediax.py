@@ -107,12 +107,15 @@ def parse_mp3(b: bytes) -> Optional[AVResult]:
     if rates is None or sr_idx == 3:
         return "mp3", None, None, None
     rate = rates[sr_idx]
-    br_table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
-    kbps = br_table[(h2 >> 4) & 0xF]
     channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
     dur = None
-    if kbps:
-        dur = (len(b) - pos) * 8 // kbps  # ms (exact for CBR)
+    if layer == 1:  # Layer III only — the vendored bitrate tables are
+        # Layer-III; Layer I/II use different tables, so report rate and
+        # channels (layer-independent) but no bitrate-derived duration
+        br_table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        kbps = br_table[(h2 >> 4) & 0xF]
+        if kbps:
+            dur = (len(b) - pos) * 8 // kbps  # ms (exact for CBR)
     return "mp3", dur, rate, channels
 
 

@@ -420,9 +420,13 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """(id, rep, is_keeper): every document labeled with its duplicate-
     cluster representative (min id; singletons keep themselves). Join this
-    back to the corpus and filter ``is_keeper`` to deduplicate."""
+    back to the corpus and filter ``is_keeper`` to deduplicate.
+
+    The returned DataFrame is cached and materialized (so the iterative
+    labels cache can be released here rather than leaking); ``unpersist()``
+    it when done."""
     cc = connected_components(pairs)
-    return (
+    out = (
         all_ids.select(F.col(id_col))
         .join(cc, all_ids[id_col] == cc.node, "left")
         .select(
@@ -430,4 +434,8 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
             F.coalesce("rep", F.col(id_col)).alias("rep"),
         )
         .withColumn("is_keeper", F.col(id_col) == F.col("rep"))
+        .cache()
     )
+    out.count()  # materialize before releasing the labels cache
+    cc.unpersist()
+    return out

@@ -260,6 +260,10 @@ def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
             w, h, ch, px = decode_png(payload)
         except UnsupportedImageError:
             fmt, w, h = decode_image_stub(payload, deterministic_fake)
+            if w is None or h is None:
+                # recognized container but no parsable dims (e.g. JPEG
+                # without SOF): nothing to scale — pass through unchanged
+                return payload, None, None
             scale = min(1.0, max_px / max(w, h, 1))
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
             keep = max(1, int(len(payload) * scale * scale)) if payload else 0

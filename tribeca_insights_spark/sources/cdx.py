@@ -29,12 +29,24 @@ CDX_FIELDS = ("url", "mime", "status", "digest", "length", "offset",
 
 
 def split_cdxj(lines: DataFrame, col: str = "value") -> DataFrame:
-    """CDXJ line column → raw (surt, ts, blob) columns (native regex)."""
-    return lines.select(
-        F.regexp_extract(col, r"^(\S+) (\d{14}) (\{.*\})$", 1).alias("surt"),
-        F.regexp_extract(col, r"^(\S+) (\d{14}) (\{.*\})$", 2).alias("ts"),
-        F.regexp_extract(col, r"^(\S+) (\d{14}) (\{.*\})$", 3).alias("blob"),
-    ).filter(F.length("surt") > 0)
+    """CDXJ line column → raw (surt, ts, blob) columns. ONE pass per line:
+    a 3-limit literal split (the JSON blob may itself contain spaces),
+    then cheap shape validation — not three full-regex re-scans."""
+    parts = F.split(F.col(col), " ", 3)
+    return (
+        lines.filter(F.size(parts) == 3)
+        .select(
+            F.element_at(parts, 1).alias("surt"),
+            F.element_at(parts, 2).alias("ts"),
+            F.element_at(parts, 3).alias("blob"),
+        )
+        .filter(
+            (F.length("surt") > 0)
+            & F.col("ts").rlike(r"^\d{14}$")
+            & F.col("blob").startswith("{")
+            & F.col("blob").endswith("}")
+        )
+    )
 
 
 def read_cdxj_lines(spark: SparkSession, path: str) -> DataFrame:

@@ -6,9 +6,16 @@ A crawl stream revisits urls (refetches, mirrors, replayed WARCs); exactly
 one record per url should enter the extraction pipeline no matter how many
 micro-batches apart the duplicates arrive. Built-in
 ``dropDuplicatesWithinWatermark`` bounds state by event time; this operator
-is the unbounded-key variant with explicit per-key state (a seen flag +
-first timestamp), the template for richer custom state (per-domain rate
-stats, incremental TF, crawl frontier).
+is the unbounded-key variant with explicit per-key state (a seen flag),
+the template for richer custom state (per-domain rate stats, incremental
+TF, crawl frontier).
+
+Emission semantics (append-mode constraint): within one micro-batch the
+emitted ``first_ts`` is the MIN ``warc_ts`` across the whole batch and
+``n_batch_dups`` counts that batch's duplicates; across micro-batches the
+FIRST-ARRIVING batch wins — an append sink cannot retract an emitted row,
+so later batches only mark state and emit nothing. Callers needing a
+global min across batches should aggregate downstream of the sink.
 
 State sizing at 10^12 urls: group key IS the url, so state lives in the
 state store partitioned by ``spark.sql.shuffle.partitions`` — size that to
