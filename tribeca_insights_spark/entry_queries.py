@@ -1344,7 +1344,7 @@ def q43_bigram_tf(spark, sf_dir):
            trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text,
            'div' AS node_tag,
            'article-content' AS node_hint,
-           0.0 AS link_density
+           CAST(0.0 AS DOUBLE) AS link_density
     FROM documents
     """,
 )
