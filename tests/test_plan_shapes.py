@@ -1,0 +1,107 @@
+"""Physical-plan regression tests: the scale properties this engine's
+100-TB story depends on are PLAN shapes, not just result values — pin
+them so a future refactor can't silently reintroduce a sort-aggregate,
+a nested-loop join, or an extraction shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from tribeca_insights_spark.entry_queries import documents_as_pages
+
+    return documents_as_pages(spark, "/root/testdata/sf0.001")
+
+
+def test_extraction_has_no_exchange(docs):
+    """Extraction is embarrassingly parallel: Scan → ArrowEvalPython →
+    Project. Any Exchange here would reshuffle raw html bytes."""
+    from tribeca_insights_spark.operators.extract import extract_pages
+
+    p = _plan(extract_pages(docs))
+    assert "ArrowEvalPython" in p
+    assert "Exchange" not in p
+
+
+def test_minhash_aggregates_on_hash_fast_path(spark):
+    """min over fixed-width longs must stay on HashAggregate —
+    min(string) buffers fall back to SortAggregate (a full sort of the
+    shingle stream, measured 2× slower end-to-end)."""
+    from tribeca_insights_spark.operators.dedup import (
+        char_shingles,
+        minhash_signatures,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.col("text").alias("tokens_str")
+    )
+    p = _plan(minhash_signatures(char_shingles(d)))
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_stopword_dim_broadcasts(spark):
+    from tribeca_insights_spark.functions.tokenize import with_tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(with_tokens(d))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_corpus_tf_two_stage_salted(spark, docs):
+    """Salted TF = partial agg on (word, salt) + final agg on word: at
+    least three HashAggregate nodes (partial+final × two stages)."""
+    from tribeca_insights_spark.operators.extract import extract_token_strings
+    from tribeca_insights_spark.operators import tf as tfops
+
+    p = _plan(tfops.corpus_tf(extract_token_strings(docs), n_salts=8))
+    assert p.count("HashAggregate") >= 3
+    assert "SortAggregate" not in p
+
+
+def test_resume_anti_join_is_hash_based(spark, tmp_path, docs):
+    from tribeca_insights_spark.plans import state as st
+    from tribeca_insights_spark.plans.pipeline import run_extraction
+
+    root = str(tmp_path / "pipe")
+    run_extraction(spark, docs.drop("doc_id").limit(50), root, n_buckets=4)
+    p = _plan(st.pending(docs.drop("doc_id"), spark, root))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_interval_join_never_nested_loop(spark):
+    """The bucketed rewrite must plan as an equi-join; Catalyst plans the
+    naive theta version as BroadcastNestedLoopJoin."""
+    from tribeca_insights_spark.operators.joins import bucketed_interval_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("win_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    p = _plan(bucketed_interval_join(e.select("user_id", "ts", "event_id"), w,
+                                     keys=["user_id"]))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) \
+        or ("ShuffledHashJoin" in p)
+
+
+def test_tf_idf_df_dim_broadcasts(spark, docs):
+    """The |vocab|-sized df dim broadcasts onto TF; the only nested-loop
+    allowed is the 1-row scalar-N crossJoin."""
+    from tribeca_insights_spark.operators.extract import extract_texts
+    from tribeca_insights_spark.operators import tf as tfops
+
+    ex = extract_texts(docs.limit(100))
+    p = _plan(tfops.tf_idf(ex))
+    assert "BroadcastHashJoin" in p
