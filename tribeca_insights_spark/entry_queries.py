@@ -2530,6 +2530,120 @@ def q67_streaming_first_seen(spark, sf_dir):
         return out
 
 
+@q(
+    "q68_wet_roundtrip",
+    """
+    SELECT doc_id,
+           'https://w.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url,
+           text AS wet_text
+    FROM documents
+    """,
+)
+def q68_wet_roundtrip(spark, sf_dir):
+    """WET (Common Crawl extracted-text) record round trip: a conversion
+    record is built per doc from its text — gzipped for odd ids — and
+    parsed back by the engine's WET parser. The documents text contains
+    multi-byte UTF-8 (zh/de rows), so a byte-length/charset mistake in the
+    record framing breaks the content-length walk and the oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources.warc import make_wet, parse_wet
+
+    out_t = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("wet_text", StringType()),
+        ]
+    )
+
+    def _rt(doc_id, text):
+        urls, texts = [], []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            url = f"https://w.example.com/docs/{i}"
+            blob = make_wet([(url, t)], gzip_file=bool(i % 2))
+            (r,) = parse_wet(blob)
+            urls.append(r["url"])
+            texts.append(r["text"])
+        return pd.DataFrame({"url": urls, "wet_text": texts})
+
+    udf = pandas_udf(_rt, out_t)
+    d = _read(spark, sf_dir, "documents")
+    e = d.withColumn("_r", udf(F.col("doc_id"), F.col("text")))
+    return e.select(
+        "doc_id",
+        F.col("_r.url").alias("url"),
+        F.col("_r.wet_text").alias("wet_text"),
+    )
+
+
+@q(
+    "q69_robots_url_filter",
+    """
+    -- urls surviving the per-UA Disallow rules: even ids' specific
+    -- 'tribeca' group disallows /secret/<id>/ (never matches these urls);
+    -- odd ids' '*' group disallows /private/<id>/. Url path is
+    -- /private/<id>/page for id % 3 = 0, else /docs/<id> — so blocked =
+    -- odd multiples of 3 exactly (slash-terminated prefixes: /private/3/
+    -- cannot shadow /private/30/page).
+    SELECT doc_id,
+           'https://' || source || '.example.com'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '/private/' || CAST(doc_id AS VARCHAR) || '/page'
+                     ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS url
+    FROM documents
+    WHERE NOT (doc_id % 3 = 0 AND doc_id % 2 = 1)
+    """,
+)
+def q69_robots_url_filter(spark, sf_dir):
+    """Frontier politeness filter: urls anti-joined against the effective
+    Disallow prefixes for the crawler's UA (sources/robots.disallow_rules)
+    — join on domain (per-domain rule sets are tiny), filter
+    path-startswith, anti-join back. Even ids' specific-group rule
+    (/secret/<id>) never matches these urls; odd ids' '*' rule
+    (/private/<id>) blocks exactly the odd multiples of 3."""
+    from .sources.robots import disallow_rules
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    domain = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("/private/"), sid, F.lit("/page")),
+    ).otherwise(F.concat(F.lit("/docs/"), sid))
+    frontier = d.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, path).alias("url"),
+        path.alias("path"),
+    )
+    txt = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("User-agent: tribeca\nDisallow: /secret/"), sid,
+                     F.lit("/\n\n")),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /private/"), sid, F.lit("/\n"),
+    )
+    robots = d.select(domain.alias("domain"),
+                      F.col("doc_id").alias("rid"),
+                      txt.alias("robots_txt"))
+    rules = disallow_rules(robots, user_agent="tribeca")
+    blocked = (
+        frontier.join(rules, "domain")
+        .filter(F.col("path").startswith(F.col("path_prefix")))
+        .select("url")
+        .distinct()
+    )
+    return frontier.join(blocked, "url", "left_anti").select("doc_id", "url")
+
+
 # ---------------------------------------------------------------------------
 
 
