@@ -233,8 +233,10 @@ def test_connected_components_clusters(spark):
     assert cc[1] == cc[2] == cc[3] == cc[9] == 1  # chain + extra edge
     assert cc[5] == cc[6] == 5
     ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["doc_id"])
+    clusters = dedup_clusters(pairs, ids)  # cached per contract
     lab = {r["doc_id"]: (r["rep"], r["is_keeper"])
-           for r in dedup_clusters(pairs, ids).collect()}
+           for r in clusters.collect()}
+    clusters.unpersist()
     assert lab[7] == (7, True)  # singleton keeps itself
     assert lab[3] == (1, False)
     assert lab[1] == (1, True)

@@ -16,7 +16,11 @@ extraction path itself driver-verifiable, not just pytest-verifiable.
 
 from __future__ import annotations
 
+from datetime import timezone as _tz
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_utc = _tz.utc
 
 from .functions.tokenize import with_tokens
 from .operators import tf as tfops
@@ -2369,10 +2373,7 @@ def q64_warc_roundtrip(spark, sf_dir):
             urls.append(r["url"])
             # WARC-Date is UTC by spec; the parsed datetime is naive, so
             # pin UTC before .timestamp() (host-TZ independence)
-            from datetime import timezone
-
-            eps.append(int(r["warc_ts"].replace(tzinfo=timezone.utc)
-                           .timestamp()))
+            eps.append(int(r["warc_ts"].replace(tzinfo=_utc).timestamp()))
             texts.append(payload.decode("utf-8"))
         return pd.DataFrame({"url": urls, "ts_epoch": eps,
                              "html_text": texts})
@@ -2414,7 +2415,9 @@ def q65_streaming_extract(spark, sf_dir):
         docs.write.mode("overwrite").parquet(f"{root}/src")
         qry = stream_extract(spark, f"{root}/src", f"{root}/out",
                              f"{root}/ckpt", available_now=True)
-        qry.awaitTermination(300)
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("streaming extraction drain exceeded 300s")
         out = spark.read.parquet(f"{root}/out").select(
             "url", "text", "title", "page_hash"
         )
@@ -2484,12 +2487,12 @@ def q67_streaming_first_seen(spark, sf_dir):
         F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
     )
-    base_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
-    early = (F.unix_timestamp(base_ts) + F.col("doc_id") % 3600).cast(
-        "timestamp"
-    )
-    late = (F.unix_timestamp(base_ts) + F.col("doc_id") % 3600 + 7200).cast(
-        "timestamp"
+    # timestamps built FROM the epoch literal the oracle states —
+    # session-timezone independent (a to_timestamp string literal would
+    # shift under a non-UTC harness session)
+    early = F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id") % 3600)
+    late = F.timestamp_seconds(
+        F.lit(1767225600) + F.col("doc_id") % 3600 + 7200
     )
 
     def docs_with(ts):
@@ -2519,7 +2522,9 @@ def q67_streaming_first_seen(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        qry.awaitTermination(300)
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("stateful dedup drain exceeded 300s")
         out = spark.read.parquet(f"{root}/out").select(
             "url",
             F.unix_timestamp("first_ts").alias("first_epoch"),
@@ -2586,36 +2591,36 @@ def q68_wet_roundtrip(spark, sf_dir):
 @q(
     "q69_robots_url_filter",
     """
-    -- urls surviving the per-UA Disallow rules: even ids' specific
-    -- 'tribeca' group disallows /secret/<id>/ (never matches these urls);
-    -- odd ids' '*' group disallows /private/<id>/. Url path is
-    -- /private/<id>/page for id % 3 = 0, else /docs/<id> — so blocked =
-    -- odd multiples of 3 exactly (slash-terminated prefixes: /private/3/
-    -- cannot shadow /private/30/page).
+    -- urls surviving the per-UA Disallow rules: ONE robots.txt per
+    -- domain. Every domain's '*' group disallows /private/; domains with
+    -- even-length source names add a specific 'tribeca' group disallowing
+    -- only /secret/ (which REPLACES '*' for our UA and never matches
+    -- these urls). Url path is /private/<id> for id % 3 = 0, else
+    -- /docs/<id> — so blocked = multiples of 3 on odd-length domains.
     SELECT doc_id,
            'https://' || source || '.example.com'
              || CASE WHEN doc_id % 3 = 0
-                     THEN '/private/' || CAST(doc_id AS VARCHAR) || '/page'
+                     THEN '/private/' || CAST(doc_id AS VARCHAR)
                      ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS url
     FROM documents
-    WHERE NOT (doc_id % 3 = 0 AND doc_id % 2 = 1)
+    WHERE NOT (doc_id % 3 = 0 AND length(source) % 2 = 1)
     """,
 )
 def q69_robots_url_filter(spark, sf_dir):
     """Frontier politeness filter: urls anti-joined against the effective
-    Disallow prefixes for the crawler's UA (sources/robots.disallow_rules)
-    — join on domain (per-domain rule sets are tiny), filter
-    path-startswith, anti-join back. Even ids' specific-group rule
-    (/secret/<id>) never matches these urls; odd ids' '*' rule
-    (/private/<id>) blocks exactly the odd multiples of 3."""
+    Disallow prefixes for the crawler's UA (sources/robots.disallow_rules).
+    ONE robots body per DOMAIN (the real data shape — the rules dim is
+    |domains|-sized and broadcasts; the frontier join stays linear), then
+    path-startswith, then anti-join back. Even-length domains' specific
+    'tribeca' group (/secret/) replaces '*' and never matches; odd-length
+    domains' '*' group (/private/) blocks exactly the id%3==0 urls."""
     from .sources.robots import disallow_rules
 
     d = _read(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
     domain = F.concat(F.col("source"), F.lit(".example.com"))
     path = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(F.lit("/private/"), sid, F.lit("/page")),
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("/private/"), sid)
     ).otherwise(F.concat(F.lit("/docs/"), sid))
     frontier = d.select(
         "doc_id",
@@ -2625,18 +2630,17 @@ def q69_robots_url_filter(spark, sf_dir):
     )
     txt = F.concat(
         F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.lit("User-agent: tribeca\nDisallow: /secret/"), sid,
-                     F.lit("/\n\n")),
+            F.length("source") % 2 == 0,
+            F.lit("User-agent: tribeca\nDisallow: /secret/\n\n"),
         ).otherwise(F.lit("")),
-        F.lit("User-agent: *\nDisallow: /private/"), sid, F.lit("/\n"),
+        F.lit("User-agent: *\nDisallow: /private/\n"),
     )
-    robots = d.select(domain.alias("domain"),
-                      F.col("doc_id").alias("rid"),
-                      txt.alias("robots_txt"))
+    robots = d.select(
+        domain.alias("domain"), txt.alias("robots_txt")
+    ).dropDuplicates(["domain"])
     rules = disallow_rules(robots, user_agent="tribeca")
     blocked = (
-        frontier.join(rules, "domain")
+        frontier.join(F.broadcast(rules), "domain")
         .filter(F.col("path").startswith(F.col("path_prefix")))
         .select("url")
         .distinct()

@@ -244,53 +244,60 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     document corpus-wide is dropped from all of them (C4 keeps three-
     sentence spans; the unit here is the ``sep``-delimited paragraph).
 
-    Shape: posexplode (order-preserving) → md5 paragraph key → corpus-wide
-    count on the key (partial agg map-side — Zipf-safe: boilerplate paras
-    collapse before the shuffle) → join the duplicate-key dim back →
-    re-assemble per doc with sort_array on position (never collect_list
-    order). Keys, not texts, cross the shuffle. The dup-key dim is NOT
-    broadcast-hinted: at web scale distinct duplicated paragraphs number
-    in the billions — AQE broadcasts it only when it is actually small."""
-    paras = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)),
+    Shape: a SLIM (id, pos, md5-key) projection — paragraph texts never
+    leave their row — feeds the corpus-wide key count (partial agg
+    map-side; Zipf-safe: boilerplate paras collapse before the shuffle)
+    and the per-doc dropped-position lists (ints only). Reassembly is
+    per-row: the original text re-splits and filters by position with a
+    higher-order function. Paragraph TEXTS therefore cross at most ONE
+    shuffle (the id-keyed join of the dropped-position dim back onto the
+    docs — and none at all when AQE broadcasts that dim); only hashes and
+    ints shuffle otherwise. No broadcast hint anywhere: at web scale both
+    dims can be huge and AQE decides."""
+    parts = F.split(F.col(text_col), sep)
+    slim = df.select(
+        F.col(id_col), F.posexplode(parts)
     ).select(
         id_col, "pos",
-        F.col("col").alias("para"),
         F.md5(F.col("col")).alias("pkey"),
-    ).filter(F.length(F.trim("para")) > 0)
+        F.length(F.trim("col")).alias("_len"),
+    ).filter(F.col("_len") > 0)
 
     dup_keys = (
-        paras.groupBy("pkey")
+        slim.groupBy("pkey")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .filter(F.col("_nd") > 1)
         .select("pkey")
     )
-    marked = paras.join(
-        dup_keys.withColumn("_dup", F.lit(1)), "pkey", "left"
+    dropped = (
+        slim.join(dup_keys, "pkey")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dpos"))
+    )
+    nonempty = lambda p: F.length(F.trim(p)) > 0  # noqa: E731
+    in_dropped = lambda i: F.coalesce(  # noqa: E731
+        F.array_contains(F.col("_dpos"), i), F.lit(False)
     )
     return (
-        marked.groupBy(id_col)
-        .agg(
+        df.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
             F.concat_ws(
                 sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_dup").isNull(),
-                                F.struct("pos", "para"),
-                            )
-                        )
-                    ),
-                    lambda s: s["para"],
+                F.filter(
+                    parts,
+                    lambda p, i: nonempty(p) & ~in_dropped(i),
                 ),
             ).alias("kept_text"),
-            F.count("*").alias("n_paras"),
-            F.coalesce(
-                F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0)), F.lit(0)
-            ).cast("long").alias("n_dropped"),
+            F.size(F.filter(parts, nonempty)).cast("long").alias("n_paras"),
+            # size(NULL) is -1 under non-ANSI legacy semantics — guard
+            # with an explicit isNull, not coalesce
+            F.when(F.col("_dpos").isNull(), F.lit(0))
+            .otherwise(F.size("_dpos"))
+            .cast("long")
+            .alias("n_dropped"),
         )
+        .filter(F.col("n_paras") > 0)
     )
 
 
