@@ -244,6 +244,29 @@ def test_connected_components_clusters(spark):
     assert sorted(keepers) == [1, 5, 7]
 
 
+def test_connected_components_guards(spark):
+    """max_iter < 1 must raise up front (a zero-round run would hand back
+    identity labels with no convergence check), and the temporarily-clamped
+    shuffle.partitions conf must be restored afterwards."""
+    import pytest
+
+    from tribeca_insights_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["a_id", "b_id"])
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    connected_components(pairs).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # non-convergence bound still raises (deep chain, 1 round allowed)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a_id", "b_id"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_paragraph_dedup(spark):
     from pyspark.sql import functions as F
 

@@ -111,6 +111,13 @@ def test_mp4_sample_table_roundtrip():
 
     assert mp4_chunk_offsets(make_mp4(1000)) == []
 
+    # co64: 64-bit chunk offsets (standard for >4 GB files) round-trip too,
+    # including offsets past the 32-bit boundary
+    big = [1000, 2**32 + 17, 2**33 + 5]
+    b64 = make_mp4_with_chunks(2500, big, use_co64=True)
+    assert mp4_chunk_offsets(b64) == big
+    assert frame_sample_mp4(b64, every_n=2) == [1000, 2**33 + 5]
+
 
 def test_frame_sample_real_vs_fake():
     import pytest

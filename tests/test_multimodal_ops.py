@@ -53,6 +53,24 @@ def test_media_resize_bounds(spark):
         assert isinstance(r["payload"], (bytes, bytearray))
 
 
+def test_media_resize_real_mode_never_corrupts(spark):
+    """deterministic_fake=False + a recognized non-PNG container (no
+    re-encoder here): payload must pass through UNCHANGED with its true
+    dims — never the byte-truncated fake (which is test-plumbing only)."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 40
+    media = spark.createDataFrame([(1, bytearray(gif))],
+                                  "media_id LONG, payload BINARY")
+    (r,) = media_resize(media, max_px=96, deterministic_fake=False).collect()
+    assert bytes(r["payload"]) == gif  # untouched, not truncated
+    assert (r["width"], r["height"]) == (320, 200)  # true dims
+    # fake mode still byte-truncates + rescales (plumbing contract)
+    (rf,) = media_resize(media, max_px=96, deterministic_fake=True).collect()
+    assert rf["height"] == 60 and rf["width"] == 96
+    assert len(bytes(rf["payload"])) < len(gif)
+
+
 def test_stubs_raise_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"x", deterministic_fake=False)

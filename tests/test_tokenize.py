@@ -64,8 +64,10 @@ def test_nltk_profile_full_lists():
 
 
 def test_nltk_data_dir_override(tmp_path, monkeypatch):
-    """A real NLTK data directory ($NLTK_DATA) takes precedence over the
-    vendored lists — exact parity with the environment's corpus version."""
+    """$NLTK_DATA takes precedence over the vendored lists ONLY behind the
+    explicit TRIBECA_SPARK_NLTK_RUNTIME=1 opt-in — by default every node
+    uses the package copy, so executors can never silently diverge from a
+    driver-built stopword list when their nltk_data installs differ."""
     from tribeca_insights_spark.functions import stopwords as sw
 
     d = tmp_path / "corpora" / "stopwords"
@@ -75,9 +77,17 @@ def test_nltk_data_dir_override(tmp_path, monkeypatch):
     sw._load_full_list.cache_clear()
     sw.get_stopwords.cache_clear()
     try:
+        # default: the env dir is IGNORED — vendored corpus list wins
+        vendored = sw.get_stopwords("en", "nltk")
+        assert "zzonlyword" not in vendored and "the" in vendored
+        # explicit opt-in: runtime corpus takes precedence
+        monkeypatch.setenv("TRIBECA_SPARK_NLTK_RUNTIME", "1")
+        sw._load_full_list.cache_clear()
+        sw.get_stopwords.cache_clear()
         assert sw.get_stopwords("en", "nltk") == frozenset({"zzonlyword"})
     finally:
         monkeypatch.delenv("NLTK_DATA")
+        monkeypatch.delenv("TRIBECA_SPARK_NLTK_RUNTIME", raising=False)
         sw._load_full_list.cache_clear()
         sw.get_stopwords.cache_clear()
 

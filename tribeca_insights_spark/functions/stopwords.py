@@ -18,10 +18,12 @@ Three profiles:
   ``tribeca_insights_spark/data/stopwords/`` (public corpus data; the
   copies ship inside Apache Spark's MLlib jar with the NLTK corpus README —
   Snowball-derived, English augmented per nltk/nltk_data#22, identical
-  content to ``nltk.corpus.stopwords.words(lang)``). If a real NLTK data
-  directory is present at runtime (``$NLTK_DATA`` or ``~/nltk_data``), its
-  ``corpora/stopwords/<lang>`` files take precedence, giving exact parity
-  with whatever corpus version the environment installed. Languages with
+  content to ``nltk.corpus.stopwords.words(lang)``). With the explicit
+  opt-in ``TRIBECA_SPARK_NLTK_RUNTIME=1``, a real NLTK data directory
+  (``$NLTK_DATA`` or ``~/nltk_data``) takes precedence, giving exact
+  parity with whatever corpus version the environment installed — opt-in
+  only, because per-executor nltk_data installs can differ from the
+  driver's and would silently skew tokenization vs driver-built oracles. Languages with
   no list (chinese/japanese/arabic here) degrade exactly like the offline
   reference: fallback set if one exists, else empty
   (text_utils.py:84-96).
@@ -82,8 +84,19 @@ EXTENDED_STOPWORDS["english"] = EXTENDED_EN
 
 
 def _nltk_data_file(lang_key: str) -> str | None:
-    """Path to a real NLTK corpus file for ``lang_key`` if the runtime has
-    one (``$NLTK_DATA`` dirs, then ``~/nltk_data``), else None."""
+    """Path to a real NLTK corpus file for ``lang_key`` — ONLY when the
+    runtime override is explicitly enabled via
+    ``TRIBECA_SPARK_NLTK_RUNTIME=1`` (``$NLTK_DATA`` dirs, then
+    ``~/nltk_data``), else None.
+
+    Gated because in a multi-node cluster each executor evaluates this
+    independently: an executor with a different (or absent) nltk_data
+    install than the driver would silently tokenize with a different
+    stopword set than driver-built oracle literals. Default = the vendored
+    package copy, which ships identically to every executor via
+    ``--py-files``, so driver and executors always agree."""
+    if os.environ.get("TRIBECA_SPARK_NLTK_RUNTIME", "") != "1":
+        return None
     candidates = [
         p for p in os.environ.get("NLTK_DATA", "").split(os.pathsep) if p
     ]

@@ -168,33 +168,35 @@ _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 def mp4_chunk_offsets(b: bytes) -> list:
     """Real frame-sample anchors: every chunk byte offset from the first
-    track's ``stco`` box (the sample-table structure demuxers seek by).
+    track's ``stco`` (32-bit) or ``co64`` (64-bit — standard for >4 GB web
+    video) box, whichever the sample table carries.
     Empty when the file has no sample table (e.g. a bare mvhd skeleton)."""
     if len(b) < 12 or b[4:8] != b"ftyp":
         return []
 
-    def find_stco(start: int, end: int):
+    def find_offsets_box(start: int, end: int):
         for pos, tag, size in _walk_boxes(b, start, end):
-            if tag == b"stco":
-                return pos, size
+            if tag in (b"stco", b"co64"):
+                return pos, size, tag
             if tag in _MP4_CONTAINERS:
-                got = find_stco(pos + 8, pos + size)
+                got = find_offsets_box(pos + 8, pos + size)
                 if got is not None:
                     return got
         return None
 
-    got = find_stco(0, len(b))
+    got = find_offsets_box(0, len(b))
     if got is None:
         return []
-    pos, size = got
+    pos, size, tag = got
     if pos + 16 > len(b):
         return []
     (n,) = struct.unpack(">I", b[pos + 12 : pos + 16])
+    width, fmt = (8, ">Q") if tag == b"co64" else (4, ">I")
     out = []
     p = pos + 16
-    for _ in range(min(n, (pos + size - p) // 4)):
-        out.append(struct.unpack(">I", b[p : p + 4])[0])
-        p += 4
+    for _ in range(min(n, (pos + size - p) // width)):
+        out.append(struct.unpack(fmt, b[p : p + width])[0])
+        p += width
     return out
 
 
@@ -240,14 +242,17 @@ def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
 
 
 def make_mp4_with_chunks(duration_ms: int, chunk_offsets,
-                         timescale: int = 1000) -> bytes:
-    """ftyp + moov{mvhd, trak{mdia{minf{stbl{stco}}}}} — a real sample
-    table whose chunk offsets :func:`mp4_chunk_offsets` round-trips."""
+                         timescale: int = 1000,
+                         use_co64: bool = False) -> bytes:
+    """ftyp + moov{mvhd, trak{mdia{minf{stbl{stco|co64}}}}} — a real sample
+    table whose chunk offsets :func:`mp4_chunk_offsets` round-trips;
+    ``use_co64`` emits the 64-bit offset box large files use."""
+    tag, fmt = (b"co64", ">Q") if use_co64 else (b"stco", ">I")
     stco = _box(
-        b"stco",
+        tag,
         b"\x00" * 4
         + struct.pack(">I", len(chunk_offsets))
-        + b"".join(struct.pack(">I", int(o)) for o in chunk_offsets),
+        + b"".join(struct.pack(fmt, int(o)) for o in chunk_offsets),
     )
     trak = _box(b"trak", _box(b"mdia", _box(b"minf", _box(b"stbl", stco))))
     return _ftyp() + _box(

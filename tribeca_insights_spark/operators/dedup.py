@@ -354,68 +354,103 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     because labels are min-monotone), so convergence is O(log diameter)
     rounds instead of O(diameter); ``max_iter`` bounds pathological inputs
     and raises if hit before convergence, so callers never silently get
-    partially-propagated labels. Each round is three hash joins + an
-    aggregation, all key-partitioned — no driver-side graph.
-    Deterministic: labels are min ids. Materializes each round so plans
-    stay flat. The returned DataFrame is cached (``.unpersist()`` it when
-    done)."""
+    partially-propagated labels (``max_iter < 1`` raises ValueError up
+    front for the same reason — a zero-round run would return identity
+    labels unverified). Each round is hash joins + an aggregation, all
+    key-partitioned — no driver-side graph.
+
+    Wall-clock discipline (round 2 regressed 3× on per-round overhead):
+
+    * rounds materialize via ``localCheckpoint(eager=True)`` — lineage is
+      CUT each round, so plans stay O(1)-sized instead of nesting every
+      previous round (``cache()`` chains nested InMemoryRelations whose
+      plan strings grow unboundedly and whose scans re-enter the whole
+      cached stack). Checkpoint blocks from a finished round become
+      unreferenced as soon as the next round is checkpointed and are
+      freed by Spark's ContextCleaner — steady-state footprint is O(2
+      rounds), the GraphFrames-style iterative pattern.
+    * per-round shuffle width is sized to the graph: ``shuffle.partitions``
+      is temporarily clamped to ``≈ |edges| / 100k`` (never RAISED above
+      the session setting — a 10^10-edge graph keeps the configured width;
+      a 10k-edge graph stops paying 32-task scheduling per stage, which
+      was the bulk of the round-2 wall). Restored in ``finally``.
+    * two tiny flat actions per round (checkpoint + changed-count over
+      checkpoint blocks) instead of round 2's three full-plan actions.
+
+    Deterministic: labels are min ids. The returned DataFrame scans its
+    own checkpoint blocks; ``.unpersist()`` is a harmless no-op (blocks
+    free on GC)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(
             pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("x").alias("node"))
-        .distinct()
-        .withColumn("rep", F.col("node"))
-        .cache()
-    )
-    changed = 0
-    for it in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.y == labels.node)
-            .groupBy("x")
-            .agg(F.min("rep").alias("nbr_rep"))
+    n_edges = edges.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    configured = spark.conf.get(conf_key)
+    n_part = max(1, min(int(configured), n_edges // 100_000 + 1))
+    spark.conf.set(conf_key, str(n_part))
+    changed = -1
+    try:
+        labels = (
+            edges.select(F.col("x").alias("node"))
+            .distinct()
+            .withColumn("rep", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.x, "left").select(
-            "node",
-            F.least(
-                F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
-            ).alias("rep"),
-        )
-        if it >= 2:
-            # pointer jumping: rep ← rep's rep (min-monotone ⇒ always ≤
-            # rep). Only from round 3 on: shallow components (the common
-            # near-dup case) converge in ≤2 rounds and would pay the extra
-            # join for nothing; deep chains still finish in O(log d).
-            reps = stepped.select(
-                F.col("node").alias("_rn"), F.col("rep").alias("_rr")
+        for it in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.y == labels.node)
+                .groupBy("x")
+                .agg(F.min("rep").alias("nbr_rep"))
             )
-            stepped = stepped.join(
-                reps, stepped.rep == reps._rn, "left"
+            # carry the previous rep through the round as `_old` so the
+            # changed-count is a flat agg over the round's own checkpoint
+            # blocks, not a re-execution of the round plan.
+            stepped = labels.join(
+                nbr_min, labels.node == nbr_min.x, "left"
             ).select(
-                "node", F.coalesce("_rr", F.col("rep")).alias("rep")
+                "node",
+                F.least(
+                    F.col("rep"), F.coalesce("nbr_rep", F.col("rep"))
+                ).alias("rep"),
+                F.col("rep").alias("_old"),
             )
-        new_labels = stepped.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
-        old = labels
-        labels = new_labels
-        labels.count()  # materialize before unpersisting the parent
-        old.unpersist()
-        if changed == 0:
-            break
-    edges.unpersist()
+            if it >= 2:
+                # pointer jumping: rep ← rep's rep (min-monotone ⇒ always ≤
+                # rep). Only from round 3 on: shallow components (the common
+                # near-dup case) converge in ≤2 rounds and would pay the
+                # extra join for nothing; deep chains still finish in
+                # O(log d).
+                reps = stepped.select(
+                    F.col("node").alias("_rn"), F.col("rep").alias("_rr")
+                )
+                stepped = stepped.join(
+                    reps, stepped.rep == reps._rn, "left"
+                ).select(
+                    "node",
+                    F.coalesce("_rr", F.col("rep")).alias("rep"),
+                    "_old",
+                )
+            new_labels = stepped.localCheckpoint(eager=True)
+            changed = new_labels.agg(
+                F.coalesce(
+                    F.sum((F.col("rep") != F.col("_old")).cast("long")),
+                    F.lit(0),
+                )
+            ).collect()[0][0]
+            labels = new_labels.select("node", "rep")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(conf_key, configured)
     if changed != 0:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter) — raise max_iter"
@@ -443,6 +478,5 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
         .withColumn("is_keeper", F.col(id_col) == F.col("rep"))
         .cache()
     )
-    out.count()  # materialize before releasing the labels cache
-    cc.unpersist()
+    out.count()  # materialize so cc's checkpoint blocks can be GC-freed
     return out

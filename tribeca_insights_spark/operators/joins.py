@@ -33,9 +33,15 @@ def bucketed_interval_join(
     post-join filter here would silently drop unmatched outer rows);
     outer-count use cases left-join the AGGREGATED result back instead."""
     keys = list(keys)
+    # collision-safe bucket column: a caller-owned `_b` (or whatever we
+    # pick) must never be silently overwritten then dropped.
+    taken = set(events.columns) | set(windows.columns)
+    bucket = "_b"
+    while bucket in taken:
+        bucket = "_" + bucket
     ev_epoch = F.unix_timestamp(F.col(ts_col))
     w = windows.withColumn(
-        "_b",
+        bucket,
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col(start_col)) / bucket_secs),
@@ -43,8 +49,8 @@ def bucketed_interval_join(
             )
         ),
     )
-    e = events.withColumn("_b", F.floor(ev_epoch / bucket_secs))
-    joined = e.join(w, [*keys, "_b"]).filter(
+    e = events.withColumn(bucket, F.floor(ev_epoch / bucket_secs))
+    joined = e.join(w, [*keys, bucket]).filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
-    return joined.drop("_b")
+    return joined.drop(bucket)

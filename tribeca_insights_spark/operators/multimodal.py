@@ -241,9 +241,14 @@ def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
     """binary payload → resized binary payload + new dims, ``mapInPandas``
     end to end so MB-scale blobs never materialize as a whole-partition list.
     Decodable PNGs get a REAL nearest-neighbor thumbnail (decode → resample
-    → re-encode, pure python); other payloads fall back to the
-    hash-derived fake when ``deterministic_fake=True`` (production:
-    PIL/libvips in the same seam)."""
+    → re-encode, pure python). Other recognized containers (JPEG/GIF/WebP/
+    BMP — sniffable dims, no re-encoder here): with
+    ``deterministic_fake=True`` the payload is byte-truncated to a
+    scale²-sized fake labeled with the scaled dims (plumbing tests only);
+    with ``deterministic_fake=False`` the payload passes through UNCHANGED
+    with its true dims — never a silently corrupted blob (production:
+    PIL/libvips in the same seam). Unrecognizable payloads raise unless
+    ``deterministic_fake=True``."""
     from pyspark.sql.types import BinaryType
 
     schema = StructType(
@@ -264,6 +269,11 @@ def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
                 # recognized container but no parsable dims (e.g. JPEG
                 # without SOF): nothing to scale — pass through unchanged
                 return payload, None, None
+            if not deterministic_fake:
+                # real mode, recognized non-PNG container: no re-encoder
+                # available — pass through untouched with true dims rather
+                # than emit a truncated, corrupt payload.
+                return payload, w, h
             scale = min(1.0, max_px / max(w, h, 1))
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
             keep = max(1, int(len(payload) * scale * scale)) if payload else 0
