@@ -189,6 +189,34 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
+def test_ann_ivf_grid_hamming2_recall(spark, sf_dir):
+    """Grid IVF multi-probe widening: Hamming-2 probes (1 + bits +
+    C(bits,2) cells) must recover at least the Hamming-1 recall vs exact
+    brute force, strictly widening the candidate set; hamming>2 raises."""
+    from tribeca_insights_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_grid_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = range(10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_bruteforce_topk(emb, queries, k=5).collect()}
+
+    def recall(h):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ann_ivf_grid_topk(emb, queries, k=5, bits=4,
+                                          hamming=h).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, f"hamming-2 recall {r2} < hamming-1 {r1}"
+    # 4 bits, hamming 2 → 1+4+6 = 11 of 16 cells probed: high recall
+    assert r2 >= 0.6, f"recall {r2}"
+    with pytest.raises(ValueError, match="hamming"):
+        ann_ivf_grid_topk(emb, queries, k=5, bits=4, hamming=3).collect()
+
+
 def test_gopher_flags_edges(spark):
     from tribeca_insights_spark.operators.textstats import gopher_quality_flags
 

@@ -4,6 +4,7 @@ byte-identical extracted text per url; identical TF vectors; identical SEO
 fields)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tribeca_insights_spark.fixtures import corpus_df, gen_corpus, golden_records
 from tribeca_insights_spark.operators.extract import page_data
@@ -90,3 +91,40 @@ def test_null_and_edge_rows(spark):
     )
     assert out[None]["slug"] == "home"  # empty path → "home" (crawler.py:77)
     assert "bad bytes" in out["https://x.com/d"]["text"]
+
+
+def test_charset_aware_decode(spark):
+    """Golden charset parity: a latin-1 page with a per-row declared
+    charset decodes byte-for-byte like the reference's requests path
+    (resp.text uses the Content-Type header charset, crawler.py:137-138) —
+    through the batch-UDF extraction, auto-detected from a `charset`
+    column. Without the column, legacy UTF-8(replace) applies. Bogus
+    charset names fall back to UTF-8 instead of raising."""
+    from tribeca_insights_spark.operators.extract import extract_pages
+
+    body = "<html><title>Café résumé</title><p>çãé naïve</p></html>"
+    latin1 = body.encode("latin-1")
+    # what requests yields for charset=ISO-8859-1 — the golden text
+    golden_title = "Café résumé"
+    rows = [
+        ("https://x.com/l1", latin1, "en", "iso-8859-1"),
+        ("https://x.com/cp", "ü-señor".encode("cp1252").join(
+            [b"<p>", b"</p>"]), "en", "Windows-1252"),  # case-insensitive
+        ("https://x.com/bogus", latin1, "en", "no-such-codec"),
+        ("https://x.com/none", latin1, "en", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url STRING, html BINARY, lang STRING, charset STRING"
+    ).withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    out = {r["url"]: r for r in extract_pages(docs).collect()}
+    assert out["https://x.com/l1"]["title"] == golden_title
+    assert "çãé naïve" in out["https://x.com/l1"]["text"]
+    assert "ü-señor" in out["https://x.com/cp"]["text"]
+    # bogus codec and no charset → utf-8 replace (é = 0xe9 → U+FFFD)
+    assert "�" in out["https://x.com/bogus"]["title"]
+    assert out["https://x.com/bogus"]["title"] == out[
+        "https://x.com/none"]["title"]
+    # forcing charset_col=None restores legacy utf-8-only behavior
+    legacy = {r["url"]: r for r in
+              extract_pages(docs, charset_col=None).collect()}
+    assert "�" in legacy["https://x.com/l1"]["title"]

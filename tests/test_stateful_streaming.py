@@ -73,3 +73,54 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
+    """ttl_ms: state for a url is dropped after the processing-time TTL and
+    a later re-arrival EMITS AGAIN (documented at-least-once-per-TTL mode —
+    the bounded-state configuration for open-ended streams). Batch layout:
+    X | filler (X's state times out here) | X again → X emitted twice."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def row(url, sec):
+        return {
+            "url": url,
+            "warc_ts": datetime(2026, 1, 1, 0, 0, sec),
+            "html": b"<p>x</p>",
+            "text": "",
+            "lang": "en",
+        }
+
+    _write_batch(spark, src, [row("https://a.com/X", 1)])
+    _write_batch(spark, src, [row("https://a.com/filler", 2)])
+    _write_batch(spark, src, [row("https://a.com/X", 3)])
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_first_seen(stream, ttl_ms=1)  # micro-batch gaps >> 1 ms
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    # X re-emitted after eviction; each emission is its batch's first row
+    assert len(by_url["https://a.com/X"]) == 2
+    assert sorted(r["first_ts"].second for r in by_url["https://a.com/X"]) \
+        == [1, 3]
+    assert len(by_url["https://a.com/filler"]) == 1

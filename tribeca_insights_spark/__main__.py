@@ -137,7 +137,7 @@ def cmd_report(args) -> int:
     under <project-dir>/reports/."""
     import os
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import Observation, functions as F
 
     from .operators import tf as tfops
 
@@ -166,10 +166,14 @@ def cmd_report(args) -> int:
         stats[name] = len(pdf)
     for name, df in unbounded.items():
         path = os.path.join(out_dir, name)
-        df = df.cache()
-        df.write.mode("overwrite").option("header", True).csv(path)
-        stats[name] = df.count()
-        df.unpersist()
+        # observe() rides the write job itself: ONE pass per report — no
+        # cache + second count() action (which at 100× scale re-computes
+        # the whole report when the cache doesn't fit)
+        obs = Observation(f"report_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).option("header", True).csv(path)
+        stats[name] = obs.get["rows"]
     print(json.dumps({"reports_dir": out_dir, "rows": stats}))
     spark.stop()
     return 0

@@ -71,6 +71,20 @@ class PageExtract:
     headings: List[str] = field(default_factory=list)
     images: List[Dict[str, str]] = field(default_factory=list)
     links: List[str] = field(default_factory=list)  # all hrefs, doc order
+    # SEO extension fields — keys the reference's project-JSON template
+    # ships but never computes (docs/examples/project_DOMAIN_template.json:
+    # 17-60: og_*, canonical, meta_robots, hreflang, twitter_*). First
+    # occurrence wins (same rule as meta description); absent → "".
+    canonical: str = ""
+    og_title: str = ""
+    og_description: str = ""
+    og_image: str = ""
+    og_url: str = ""
+    meta_robots: str = ""
+    twitter_title: str = ""
+    twitter_description: str = ""
+    twitter_image: str = ""
+    hreflang: List[Dict[str, str]] = field(default_factory=list)
     # raw (src, alt) attr values with missing-vs-empty preserved — the
     # markdown exporter's defaults differ from page_data's (markdown.py:75-78
     # uses src default "–"; crawler.py:86-89 uses ""): sinks need the raw view

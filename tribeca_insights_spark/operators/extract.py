@@ -20,11 +20,13 @@ extraction path, so both collections are re-derived JVM-side — literal
 for consumers that never touch them. Measured effect of the two changes:
 full-path extraction+TF 23.9k → 54.0k docs/sec at local[32].
 
-Charset policy: ``html`` is ``binary`` (input_hint); we decode UTF-8 with
-``errors="replace"`` — the reference consumes ``requests``' already-decoded
-``resp.text`` (crawler.py:137-138), so the decode step is new surface and
-UTF-8 is the Common-Crawl-standard choice. Fixtures are UTF-8, making the
-byte-identity invariant well-posed.
+Charset policy: ``html`` is ``binary`` (input_hint); when the input carries
+a per-page declared ``charset`` column (the WARC/WET reader emits one from
+Content-Type / <meta charset>), every decode honors it — matching the
+reference, which consumes ``requests``' header-charset-decoded ``resp.text``
+(crawler.py:137-138). Absent/unknown charsets decode UTF-8 with
+``errors="replace"``, the Common-Crawl-standard fallback. Fixtures are
+UTF-8, making the byte-identity invariant well-posed.
 """
 
 from __future__ import annotations
@@ -53,15 +55,29 @@ from ..schemas import EXTRACT_STRUCT, WORD_FREQUENCY_TYPE
 _TOKEN_PROFILE = "compat"  # default stopword profile inside the UDFs
 
 
-def _decode(h: Optional[object]) -> str:
+def _decode(h: Optional[object], charset: Optional[str] = None) -> str:
+    """bytes → str with the page's DECLARED charset when one is carried
+    (the WARC/WET reader emits it per record from Content-Type / <meta
+    charset>, sources/warc.py:94-107) — mirroring the reference, which
+    inherits requests' header-charset decode (crawler.py:137-138,
+    ``response.text``). Unknown/absent charset falls back to
+    UTF-8(replace), the old behavior; decode NEVER raises (errors=replace,
+    like requests)."""
     if h is None:
         return ""
     if isinstance(h, (bytes, bytearray, memoryview)):
-        return bytes(h).decode("utf-8", errors="replace")
+        b = bytes(h)
+        if charset:
+            try:
+                return b.decode(charset.strip().lower(), errors="replace")
+            except LookupError:
+                pass  # undeclared/bogus codec name → utf-8 fallback
+        return b.decode("utf-8", errors="replace")
     return str(h)
 
 
 def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series,
+                   charset: pd.Series,
                    profile: str = _TOKEN_PROFILE) -> pd.DataFrame:
     out = {
         "text": [], "title": [], "meta_description": [], "headings": [],
@@ -69,9 +85,9 @@ def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series,
         "slug": [], "page_hash": [], "tokens_str": [],
         "word_count": [], "wf_json": [],
     }
-    for u, h, lg in zip(url, html, lang):
+    for u, h, lg, cs in zip(url, html, lang, charset):
         u = u or ""
-        page = parse_page(_decode(h))
+        page = parse_page(_decode(h, cs))
         dom = url_domain(u)
         toks = clean_and_tokenize(page.text, lg or "", profile)
         out["text"].append(page.text)
@@ -95,14 +111,25 @@ def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series,
     return pd.DataFrame(out)
 
 
+def _charset_expr(docs: DataFrame, charset_col: str | None):
+    """Column feeding the UDF's charset series: the named column,
+    ``"auto"`` → a ``charset`` column when present, else NULL (= UTF-8)."""
+    if charset_col == "auto":
+        charset_col = "charset" if "charset" in docs.columns else None
+    if charset_col is None:
+        return F.lit(None).cast(StringType())
+    return F.col(charset_col)
+
+
 @lru_cache(maxsize=None)
 def make_extract_page_udf(profile: str = _TOKEN_PROFILE):
     """Struct-returning extraction pandas UDF bound to a stopword profile
     (the profile rides the closure; stopword sets are lru-cached per
     executor — no per-batch reload)."""
 
-    def batch(url: pd.Series, html: pd.Series, lang: pd.Series) -> pd.DataFrame:
-        return _extract_batch(url, html, lang, profile)
+    def batch(url: pd.Series, html: pd.Series, lang: pd.Series,
+              charset: pd.Series) -> pd.DataFrame:
+        return _extract_batch(url, html, lang, charset, profile)
 
     return pandas_udf(batch, returnType=EXTRACT_STRUCT)
 
@@ -110,10 +137,12 @@ def make_extract_page_udf(profile: str = _TOKEN_PROFILE):
 extract_page_udf = make_extract_page_udf(_TOKEN_PROFILE)
 
 
-def _extract_text_batch(html: pd.Series) -> pd.Series:
+def _extract_text_batch(html: pd.Series, charset: pd.Series) -> pd.Series:
     from ..htmlx.extractor import extract_visible_text
 
-    return pd.Series([extract_visible_text(_decode(h)) for h in html])
+    return pd.Series(
+        [extract_visible_text(_decode(h, cs)) for h, cs in zip(html, charset)]
+    )
 
 
 # Text-only fast path: parses once, ships ONE string column back over Arrow.
@@ -125,14 +154,15 @@ def make_extract_tokens_udf(profile: str = _TOKEN_PROFILE):
     """Tokens-only fast path for TF pipelines: parse + tokenize per page,
     ship just the token array."""
 
-    def batch(html: pd.Series, lang: pd.Series) -> pd.Series:
+    def batch(html: pd.Series, lang: pd.Series,
+              charset: pd.Series) -> pd.Series:
         from ..htmlx.extractor import extract_visible_text
 
         return pd.Series(
             [
-                clean_and_tokenize(extract_visible_text(_decode(h)),
+                clean_and_tokenize(extract_visible_text(_decode(h, cs)),
                                    lg or "", profile)
-                for h, lg in zip(html, lang)
+                for h, lg, cs in zip(html, lang, charset)
             ]
         )
 
@@ -147,17 +177,19 @@ def make_extract_tokstr_udf(profile: str = _TOKEN_PROFILE):
     """Fastest TF path: one space-joined token string per page over Arrow;
     JVM explodes it with a literal-delimiter split (codegen, no regex)."""
 
-    def batch(html: pd.Series, lang: pd.Series) -> pd.Series:
+    def batch(html: pd.Series, lang: pd.Series,
+              charset: pd.Series) -> pd.Series:
         from ..htmlx.extractor import extract_visible_text
 
         return pd.Series(
             [
                 " ".join(
                     clean_and_tokenize(
-                        extract_visible_text(_decode(h)), lg or "", profile
+                        extract_visible_text(_decode(h, cs)), lg or "",
+                        profile
                     )
                 )
-                for h, lg in zip(html, lang)
+                for h, lg, cs in zip(html, lang, charset)
             ]
         )
 
@@ -173,19 +205,27 @@ def extract_token_strings(docs: DataFrame,
     return docs.select(
         "url", "lang",
         make_extract_tokstr_udf(profile)(
-            F.col("html"), F.col("lang")
+            F.col("html"), F.col("lang"), _charset_expr(docs, "auto")
         ).alias("tokens_str"),
     )
 
 
 def extract_pages(docs: DataFrame, tokens: bool = True,
-                  profile: str = "compat") -> DataFrame:
+                  profile: str = "compat",
+                  charset_col: str | None = "auto") -> DataFrame:
     """docs(url, warc_ts, html, text, lang) → extracted per-page DataFrame.
 
     Plan shape: Scan → ArrowEvalPython (one parse+tokenize per page) →
     Project (flatten). No shuffle at all — extraction is embarrassingly
     parallel and stays that way at 10^12 docs; partitioning is inherited
     from the source (url-hash-bucketed Iceberg scan in production).
+
+    ``charset_col``: name of a per-page declared-charset column (the
+    WARC/WET reader emits one) used to decode ``html:binary`` with page
+    fidelity for non-UTF-8 corpora — the reference gets this for free from
+    requests (crawler.py:137-138). ``"auto"`` (default) uses a ``charset``
+    column when the input has one, else UTF-8; ``None`` forces legacy
+    UTF-8-only decode.
 
     ``tokens=False`` drops token-derived columns from the projection (the
     UDF output is pruned at the Arrow boundary only in the dedicated
@@ -194,7 +234,8 @@ def extract_pages(docs: DataFrame, tokens: bool = True,
     e = docs.withColumn(
         "_x",
         make_extract_page_udf(profile)(
-            F.col("url"), F.col("html"), F.col("lang")
+            F.col("url"), F.col("html"), F.col("lang"),
+            _charset_expr(docs, charset_col),
         ),
     )
     cols = [
@@ -237,11 +278,14 @@ def extract_texts(docs: DataFrame, tokens: bool = True,
         return docs.select(
             "url", "lang",
             make_extract_tokens_udf(profile)(
-                F.col("html"), F.col("lang")
+                F.col("html"), F.col("lang"), _charset_expr(docs, "auto")
             ).alias("tokens"),
         )
     return docs.select(
-        "url", "lang", extract_text_udf(F.col("html")).alias("text")
+        "url", "lang",
+        extract_text_udf(
+            F.col("html"), _charset_expr(docs, "auto")
+        ).alias("text"),
     )
 
 

@@ -161,20 +161,33 @@ def ann_ivf_grid_topk(emb: DataFrame, query_ids, k: int = 5, bits: int = 4,
 
     Cells: sign bits of the first ``bits`` dims (2^bits cells). Multi-probe:
     the query's own cell plus every cell at Hamming distance ≤ ``hamming``
-    (single bit flips) — deterministic, no trained centroids, so an external
+    (bit flips; ``hamming=2`` adds the C(bits,2) two-bit flips — probe list
+    stays 1 + bits + bits·(bits-1)/2, bounded and broadcastable) —
+    deterministic, no trained centroids, so an external
     SQL engine can state the exact result. Search skeleton is identical to
     the KMeans IVF: candidates from a cell equi-join (broadcast probe list),
     exact cosine re-rank, top-k. At 10^12 rows the table is stored bucketed
     by ``cell`` and each probe reads only its cells."""
-    if hamming > 1:
-        raise ValueError("hamming > 1 not implemented (probe list explodes)")
+    if hamming > 2:
+        raise ValueError(
+            "hamming > 2 not implemented (C(bits,h) probe growth; at h>2 "
+            "you want more bits or the KMeans IVF, not a wider probe)"
+        )
     base = emb.select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("v")
     ).withColumn("cell", sign_lsh_bucket(F.col("v"), bits).cast("int"))
     q = base.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
     )
-    masks = [0] + ([1 << i for i in range(bits)] if hamming >= 1 else [])
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << i for i in range(bits)]
+    if hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
     probes = q.select(
         "query_id", "qv",
         F.explode(

@@ -57,7 +57,9 @@ def _extract_partitions(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     pid = TaskContext.get().partitionId() if TaskContext.get() else -1
     t0 = time.time()
     for pdf in it:
-        ex = _extract_batch(pdf["url"], pdf["html"], pdf["lang"])
+        cs = (pdf["charset"] if "charset" in pdf.columns
+              else pd.Series([None] * len(pdf)))
+        ex = _extract_batch(pdf["url"], pdf["html"], pdf["lang"], cs)
         ex.insert(0, "url", pdf["url"].values)
         ex.insert(1, "warc_ts", pdf["warc_ts"].values)
         ex.insert(2, "lang", pdf["lang"].values)

@@ -20,11 +20,17 @@ global min across batches should aggregate downstream of the sink.
 State sizing at 10^12 urls: group key IS the url, so state lives in the
 state store partitioned by ``spark.sql.shuffle.partitions`` — size that to
 the key cardinality, or key by ``xxhash64(url)`` to keep keys fixed-width.
+For OPEN-ENDED streams, unbounded per-url state eventually exhausts the
+store; ``dedup_first_seen(ttl_ms=...)`` bounds it with a processing-time
+timeout — semantics weaken from exactly-once-per-url to at-least-once-per-
+TTL-window (a url re-arriving after its state expired is emitted again,
+exactly like a cache miss). Pick the TTL at the crawl-revisit horizon.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from functools import partial
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -35,8 +41,14 @@ STATE_SCHEMA = "seen long"
 
 
 def _first_seen(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState,
+    ttl_ms: Optional[int] = None,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # TTL expiry callback: drop the seen flag; the next arrival of this
+        # url re-emits (documented at-least-once-per-TTL semantics)
+        state.remove()
+        return
     n = 0
     first = None
     for pdf in pdfs:
@@ -51,8 +63,12 @@ def _first_seen(
     if n == 0:
         return
     if state.exists:  # url already emitted in an earlier micro-batch
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # refresh TTL on re-arrival
         return
     state.update((1,))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {
             "url": [key[0]],
@@ -62,17 +78,28 @@ def _first_seen(
     )
 
 
-def dedup_first_seen(stream: DataFrame) -> DataFrame:
+def dedup_first_seen(stream: DataFrame,
+                     ttl_ms: Optional[int] = None) -> DataFrame:
     """Streaming (url, warc_ts, …) → one row per url, first occurrence
-    wins across micro-batches; per-url state persists in the checkpoint."""
+    wins across micro-batches; per-url state persists in the checkpoint.
+
+    ``ttl_ms``: optional processing-time state TTL. Default (None) keeps
+    state forever — exact first-seen, state grows with distinct urls; with
+    a TTL, state for a url is evicted ``ttl_ms`` after its last arrival and
+    a later re-arrival is emitted again (at-least-once per TTL window) —
+    the bounded-state mode an open-ended crawl stream needs."""
     return (
         stream.select("url", "warc_ts")
         .groupBy("url")
         .applyInPandasWithState(
-            _first_seen,
+            partial(_first_seen, ttl_ms=ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

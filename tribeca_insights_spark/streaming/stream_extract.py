@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.extract import extract_page_udf
+from ..operators.extract import _charset_expr, extract_page_udf
 from ..schemas import DOCS_SCHEMA
 
 
@@ -31,7 +31,11 @@ def read_docs_stream(spark: SparkSession, src_dir: str,
 
 def extracted_stream(docs_stream: DataFrame) -> DataFrame:
     e = docs_stream.withColumn(
-        "_x", extract_page_udf(F.col("url"), F.col("html"), F.col("lang"))
+        "_x",
+        extract_page_udf(
+            F.col("url"), F.col("html"), F.col("lang"),
+            _charset_expr(docs_stream, "auto"),
+        ),
     )
     return e.select(
         "url", "warc_ts", "lang",
