@@ -290,3 +290,40 @@ def test_fast_tag_paths_equivalence():
         assert fast.links == slow.links, h[:80]
         assert fast.images == slow.images, h[:80]
         assert fast.meta_description == slow.meta_description, h[:80]
+
+
+def test_seo_extension_fields():
+    """canonical/og_*/meta_robots/twitter_*/hreflang extraction: first
+    occurrence wins (meta-description rule applied uniformly), multi-valued
+    rel handled, non-hreflang alternates ignored, absent fields ''."""
+    from tribeca_insights_spark.htmlx.extractor import parse_page
+
+    h = (
+        '<html><head><title>T</title>'
+        '<link rel="canonical" href=" https://x.com/c ">'
+        '<link rel="canonical" href="https://x.com/SECOND-IGNORED">'
+        '<link rel="alternate" hreflang="en" href="https://x.com/en">'
+        '<link rel="ALTERNATE stylesheet" hreflang="de" href="/de">'
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'
+        '<meta property="og:title" content=" OG T ">'
+        '<meta property="og:title" content="ignored">'
+        '<meta property="og:image" content="https://x.com/o.png">'
+        '<meta name="robots" content="noindex,nofollow">'
+        '<meta name="twitter:description" content="tw d">'
+        '</head><body>hi</body></html>'
+    )
+    p = parse_page(h)
+    assert p.canonical == "https://x.com/c"  # first wins, stripped
+    assert p.og_title == "OG T"
+    assert p.og_image == "https://x.com/o.png"
+    assert p.og_description == "" and p.og_url == ""  # absent → ''
+    assert p.meta_robots == "noindex,nofollow"
+    assert p.twitter_description == "tw d" and p.twitter_title == ""
+    # rel is multi-valued + case-insensitive; rss alternate has no hreflang
+    assert p.hreflang == [
+        {"hreflang": "en", "href": "https://x.com/en"},
+        {"hreflang": "de", "href": "/de"},
+    ]
+    # no SEO tags at all → all defaults
+    q = parse_page("<p>plain</p>")
+    assert q.canonical == "" and q.hreflang == [] and q.meta_robots == ""

@@ -2648,6 +2648,96 @@ def q69_robots_url_filter(spark, sf_dir):
     return frontier.join(blocked, "url", "left_anti").select("doc_id", "url")
 
 
+def documents_as_seo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pages whose <head> carries the full SEO extension tag
+    set (canonical, og:*, robots, twitter:*, hreflang alternates) with
+    closed-form values, so a SQL oracle can state every extracted field.
+    Separate from :func:`documents_as_pages` to leave the q01/q02 golden
+    byte-contracts untouched."""
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), sid
+    )
+    robots_val = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("index,follow")
+    ).otherwise(F.lit("noindex"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), sid, F.lit("</title>"),
+        F.lit('<link rel="canonical" href="'), url, F.lit('">'),
+        F.lit('<meta property="og:title" content="OG Doc '), sid,
+        F.lit('"><meta property="og:description" content="'),
+        F.col("source"), F.lit(' og">'),
+        F.lit('<meta property="og:image" content="https://img.example.com/og/'),
+        sid, F.lit('.png">'),
+        F.lit('<meta name="robots" content="'), robots_val, F.lit('">'),
+        F.lit('<meta name="twitter:title" content="TW Doc '), sid,
+        F.lit('">'),
+        F.lit('<link rel="alternate" hreflang="en" href="'), url,
+        F.lit('?hl=en">'),
+        F.lit('<link rel="alternate" hreflang="pt-br" href="'), url,
+        F.lit('?hl=pt">'),
+        # decoys the extractor must ignore: rss alternate (no hreflang),
+        # second canonical (first wins), second og:title (first wins)
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/f">'),
+        F.lit('<link rel="canonical" href="https://wrong.example.com/">'),
+        F.lit('<meta property="og:title" content="IGNORED">'),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return d.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
+@q(
+    "q70_seo_extended",
+    """
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || doc_id
+             AS canonical,
+           'OG Doc ' || doc_id AS og_title,
+           source || ' og' AS og_description,
+           'https://img.example.com/og/' || doc_id || '.png' AS og_image,
+           CASE WHEN doc_id % 2 = 0 THEN 'index,follow' ELSE 'noindex' END
+             AS meta_robots,
+           'TW Doc ' || doc_id AS twitter_title,
+           2 AS n_hreflang,
+           'en' AS hreflang_first,
+           'https://' || source || '.example.com/docs/' || doc_id ||
+             '?hl=pt' AS hreflang_last_href
+    FROM documents
+    """,
+)
+def q70_seo_extended(spark, sf_dir):
+    """SEO extension extraction (canonical / og:* / meta robots /
+    twitter:* / hreflang): the reference's project-JSON template ships
+    these keys but never computes them
+    (docs/examples/project_DOMAIN_template.json:17-60); here they come out
+    of the same single-pass tag walk as title/meta, first-occurrence-wins,
+    with decoy tags proving the selection rules."""
+    docs = documents_as_seo_pages(spark, sf_dir)
+    ex = extract_pages(docs, tokens=False)
+    return ex.select(
+        F.regexp_extract("url", r"/docs/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("seo.canonical").alias("canonical"),
+        F.col("seo.og_title").alias("og_title"),
+        F.col("seo.og_description").alias("og_description"),
+        F.col("seo.og_image").alias("og_image"),
+        F.col("seo.meta_robots").alias("meta_robots"),
+        F.col("seo.twitter_title").alias("twitter_title"),
+        F.size("seo.hreflang").alias("n_hreflang"),
+        F.col("seo.hreflang")[0]["hreflang"].alias("hreflang_first"),
+        F.element_at(F.col("seo.hreflang"), -1)["href"]
+        .alias("hreflang_last_href"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

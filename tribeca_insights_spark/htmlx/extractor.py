@@ -60,6 +60,19 @@ _HEADING_RE = re.compile(r"^h[1-6]$")
 _HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}  # dict beats regex 5×
 _WS_RE = re.compile(r"\s+")
 
+# meta property/name → SEO extension field (template keys the reference
+# never computes; see PageExtract). One dict lookup per <meta> tag.
+_SEO_META_KEYS = {
+    "og:title": "og_title",
+    "og:description": "og_description",
+    "og:image": "og_image",
+    "og:url": "og_url",
+    "robots": "meta_robots",
+    "twitter:title": "twitter_title",
+    "twitter:description": "twitter_description",
+    "twitter:image": "twitter_image",
+}
+
 
 @dataclass
 class PageExtract:
@@ -156,6 +169,10 @@ class _Walker(FastTagPaths, HTMLParser):
         self._open_headings: List[Tuple[int, int, List[str]]] = []  # (level, depth, parts)
         self.images: List[Tuple[Optional[str], Optional[str]]] = []  # raw attrs
         self.links: List[str] = []
+        # SEO extension collectors: first occurrence wins (the meta-
+        # description rule applied uniformly); hreflang keeps doc order
+        self.seo: Dict[str, str] = {}
+        self.hreflang: List[Tuple[str, str]] = []
 
     # -- bs4-style data-node merging -------------------------------------
     def _end_data(self) -> None:
@@ -194,6 +211,22 @@ class _Walker(FastTagPaths, HTMLParser):
                 self.meta_description = (
                     content.strip() if isinstance(content, str) else ""
                 )
+            key = _SEO_META_KEYS.get(ad.get("property") or ad.get("name"))
+            if key is not None and key not in self.seo:
+                c = ad.get("content")
+                self.seo[key] = c.strip() if isinstance(c, str) else ""
+        elif tag == "link":
+            rel = (ad.get("rel") or "").lower().split()
+            if "canonical" in rel:
+                if "canonical" not in self.seo:
+                    href = ad.get("href")
+                    self.seo["canonical"] = (
+                        href.strip() if isinstance(href, str) else ""
+                    )
+            elif "alternate" in rel:
+                hl = ad.get("hreflang")
+                if hl:
+                    self.hreflang.append((hl, ad.get("href") or ""))
         if self._title_depth is not None:
             self._title_has_elem = True
         if tag in VOID_TAGS:
@@ -302,6 +335,18 @@ def parse_page(html: str) -> PageExtract:
         for src, alt in w.images
     ]
     out.links = w.links
+    out.canonical = w.seo.get("canonical", "")
+    out.og_title = w.seo.get("og_title", "")
+    out.og_description = w.seo.get("og_description", "")
+    out.og_image = w.seo.get("og_image", "")
+    out.og_url = w.seo.get("og_url", "")
+    out.meta_robots = w.seo.get("meta_robots", "")
+    out.twitter_title = w.seo.get("twitter_title", "")
+    out.twitter_description = w.seo.get("twitter_description", "")
+    out.twitter_image = w.seo.get("twitter_image", "")
+    out.hreflang = [
+        {"hreflang": hl, "href": href} for hl, href in w.hreflang
+    ]
     return out
 
 

@@ -50,7 +50,7 @@ from ..htmlx.extractor import (
     parse_page,
     url_domain,
 )
-from ..schemas import EXTRACT_STRUCT, WORD_FREQUENCY_TYPE
+from ..schemas import EXTRACT_STRUCT, SEO_STRUCT, WORD_FREQUENCY_TYPE
 
 _TOKEN_PROFILE = "compat"  # default stopword profile inside the UDFs
 
@@ -83,7 +83,7 @@ def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series,
         "text": [], "title": [], "meta_description": [], "headings": [],
         "images": [], "external_links": [], "internal_links": [],
         "slug": [], "page_hash": [], "tokens_str": [],
-        "word_count": [], "wf_json": [],
+        "word_count": [], "wf_json": [], "seo_json": [],
     }
     for u, h, lg, cs in zip(url, html, lang, charset):
         u = u or ""
@@ -107,6 +107,25 @@ def _extract_batch(url: pd.Series, html: pd.Series, lang: pd.Series,
         # rebuilt as MapType JVM-side via from_json (see extract_pages)
         out["wf_json"].append(
             json.dumps(dict(Counter(toks)), separators=(",", ":"))
+        )
+        # SEO extension fields as one compact JSON string (Arrow-cheap;
+        # from_json rebuilds the struct JVM-side, see schemas.SEO_STRUCT)
+        out["seo_json"].append(
+            json.dumps(
+                {
+                    "canonical": page.canonical,
+                    "og_title": page.og_title,
+                    "og_description": page.og_description,
+                    "og_image": page.og_image,
+                    "og_url": page.og_url,
+                    "meta_robots": page.meta_robots,
+                    "twitter_title": page.twitter_title,
+                    "twitter_description": page.twitter_description,
+                    "twitter_image": page.twitter_image,
+                    "hreflang": page.hreflang,
+                },
+                separators=(",", ":"),
+            )
         )
     return pd.DataFrame(out)
 
@@ -251,6 +270,9 @@ def extract_pages(docs: DataFrame, tokens: bool = True,
         F.col("_x.internal_links").alias("internal_links"),
         F.col("_x.slug").alias("slug"),
         F.col("_x.page_hash").alias("page_hash"),
+        # SEO extension struct (canonical/og_*/meta_robots/twitter_*/
+        # hreflang); pruned by Catalyst when untouched
+        F.from_json(F.col("_x.seo_json"), SEO_STRUCT).alias("seo"),
     ]
     if tokens:
         # tokens array and word_frequency map are derived JVM-side from the

@@ -67,10 +67,42 @@ EXTRACT_STRUCT = StructType(
         # MapType lazily — consumers that never touch it (TF pipelines)
         # get it pruned away entirely by Catalyst
         StructField("wf_json", StringType()),
+        # SEO extension fields (canonical/og_*/meta_robots/twitter_*/
+        # hreflang — reference template keys it never computes) as ONE
+        # compact JSON string for the same Arrow-cost reason as wf_json;
+        # rebuilt JVM-side via from_json(SEO_STRUCT) and Catalyst-pruned
+        # for consumers that never touch it
+        StructField("seo_json", StringType()),
     ]
 )
 
 WORD_FREQUENCY_TYPE = MapType(StringType(), IntegerType())
+
+# JVM-side shape of the seo_json payload (extract_pages' `seo` column).
+SEO_STRUCT = StructType(
+    [
+        StructField("canonical", StringType()),
+        StructField("og_title", StringType()),
+        StructField("og_description", StringType()),
+        StructField("og_image", StringType()),
+        StructField("og_url", StringType()),
+        StructField("meta_robots", StringType()),
+        StructField("twitter_title", StringType()),
+        StructField("twitter_description", StringType()),
+        StructField("twitter_image", StringType()),
+        StructField(
+            "hreflang",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("hreflang", StringType()),
+                        StructField("href", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
 
 # Full per-page record (reference page_data, crawler.py:163-175) + provenance.
 PAGE_SCHEMA = StructType(
