@@ -2738,6 +2738,123 @@ def q70_seo_extended(spark, sf_dir):
     )
 
 
+# --- LLM-pipeline extensions: PII redaction + DSIR selection ----------------
+
+from .operators.redact import (  # noqa: E402 — grouped with their queries
+    EMAIL_RE,
+    EMAIL_TOKEN,
+    IPV4_RE,
+    IPV4_TOKEN,
+    PHONE_RE,
+    PHONE_TOKEN,
+    redact_pii,
+)
+
+
+@q(
+    "q71_pii_redaction",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id || '@mail.example.com or 10.'
+                  || (doc_id % 256) || '.0.1 or call 415-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+             '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
+             '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM aug
+    """,
+)
+def q71_pii_redaction(spark, sf_dir):
+    """PII redaction (operators/redact.py): deterministic email/IP/phone
+    strings are spliced into every document, then masked + counted with
+    Java-regex/RE2-portable patterns. Shuffle-free narrow transform —
+    the oracle replays the identical construction and replacement chain."""
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Contact user"), sid,
+            F.lit("@mail.example.com or 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 or call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id",
+        "redacted_text",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
+@q(
+    "q72_dsir_importance",
+    """
+    WITH words AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS w
+      FROM documents
+    ),
+    pdb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
+             count(*) AS cnt
+      FROM words GROUP BY doc_id, is_t, b
+    ),
+    bt AS (
+      SELECT b, CAST(sum(cnt) AS BIGINT) AS r_cnt,
+             CAST(sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT)
+               AS t_cnt
+      FROM pdb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(r_cnt) AS BIGINT) AS R_, CAST(sum(t_cnt) AS BIGINT)
+               AS T_
+      FROM bt
+    ),
+    wts AS (
+      SELECT b, CAST(floor(1e6 * (ln(t_cnt + 1) - ln(T_ + 1024)
+                                  - ln(r_cnt + 1) + ln(R_ + 1024)))
+                     AS BIGINT) AS w_micros
+      FROM bt, tot
+    )
+    SELECT pdb.doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * w_micros) AS BIGINT) AS dsir_score_micros
+    FROM pdb JOIN wts USING (b)
+    GROUP BY pdb.doc_id
+    """,
+)
+def q72_dsir_importance(spark, sf_dir):
+    """DSIR importance scoring (operators/dsir.py; Xie et al. 2023):
+    hashed-unigram log-likelihood ratio of the lang='en' target slice vs
+    the whole corpus, per-bucket weights quantized to integer micros so
+    the per-doc sum is aggregation-order-independent and the DuckDB
+    oracle matches bit-for-bit."""
+    from .operators.dsir import dsir_importance
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en", n_buckets=1024)
+
+
 # ---------------------------------------------------------------------------
 
 
