@@ -2855,6 +2855,93 @@ def q72_dsir_importance(spark, sf_dir):
     return dsir_importance(docs, F.col("lang") == "en", n_buckets=1024)
 
 
+@q(
+    "q73_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, is_t, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, is_t, l, unnest(range(1, len(l))) AS i
+            FROM toks)
+    ),
+    uni AS (SELECT doc_id, is_t, unnest(l) AS w FROM toks),
+    c1 AS (
+      SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1
+      FROM uni WHERE is_t GROUP BY w
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big WHERE is_t GROUP BY w1, w2
+    ),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz
+          FROM uni WHERE is_t)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(floor(1e6 * (ln(coalesce(c12, 0) + 1)
+                                      - ln(coalesce(c1, 0) + vsz)))
+                         AS BIGINT)) AS BIGINT) AS lm_logprob_micros
+    FROM big b
+    LEFT JOIN c12 USING (w1, w2)
+    LEFT JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q73_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py; Wenzek et al.
+    2020): Laplace-smoothed bigram LM fit on the lang='en' slice scores
+    every document's total log-probability; per-bigram log-probs are
+    micro-quantized so the sum is order-independent and oracle-exact."""
+    from .operators.lm import bigram_lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, F.col("lang") == "en")
+
+
+@q(
+    "q74_mixture_sample",
+    """
+    WITH rates AS (
+      SELECT source,
+             CAST(200000 + ('0x' || substr(md5(source), 1, 8))::BIGINT
+                           % 600000 AS BIGINT) AS rate_micros
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source, r.rate_micros,
+           CAST(1000000.0 AS DOUBLE) / r.rate_micros AS sample_weight
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 < r.rate_micros
+    """,
+)
+def q74_mixture_sample(spark, sf_dir):
+    """Deterministic training-mix sampling (operators/mixing.py):
+    per-source keep-rates (themselves hash-derived here so the oracle can
+    state them) select documents via md5-bucket < rate — reproducible
+    membership with inverse-probability weights, no RNG state."""
+    from .operators.mixing import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = docs.select("source").distinct().select(
+        "source",
+        (
+            F.lit(200000)
+            + F.conv(F.substring(F.md5("source"), 1, 8), 16, 10)
+            .cast("long")
+            % 600000
+        ).alias("rate_micros"),
+    )
+    return mixture_sample(docs, rates).select(
+        "doc_id", "source", "rate_micros", "sample_weight"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
