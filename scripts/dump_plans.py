@@ -105,6 +105,33 @@ def main() -> None:
             "the parity extractor.",
             EQ.QUERIES["q44_main_content"](spark, SF_DIR),
         ),
+        (
+            "PII redaction (q71): shuffle-free narrow transform",
+            "regexp_replace/extract_all chains codegen into the scan "
+            "projection — zero Exchange, zero Python.",
+            EQ.QUERIES["q71_pii_redaction"](spark, SF_DIR),
+        ),
+        (
+            "DSIR importance (q72): broadcast weight dim",
+            "One wide shuffle to (doc,bucket) counts; the <=1024-row "
+            "LLR-weight dimension derives from it and BROADCASTS back — "
+            "the corpus-sized side never reshuffles for the scoring join.",
+            EQ.QUERIES["q72_dsir_importance"](spark, SF_DIR),
+        ),
+        (
+            "Bigram-LM scoring (q73): LM-as-dataflow joins",
+            "The 'model' is two aggregated count tables joined back onto "
+            "the bigram stream (equi-joins, AQE-broadcastable); "
+            "micro-quantized log-probs make the final sum order-free.",
+            EQ.QUERIES["q73_bigram_lm_score"](spark, SF_DIR),
+        ),
+        (
+            "Mixture sampling (q74): broadcast rate dim over the scan",
+            "Per-source keep-rates broadcast; the md5-bucket filter sits "
+            "directly above the scan — changing the mix never reshuffles "
+            "the corpus.",
+            EQ.QUERIES["q74_mixture_sample"](spark, SF_DIR),
+        ),
     ]
 
     lines = [
