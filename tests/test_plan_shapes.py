@@ -105,3 +105,41 @@ def test_tf_idf_df_dim_broadcasts(spark, docs):
     ex = extract_texts(docs.limit(100))
     p = _plan(tfops.tf_idf(ex))
     assert "BroadcastHashJoin" in p
+
+
+def test_dsir_weight_dim_broadcasts(spark):
+    """The <=n_buckets-row LLR-weight dim must broadcast back onto the
+    (doc,bucket) counts — the corpus side never reshuffles for scoring.
+    The only nested-loop allowed is the 1-row totals crossJoin."""
+    from tribeca_insights_spark.operators.dsir import dsir_importance
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(dsir_importance(d, F.col("lang") == "en"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mixture_sample_rates_broadcast_no_extra_shuffle(spark):
+    """Rates join is a broadcast directly above the scan; the corpus
+    never exchanges for sampling (the only Exchange is the tiny distinct
+    building the rates dim itself)."""
+    from tribeca_insights_spark.operators.mixing import mixture_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = d.select("source").distinct().withColumn(
+        "rate_micros", F.lit(500000).cast("long")
+    )
+    p = _plan(mixture_sample(d, rates))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_bigram_lm_no_cartesian_beyond_scalar_vocab(spark):
+    """LM scoring joins are equi-joins; the single-row vocab-size dim is
+    the only broadcast-nested-loop (cross) allowed."""
+    from tribeca_insights_spark.operators.lm import bigram_lm_score
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(bigram_lm_score(d, F.col("lang") == "en"))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row vocab dim only
