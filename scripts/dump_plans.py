@@ -132,6 +132,36 @@ def main() -> None:
             "the corpus.",
             EQ.QUERIES["q74_mixture_sample"](spark, SF_DIR),
         ),
+        (
+            "Keep-best retention (q75): partial-agg argmax, no window",
+            "Survivor per duplicate cluster via groupBy + max(struct) — "
+            "map-side combine reduces even a 10^6-copy boilerplate cluster "
+            "to one candidate per input partition before the single "
+            "shuffle; a window would sort every member.",
+            EQ.QUERIES["q75_dedup_keep_best"](spark, SF_DIR),
+        ),
+        (
+            "Token-budget allocation (q76): in-dataflow totals",
+            "Both water-filling totals (weight sum, surplus pool) are "
+            "1-row aggregates broadcast back — no driver round-trip; all "
+            "arithmetic integer `div`, exact past 2^53.",
+            EQ.QUERIES["q76_token_budget"](spark, SF_DIR),
+        ),
+        (
+            "Hashed linear classifier (q77): zero-Exchange scoring",
+            "The dot product runs inside F.aggregate over the token array "
+            "— a narrow map directly above the scan. A trained model swaps "
+            "the closed-form weight for a broadcast vector; plan shape "
+            "unchanged.",
+            EQ.QUERIES["q77_hashed_classifier"](spark, SF_DIR),
+        ),
+        (
+            "Domain report card (q79): hash-window + partial-agg rollup",
+            "Narrow per-doc features; duplicate flag from a count over the "
+            "fixed-width md5 window; final rollup partial-aggregates on "
+            "the domain key.",
+            EQ.QUERIES["q79_domain_stats"](spark, SF_DIR),
+        ),
     ]
 
     lines = [

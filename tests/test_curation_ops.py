@@ -1,0 +1,223 @@
+"""Round-3 curation operators: keep_best retention, token budgets,
+hashed classifier, normalization, domain stats, tracking-param strip."""
+
+from pyspark.sql import Row, functions as F
+
+from tribeca_insights_spark.functions.normalize import (
+    normalize_text_col,
+    with_normalized_text,
+)
+from tribeca_insights_spark.functions.urlnorm import canonical_url
+from tribeca_insights_spark.operators.classifier import (
+    bucket_weight_micros,
+    hashed_linear_score,
+    sigmoid,
+)
+from tribeca_insights_spark.operators.dedup import keep_best
+from tribeca_insights_spark.operators.mixing import token_budget_rates
+from tribeca_insights_spark.operators.textstats import domain_stats
+
+
+# --- keep_best --------------------------------------------------------------
+
+
+def test_keep_best_argmax_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            # cluster A: doc 3 has the top score
+            Row(doc_id=1, ck="A", score=10),
+            Row(doc_id=3, ck="A", score=30),
+            Row(doc_id=2, ck="A", score=20),
+            # cluster B: score tie — lowest id (4) must win
+            Row(doc_id=5, ck="B", score=7),
+            Row(doc_id=4, ck="B", score=7),
+            # singleton
+            Row(doc_id=9, ck="C", score=1),
+        ]
+    )
+    out = {
+        r["ck"]: r
+        for r in keep_best(df, "ck", "doc_id", "score").collect()
+    }
+    assert out["A"]["keeper_doc_id"] == 3 and out["A"]["cluster_size"] == 3
+    assert out["A"]["score"] == 30
+    assert out["B"]["keeper_doc_id"] == 4
+    assert out["C"]["keeper_doc_id"] == 9 and out["C"]["cluster_size"] == 1
+
+
+def test_keep_best_carry_cols(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, ck="A", score=1, url="u1"),
+         Row(doc_id=2, ck="A", score=5, url="u2")]
+    )
+    r = keep_best(df, "ck", "doc_id", "score", carry_cols=("url",)).collect()
+    assert r[0]["url"] == "u2"
+
+
+# --- token_budget_rates -----------------------------------------------------
+
+
+def _rates(spark, rows, budget):
+    dt = spark.createDataFrame(
+        [Row(source=s, n_tokens=n) for s, n, _ in rows]
+    )
+    w = spark.createDataFrame(
+        [Row(source=s, weight_micros=wm) for s, _, wm in rows]
+    )
+    return {
+        r["source"]: r
+        for r in token_budget_rates(dt, w, budget=budget).collect()
+    }
+
+
+def test_token_budget_uncapped_exact_shares(spark):
+    # plenty of supply: desired = budget * w / W exactly, no surplus
+    out = _rates(
+        spark,
+        [("a", 10_000, 500_000), ("b", 10_000, 500_000)],
+        budget=10_000,
+    )
+    assert out["a"]["desired_tokens"] == 5000
+    assert out["a"]["kept_tokens"] == 5000
+    assert out["a"]["rate_micros"] == 500_000
+
+
+def test_token_budget_redistribution(spark):
+    # "a" can only supply 1000 of its 5000 share; the 4000 surplus is
+    # re-granted to "b" (the only uncapped group)
+    out = _rates(
+        spark,
+        [("a", 1_000, 500_000), ("b", 100_000, 500_000)],
+        budget=10_000,
+    )
+    assert out["a"]["kept_tokens"] == 1000
+    assert out["a"]["rate_micros"] == 1_000_000
+    assert out["b"]["desired_tokens"] == 9000
+    assert out["b"]["kept_tokens"] == 9000
+    assert out["b"]["rate_micros"] == 90_000
+
+
+def test_token_budget_all_capped(spark):
+    # budget exceeds total supply: everyone capped, rate 1.0, no crash
+    # on the empty uncapped pool (w_uncapped = 0 guard)
+    out = _rates(
+        spark, [("a", 10, 500_000), ("b", 20, 500_000)], budget=1_000
+    )
+    assert out["a"]["kept_tokens"] == 10
+    assert out["a"]["rate_micros"] == 1_000_000
+    assert out["b"]["rate_micros"] == 1_000_000
+
+
+# --- hashed_linear_score ----------------------------------------------------
+
+
+def test_hashed_classifier_matches_python_mirror(spark):
+    import hashlib
+
+    def w(tok, k=1 << 20):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % k
+        return (b * 2654435761) % 2000001 - 1000000
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="Alpha beta beta!"), Row(doc_id=2, text="")]
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(docs).collect()}
+    exp = w("alpha") + 2 * w("beta")
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["score_micros"] == exp
+    mean = exp / 1e6 / 3
+    assert abs(out[1]["prob"] - sigmoid(mean)) < 1e-6
+    # empty doc: no tokens, NULL mean/prob, zero score
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["score_micros"] == 0
+    assert out[2]["mean_weight"] is None and out[2]["prob"] is None
+
+
+def test_bucket_weight_range(spark):
+    df = spark.range(200).select(
+        bucket_weight_micros(F.col("id").cast("string")).alias("w")
+    )
+    mn, mx = df.agg(F.min("w"), F.max("w")).first()
+    assert -1_000_000 <= mn and mx <= 1_000_000
+
+
+# --- normalize_text ---------------------------------------------------------
+
+
+def test_normalize_strips_and_collapses(spark):
+    df = spark.createDataFrame(
+        [Row(text="a\x01b​‌ c﻿  d\te\x7f")]
+    )
+    r = df.select(normalize_text_col("text").alias("n")).first()
+    assert r["n"] == "ab c d e"
+
+
+def test_normalize_preserves_tabs_newlines_as_spaces(spark):
+    df = spark.createDataFrame([Row(text="  x\n\ny \t z  ")])
+    out = with_normalized_text(df).first()
+    assert out["norm_text"] == "x y z"
+    assert out["n_junk_chars"] == 0  # \n \t are whitespace, not junk
+
+
+def test_normalize_junk_count(spark):
+    df = spark.createDataFrame([Row(text="a\x00\x1f‍")])
+    assert with_normalized_text(df).first()["n_junk_chars"] == 3
+
+
+# --- domain_stats -----------------------------------------------------------
+
+
+def test_domain_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(source="s1", doc_id=1, lang="en", text="one two three"),
+            Row(source="s1", doc_id=2, lang="en", text="one two three"),
+            Row(source="s1", doc_id=3, lang="pt", text="quatro"),
+            Row(source="s2", doc_id=4, lang="en", text="one two three"),
+        ]
+    )
+    out = {r["source"]: r for r in domain_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["n_langs"] == 2
+    assert out["s1"]["total_word_tokens"] == 7
+    # docs 1,2,4 share text → all three flagged dup (global hash window)
+    assert out["s1"]["n_dup_docs"] == 2
+    assert out["s2"]["n_dup_docs"] == 1
+    assert abs(out["s2"]["avg_chars"] - 13.0) < 1e-9
+
+
+# --- tracking-param strip ---------------------------------------------------
+
+
+def _canon(spark, url, **kw):
+    return (
+        spark.createDataFrame([Row(u=url)])
+        .select(canonical_url("u", **kw).alias("c"))
+        .first()["c"]
+    )
+
+
+def test_strip_tracking_params(spark):
+    assert (
+        _canon(
+            spark,
+            "HTTP://Ex.COM:80/p?utm_source=x&b=2&gclid=g&a=1#f",
+            strip_tracking=True,
+        )
+        == "http://ex.com/p?a=1&b=2"
+    )
+
+
+def test_strip_tracking_all_params_gone(spark):
+    assert (
+        _canon(spark, "https://ex.com/p?utm_campaign=c&fbclid=f",
+               strip_tracking=True)
+        == "https://ex.com/p"
+    )
+
+
+def test_strip_tracking_off_by_default(spark):
+    assert (
+        _canon(spark, "https://ex.com/p?utm_a=1&b=2")
+        == "https://ex.com/p?b=2&utm_a=1"
+    )

@@ -143,3 +143,59 @@ def test_bigram_lm_no_cartesian_beyond_scalar_vocab(spark):
     p = _plan(bigram_lm_score(d, F.col("lang") == "en"))
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row vocab dim only
+
+
+def test_keep_best_is_partial_agg_not_window(spark):
+    """Cluster retention must plan as HashAggregate (map-side combine on
+    the argmax struct) — a Window would sort every member of every
+    cluster after the shuffle, the skew bottleneck at boilerplate-cluster
+    sizes."""
+    from tribeca_insights_spark.operators.dedup import keep_best
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.md5("text").alias("ck"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    p = _plan(keep_best(d, "ck", "doc_id", "n_chars"))
+    assert "HashAggregate" in p
+    assert "Window" not in p
+    assert "SortAggregate" not in p  # max(struct)/max_by would trip this
+
+
+def test_hashed_classifier_no_exchange(spark):
+    """Classifier scoring is a narrow map above the scan — any Exchange
+    means the dot product stopped being embarrassingly parallel."""
+    from tribeca_insights_spark.operators.classifier import (
+        hashed_linear_score,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(hashed_linear_score(d))
+    assert "Exchange" not in p
+
+
+def test_normalize_text_no_exchange_no_python(spark):
+    from tribeca_insights_spark.functions.normalize import (
+        with_normalized_text,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(with_normalized_text(d))
+    assert "Exchange" not in p
+    assert "Python" not in p  # pure codegen'd regexp, no UDF
+
+
+def test_token_budget_totals_broadcast(spark):
+    """Both water-filling totals must come back as broadcast 1-row joins
+    (in-dataflow), never a shuffled join of the domain dim against a
+    scalar."""
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.mixing import token_budget_rates
+
+    dt = spark.createDataFrame([Row(source=f"s{i}", n_tokens=1000 + i)
+                                for i in range(10)])
+    w = spark.createDataFrame([Row(source=f"s{i}", weight_micros=100000 + i)
+                               for i in range(10)])
+    p = _plan(token_budget_rates(dt, w, budget=5000))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

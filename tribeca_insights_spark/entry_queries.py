@@ -2942,6 +2942,292 @@ def q74_mixture_sample(spark, sf_dir):
     )
 
 
+# --- LLM-pipeline extensions (round 3 cont.): retention, budgets, ---------
+# --- classifier scoring, normalization, domain rollup, url hygiene ---------
+
+
+@q(
+    "q75_dedup_keep_best",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               AS cluster_key,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT cluster_key, keeper_doc_id, n_chars, cluster_size FROM (
+      SELECT cluster_key, doc_id AS keeper_doc_id, n_chars,
+             CAST(count(*) OVER (PARTITION BY cluster_key) AS BIGINT)
+               AS cluster_size,
+             row_number() OVER (
+               PARTITION BY cluster_key ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM d
+    ) WHERE rk = 1
+    """,
+)
+def q75_dedup_keep_best(spark, sf_dir):
+    """Duplicate-cluster retention (operators/dedup.py keep_best): cluster
+    on the case/punctuation-insensitive content key, keep the longest copy
+    (lowest doc_id on ties). groupBy+max(struct) — map-side combine, so a
+    10^6-copy boilerplate cluster reduces before the shuffle; the oracle
+    states the same argmax with a window."""
+    from .operators.dedup import keep_best
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias(
+            "cluster_key"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return keep_best(d, "cluster_key", "doc_id", "n_chars")
+
+
+_Q76_TOKENS = (
+    "list_filter(string_split(trim(regexp_replace("
+    "text, '[^A-Za-zÀ-ÿ]+', ' ', 'g')), ' '), w -> length(w) > 0)"
+)
+
+
+@q(
+    "q76_token_budget",
+    f"""
+    WITH dt AS (
+      SELECT source,
+             CAST(sum(len({_Q76_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             CAST(100000 + ('0x' || substr(md5(source), 1, 8))::BIGINT
+                           % 900000 AS BIGINT) AS weight_micros
+      FROM dt
+    ),
+    j AS (
+      SELECT dt.source, n_tokens, weight_micros FROM dt JOIN w USING (source)
+    ),
+    tot AS (SELECT CAST(sum(weight_micros) AS BIGINT) AS w_total FROM j),
+    r1 AS (
+      SELECT source, n_tokens, weight_micros,
+             (15000 * weight_micros) // w_total AS desired1
+      FROM j, tot
+    ),
+    pool AS (
+      SELECT CAST(coalesce(sum(CASE WHEN desired1 >= n_tokens
+                                    THEN desired1 - n_tokens END), 0)
+                  AS BIGINT) AS surplus,
+             CAST(coalesce(sum(CASE WHEN desired1 < n_tokens
+                                    THEN weight_micros END), 0)
+                  AS BIGINT) AS w_uncapped
+      FROM r1
+    ),
+    r2 AS (
+      SELECT source, n_tokens,
+             CASE WHEN desired1 >= n_tokens THEN desired1
+                  ELSE desired1 + CASE WHEN w_uncapped > 0
+                       THEN (surplus * weight_micros) // w_uncapped
+                       ELSE 0 END
+             END AS desired_tokens
+      FROM r1, pool
+    )
+    SELECT source, n_tokens, desired_tokens,
+           least(desired_tokens, n_tokens) AS kept_tokens,
+           CASE WHEN n_tokens > 0
+                THEN (1000000 * least(desired_tokens, n_tokens)) // n_tokens
+                ELSE 0 END AS rate_micros
+    FROM r2
+    """,
+)
+def q76_token_budget(spark, sf_dir):
+    """Token-budget mixture allocation (operators/mixing.py
+    token_budget_rates): per-source keep-rates for a 15k-token budget
+    under hash-derived mixture weights, one water-filling redistribution
+    round for sources too small to fill their share. All integer
+    floor-div micros — engine-exact; totals broadcast in-dataflow."""
+    from .operators.mixing import token_budget_rates
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace("text", "[^A-Za-zÀ-ÿ]+", " ")),
+                " ", -1),
+        lambda w: F.length(w) > 0,
+    )
+    dt = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    w = dt.select(
+        "source",
+        (
+            F.lit(100000)
+            + F.conv(F.substring(F.md5("source"), 1, 8), 16, 10)
+            .cast("long") % 900000
+        ).alias("weight_micros"),
+    )
+    return token_budget_rates(dt, w, budget=15000)
+
+
+@q(
+    "q77_hashed_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(l, w ->
+               (((('0x' || substr(md5(w), 1, 8))::BIGINT % 1048576)
+                 * 2654435761) % 2000001) - 1000000)), 0) AS BIGINT)
+               AS score_micros
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, score_micros,
+           CASE WHEN n_tokens > 0
+                THEN round(score_micros / 1e6 / n_tokens, 6) END
+             AS mean_weight,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(1.0 AS DOUBLE)
+                           / (CAST(1.0 AS DOUBLE)
+                              + exp(-(score_micros / 1e6 / n_tokens))), 6)
+                END AS prob
+    FROM sc
+    """,
+)
+def q77_hashed_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (operators/classifier.py): bucket = md5(token) % 2^20, closed-form
+    micro-weights, per-doc dot product inside F.aggregate over the token
+    array — zero Exchange, narrow map above the scan; a trained model
+    swaps the closed form for a broadcast weight vector with the same
+    plan."""
+    from .operators.classifier import hashed_linear_score
+
+    return hashed_linear_score(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q78_normalize_text",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' ' || chr(1) || 'x' || repeat(chr(8203),
+               CAST(doc_id % 3 AS INT) + 1) || ' tail' || chr(127)
+               || '  end' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(t,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+             '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+           CAST(3 + doc_id % 3 AS BIGINT) AS n_junk_chars
+    FROM aug
+    """,
+)
+def q78_normalize_text(spark, sf_dir):
+    """Text normalization (functions/normalize.py): control chars,
+    zero-width codepoints and BOMs spliced into every document are
+    stripped and whitespace-collapsed; n_junk_chars counts exactly the
+    characters the strip removed (chr(1), chr(127), and doc_id%3+1
+    zero-width spaces = 3 + doc_id%3). Two codegen'd regexp_replace —
+    shuffle-free."""
+    from .functions.normalize import with_normalized_text
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" \x01x"),
+            F.repeat(F.lit("\u200b"), (F.col("doc_id") % 3).cast("int") + 1),
+            F.lit(" tail\x7f  end"),
+        ).alias("text"),
+    )
+    return with_normalized_text(aug).select(
+        "doc_id", "norm_text", "n_junk_chars"
+    )
+
+
+@q(
+    "q79_domain_stats",
+    f"""
+    WITH per AS (
+      SELECT source, doc_id, lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_Q76_TOKENS}) AS BIGINT) AS n_word_tokens,
+             md5(text) AS h
+      FROM documents
+    ),
+    fl AS (
+      SELECT *, count(*) OVER (PARTITION BY h) > 1 AS is_dup FROM per
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_word_tokens) AS BIGINT) AS total_word_tokens,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(sum(n_chars) / CAST(count(*) AS DOUBLE), 4) AS avg_chars
+    FROM fl GROUP BY source
+    """,
+)
+def q79_domain_stats(spark, sf_dir):
+    """Per-domain corpus report card (operators/textstats.py
+    domain_stats): size, language spread, token supply, duplicate-farm
+    rate, mean length — the rollup a curation run reads before setting
+    mixture weights. Narrow per-doc pass → hash-window dup flag →
+    partial-agg rollup on the domain key."""
+    from .operators.textstats import domain_stats
+
+    return domain_stats(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q80_url_tracking_strip",
+    """
+    SELECT doc_id,
+           'HTTP://' || source || '.Example.COM:80/Docs/' || doc_id ||
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN 1 THEN '?gclid=' || doc_id || '&z=9'
+               ELSE '?utm_campaign=x&fbclid=y' END
+             || '#frag' || doc_id AS url,
+           'http://' || source || '.example.com/Docs/' || doc_id ||
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '?a=1&b=2'
+               WHEN 1 THEN '?z=9'
+               ELSE '' END AS canon
+    FROM documents
+    """,
+)
+def q80_url_tracking_strip(spark, sf_dir):
+    """URL hygiene for frontier/dedup keys (functions/urlnorm.py with
+    strip_tracking=True): lowercase scheme+host, drop default port and
+    fragment, strip utm_*/gclid/fbclid-class params, sort the rest. The
+    oracle states the expected canonical form in closed form per
+    doc_id%3 case — including the all-params-stripped empty-query case."""
+    from .functions.urlnorm import canonical_url
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTP://"), F.col("source"), F.lit(".Example.COM:80/Docs/"),
+        sid,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?gclid="), sid, F.lit("&z=9")))
+        .otherwise(F.lit("?utm_campaign=x&fbclid=y")),
+        F.lit("#frag"), sid,
+    )
+    return d.select(
+        "doc_id", url.alias("url"),
+        canonical_url(url, strip_tracking=True).alias("canon"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def canonical_url(url, sort_query: bool = True) -> Column:
+# Session/campaign parameters that change the URL string but not the
+# resource — the standard strip-list for crawl frontiers and dedup keys.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref_src|igshid)="
+)
+
+
+def canonical_url(url, sort_query: bool = True,
+                  strip_tracking: bool = False) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     # 1-2. scheme://host[:port] → lowercase, default ports stripped
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -41,8 +49,17 @@ def canonical_url(url, sort_query: bool = True) -> Column:
     rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
-    if sort_query:
-        query = F.array_join(F.array_sort(F.split(query, "&", -1)), "&")
+    if strip_tracking or sort_query:
+        params = F.split(query, "&", -1)
+        if strip_tracking:
+            # campaign/click params identify the *visit*, not the page;
+            # stripping them merges byte-different urls of one resource
+            params = F.filter(
+                params, lambda p: ~p.rlike(TRACKING_PARAM_RE)
+            )
+        if sort_query:
+            params = F.array_sort(params)
+        query = F.array_join(params, "&")
     # 4-5. reassemble; trailing '?' dropped when query is empty
     return F.concat(
         scheme,

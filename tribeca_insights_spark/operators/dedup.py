@@ -480,3 +480,62 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
     )
     out.count()  # materialize so cc's checkpoint blocks can be GC-freed
     return out
+
+
+def keep_best(df: DataFrame, cluster_col: str, id_col: str = "doc_id",
+              score_col: str | None = None,
+              carry_cols: tuple = ()) -> DataFrame:
+    """Duplicate-cluster retention: pick ONE survivor per cluster —
+    highest ``score_col`` (NULL scores lose), ties broken by lowest
+    ``id_col`` — plus the cluster size. This is the "which copy
+    survives" stage every web dedup pipeline runs after clustering (the
+    reference stops at raw ``drop_duplicates``, storage.py:80;
+    quality-aware retention is the beyond-reference extension).
+
+    Scale shape: argmax is computed as **max-then-tiebreak with plain
+    fixed-width aggregates** (two HashAggregates + an equi-join on the
+    cluster key), NOT ``max(struct(...))`` / ``max_by`` / a window.
+    Rationale, verified against the physical plans:
+
+    - a window sorts every member of every cluster after a full shuffle
+      — boilerplate clusters in web corpora reach 10^6+ copies, so the
+      sort is the skew bottleneck;
+    - ``max(struct)`` and ``max_by`` keep map-side partial combine but
+      their struct buffers are not HashAggregate-compatible, so BOTH
+      aggregation passes fall to SortAggregate (per-partition sorts of
+      the whole corpus projection — the min(string) trap again);
+    - max-per-cluster over a plain long stays on HashAggregate with
+      map-side combine; the tie set (rows equal to their cluster max)
+      is tiny, and the second aggregate + optional carry join only ever
+      see one row per (cluster, max) candidate per partition.
+
+    ``pre_agg`` plan: Scan → HashAggregate(max, count) → join back →
+    HashAggregate(min id). All stages partial-aggregate before their
+    shuffle; AQE picks broadcast for the per-cluster dim when it fits.
+    """
+    score = F.col(score_col) if score_col else F.lit(0)
+    slim = df.select(
+        F.col(cluster_col), F.col(id_col), score.alias("_kb_score")
+    )
+    per_cluster = slim.groupBy(cluster_col).agg(
+        F.max("_kb_score").alias("_kb_max"),
+        F.count("*").cast("long").alias("cluster_size"),
+    )
+    tied = slim.join(per_cluster, cluster_col).filter(
+        F.col("_kb_score").eqNullSafe(F.col("_kb_max"))
+    )
+    keeper = f"keeper_{id_col}"
+    out = (
+        tied.groupBy(cluster_col, "_kb_max", "cluster_size")
+        .agg(F.min(id_col).alias(keeper))
+        .select(
+            cluster_col, keeper,
+            F.col("_kb_max").alias(score_col or "score"), "cluster_size",
+        )
+    )
+    if carry_cols:
+        payload = df.select(
+            F.col(cluster_col), F.col(id_col).alias(keeper), *carry_cols
+        )
+        out = out.join(payload, [cluster_col, keeper])
+    return out

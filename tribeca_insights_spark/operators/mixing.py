@@ -57,3 +57,79 @@ def mixture_sample(df: DataFrame, rates: DataFrame,
             "sample_weight", F.lit(float(MICROS)) / F.col("rate_micros")
         )
     )
+
+
+def token_budget_rates(domain_tokens: DataFrame, weights: DataFrame,
+                       budget: int,
+                       group_col: str = "source") -> DataFrame:
+    """Turn a target mixture (per-group weights) + a global token budget
+    into per-group keep-rates, with one water-filling redistribution
+    round for groups too small to supply their share.
+
+    Inputs: ``domain_tokens`` (group, n_tokens BIGINT — what each source
+    HAS), ``weights`` (group, weight_micros BIGINT — what the mix WANTS,
+    unnormalized). Output per group: n_tokens, desired_tokens (after
+    redistribution), kept_tokens = min(desired, available), rate_micros =
+    floor(1e6 * kept / available).
+
+    Round 1: desired = floor(budget * w / W). Groups with desired >=
+    n_tokens are CAPPED (rate 1.0); their surplus is pooled and
+    re-granted to uncapped groups proportional to weight — the first
+    iteration of exact water-filling, which in practice recovers almost
+    all of the budget (further rounds converge geometrically; loop the
+    operator if exactness matters).
+
+    All arithmetic is integer (floor-division micros), so results are
+    engine-exact and aggregation-order-independent. Scale shape: the
+    per-group dimension is tiny (thousands of domains vs billions of
+    docs); both aggregate totals are computed in-dataflow and broadcast
+    back (crossJoin of 1-row aggregates), so the plan has no driver
+    round-trip and the heavy corpus never reshuffles — apply the
+    resulting rates with ``mixture_sample``.
+    """
+    j = domain_tokens.join(weights, group_col)
+    tot = j.agg(F.sum("weight_micros").cast("long").alias("w_total"))
+    # exact integer floor-div (``div``), not float ``/`` + floor —
+    # budget*weight exceeds 2^53 at real budgets and doubles round
+    r1 = j.crossJoin(F.broadcast(tot)).select(
+        group_col, "n_tokens", "weight_micros",
+        F.expr(f"(CAST({int(budget)} AS BIGINT) * weight_micros)"
+               " div w_total").alias("desired1"),
+    )
+    pool = r1.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("desired1") >= F.col("n_tokens"),
+                       F.col("desired1") - F.col("n_tokens"))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("surplus"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("desired1") < F.col("n_tokens"),
+                       F.col("weight_micros"))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("w_uncapped"),
+    )
+    r2 = r1.crossJoin(F.broadcast(pool)).select(
+        group_col, "n_tokens",
+        F.when(
+            F.col("desired1") >= F.col("n_tokens"), F.col("desired1")
+        ).otherwise(
+            F.col("desired1")
+            + F.when(
+                F.col("w_uncapped") > 0,
+                F.expr("(surplus * weight_micros) div w_uncapped"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("desired_tokens"),
+    )
+    return r2.select(
+        group_col, "n_tokens", "desired_tokens",
+        F.least("desired_tokens", "n_tokens").alias("kept_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"({MICROS} * least(desired_tokens, n_tokens))"
+                   " div n_tokens"),
+        ).otherwise(F.lit(0).cast("long")).alias("rate_micros"),
+    )

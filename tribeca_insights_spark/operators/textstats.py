@@ -9,7 +9,7 @@ and integer arithmetic, doubles only at final rounded ratios.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Marker function words per language (tiny on purpose — broadcastable,
 # closed-form; a production langid swaps in bigger tables, same plumbing).
@@ -271,3 +271,45 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.md5(F.encode(F.col("s"), "UTF-8")).alias("content_md5")
     )
     return full.join(mins, id_col)
+
+
+def domain_stats(df: DataFrame, group_col: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """Per-domain corpus report card: (group, n_docs, n_langs,
+    total_word_tokens, n_dup_docs, avg_chars).
+
+    The per-domain rollup is what a curation run actually reads — which
+    sources are big, which are duplicate farms, which are worth
+    reweighting (beyond-reference: the reference reports per-page only).
+
+    Scale shape: one narrow pass computes per-doc features above the
+    scan; the duplicate flag is a count over the content-hash window
+    (shuffle on hash — the same partitioning exact dedup uses); the
+    final rollup is a partial-agg groupBy on the domain key. ``md5``
+    keys keep the window state fixed-width.
+    """
+    per_doc = df.select(
+        F.col(group_col), F.col(id_col), F.col(lang_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), "[^A-Za-zÀ-ÿ]+", -1),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long").alias("n_word_tokens"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    flagged = per_doc.withColumn(
+        "is_dup", (F.count("*").over(w) > 1).cast("int")
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.sum("n_word_tokens").cast("long").alias("total_word_tokens"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.round(F.sum("n_chars") / F.count("*").cast("double"), 4).alias(
+            "avg_chars"
+        ),
+    )
