@@ -162,6 +162,35 @@ def main() -> None:
             "the domain key.",
             EQ.QUERIES["q79_domain_stats"](spark, SF_DIR),
         ),
+        (
+            "PageRank (q83): integer-exact rank propagation",
+            "Per round: edges ⋈ ranks on src (one reused partitioning) → "
+            "partial+final HashAggregate of integer contributions on dst "
+            "→ left join back to nodes. No CartesianProduct, no driver "
+            "graph; floor-div micros keep every round bit-exact.",
+            EQ.QUERIES["q83_host_pagerank"](spark, SF_DIR),
+        ),
+        (
+            "Anchor-text aggregation (q85): hash pair-count first",
+            "ArrowEvalPython anchor parse → explode → codegen href "
+            "resolution → HashAggregate on (target, anchor) pairs (count "
+            "buffer only — min(string) would drop the raw stream onto "
+            "SortAggregate) → tiny per-target rollup.",
+            EQ.QUERIES["q85_anchor_texts"](spark, SF_DIR),
+        ),
+        (
+            "Domain blocklist (q86): suffix-explode broadcast equi-join",
+            "Host explodes into ≤ label-depth suffixes; broadcast hash "
+            "join against the blocklist; per-doc min-entry groupBy. The "
+            "LIKE/endswith nested-loop alternative never appears.",
+            EQ.QUERIES["q86_domain_blocklist"](spark, SF_DIR),
+        ),
+        (
+            "Snapshot diff (q82): co-partitionable full-outer SMJ",
+            "Both snapshots hash-partition on the page key; status is a "
+            "codegen CASE over the joined fingerprints.",
+            EQ.QUERIES["q82_snapshot_diff"](spark, SF_DIR),
+        ),
     ]
 
     lines = [

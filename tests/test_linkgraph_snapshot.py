@@ -1,0 +1,256 @@
+"""Round-3 cont.: link-graph (anchors, PageRank), snapshot diff,
+blocklist, length percentiles, CCNet perplexity buckets."""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from tribeca_insights_spark.htmlx.anchors import extract_anchors
+from tribeca_insights_spark.operators.blocklist import (
+    domain_block_flags,
+    filter_blocked,
+)
+from tribeca_insights_spark.operators.linkgraph import (
+    anchor_pairs,
+    anchor_text_stats,
+    pagerank_micros,
+)
+from tribeca_insights_spark.operators.lm import (
+    bigram_lm_score,
+    perplexity_buckets,
+)
+from tribeca_insights_spark.operators.textstats import length_percentiles
+from tribeca_insights_spark.plans.snapshot import (
+    snapshot_diff,
+    snapshot_diff_counts,
+)
+
+
+# --- anchors parser ---------------------------------------------------------
+
+
+def test_extract_anchors_basic():
+    html = (
+        '<a href="/a">One</a> text <a href="http://x/">Two '
+        "<b>bold</b></a>"
+    )
+    assert extract_anchors(html) == [("/a", "One"), ("http://x/", "Two bold")]
+
+
+def test_extract_anchors_edge_cases():
+    # no href → skipped; whitespace collapsed; entity decoded
+    assert extract_anchors('<a name="t">jump</a>') == []
+    assert extract_anchors('<a href="/x">  a \n b &amp; c </a>') == [
+        ("/x", "a b & c")
+    ]
+    # unclosed <a> at EOF still emits
+    assert extract_anchors('<p><a href="/y">tail') == [("/y", "tail")]
+    # boilerplate anchors ARE kept (nav link-graph signal)
+    assert extract_anchors('<nav><a href="/n">nav</a></nav>') == [
+        ("/n", "nav")
+    ]
+    # empty / malformed input never raises
+    assert extract_anchors("") == []
+    assert extract_anchors("<a href=") == []
+
+
+def test_anchor_pairs_resolution(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(
+                url="https://h.example.com/p",
+                html=(
+                    '<a href="/rel">r</a><a href="https://abs/q">a</a>'
+                    '<a href="#frag">f</a><a href="mailto:x@y">m</a>'
+                    '<a href="//proto.rel/z">p</a>'
+                ).encode(),
+            )
+        ]
+    )
+    rows = {
+        r.target: r.anchor
+        for r in anchor_pairs(docs).collect()
+    }
+    # fragment / mailto / protocol-relative dropped
+    assert rows == {
+        "https://h.example.com/rel": "r",
+        "https://abs/q": "a",
+    }
+
+
+def test_anchor_text_stats(spark):
+    pairs = spark.createDataFrame(
+        [
+            Row(url="u1", target="t", anchor="x"),
+            Row(url="u2", target="t", anchor="y"),
+            Row(url="u3", target="t", anchor="x"),
+            Row(url="u1", target="s", anchor="z"),
+        ]
+    )
+    got = {r.target: r for r in anchor_text_stats(pairs).collect()}
+    assert got["t"].n_refs == 3
+    assert got["t"].n_distinct_anchors == 2
+    assert got["t"].first_anchor == "x"
+    assert got["s"].n_refs == 1
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def _ranks(df):
+    return {r.node: r.rank_micros for r in df.collect()}
+
+
+def test_pagerank_cycle_uniform(spark):
+    # 3-cycle: symmetric graph keeps the uniform distribution exactly
+    e = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=0)]
+    )
+    r = _ranks(pagerank_micros(e, n_iter=4))
+    assert r == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_star_concentrates(spark):
+    # 1..3 all point at 0; 0 points back at 1 — hub outranks spokes,
+    # and the exact integer recurrence is reproducible run-to-run
+    e = spark.createDataFrame(
+        [Row(src=1, dst=0), Row(src=2, dst=0), Row(src=3, dst=0),
+         Row(src=0, dst=1)]
+    )
+    r1 = _ranks(pagerank_micros(e, n_iter=3))
+    r2 = _ranks(pagerank_micros(e, n_iter=3))
+    assert r1 == r2
+    assert r1[0] > r1[1] > r1[2] == r1[3]
+    # hand-rolled recurrence, iteration 1:
+    # contrib(0) = 3 * (1e6 div 1); s(0) = 150000 + 85*3e6 div 100
+    assert _ranks(pagerank_micros(e, n_iter=1))[0] == 150_000 + (
+        85 * 3_000_000
+    ) // 100
+
+
+def test_pagerank_dangling_redistribution(spark):
+    # 0 → 1, 1 is a sink. Without redistribution its mass exits the
+    # system; with it, every node gets d * sink_mass / N back.
+    e = spark.createDataFrame([Row(src=0, dst=1)])
+    plain = _ranks(pagerank_micros(e, n_iter=1))
+    redist = _ranks(
+        pagerank_micros(e, n_iter=1, redistribute_dangling=True)
+    )
+    assert plain == {0: 150_000, 1: 150_000 + 850_000}
+    bonus = (85 * 1_000_000) // (100 * 2)
+    assert redist == {0: 150_000 + bonus, 1: 1_000_000 + bonus}
+
+
+def test_pagerank_validation(spark):
+    e = spark.createDataFrame([Row(src=0, dst=1)])
+    try:
+        pagerank_micros(e, n_iter=-1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    try:
+        pagerank_micros(e, damping_pct=101)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # n_iter=0 → uniform start for all nodes
+    assert _ranks(pagerank_micros(e, n_iter=0)) == {
+        0: 1_000_000,
+        1: 1_000_000,
+    }
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [Row(url="a", page_hash="1"), Row(url="b", page_hash="2"),
+         Row(url="c", page_hash="3")]
+    )
+    new = spark.createDataFrame(
+        [Row(url="b", page_hash="2"), Row(url="c", page_hash="9"),
+         Row(url="d", page_hash="4")]
+    )
+    d = {r.url: r for r in snapshot_diff(old, new).collect()}
+    assert d["a"].status == "removed" and d["a"].new_fingerprint is None
+    assert d["b"].status == "unchanged"
+    assert d["c"].status == "changed" and d["c"].new_fingerprint == "9"
+    assert d["d"].status == "added" and d["d"].old_fingerprint is None
+    counts = {
+        r.status: r.n_pages
+        for r in snapshot_diff_counts(snapshot_diff(old, new)).collect()
+    }
+    assert counts == {"removed": 1, "unchanged": 1, "changed": 1,
+                      "added": 1}
+
+
+# --- blocklist --------------------------------------------------------------
+
+
+def test_blocklist_suffix_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, host="bad.com"),
+            Row(doc_id=2, host="cdn.bad.com"),
+            Row(doc_id=3, host="a.b.bad.com"),
+            Row(doc_id=4, host="notbad.com"),  # substring ≠ suffix match
+            Row(doc_id=5, host="good.org"),
+        ]
+    )
+    bl = spark.createDataFrame([("bad.com",)], "entry string")
+    flags = {r.doc_id: r for r in domain_block_flags(docs, bl).collect()}
+    assert [flags[i].blocked for i in (1, 2, 3, 4, 5)] == [
+        True, True, True, False, False,
+    ]
+    assert flags[2].matched_entry == "bad.com"
+    assert flags[4].matched_entry is None
+    kept = {r.host for r in filter_blocked(docs, bl).collect()}
+    assert kept == {"notbad.com", "good.org"}
+
+
+def test_blocklist_min_entry_deterministic(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, host="x.a.b")])
+    bl = spark.createDataFrame([("a.b",), ("x.a.b",)], "entry string")
+    row = domain_block_flags(docs, bl).collect()[0]
+    assert row.matched_entry == "a.b"  # lexicographic min of the matches
+
+
+# --- length percentiles -----------------------------------------------------
+
+
+def test_length_percentiles_exact(spark):
+    # 1..5: p50 = 3 exactly, p90 = 1 + 0.9*4 = 4.6 (linear interp)
+    df = spark.createDataFrame(
+        [Row(lang="en", n_chars=i) for i in range(1, 6)]
+    )
+    row = length_percentiles(df).collect()[0]
+    assert row.n_docs == 5
+    assert math.isclose(row.p50, 3.0)
+    assert math.isclose(row.p90, 4.6)
+    assert math.isclose(row.p99, 4.96)
+
+
+# --- perplexity buckets -----------------------------------------------------
+
+
+def test_perplexity_buckets_split(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, lang="en",
+                text=("good tokens flow well " * (i + 1)))
+            for i in range(4)
+        ]
+        + [Row(doc_id=9, lang="xx", text="zz qq vv zz qq vv")]
+    )
+    scored = bigram_lm_score(docs, F.col("lang") == "en")
+    out = perplexity_buckets(scored)
+    rows = {r.doc_id: r for r in out.collect()}
+    # 5 scored docs → ntile(3) sizes 2/2/1
+    from collections import Counter
+
+    sizes = Counter(r.ppl_bucket for r in rows.values())
+    assert sizes == {1: 2, 2: 2, 3: 1}
+    assert rows[9].bucket_label == "tail"  # OOV doc scores worst
+    labels = {r.ppl_bucket: r.bucket_label for r in rows.values()}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}

@@ -199,3 +199,56 @@ def test_token_budget_totals_broadcast(spark):
     p = _plan(token_budget_rates(dt, w, budget=5000))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_blocklist_broadcast_equi_join(spark):
+    """Suffix blocklist must be a BROADCAST EQUI-join on the exploded
+    suffix — never a LIKE/endswith nested loop against the list."""
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.blocklist import (
+        domain_block_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, host=f"h{i}.example.com") for i in range(20)]
+    )
+    bl = spark.createDataFrame([("example.com",)], "entry string")
+    p = _plan(domain_block_flags(docs, bl))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_anchor_stats_single_shuffle(spark):
+    """Anchor aggregation: Arrow parse + explode stay narrow; exactly
+    one Exchange (the groupBy on target) in the whole plan."""
+    from tribeca_insights_spark.operators.linkgraph import (
+        anchor_pairs,
+        anchor_text_stats,
+    )
+    from tribeca_insights_spark.entry_queries import documents_as_pages
+
+    d = documents_as_pages(spark, "/root/testdata/sf0.001")
+    p = _plan(anchor_text_stats(anchor_pairs(d)))
+    # pair-count stage + target rollup: two Exchanges, nothing beyond
+    assert p.count("Exchange hashpartitioning") <= 2
+    # the full exploded link stream must partial-agg on HashAggregate;
+    # SortAggregate (min-of-string buffer) may only touch the distinct
+    # pair set, i.e. no node sorts raw pairs before the first Exchange
+    sections = p.split("\n\n(")
+    for s in sections:
+        if s.startswith("SortAggregate") or (") SortAggregate" in s[:40]):
+            assert "partial_count(1)" not in s or "cnt" in s
+    assert "HashAggregate" in p
+
+
+def test_pagerank_no_cartesian(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.linkgraph import pagerank_micros
+
+    e = spark.createDataFrame(
+        [Row(src=i, dst=(i * 7 + 3) % 50) for i in range(50)]
+    )
+    p = _plan(pagerank_micros(e, n_iter=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

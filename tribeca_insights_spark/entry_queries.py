@@ -2855,9 +2855,9 @@ def q72_dsir_importance(spark, sf_dir):
     return dsir_importance(docs, F.col("lang") == "en", n_buckets=1024)
 
 
-@q(
-    "q73_bigram_lm_score",
-    """
+# q73's oracle, as a constant so q84's CCNet bucket oracle can reuse it
+# as a subquery without drift.
+_Q73_SQL = """
     WITH toks AS (
       SELECT doc_id, lang = 'en' AS is_t,
              list_filter(
@@ -2891,8 +2891,10 @@ def q72_dsir_importance(spark, sf_dir):
     LEFT JOIN c1 USING (w1)
     CROSS JOIN v
     GROUP BY b.doc_id
-    """,
-)
+    """
+
+
+@q("q73_bigram_lm_score", _Q73_SQL)
 def q73_bigram_lm_score(spark, sf_dir):
     """CCNet-style LM quality scoring (operators/lm.py; Wenzek et al.
     2020): Laplace-smoothed bigram LM fit on the lang='en' slice scores
@@ -3226,6 +3228,243 @@ def q80_url_tracking_strip(spark, sf_dir):
         "doc_id", url.alias("url"),
         canonical_url(url, strip_tracking=True).alias("canon"),
     )
+
+
+# --- round-3 cont.: distribution stats, recrawl diff, link graph, ---------
+# --- CCNet buckets, anchor aggregation, blocklist curation -----------------
+
+
+@q(
+    "q81_length_percentiles",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def q81_length_percentiles(spark, sf_dir):
+    """Per-language document-length distribution
+    (operators/textstats.py length_percentiles): exact interpolated
+    p50/p90/p99 — the report a mixture/length-filter decision reads
+    first. Exact `percentile` matches DuckDB's quantile_cont definition;
+    the 10^12-row path swaps in the mergeable KLL sketch
+    (percentile_approx) with the same call shape."""
+    from .operators.textstats import length_percentiles
+
+    return length_percentiles(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q82_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ),
+    b AS (
+      SELECT doc_id,
+             md5(text || CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END)
+               AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.h IS NULL THEN 'added'
+                WHEN b.h IS NULL THEN 'removed'
+                WHEN a.h = b.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           a.h AS old_fingerprint, b.h AS new_fingerprint
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def q82_snapshot_diff(spark, sf_dir):
+    """Recrawl snapshot diff (plans/snapshot.py): two synthesized crawls
+    (old = doc_id%7!=0; new = doc_id%5!=0, with doc_id%3==0 pages
+    re-rendered) full-outer-joined on the page key comparing content
+    fingerprints → added/removed/changed/unchanged. Co-partitioned
+    sort-merge join under url-hash bucketing; status in codegen."""
+    from .plans.snapshot import snapshot_diff
+
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("page_hash")
+    )
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" v2"))
+                .otherwise(F.lit("")),
+            )
+        ).alias("page_hash"),
+    )
+    return snapshot_diff(old, new, key="doc_id", fingerprint="page_hash")
+
+
+@q(
+    "q83_host_pagerank",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS s
+           FROM documents),
+    c1 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+    r1 AS (SELECT d.doc_id AS node,
+                  CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                    AS s
+           FROM documents d LEFT JOIN c1 ON d.doc_id = c1.dst),
+    c2 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+    r2 AS (SELECT d.doc_id AS node,
+                  CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                    AS s
+           FROM documents d LEFT JOIN c2 ON d.doc_id = c2.dst),
+    c3 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r2 ON e.src = r2.node GROUP BY dst),
+    r3 AS (SELECT d.doc_id AS node,
+                  CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                    AS s
+           FROM documents d LEFT JOIN c3 ON d.doc_id = c3.dst)
+    SELECT node, s AS rank_micros FROM r3
+    """,
+)
+def q83_host_pagerank(spark, sf_dir):
+    """PageRank over a synthesized page graph (operators/linkgraph.py
+    pagerank_micros): each page links to (7·id+3)%N and (13·id+5)%N, 3
+    damped iterations. Ranks are INTEGER MICROS with floor division at
+    every step, so partial-sum order cannot perturb the result and the
+    oracle's unrolled recurrence matches bit-for-bit — float PageRank
+    can't make that promise. Joins + groupBy per round, src-partitioning
+    reused, no driver-side graph."""
+    from .operators.linkgraph import pagerank_micros
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return pagerank_micros(edges, n_iter=3)
+
+
+@q(
+    "q84_perplexity_buckets",
+    f"""
+    WITH scored AS ({_Q73_SQL}),
+    a AS (
+      SELECT doc_id, n_bigrams, lm_logprob_micros,
+             CAST(lm_logprob_micros AS DOUBLE)
+               / CAST(n_bigrams AS DOUBLE) AS ar
+      FROM scored
+    )
+    SELECT doc_id, n_bigrams, lm_logprob_micros,
+           round(ar, 6) AS avg_logprob,
+           CAST(ntile(3) OVER (ORDER BY ar DESC, doc_id) AS BIGINT)
+             AS ppl_bucket,
+           CASE ntile(3) OVER (ORDER BY ar DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END
+             AS bucket_label
+    FROM a
+    """,
+)
+def q84_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (operators/lm.py perplexity_buckets;
+    Wenzek et al. 2020 §4.3): equal-frequency buckets over mean
+    per-bigram log-prob under the lang='en' LM, ties broken by doc id.
+    Ordering uses the raw IEEE ratio of the integer score pair —
+    engine-identical — while the emitted avg is display-rounded. Scale
+    path documented: sketch thresholds + comparison instead of the
+    global NTILE sort."""
+    from .operators.lm import bigram_lm_score, perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        bigram_lm_score(docs, F.col("lang") == "en")
+    )
+
+
+@q(
+    "q85_anchor_texts",
+    """
+    WITH pairs AS (
+      SELECT 'https://nav.example.net/x' AS target, 'navlink' AS anchor
+      FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/about/' || doc_id,
+             'about' FROM documents
+      UNION ALL
+      SELECT 'https://ext' || (doc_id % 5) || '.example.org/page', 'ext'
+      FROM documents
+    )
+    SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors,
+           min(anchor) AS first_anchor
+    FROM pairs GROUP BY target
+    """,
+)
+def q85_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (operators/linkgraph.py anchor_pairs →
+    anchor_text_stats): Arrow-batched anchor parse (htmlx/anchors.py, a
+    standalone walker — the byte-parity extractor is untouched), codegen
+    href resolution, groupBy(target) with partial-aggregable outputs.
+    The oracle states the synthesized pages' full link inventory
+    (nav/about/ext) in closed form."""
+    from .operators.linkgraph import anchor_pairs, anchor_text_stats
+
+    docs = documents_as_pages(spark, sf_dir)
+    return anchor_text_stats(anchor_pairs(docs))
+
+
+@q(
+    "q86_domain_blocklist",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'cdn.' || source || '.example.com'
+                ELSE source || '.example.com' END AS host,
+           source IN ('src3', 'src7') AS blocked,
+           CASE WHEN source IN ('src3', 'src7')
+                THEN source || '.example.com' END AS matched_entry
+    FROM documents
+    """,
+)
+def q86_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist (operators/blocklist.py): entry blocks
+    the domain and every subdomain. Hosts (¼ behind a cdn. subdomain)
+    explode into their dot-suffixes and EQUI-join the broadcast
+    blocklist — never a LIKE nested loop. Oracle states the expected
+    flags in closed form (src3/src7 blocked, cdn.src3 via suffix)."""
+    from .operators.blocklist import domain_block_flags
+
+    d = _read(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+        .alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",),
+         ("nav.example.net",)],
+        "entry string",
+    )
+    return domain_block_flags(docs, bl)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,204 @@
+"""Link-graph operators: anchor-text aggregation and PageRank.
+
+The reference has no graph layer (SURVEY §2.4 — its crawl frontier is a
+flat visited set, crawler.py:190-215); these are the standard extensions a
+web-scale crawl/curation pipeline runs on top of the extracted link
+inventory: which pages the corpus points at (anchor-text aggregation — a
+classic relevance/weak-supervision signal) and how link mass distributes
+over hosts (PageRank — frontier prioritization, spam-domain demotion).
+
+Everything is joins + aggregations — no GraphX, no driver-side graph, no
+``collect()``. PageRank keeps ranks as INTEGER MICROS with floor division
+at every step (the operators/dsir.py quantization trick), so iteration
+results are aggregation-order independent and bit-identical across Spark
+partitionings AND across engines — the DuckDB oracle unrolls the same
+integer recurrence and matches exactly, something float PageRank cannot
+guarantee under reordered partial sums.
+
+Scale notes (100 TB): anchor aggregation is explode → partial-agg groupBy
+on the target key (Zipf-skewed targets are absorbed by map-side combine
+exactly like corpus TF, operators/tf.py:61). PageRank iterations are
+shuffle-join + groupBy per round on the edge table; at 10^12 edges you'd
+pre-bucket edges by ``src`` (DISK bucketing or a stable repartition) so
+every round reuses one partitioning, and checkpoint ranks every few
+rounds to truncate lineage — both noted inline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ..htmlx.anchors import extract_anchors
+from .extract import _decode
+
+_PAIR = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
+
+def _anchor_batch(html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_anchors(_decode(h)) for h in html]
+    )
+
+
+anchors_udf = pandas_udf(_anchor_batch, _PAIR)
+
+
+def resolve_href(url_col, href_col):
+    """Resolve an href against its page url — the two shapes the fixture
+    corpus (and the overwhelming share of real pages) uses, entirely in
+    codegen'd expressions: absolute http(s) hrefs pass through;
+    root-relative ``/path`` concatenates scheme://host (the urljoin fast
+    path proven in htmlx/extractor.internal_links); everything else
+    (fragments, mailto:, protocol-relative) → NULL."""
+    scheme_host = F.regexp_extract(url_col, r"^(https?://[^/]+)", 1)
+    return (
+        F.when(href_col.rlike(r"^https?://"), href_col)
+        .when(
+            href_col.rlike(r"^/($|[^/])"),
+            F.concat(scheme_host, href_col),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def anchor_pairs(docs: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(url, target, anchor) — one row per resolvable link in the corpus.
+
+    Arrow-batched parse (one pass per page, same batching regime as
+    operators/extract.py) → explode → native resolution expressions.
+    """
+    pairs = docs.select(
+        F.col(url_col).alias("url"),
+        F.explode(anchors_udf(F.col(html_col))).alias("p"),
+    )
+    return pairs.select(
+        "url",
+        resolve_href(F.col("url"), F.col("p.href")).alias("target"),
+        F.col("p.anchor").alias("anchor"),
+    ).where(F.col("target").isNotNull())
+
+
+def anchor_text_stats(pairs: DataFrame) -> DataFrame:
+    """Per-target anchor profile: how many pages reference the target and
+    with what text.
+
+    Two-stage on purpose: stage 1 counts (target, anchor) PAIRS — a pure
+    ``count`` buffer, so it stays on HashAggregate with map-side combine
+    (``min(string)`` in a single-stage agg drops the WHOLE exploded
+    stream onto SortAggregate: variable-width buffers don't hash-agg).
+    Stage 2's ``min(anchor)``/sum/count then run over the already-distinct
+    pair set — orders of magnitude smaller than the raw link stream, and
+    skewed mega-targets (every page's nav link) were absorbed by stage
+    1's combine."""
+    per_pair = pairs.groupBy("target", "anchor").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_pair.groupBy("target").agg(
+        F.sum("cnt").cast("long").alias("n_refs"),
+        F.count("*").cast("long").alias("n_distinct_anchors"),
+        F.min("anchor").alias("first_anchor"),
+    )
+
+
+def pagerank_micros(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    redistribute_dangling: bool = False,
+) -> DataFrame:
+    """Integer-exact PageRank over an edge list → (node, rank_micros).
+
+    Rank is held SCALED: ``s = rank * N`` in micros, so the uniform start
+    is ``s0 = 1_000_000`` regardless of graph size and no count() is
+    needed on the standard path. Per iteration (all integer, all
+    nonnegative, so floor division ≡ truncation on every engine)::
+
+        contrib(v) = Σ_{u→v}  s(u) div outdeg(u)
+        s'(v)      = (100 - d) * 10_000  +  (d * contrib(v)) div 100
+
+    Multi-edges count with multiplicity on both the outdeg and contrib
+    sides (consistent). Nodes = src ∪ dst; sinks (no out-edges)
+    contribute nothing unless ``redistribute_dangling``, which adds the
+    classic ``d * Σ s(sink) div (100*N)`` uniform term (one extra 1-row
+    aggregate + broadcast per round).
+
+    ``n_iter`` is a FIXED unroll (the oracle states the same recurrence);
+    for convergence-driven runs wrap it in the operators/dedup.py
+    connected-components loop discipline: fold the convergence probe into
+    the round's aggregation, one action per round. At 10^12 edges,
+    pre-bucket ``edges`` by src so each round's join reuses one shuffle,
+    and ``localCheckpoint`` ranks every ~5 rounds to truncate lineage.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one shuffle partitioning reused every round (src-keyed)
+    ed = e.join(outdeg, "src")
+    base = (100 - damping_pct) * 10_000
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(
+                ranks.select(F.col("node").alias("src"), "s"), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("s div outdeg")).alias("contrib")
+            )
+        )
+        new = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * coalesce(contrib, 0L)) div 100"
+                )
+            ).cast("long").alias("s"),
+        )
+        if redistribute_dangling:
+            sinks = ranks.join(
+                outdeg.select(F.col("src").alias("node")),
+                "node",
+                "left_anti",
+            ).agg(F.coalesce(F.sum("s"), F.lit(0)).alias("dmass"))
+            n_row = nodes.agg(F.count("*").alias("n_nodes"))
+            new = (
+                new.crossJoin(F.broadcast(sinks))
+                .crossJoin(F.broadcast(n_row))
+                .select(
+                    "node",
+                    (
+                        F.col("s")
+                        + F.expr(
+                            f"({damping_pct} * dmass) div (100 * n_nodes)"
+                        )
+                    ).cast("long").alias("s"),
+                )
+            )
+        ranks = new
+    return ranks.select("node", F.col("s").alias("rank_micros"))

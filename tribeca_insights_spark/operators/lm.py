@@ -88,3 +88,48 @@ def bigram_lm_score(docs: DataFrame, target_col,
         F.count("*").alias("n_bigrams"),
         F.sum("_lp_micros").alias("lm_logprob_micros"),
     )
+
+
+def perplexity_buckets(scored: DataFrame, n_buckets: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020 §4.3) over
+    :func:`bigram_lm_score` output.
+
+    Ranks documents by mean per-bigram log-prob (higher = more fluent
+    under the target LM = "head") and assigns equal-frequency buckets
+    with NTILE — bucket 1 = head … bucket ``n_buckets`` = tail, plus the
+    canonical label column for the 3-bucket case. Ordering ties (exact
+    duplicate texts score identically) are broken by the doc id, so the
+    assignment is deterministic and engine-independent.
+
+    Scale note: a single global NTILE forces one ordered partition — at
+    corpus scale compute approximate split thresholds instead
+    (``percentile_approx`` on avg_logprob) and assign buckets by
+    comparison, a narrow map after one sketch aggregation; the
+    equal-frequency semantics then hold to sketch accuracy. The NTILE
+    form is the exact-semantics reference implementation.
+    """
+    from pyspark.sql.window import Window
+
+    avg = (
+        F.col("lm_logprob_micros").cast("double")
+        / F.col("n_bigrams").cast("double")
+    )
+    # order by the UNROUNDED ratio (IEEE division of the same integer
+    # pair is bit-identical on every engine); the rounded copy is
+    # display-only, so a rounding-boundary can never flip the ordering
+    w = Window.orderBy(F.desc("_avg_raw"), F.col(id_col))
+    out = (
+        scored.withColumn("_avg_raw", avg)
+        .withColumn("avg_logprob", F.round(avg, 6))
+        .withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    )
+    label = (
+        F.when(F.col("ppl_bucket") == 1, F.lit("head"))
+        .when(F.col("ppl_bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return out.select(
+        id_col, "n_bigrams", "lm_logprob_micros", "avg_logprob",
+        "ppl_bucket", label.alias("bucket_label"),
+    )

@@ -1,0 +1,57 @@
+"""Crawl-snapshot diffing: added / removed / changed / unchanged.
+
+The reference resumes from a flat visited CSV (storage.py:65-80) and has
+no notion of comparing two crawls; at corpus scale the first question any
+recrawl answers is "what changed since the last snapshot" — this is that
+operator, as one full-outer join on the page key comparing content
+fingerprints.
+
+Scale notes: both sides arrive key-partitioned from the same
+url-hash-bucketed layout (FIXTURES.md §1 partition spec), so the full
+outer join is a co-partitioned sort-merge join with zero extra exchange
+when bucketing is in effect; AQE handles the residual skew. The output
+status column is computed in codegen — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fingerprint: str = "page_hash",
+) -> DataFrame:
+    """Full-outer diff of two snapshots keyed by ``key``.
+
+    Returns (key, status, old_fingerprint, new_fingerprint) with status ∈
+    {'added','removed','changed','unchanged'}. Each input must be unique
+    per key (dedup upstream — storage.py:80's last-wins rule);
+    duplicate keys would fan out the join.
+    """
+    o = old.select(F.col(key), F.col(fingerprint).alias("old_fingerprint"))
+    n = new.select(F.col(key), F.col(fingerprint).alias("new_fingerprint"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint") == F.col("new_fingerprint"),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        key,
+        status.alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
+    )
+
+
+def snapshot_diff_counts(diff: DataFrame) -> DataFrame:
+    """Per-status rollup of a :func:`snapshot_diff` result — the 4-row
+    summary a recrawl report leads with."""
+    return diff.groupBy("status").agg(F.count("*").alias("n_pages"))
