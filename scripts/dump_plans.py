@@ -186,6 +186,14 @@ def main() -> None:
             EQ.QUERIES["q86_domain_blocklist"](spark, SF_DIR),
         ),
         (
+            "Boilerplate removal (q87): zero-shuffle block classification",
+            "Scan → ArrowEvalPython (block segmenter) → Project — the "
+            "block array never explodes; link-density/length "
+            "classification and document-order re-join are "
+            "filter/transform/array_join codegen. No Exchange anywhere.",
+            EQ.QUERIES["q87_main_content"](spark, SF_DIR),
+        ),
+        (
             "Snapshot diff (q82): co-partitionable full-outer SMJ",
             "Both snapshots hash-partition on the page key; status is a "
             "codegen CASE over the joined fingerprints.",

@@ -1,0 +1,110 @@
+"""Block segmentation (htmlx/blocks.py) and boilerplate classification
+(operators/boilerplate.py)."""
+
+from pyspark.sql import Row, functions as F
+
+from tribeca_insights_spark.htmlx.blocks import segment_blocks
+from tribeca_insights_spark.operators.boilerplate import (
+    boilerplate_stats,
+    exploded_blocks,
+    main_content,
+)
+
+PAGE = (
+    "<html><head><title>Doc 7</title></head><body>"
+    "<header>site header</header>"
+    '<nav><a href="/a">nav one</a> <a href="/b">nav two</a></nav>'
+    "<h1>Heading 7</h1>"
+    "<p>alpha beta gamma delta epsilon</p>"
+    '<a href="/about">about</a>'
+    "<footer>footer</footer></body></html>"
+)
+
+
+def test_segment_blocks_shape():
+    blocks = [(b.tag, b.text, b.n_words, b.n_link_words, b.is_heading)
+              for b in segment_blocks(PAGE)]
+    assert blocks == [
+        ("body", "Doc 7", 2, 0, False),
+        ("header", "site header", 2, 0, False),
+        ("nav", "nav one nav two", 4, 4, False),
+        ("h1", "Heading 7", 2, 0, True),
+        ("p", "alpha beta gamma delta epsilon", 5, 0, False),
+        ("body", "about", 1, 1, False),
+        ("footer", "footer", 1, 0, False),
+    ]
+    assert [b.idx for b in segment_blocks(PAGE)] == list(range(7))
+
+
+def test_segment_blocks_keeps_chrome_subtrees():
+    # unlike extract_visible_text (which decomposes header/footer/nav),
+    # segmentation must SEE those blocks to classify them
+    tags = {b.tag for b in segment_blocks(PAGE)}
+    assert {"header", "nav", "footer"} <= tags
+
+
+def test_segment_blocks_edges():
+    assert segment_blocks(None) == []
+    assert segment_blocks("") == []
+    assert segment_blocks("<script>var x='<div>hi</div>';</script>") == []
+    # nested block elements: inner starts its own block
+    [a, b] = segment_blocks("<div>outer <p>inner para</p></div>")
+    assert (a.tag, a.text) == ("div", "outer")
+    assert (b.tag, b.text) == ("p", "inner para")
+    # text after the inner block returns to the enclosing block context
+    [x, y, z] = segment_blocks("<div>one <p>two</p> three</div>")
+    assert (z.tag, z.text) == ("div", "three")
+    # broken markup never raises
+    assert segment_blocks("<div><a href=") is not None
+    # link depth: stray </a> does not go negative
+    [only] = segment_blocks("</a><p>plain words here</p>")
+    assert only.n_link_words == 0
+
+
+def test_segment_blocks_rawtext_and_entities():
+    [b] = segment_blocks("<p>a &amp; b</p><style>p{color:red}</style>")
+    assert b.text == "a & b"
+    assert b.n_words == 3
+
+
+def test_main_content_rule(spark):
+    docs = spark.createDataFrame([Row(doc_id=7, html=PAGE)])
+    row = main_content(docs).collect()[0]
+    # h1 (heading exemption) + p (5 words) are content; title/header short,
+    # nav/about link-dense, footer short
+    assert row.main_text == "Heading 7 alpha beta gamma delta epsilon"
+    assert row.n_blocks == 7
+    assert row.n_content_blocks == 2
+
+
+def test_main_content_min_words(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, html=PAGE)])
+    row = main_content(docs, min_words=6).collect()[0]
+    # p (5 words) now fails the length gate; only the heading survives
+    assert row.main_text == "Heading 7"
+    assert row.n_content_blocks == 1
+
+
+def test_boilerplate_stats_accounting(spark):
+    docs = spark.createDataFrame([Row(doc_id=7, html=PAGE)])
+    row = boilerplate_stats(docs).collect()[0]
+    assert row.n_words_total == 17
+    assert row.n_words_boiler == 10  # all but h1 (2) + p (5)
+    assert abs(row.boiler_word_ratio - round(10 / 17, 4)) < 1e-9
+
+
+def test_exploded_blocks(spark):
+    docs = spark.createDataFrame([Row(url="u", html=PAGE)])
+    rows = exploded_blocks(docs).orderBy("idx").collect()
+    assert [r.tag for r in rows] == [
+        "body", "header", "nav", "h1", "p", "body", "footer"
+    ]
+    assert rows[2].n_link_words == 4
+
+
+def test_binary_html_decodes(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, html=bytearray(PAGE.encode("utf-8")))]
+    )
+    row = main_content(docs).collect()[0]
+    assert row.n_blocks == 7

@@ -252,3 +252,16 @@ def test_pagerank_no_cartesian(spark):
     p = _plan(pagerank_micros(e, n_iter=2))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_main_content_zero_shuffle(spark):
+    """Boilerplate removal must stay Scan -> ArrowEvalPython -> Project:
+    the block array never explodes and classification is array-expression
+    codegen — zero Exchange in the whole plan."""
+    from tribeca_insights_spark.operators.boilerplate import main_content
+    from tribeca_insights_spark.entry_queries import documents_as_pages
+
+    d = documents_as_pages(spark, "/root/testdata/sf0.001")
+    p = _plan(main_content(d))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p

@@ -3467,6 +3467,73 @@ def q86_domain_blocklist(spark, sf_dir):
     return domain_block_flags(docs, bl)
 
 
+@q(
+    "q87_main_content",
+    """
+    SELECT doc_id,
+           'Heading ' || doc_id ||
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN ' ' || text ELSE '' END AS main_text,
+           CAST(7 AS INT) AS n_blocks,
+           CAST(CASE WHEN len(string_split(text, ' ')) >= 3
+                     THEN 2 ELSE 1 END AS INT) AS n_content_blocks
+    FROM documents
+    """,
+)
+def q87_main_content(spark, sf_dir):
+    """Boilerplate removal / main-content extraction
+    (operators/boilerplate.py, jusText-lite): block segmentation
+    (htmlx/blocks.py) in one Arrow pass, then link-density + length
+    classification and document-order re-join as pure array-expression
+    codegen — zero shuffle, no explode (plan pinned in test_plan_shapes).
+    The reference keeps whole-page text (crawler.py:163); this is the
+    content tier a training pipeline runs instead. Oracle: the synthesized
+    page's 7 blocks classify in closed form — h1 is content (heading
+    exemption), body text iff >= 3 words; title/header/nav/links/footer
+    are boilerplate (short or link-dense)."""
+    from .operators.boilerplate import main_content
+
+    docs = documents_as_pages(spark, sf_dir)
+    return main_content(docs).select(
+        "doc_id", "main_text", "n_blocks", "n_content_blocks"
+    )
+
+
+@q(
+    "q88_boilerplate_stats",
+    """
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS pw FROM documents
+    )
+    SELECT doc_id,
+           CAST(7 AS INT) AS n_blocks,
+           CAST(CASE WHEN pw >= 3 THEN 2 ELSE 1 END AS INT)
+             AS n_content_blocks,
+           CAST(10 + pw AS INT) AS n_words_total,
+           CAST(10 + pw - 2 - CASE WHEN pw >= 3 THEN pw ELSE 0 END AS INT)
+             AS n_words_boiler,
+           round(CAST(10 + pw - 2 - CASE WHEN pw >= 3 THEN pw ELSE 0 END
+                      AS DOUBLE) / CAST(10 + pw AS DOUBLE), 4)
+             AS boiler_word_ratio
+    FROM w
+    """,
+)
+def q88_boilerplate_stats(spark, sf_dir):
+    """Per-page boilerplate profile (operators/boilerplate.py
+    boilerplate_stats): block/word counts and the boilerplate word share —
+    the measurement a content-extraction threshold decision reads. Same
+    zero-shuffle array-codegen shape as q87. Oracle: closed-form word
+    accounting over the synthesized 7-block page (10 chrome words + the
+    body text; h1's 2 words + body text are content when >= 3 words)."""
+    from .operators.boilerplate import boilerplate_stats
+
+    docs = documents_as_pages(spark, sf_dir)
+    return boilerplate_stats(docs).select(
+        "doc_id", "n_blocks", "n_content_blocks", "n_words_total",
+        "n_words_boiler", "boiler_word_ratio",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

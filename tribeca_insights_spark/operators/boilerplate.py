@@ -1,0 +1,148 @@
+"""Boilerplate removal / main-content extraction over segmented blocks.
+
+The reference keeps the WHOLE page text (crawler.py:163 `get_text()` after
+decomposing script/style/header/footer/nav); real training-data pipelines
+instead classify text BLOCKS and keep main content only (jusText, Pomikálek
+2011; trafilatura) — nav link farms and chrome otherwise dominate token
+counts. This module is that tier: the Python stage is a pure block
+segmenter (htmlx/blocks.py — one Arrow-batched parse per page, same
+batching regime as operators/extract.py), and ALL classification runs
+JVM-side as codegen'd array expressions over the returned block array, so
+tuning the thresholds re-runs zero Python.
+
+Classification rule (jusText-lite, deterministic):
+
+    content(block)  ⇔  2 * n_link_words < n_words          (link density < ½)
+                       AND (n_words >= min_words OR is_heading)
+
+Scale shape (100 TB): the whole operator is Scan → ArrowEvalPython →
+Project — NO shuffle, no explode for the main-content path (blocks stay an
+array column; `filter`/`transform`/`array_join` are per-row codegen).
+Plan pinned in tests/test_plan_shapes.py. Block-level corpus analysis
+(`exploded_blocks`) is the only path that widens rows, and it feeds
+straight into partial-agg groupBys like corpus TF.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..htmlx.blocks import segment_blocks
+from .extract import _decode
+
+BLOCK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("idx", IntegerType()),
+            StructField("tag", StringType()),
+            StructField("text", StringType()),
+            StructField("n_words", IntegerType()),
+            StructField("n_link_words", IntegerType()),
+            StructField("is_heading", BooleanType()),
+        ]
+    )
+)
+
+
+def _blocks_batch(html: pd.Series) -> pd.Series:
+    out: List[list] = []
+    for h in html:
+        out.append(
+            [
+                (b.idx, b.tag, b.text, b.n_words, b.n_link_words,
+                 b.is_heading)
+                for b in segment_blocks(_decode(h))
+            ]
+        )
+    return pd.Series(out)
+
+
+blocks_udf = pandas_udf(_blocks_batch, BLOCK_TYPE)
+
+
+def _is_content(b: Column, min_words: int) -> Column:
+    return (2 * b["n_link_words"] < b["n_words"]) & (
+        (b["n_words"] >= min_words) | b["is_heading"]
+    )
+
+
+def with_blocks(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append a ``blocks`` array column (one segmenter pass per page)."""
+    return docs.withColumn("blocks", blocks_udf(F.col(html_col)))
+
+
+def main_content(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_words: int = 3,
+) -> DataFrame:
+    """Per-page main content: input columns + ``main_text`` (content blocks
+    joined in document order), ``n_blocks``, ``n_content_blocks``.
+
+    Zero-shuffle: the block array never explodes; selection and re-join are
+    array-expression codegen over the Arrow batch output.
+    """
+    d = with_blocks(docs, html_col)
+    content = F.filter("blocks", lambda b: _is_content(b, min_words))
+    return d.select(
+        *[c for c in docs.columns if c != html_col],
+        F.array_join(
+            F.transform(content, lambda b: b["text"]), " "
+        ).alias("main_text"),
+        F.size("blocks").alias("n_blocks"),
+        F.size(content).alias("n_content_blocks"),
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_words: int = 3,
+) -> DataFrame:
+    """Per-page boilerplate profile: block counts, word counts, and the
+    boilerplate share of words — the report a content-extraction threshold
+    decision reads. Same zero-shuffle shape as ``main_content``."""
+    d = with_blocks(docs, html_col)
+    total_w = F.aggregate(
+        "blocks", F.lit(0), lambda acc, b: acc + b["n_words"]
+    )
+    content = F.filter("blocks", lambda b: _is_content(b, min_words))
+    content_w = F.aggregate(
+        content, F.lit(0), lambda acc, b: acc + b["n_words"]
+    )
+    return d.select(
+        *[c for c in docs.columns if c != html_col],
+        F.size("blocks").alias("n_blocks"),
+        F.size(content).alias("n_content_blocks"),
+        total_w.alias("n_words_total"),
+        (total_w - content_w).alias("n_words_boiler"),
+        F.round(
+            (total_w - content_w).cast("double")
+            / F.greatest(total_w, F.lit(1)).cast("double"),
+            4,
+        ).alias("boiler_word_ratio"),
+    )
+
+
+def exploded_blocks(docs: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(url, idx, tag, text, n_words, n_link_words, is_heading) — one row
+    per block, for corpus-level block analysis (e.g. boilerplate profile by
+    tag). Widens rows; downstream aggs partial-combine like corpus TF."""
+    return (
+        with_blocks(docs, html_col)
+        .select(F.col(url_col).alias("url"), F.explode("blocks").alias("b"))
+        .select("url", "b.*")
+    )
