@@ -254,3 +254,35 @@ def test_perplexity_buckets_split(spark):
     assert rows[9].bucket_label == "tail"  # OOV doc scores worst
     labels = {r.ppl_bucket: r.bucket_label for r in rows.values()}
     assert labels == {1: "head", 2: "middle", 3: "tail"}
+
+
+# --- k-hop BFS ---------------------------------------------------------------
+
+
+def test_bfs_min_dist_chain_and_diamond(spark):
+    from tribeca_insights_spark.operators.linkgraph import bfs_min_dist
+
+    # chain 0→1→2→3 plus a diamond shortcut 0→2 (min dist must win)
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3),
+         Row(src=0, dst=2)]
+    )
+    seeds = spark.createDataFrame([Row(node=0)])
+    got = {r.node: r.dist for r in bfs_min_dist(edges, seeds, k=2).collect()}
+    # k=2: node 3 reachable via 0→2→3 at dist 2; node 2 at dist 1 (shortcut)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_min_dist_k0_and_multi_seed(spark):
+    from tribeca_insights_spark.operators.linkgraph import bfs_min_dist
+
+    edges = spark.createDataFrame([Row(src=0, dst=1), Row(src=5, dst=1)])
+    seeds = spark.createDataFrame([Row(node=0), Row(node=5), Row(node=5)])
+    got0 = {r.node: r.dist for r in bfs_min_dist(edges, seeds, k=0).collect()}
+    assert got0 == {0: 0, 5: 0}  # duplicate seeds collapse
+    got1 = {r.node: r.dist for r in bfs_min_dist(edges, seeds, k=1).collect()}
+    assert got1 == {0: 0, 5: 0, 1: 1}  # two sources converge, emitted once
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bfs_min_dist(edges, seeds, k=-1)

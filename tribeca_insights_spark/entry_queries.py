@@ -3534,6 +3534,54 @@ def q88_boilerplate_stats(spark, sf_dir):
     )
 
 
+@q(
+    "q89_khop_reachable",
+    """
+    WITH RECURSIVE nn AS (SELECT CAST(count(*) AS BIGINT) AS N
+                          FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    walk(node, dist) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.dist < 3
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q89_khop_reachable(spark, sf_dir):
+    """Multi-source k-hop BFS over the q83 page graph (operators/
+    linkgraph.py bfs_min_dist): every page within 3 hops of the seed set
+    (doc_id % 97 == 0) with its minimum hop distance — the frontier-
+    expansion query behind "crawl everything within k clicks of the
+    seeds". Level-synchronous joins + anti-joins, zero driver-side graph,
+    zero actions in the loop. Oracle: DuckDB recursive CTE walking the
+    same (7·id+3)%N / (13·id+5)%N edges with min(dist)."""
+    from .operators.linkgraph import bfs_min_dist
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    seeds = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_min_dist(edges, seeds, k=3)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -202,3 +202,65 @@ def pagerank_micros(
             )
         ranks = new
     return ranks.select("node", F.col("s").alias("rank_micros"))
+
+
+def bfs_min_dist(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over an edge list → (node, dist): minimum hop
+    distance from any seed, out to ``k`` hops (frontier expansion — the
+    crawl-planning query behind "everything within k clicks of the seed
+    list", and the joins-only sibling of the reference's flat visited-set
+    frontier, crawler.py:190-215).
+
+    Level-synchronous and joins-only: each round joins the CURRENT
+    frontier (not the whole visited set) against the edge table, then
+    anti-joins the visited set so a node is emitted exactly once, at its
+    first — hence minimum — depth. No ``collect()``, no driver-side
+    graph, zero Spark actions inside the loop (``k`` is a fixed unroll;
+    the result is one lazy plan). Each frontier is ``persist()``-ed so
+    the k-deep plan evaluates every level once instead of recursively
+    recomputing level i for every level j > i.
+
+    Scale shape (10^12 edges): the per-round join is src-keyed — bucket
+    or pre-repartition ``edges`` by ``src`` once and every round reuses
+    that single partitioning; the anti-join is frontier-sized on the
+    probe side. For large k, ``localCheckpoint`` the visited union every
+    ~5 levels to truncate lineage (same discipline as
+    ``pagerank_micros`` / dedup.connected_components).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    level0 = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .persist()
+    )
+    levels = [level0]
+    visited = level0.select("node")
+    frontier = level0
+    for depth in range(1, k + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("dist"))
+            .persist()
+        )
+        levels.append(nxt)
+        visited = visited.union(nxt.select("node"))
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
