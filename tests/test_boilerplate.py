@@ -108,3 +108,84 @@ def test_binary_html_decodes(spark):
     )
     row = main_content(docs).collect()[0]
     assert row.n_blocks == 7
+
+
+# --- source spans ------------------------------------------------------------
+
+
+def test_span_walker_exact_offsets():
+    from tribeca_insights_spark.htmlx.blocks import (
+        segment_blocks,
+        segment_blocks_with_spans,
+    )
+
+    html = (
+        "<html><body><h1>Heading X</h1><p>  padded text here  </p>"
+        "<div>one &amp; two\n  second line  </div>"
+        "<script>var x = 'invisible';</script>"
+        "<a href='/a'>about</a><a href='/b'>ext</a>"
+        "<footer>footer</footer></body></html>"
+    )
+    pairs = segment_blocks_with_spans(html)
+    # block stream identical to the span-free walker
+    assert [b.text for b, _ in pairs] == [
+        b.text for b in segment_blocks(html)
+    ]
+    by_tag = {b.tag: (b, s) for b, s in pairs}
+    h1, (s, e) = by_tag["h1"]
+    assert html[s:e] == "Heading X"
+    p, (s, e) = by_tag["p"]
+    assert html[s:e] == "padded text here"  # whitespace trimmed both ends
+    d, (s, e) = by_tag["div"]
+    # raw slice keeps the charref and internal whitespace; visible text
+    # is the interpolated, stripped form
+    assert html[s:e] == "one &amp; two\n  second line"
+    assert d.text == "one & two\n  second line"
+    body, (s, e) = by_tag["body"]  # the two inline links form one block
+    assert html[s:e].startswith("about") and html[s:e].endswith("ext")
+
+
+def test_span_walker_tolerates_broken_and_empty():
+    from tribeca_insights_spark.htmlx.blocks import (
+        segment_blocks_with_spans,
+    )
+
+    assert segment_blocks_with_spans("") == []
+    assert segment_blocks_with_spans(None) == []
+    # unclosed tags and a bogus-markup tail: html.parser folds the broken
+    # tail into character data; the span must still cover exactly what the
+    # block reports as text (same recovery the span-free walker makes)
+    html = "<p>kept text<div <<< busted"
+    pairs = segment_blocks_with_spans(html)
+    assert len(pairs) == 1
+    b, (s, e) = pairs[0]
+    assert b.text == "kept text<div <<< busted"
+    assert html[s:e] == b.text
+    # unterminated entity in the last data run, flushed by close()
+    html2 = "<p>alpha &amp beta"
+    pairs2 = segment_blocks_with_spans(html2)
+    b2, (s2, e2) = pairs2[0]
+    assert b2.text == "alpha & beta"  # interpolated visible text
+    assert html2[s2:e2] == "alpha &amp beta"  # raw source span
+
+
+def test_content_spans_operator(spark):
+    import pyspark.sql.functions as F
+
+    from tribeca_insights_spark.operators.boilerplate import content_spans
+
+    html = (
+        "<html><body><nav><a href='/x'>n1</a> <a href='/y'>n2</a></nav>"
+        "<h1>Title Here</h1><p>real content with five words</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(html.encode()))], "doc_id int, html binary"
+    )
+    rows = {r.tag: r for r in content_spans(df).collect()}
+    assert set(rows) == {"h1", "p"}  # nav is link-dense boilerplate
+    assert rows["h1"].span_text == "Title Here"
+    assert rows["p"].span_text == "real content with five words"
+    assert html[rows["p"].span_start : rows["p"].span_end] == (
+        "real content with five words"
+    )

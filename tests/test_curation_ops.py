@@ -221,3 +221,29 @@ def test_strip_tracking_off_by_default(spark):
         _canon(spark, "https://ex.com/p?utm_a=1&b=2")
         == "https://ex.com/p?b=2&utm_a=1"
     )
+
+
+# --- encoding quality --------------------------------------------------------
+
+
+def test_encoding_quality_signals(spark):
+    from tribeca_insights_spark.operators.textstats import encoding_quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "café naïve"),          # real accents: not suspect
+            (3, "franÃ§ais Ã©cole Ã©té"),     # double-encoded: suspect
+            (4, "damaged � twice �"),    # replacement chars
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in encoding_quality(df).collect()}
+    assert rows[1].encoding_suspect is False and rows[1].ascii_ratio == 1.0
+    assert rows[2].encoding_suspect is False
+    assert rows[2].n_non_ascii == 2  # é and ï only
+    assert rows[3].encoding_suspect is True
+    assert rows[3].mojibake_hits == 3  # Ã§ + Ã©cole + Ã©té
+    assert rows[4].n_replacement == 2 and rows[4].encoding_suspect is True
+    assert rows[5].n_chars == 0 and rows[5].ascii_ratio == 0.0

@@ -3582,6 +3582,123 @@ def q89_khop_reachable(spark, sf_dir):
     return bfs_min_dist(edges, seeds, k=3)
 
 
+@q(
+    "q90_content_spans",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             length('<html><head><title>Doc ' || doc_id ||
+                    '</title><meta name="description" content="' ||
+                    source || ' document"></head><body>' ||
+                    '<header>site header</header>' ||
+                    '<nav><a href="https://nav.example.net/x">navlink' ||
+                    '</a></nav>' || '<h1>') AS h1_start
+      FROM documents
+    )
+    SELECT doc_id, CAST(3 AS INT) AS block_idx, 'h1' AS tag,
+           CAST(h1_start AS INT) AS span_start,
+           CAST(h1_start + length('Heading ' || doc_id) AS INT)
+             AS span_end,
+           'Heading ' || doc_id AS span_text
+    FROM base
+    UNION ALL
+    SELECT doc_id, CAST(4 AS INT), 'p',
+           CAST(h1_start + length('Heading ' || doc_id)
+                + length('</h1><p>')
+                + (length(text) - length(ltrim(text))) AS INT),
+           CAST(h1_start + length('Heading ' || doc_id)
+                + length('</h1><p>') + length(rtrim(text)) AS INT),
+           trim(text)
+    FROM base
+    WHERE len(string_split(text, ' ')) >= 3
+    """,
+)
+def q90_content_spans(spark, sf_dir):
+    """Content-block source SPANS (operators/boilerplate.py
+    content_spans): per content block, the [start, end) character range
+    in the decoded page whose raw slice is the block's visible text, plus
+    the slice itself re-cut JVM-side — the north_rule's "extracted
+    text/spans per document" as an addressable provenance layer. Offsets
+    come from the single-feed span walker (htmlx/blocks.py _SpanWalker);
+    only 2 ints per block cross Arrow beyond the block facts. Oracle:
+    offsets computed closed-form by length arithmetic over the
+    reconstructed synthetic page (h1 block always content; p block iff
+    >= 3 words, leading/trailing whitespace trimmed)."""
+    from .operators.boilerplate import content_spans
+
+    docs = documents_as_pages(spark, sf_dir)
+    return content_spans(docs).select(
+        "doc_id", "block_idx", "tag", "span_start", "span_end",
+        "span_text",
+    )
+
+
+# q91's oracle states the SAME fixed-literal mojibake arithmetic the
+# operator runs, generated from the one shared constant so the two can
+# never drift. Injection: every 7th doc gets a double-encoding signature,
+# every 13th a U+FFFD — identically on both sides.
+from .operators.textstats import MOJIBAKE_SEQS as _MOJI  # noqa: E402
+
+_MOJI_SUM_SQL = " + ".join(
+    f"CAST((length(t) - length(replace(t, '{s}', ''))) // {len(s)} AS INT)"
+    for s in _MOJI
+)
+
+
+@q(
+    "q91_encoding_quality",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' franÃ§ais Ã©cole' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' ' || chr(65533) ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS INT) AS n_chars,
+           CAST(length(t) - length(replace(t, chr(65533), '')) AS INT)
+             AS n_replacement,
+           {_MOJI_SUM_SQL} AS mojibake_hits,
+           CAST(length(t)
+                - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))
+             AS INT) AS n_non_ascii,
+           round(CAST(length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))
+                      AS DOUBLE)
+                 / CAST(greatest(length(t), 1) AS DOUBLE), 4)
+             AS ascii_ratio,
+           (length(t) - length(replace(t, chr(65533), '')) > 0
+            OR {_MOJI_SUM_SQL} > 0) AS encoding_suspect
+    FROM inj
+    """,
+)
+def q91_encoding_quality(spark, sf_dir):
+    """Encoding-quality audit (operators/textstats.py encoding_quality):
+    replacement-char damage, Latin-1-misdecoded-UTF-8 signatures, and
+    non-ASCII share per document — the gate that catches wrong-charset
+    pages the reference's inherited requests guess never audits
+    (crawler.py:137-138). Deterministic corruption injected in-dataflow
+    (doc_id % 7 → mojibake, % 13 → U+FFFD) so both engines score the same
+    strings; all metrics are fixed-literal replace/length arithmetic —
+    native columnar, zero shuffle."""
+    from .operators.textstats import encoding_quality
+
+    d = _read(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" franÃ§ais Ã©cole")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" �")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_quality(injected)
+
+
 # ---------------------------------------------------------------------------
 
 

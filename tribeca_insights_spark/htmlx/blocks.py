@@ -180,3 +180,142 @@ def segment_blocks(html: Optional[str]) -> List[Block]:
     except Exception:
         w._flush()  # keep whatever was segmented before the parse error
     return w.blocks
+
+
+# ---------------------------------------------------------------------------
+# span-tracking segmentation (north_rule: "extracted text/spans per document")
+# ---------------------------------------------------------------------------
+
+
+class _SpanWalker(_BlockWalker):
+    """`_BlockWalker` that additionally records, per block, the character
+    span ``[start, end)`` in the DECODED html string covering the block's
+    visible source text: ``start`` = offset of the first non-whitespace
+    character of the block's first visible string node, ``end`` = one past
+    the last non-whitespace character of its last visible string node.
+
+    For a single-text-node block, ``html[start:end]`` is exactly the raw
+    source of the block text (pre-whitespace-collapse, pre-charref-
+    interpolation). For multi-node blocks ("about … ext") the span is the
+    smallest source range covering all the block's visible nodes, so it
+    includes the inline markup between them — the contract a span-keyed
+    audit or highlight layer needs.
+
+    Positions: html.parser's ``goahead`` loop calls ``updatepos(i, j)``
+    after consuming each token, and tokens are contiguous, so at the time
+    any handler runs, the last ``updatepos`` end is exactly the current
+    token's START offset. ``FastTagPaths`` discards the stdlib's
+    line/column bookkeeping (extractor.py:143), so this walker overrides
+    ``updatepos`` to keep the absolute index instead — O(1), no newline
+    scans. A visible data run opens at its token start and closes at the
+    start of the NEXT structural event (the ``<`` of the following
+    tag/comment/decl), with the raw slice between them stripped of
+    leading/trailing whitespace. Exact under ``convert_charrefs=True``
+    because all lengths are measured on the raw source slice, never on
+    the interpolated text. Single-``feed`` usage only (offsets are
+    indices into one fed string; ``segment_blocks_with_spans`` feeds
+    once).
+    """
+
+    def __init__(self, html: str) -> None:
+        super().__init__()
+        self._html = html
+        self._apos = 0  # absolute offset of the token now being handled
+        self._run_start: Optional[int] = None
+        self._blk_start: Optional[int] = None
+        self._blk_end: Optional[int] = None
+        self.spans: List[tuple] = []  # aligned with self.blocks
+
+    def updatepos(self, i, j):  # called by goahead after every token
+        self._apos = j
+        return j
+
+    def _abs(self) -> int:
+        return self._apos
+
+    def _close_run(self, pos: int) -> None:
+        if self._run_start is None:
+            return
+        seg = self._html[self._run_start : pos]
+        st = self._run_start + (len(seg) - len(seg.lstrip()))
+        en = self._run_start + len(seg.rstrip())
+        self._run_start = None
+        if en <= st:
+            return
+        if self._blk_start is None:
+            self._blk_start = st
+        self._blk_end = en
+
+    def handle_data(self, data) -> None:
+        if (
+            self._run_start is None
+            and data.strip()
+            and not any(
+                t in RAWTEXT_TAGS or t in _DROPPED for t in self.stack
+            )
+        ):
+            self._run_start = self._abs()
+        super().handle_data(data)
+
+    def _flush(self) -> None:
+        n0 = len(self.blocks)
+        super()._flush()
+        if len(self.blocks) > n0:
+            self.spans.append((self._blk_start, self._blk_end))
+        self._blk_start = None
+        self._blk_end = None
+
+    # every structural event closes the open data run at its own position
+    def handle_starttag(self, tag, attrs) -> None:
+        self._close_run(self._abs())
+        super().handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag) -> None:
+        self._close_run(self._abs())
+        super().handle_endtag(tag)
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        self._close_run(self._abs())
+        # _BlockWalker.handle_startendtag delegates to handle_starttag /
+        # handle_endtag (already-closed run → both _close_run calls no-op)
+        super().handle_startendtag(tag, attrs)
+
+    def handle_comment(self, data) -> None:
+        self._close_run(self._abs())
+        super().handle_comment(data)
+
+    def handle_decl(self, decl) -> None:
+        self._close_run(self._abs())
+        super().handle_decl(decl)
+
+    def handle_pi(self, data) -> None:
+        self._close_run(self._abs())
+        super().handle_pi(data)
+
+    def unknown_decl(self, data) -> None:
+        self._close_run(self._abs())
+        super().unknown_decl(data)
+
+    def close(self) -> None:
+        self._close_run(len(self._html))
+        super().close()
+
+
+def segment_blocks_with_spans(
+    html: Optional[str],
+) -> List[tuple]:
+    """Segment a page into blocks WITH source spans: one
+    ``(Block, (start, end))`` per block — ``(None, None)`` span when the
+    block's text never appeared as a trackable source run (defensive;
+    does not occur for well-formed input). Same tolerance contract as
+    ``segment_blocks``."""
+    if not html:
+        return []
+    w = _SpanWalker(html)
+    try:
+        w.feed(html)
+        w.close()
+    except Exception:
+        w._flush()
+    # blocks/spans stay aligned because _flush appends to both
+    return list(zip(w.blocks, w.spans))

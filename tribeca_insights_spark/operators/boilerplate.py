@@ -146,3 +146,80 @@ def exploded_blocks(docs: DataFrame, url_col: str = "url",
         .select(F.col(url_col).alias("url"), F.explode("blocks").alias("b"))
         .select("url", "b.*")
     )
+
+
+SPAN_BLOCK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("idx", IntegerType()),
+            StructField("tag", StringType()),
+            StructField("n_words", IntegerType()),
+            StructField("n_link_words", IntegerType()),
+            StructField("is_heading", BooleanType()),
+            StructField("span_start", IntegerType()),
+            StructField("span_end", IntegerType()),
+        ]
+    )
+)
+
+
+def _span_blocks_batch(html: pd.Series) -> pd.Series:
+    from ..htmlx.blocks import segment_blocks_with_spans
+
+    out: List[list] = []
+    for h in html:
+        out.append(
+            [
+                (b.idx, b.tag, b.n_words, b.n_link_words, b.is_heading,
+                 s, e)
+                for b, (s, e) in segment_blocks_with_spans(_decode(h))
+            ]
+        )
+    return pd.Series(out)
+
+
+span_blocks_udf = pandas_udf(_span_blocks_batch, SPAN_BLOCK_TYPE)
+
+
+def content_spans(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_words: int = 3,
+) -> DataFrame:
+    """Per-document CONTENT-block source spans — one row per content
+    block: ``(…, block_idx, tag, span_start, span_end, span_text)``
+    where ``html[span_start:span_end]`` (character offsets in the decoded
+    page) is the raw source range of the block's visible text and
+    ``span_text`` is that slice re-cut JVM-side with ``substring`` — the
+    "extracted text/spans per document" contract (north_rule): a span-
+    keyed audit, highlight, or provenance layer can address the original
+    bytes without re-parsing.
+
+    Shape: one Arrow-batched span-segmenter pass (htmlx/blocks.py
+    ``_SpanWalker`` — block facts + offsets, NO block text crossing
+    Arrow), classification and the slice itself as JVM codegen, then the
+    content-only explode. Widens rows like ``exploded_blocks``; the span
+    columns are 2 ints, so the exploded width stays slim at corpus scale.
+    """
+    d = docs.withColumn("_sblocks", span_blocks_udf(F.col(html_col)))
+    content = F.filter("_sblocks", lambda b: _is_content(b, min_words))
+    keep = [c for c in docs.columns if c != html_col]
+    return (
+        d.select(
+            *keep,
+            F.decode(F.col(html_col), "UTF-8").alias("_page"),
+            F.explode(content).alias("b"),
+        )
+        .select(
+            *keep,
+            F.col("b.idx").alias("block_idx"),
+            F.col("b.tag").alias("tag"),
+            F.col("b.span_start").alias("span_start"),
+            F.col("b.span_end").alias("span_end"),
+            F.substring(
+                F.col("_page"),
+                F.col("b.span_start") + F.lit(1),
+                F.col("b.span_end") - F.col("b.span_start"),
+            ).alias("span_text"),
+        )
+    )

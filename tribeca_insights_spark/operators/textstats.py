@@ -340,3 +340,61 @@ def length_percentiles(df: DataFrame, group_col: str = "lang",
             for i in range(len(names))
         ],
     )
+
+
+# Common UTF-8-read-as-Latin-1/cp1252 double-encoding signatures ("Ã©" is
+# 'é' re-decoded, "â€™" is a curly apostrophe, …). Fixed literal sequences
+# (not a regex) so every engine counts them identically with plain
+# replace-length arithmetic.
+MOJIBAKE_SEQS = (
+    "Ã©", "Ã¨", "Ã£", "Ã§", "Ã¡", "Ã³", "Ãº", "Ã¼", "Ã±",
+    "â€™", "â€œ", "â€\x9d", "â€“", "â€”", "Â ",
+)
+
+
+def encoding_quality(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document text-encoding quality signals — the curation gate that
+    catches pages mangled upstream of extraction (wrong charset decode,
+    double-encoded UTF-8, replacement-char damage). The reference inherits
+    requests' charset guess and never audits it (crawler.py:137-138); at
+    corpus scale a pipeline must measure it. Emits:
+
+    - ``n_chars`` — length of the text,
+    - ``n_replacement`` — U+FFFD replacement characters (decode damage),
+    - ``mojibake_hits`` — occurrences of the classic Latin-1-misdecoded
+      UTF-8 signatures (``MOJIBAKE_SEQS``),
+    - ``n_non_ascii`` / ``ascii_ratio`` — non-ASCII volume (a mojibake
+      page's non-ASCII share jumps; an ASCII page's is 0),
+    - ``encoding_suspect`` — replacement or mojibake evidence present.
+
+    All native columnar (length/replace/regexp arithmetic — zero Python,
+    zero shuffle); fixed-literal counting keeps the metric engine-portable
+    and oracle-checkable, unlike locale-dependent regex classes.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_repl = n_chars - F.length(F.replace(c, F.lit("�"), F.lit("")))
+    moji = None
+    for seq in MOJIBAKE_SEQS:
+        hits = (
+            (n_chars - F.length(F.replace(c, F.lit(seq), F.lit(""))))
+            / F.lit(len(seq))
+        ).cast("int")
+        moji = hits if moji is None else moji + hits
+    n_non_ascii = n_chars - F.length(
+        F.regexp_replace(c, r"[^\x00-\x7F]", "")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars"),
+        n_repl.cast("int").alias("n_replacement"),
+        moji.cast("int").alias("mojibake_hits"),
+        n_non_ascii.cast("int").alias("n_non_ascii"),
+        F.round(
+            (n_chars - n_non_ascii).cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            4,
+        ).alias("ascii_ratio"),
+        ((n_repl > 0) | (moji > 0)).alias("encoding_suspect"),
+    )
