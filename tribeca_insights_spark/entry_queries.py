@@ -3699,6 +3699,46 @@ def q91_encoding_quality(spark, sf_dir):
     return encoding_quality(injected)
 
 
+@q(
+    "q92_table_extract",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS table_idx,
+           CAST(0 AS INT) AS row_idx, 'key|value' AS cells_joined
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 0, 1, 'id|' || doc_id FROM documents
+    UNION ALL
+    SELECT doc_id, 0, 2, 'lang|' || lang FROM documents
+    """,
+)
+def q92_table_extract(spark, sf_dir):
+    """HTML table extraction (operators/tables.py table_rows): each
+    ``<table>`` recovered as ordered rows of cell texts — the relational
+    structure the reference's flat get_text flattens into word soup
+    (crawler.py:163). One Arrow-batched walker pass, JVM-side explode, no
+    shuffle. Pages synthesized with a 3-row key/value spec table per doc;
+    oracle states the three rows closed-form (cells pipe-joined so the
+    value hash is array-representation-independent)."""
+    from .operators.tables import table_rows
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Spec "), sid, F.lit("</h1>"),
+        F.lit("<table><tr><th>key</th><th>value</th></tr>"),
+        F.lit("<tr><td>id</td><td>"), sid, F.lit("</td></tr>"),
+        F.lit("<tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = d.select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    return table_rows(pages).select(
+        "doc_id", "table_idx", "row_idx",
+        F.array_join("cells", "|").alias("cells_joined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

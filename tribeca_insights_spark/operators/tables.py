@@ -1,0 +1,75 @@
+"""Table-extraction operator: pages → one row per ``<table>`` row.
+
+Relational web extraction (WebTables, Cafarella 2008) over the same
+Arrow-batched single-parse regime as the other extractors: the Python
+stage is the pure ``htmlx/tables.py`` walker, the explode and any
+downstream selection are JVM-side. The reference flattens tables into
+word soup (crawler.py:163 ``get_text``); this recovers the structure.
+
+Scale shape (100 TB): Scan → ArrowEvalPython → Generate(explode) →
+Project — no shuffle; the explode widens rows in place (a page's table
+rows stay in its input partition). Corpus-level table analyses
+(schema clustering, column-type stats) hang partial-agg groupBys off
+``table_rows`` exactly like corpus TF.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .extract import _decode
+
+TABLE_ROWS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("table_idx", IntegerType()),
+            StructField("row_idx", IntegerType()),
+            StructField("cells", ArrayType(StringType())),
+        ]
+    )
+)
+
+
+def _table_rows_batch(html: pd.Series) -> pd.Series:
+    from ..htmlx.tables import extract_tables
+
+    out: List[list] = []
+    for h in html:
+        flat = []
+        for ti, rows in enumerate(extract_tables(_decode(h))):
+            for ri, cells in enumerate(rows):
+                flat.append((ti, ri, cells))
+        out.append(flat)
+    return pd.Series(out)
+
+
+table_rows_udf = pandas_udf(_table_rows_batch, TABLE_ROWS_TYPE)
+
+
+def table_rows(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """(…, html) → one output row per table row:
+    ``(…, table_idx, row_idx, cells array<string>)`` — tables in document
+    order, rows/cells in table order, browser-shaped recovery for
+    unclosed markup (htmlx/tables.py)."""
+    keep = [c for c in docs.columns if c != html_col]
+    return (
+        docs.withColumn("_trows", table_rows_udf(F.col(html_col)))
+        .select(*keep, F.explode("_trows").alias("r"))
+        .select(
+            *keep,
+            F.col("r.table_idx").alias("table_idx"),
+            F.col("r.row_idx").alias("row_idx"),
+            F.col("r.cells").alias("cells"),
+        )
+    )
