@@ -65,3 +65,67 @@ def test_spark_roundtrip_operator(spark):
     assert len(out) == 20
     for r in out:
         assert r["pdf_text"] == r["text"]
+
+
+# --- positioned layout parse -------------------------------------------------
+
+
+def test_layout_reorders_interleaved_columns():
+    from tribeca_insights_spark.htmlx.pdfx import (
+        extract_pdf_text,
+        extract_pdf_text_layout,
+        make_pdf_columns,
+    )
+
+    cols = [["A1", "A2", "A3"], ["B1", "B2"]]
+    pdf = make_pdf_columns(cols)
+    # the fixture emits row-major: stream order is the WRONG reading order
+    assert extract_pdf_text(pdf).split("\n") == ["A1", "B1", "A2", "B2", "A3"]
+    # layout recovery reads column-major
+    assert extract_pdf_text_layout(pdf).split("\n") == [
+        "A1", "A2", "A3", "B1", "B2",
+    ]
+    # compressed stream gives identical text
+    assert extract_pdf_text_layout(
+        make_pdf_columns(cols, compress=True)
+    ) == extract_pdf_text_layout(pdf)
+
+
+def test_layout_falls_back_to_stream_order_without_positions():
+    from tribeca_insights_spark.htmlx.pdfx import (
+        extract_pdf_text_layout,
+        make_pdf,
+    )
+
+    # make_pdf uses relative Td moves from one origin: a single column —
+    # positioned parse still orders it top-down correctly
+    assert extract_pdf_text_layout(make_pdf(["l1", "l2"])) == "l1\nl2"
+    assert extract_pdf_text_layout(b"") == ""
+    assert extract_pdf_text_layout(b"not a pdf") == ""
+
+
+def test_length_delimited_stream_survives_cr_tail():
+    """A FlateDecode body ending in 0x0D must not be truncated by the
+    endstream delimiter scan (the doc-21 regression: zlib output ended
+    with \\r and the old regex ate it)."""
+    from tribeca_insights_spark.htmlx.pdfx import (
+        extract_pdf_text_layout,
+        make_pdf_columns,
+    )
+
+    cols = [["Alpha 21", "Bravo src1"], ["Charlie fr", "Delta 0"]]
+    pdf = make_pdf_columns(cols, compress=True)
+    import zlib as _z
+
+    body = _z.compress(
+        b"\n".join(
+            f"BT /F1 12 Tf 1 0 0 1 {72 + 220 * ci} {720 - 14 * r} Tm "
+            f"({cols[ci][r]}) Tj ET".encode()
+            for r in range(2)
+            for ci in range(2)
+        )
+    )
+    assert body.endswith(b"\r")  # the trap this test exists for
+    assert extract_pdf_text_layout(pdf) == (
+        "Alpha 21\nBravo src1\nCharlie fr\nDelta 0"
+    )

@@ -3739,6 +3739,42 @@ def q92_table_extract(spark, sf_dir):
     )
 
 
+@q(
+    "q93_pdf_layout",
+    """
+    SELECT doc_id,
+           'Alpha ' || doc_id || chr(10) ||
+           'Bravo ' || source || chr(10) ||
+           'Charlie ' || lang || chr(10) ||
+           'Delta ' || (doc_id % 7) AS pdf_layout_text
+    FROM documents
+    """,
+)
+def q93_pdf_layout(spark, sf_dir):
+    """Multi-column PDF LAYOUT parse (north_rule "PDF/layout parse",
+    htmlx/pdfx.py extract_pdf_text_layout): two-column PDFs whose content
+    stream emits runs ROW-major (interleaved A1,C1,B1,D1) must read back
+    COLUMN-major (A,B then C,D) via Tm-position clustering — stream order
+    alone cannot pass this oracle (q48 covers that tier). FlateDecode for
+    odd ids exercises both raw and compressed streams. Same Arrow-batched
+    Scan → ArrowEvalPython shape as every extractor."""
+    from .operators.pdf import extract_pdf_layout_pages, make_pdf_columns_udf
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    pdfs = d.select(
+        "doc_id",
+        make_pdf_columns_udf(
+            F.concat(F.lit("Alpha "), sid, F.lit("\nBravo "),
+                     F.col("source")),
+            F.concat(F.lit("Charlie "), F.col("lang"), F.lit("\nDelta "),
+                     (F.col("doc_id") % 7).cast("string")),
+            (F.col("doc_id") % 2 == 1),
+        ).alias("pdf"),
+    )
+    return extract_pdf_layout_pages(pdfs).select("doc_id", "pdf_layout_text")
+
+
 # ---------------------------------------------------------------------------
 
 

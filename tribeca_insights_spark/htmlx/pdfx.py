@@ -25,8 +25,39 @@ import re
 import zlib
 from typing import List
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_OPEN_RE = re.compile(rb"stream\r?\n")
 _FLATE_HINT = re.compile(rb"/FlateDecode")
+# direct /Length only (an indirect "/Length 6 0 R" must not match)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
+
+
+def _stream_bodies(data: bytes):
+    """Yield (dict_head, raw_body) per content stream. Streams are
+    /Length-delimited when the dict carries a direct /Length (the spec's
+    rule — binary bodies may legally CONTAIN b"\\nendstream" or end in a
+    CR that a regex delimiter would eat, truncating FlateDecode data);
+    the legacy delimiter scan is the fallback for indirect /Length."""
+    for m in _STREAM_OPEN_RE.finditer(data):
+        start = m.end()
+        head = data[max(0, m.start() - 512) : m.start()]
+        lm = None
+        for lm in _LENGTH_RE.finditer(head):
+            pass  # keep the LAST /Length in the window (nearest dict)
+        if lm is not None:
+            end = start + int(lm.group(1))
+            tail = data[end : end + 11]
+            if tail.lstrip(b"\r\n").startswith(b"endstream"):
+                yield head, data[start:end]
+                continue
+        e = data.find(b"endstream", start)
+        if e == -1:
+            continue
+        body = data[start:e]
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        if body.endswith(b"\r"):
+            body = body[:-1]
+        yield head, body
 
 # text-showing / positioning operators inside BT..ET
 _TEXT_OP_RE = re.compile(
@@ -130,16 +161,12 @@ def extract_pdf_text(data: bytes) -> str:
     if not data or b"%PDF" not in data[:1024]:
         return ""
     lines: List[str] = []
-    pos = 0
-    for m in _STREAM_RE.finditer(data):
-        raw = m.group(1)
+    for head, raw in _stream_bodies(data):
         # filter hint lives in the stream dict just before `stream`
-        head = data[max(0, m.start() - 512) : m.start()]
         body = (
             _decode_stream(raw) if _FLATE_HINT.search(head) else raw
         )
         lines.extend(_text_from_content(body))
-        pos = m.end()
     return "\n".join(lines)
 
 
@@ -162,6 +189,12 @@ def make_pdf(lines: List[str], compress: bool = False) -> bytes:
         ops.append(f"({_pdf_escape(ln)}) Tj")
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1", errors="replace")
+    return _wrap_page_pdf(content, compress=compress)
+
+
+def _wrap_page_pdf(content: bytes, compress: bool = False) -> bytes:
+    """Wrap a content stream in the deterministic one-page PDF scaffold
+    (catalog/pages/page/font objects, correct xref offsets)."""
     flt = b""
     if compress:
         content = zlib.compress(content)
@@ -190,3 +223,135 @@ def make_pdf(lines: List[str], compress: bool = False) -> bytes:
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# positioned text + layout reading order (north_rule: "PDF/layout parse")
+# ---------------------------------------------------------------------------
+
+# positioned scan: numbers feed an operand stack consumed by Tm/Td/TD/T*;
+# text-showing ops emit a run at the current text position
+_POS_TOK_RE = re.compile(
+    rb"""
+    \((?P<lit>(?:\\.|[^\\()])*)\)\s*(?P<lop>Tj|'|")
+  | <(?P<hex>[0-9A-Fa-f\s]*)>\s*(?P<hop>Tj|'|")
+  | \[(?P<arr>(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]])*)\]\s*TJ
+  | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+  | (?P<op>Tm|TD|Td|T\*|TL|BT|ET)
+    """,
+    re.X | re.S,
+)
+
+
+def _positioned_runs(content: bytes) -> List[tuple]:
+    """(x, y, text) for every text-showing op, tracking the text matrix
+    translation: ``a b c d e f Tm`` sets (e, f); ``tx ty Td`` translates
+    the LINE origin; ``tx ty TD`` additionally sets leading to -ty;
+    ``T*`` moves down one leading (``TL`` sets it; default 14). BT resets
+    the matrix. Rotation/scale components of Tm are ignored — translation
+    order is what layout recovery needs."""
+    runs: List[tuple] = []
+    x = y = 0.0
+    leading = 14.0
+    stack: List[float] = []
+
+    def emit(s: bytes) -> None:
+        runs.append((x, y, s.decode("latin-1")))
+
+    for m in _POS_TOK_RE.finditer(content):
+        if m.group("num") is not None:
+            stack.append(float(m.group("num")))
+            continue
+        op = m.group("op")
+        if op is not None:
+            if op == b"BT":
+                x = y = 0.0
+                leading = 14.0
+            elif op == b"Tm" and len(stack) >= 6:
+                x, y = stack[-2], stack[-1]
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                tx, ty = stack[-2], stack[-1]
+                x += tx
+                y += ty
+                if op == b"TD":
+                    leading = -ty if ty else leading
+            elif op == b"T*":
+                y -= leading
+            elif op == b"TL" and stack:
+                leading = stack[-1]
+            stack.clear()
+            continue
+        # text-showing op
+        if m.group("lop") in (b"'", b'"') or m.group("hop") in (b"'", b'"'):
+            y -= leading  # ' and " imply next-line first
+        if m.group("lit") is not None:
+            emit(_unescape(m.group("lit")))
+        elif m.group("hex") is not None:
+            emit(_hex_bytes(m.group("hex")))
+        elif m.group("arr") is not None:
+            segs = []
+            for im in _ARR_ITEM_RE.finditer(m.group("arr")):
+                if im.group("lit") is not None:
+                    segs.append(_unescape(im.group("lit")))
+                else:
+                    segs.append(_hex_bytes(im.group("hex")))
+            emit(b"".join(segs))
+        stack.clear()
+    return runs
+
+
+def extract_pdf_text_layout(data: bytes, col_gap: float = 100.0) -> str:
+    """Layout-aware text: runs clustered into COLUMNS by x (a gap >
+    ``col_gap`` between successive distinct x positions starts a new
+    column), read column-major — left column top-to-bottom, then the
+    next — the reading order a human (and a training corpus) wants for
+    multi-column pages, independent of content-stream emission order.
+    Within a column, runs sort by y descending (PDF y grows upward),
+    ties by x then emission order. Falls back to ``extract_pdf_text``'s
+    stream order when no run carries position (degenerate input)."""
+    if not data or b"%PDF" not in data[:1024]:
+        return ""
+    runs: List[tuple] = []
+    for head, raw in _stream_bodies(data):
+        body = _decode_stream(raw) if _FLATE_HINT.search(head) else raw
+        runs.extend(_positioned_runs(body))
+    if not runs:
+        return extract_pdf_text(data)
+    xs = sorted({x for x, _, _ in runs})
+    col_of = {}
+    col = 0
+    prev = None
+    for xv in xs:
+        if prev is not None and xv - prev > col_gap:
+            col += 1
+        col_of[xv] = col
+        prev = xv
+    ordered = sorted(
+        range(len(runs)),
+        key=lambda i: (col_of[runs[i][0]], -runs[i][1], runs[i][0], i),
+    )
+    return "\n".join(runs[i][2] for i in ordered)
+
+
+def make_pdf_columns(columns: List[List[str]],
+                     compress: bool = False) -> bytes:
+    """Deterministic multi-column one-page PDF: column ``ci`` at
+    x = 72 + 220·ci, lines top-down from y = 720 at 14pt leading — and
+    the content stream EMITS runs row-major (interleaved across columns)
+    so stream order differs from reading order: the fixture that proves
+    layout recovery is real. Each run is its own BT/ET with an absolute
+    ``Tm``."""
+    ops: List[str] = []
+    n_rows = max((len(c) for c in columns), default=0)
+    for r in range(n_rows):
+        for ci, colv in enumerate(columns):
+            if r >= len(colv):
+                continue
+            xp = 72 + 220 * ci
+            yp = 720 - 14 * r
+            ops.append(
+                f"BT /F1 12 Tf 1 0 0 1 {xp} {yp} Tm "
+                f"({_pdf_escape(colv[r])}) Tj ET"
+            )
+    content = "\n".join(ops).encode("latin-1", errors="replace")
+    return _wrap_page_pdf(content, compress=compress)
