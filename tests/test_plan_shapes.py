@@ -265,3 +265,36 @@ def test_main_content_zero_shuffle(spark):
     p = _plan(main_content(d))
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p
+
+
+def test_exploded_walkers_single_arrow_pass(spark):
+    """Explode over an Arrow-UDF-backed column must evaluate the Python
+    walker ONCE: a plain explode lets InferFiltersFromGenerate add a
+    `size(udf(..)) > 0` pre-filter that re-runs the whole parse (two
+    ArrowEvalPython nodes). Pinned for table_rows, exploded_blocks, and
+    content_spans — all zero-Exchange as well."""
+    from tribeca_insights_spark.entry_queries import documents_as_pages
+    from tribeca_insights_spark.operators.boilerplate import (
+        content_spans,
+        exploded_blocks,
+    )
+    from tribeca_insights_spark.operators.tables import table_rows
+
+    d = documents_as_pages(spark, "/root/testdata/sf0.001")
+    for df in (table_rows(d), exploded_blocks(d), content_spans(d)):
+        p = _plan(df)
+        assert p.count("ArrowEvalPython") == 1
+        assert "Exchange" not in p
+
+
+def test_bfs_no_cartesian_no_actions_in_plan(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.linkgraph import bfs_min_dist
+
+    e = spark.createDataFrame(
+        [Row(src=i, dst=(i * 7 + 3) % 50) for i in range(50)]
+    )
+    seeds = spark.createDataFrame([Row(node=0), Row(node=7)])
+    p = _plan(bfs_min_dist(e, seeds, k=3))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -140,10 +140,18 @@ def exploded_blocks(docs: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """(url, idx, tag, text, n_words, n_link_words, is_heading) — one row
     per block, for corpus-level block analysis (e.g. boilerplate profile by
-    tag). Widens rows; downstream aggs partial-combine like corpus TF."""
+    tag). Widens rows; downstream aggs partial-combine like corpus TF.
+
+    explode_outer + post-filter (not explode): the inferred
+    ``size(blocks) > 0`` pre-filter of a plain explode re-runs the
+    Arrow-batched segmenter a second time (see operators/tables.py)."""
     return (
         with_blocks(docs, html_col)
-        .select(F.col(url_col).alias("url"), F.explode("blocks").alias("b"))
+        .select(
+            F.col(url_col).alias("url"),
+            F.explode_outer("blocks").alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
         .select("url", "b.*")
     )
 

@@ -63,9 +63,16 @@ def table_rows(docs: DataFrame, html_col: str = "html") -> DataFrame:
     order, rows/cells in table order, browser-shaped recovery for
     unclosed markup (htmlx/tables.py)."""
     keep = [c for c in docs.columns if c != html_col]
+    # explode_outer + post-filter, NOT explode: InferFiltersFromGenerate
+    # turns a plain explode over a UDF-backed column into a
+    # `size(udf(...)) > 0` pre-filter that re-runs the Python walker —
+    # 2× the Arrow stage (observed: two ArrowEvalPython nodes). The
+    # outer variant infers no such filter; dropping the null rows after
+    # the Generate is JVM-side and keeps the parse single-pass.
     return (
         docs.withColumn("_trows", table_rows_udf(F.col(html_col)))
-        .select(*keep, F.explode("_trows").alias("r"))
+        .select(*keep, F.explode_outer("_trows").alias("r"))
+        .filter(F.col("r").isNotNull())
         .select(
             *keep,
             F.col("r.table_idx").alias("table_idx"),
