@@ -189,3 +189,57 @@ def test_content_spans_operator(spark):
     assert html[rows["p"].span_start : rows["p"].span_end] == (
         "real content with five words"
     )
+
+
+# --- site-level template detection -------------------------------------------
+
+
+def test_template_blocks_host_frequency(spark):
+    from tribeca_insights_spark.operators.boilerplate import template_blocks
+
+    def page(host, i, body):
+        h = (
+            f"<html><body><header>Site {host}</header>"
+            f"<p>{body}</p><footer>contact legal jobs</footer>"
+            "</body></html>"
+        )
+        return (host, f"https://{host}/p{i}", bytearray(h.encode()))
+
+    rows = [
+        page("a.com", 0, "unique alpha"),
+        page("a.com", 1, "unique bravo"),
+        page("a.com", 2, "unique charlie"),
+        page("b.com", 0, "only page"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, html binary")
+    out = template_blocks(df).collect()
+    got = {(r.host, r.block_text): r for r in out}
+    # a.com: header + footer on 3/3 pages; bodies 1/3 (below 0.5) absent
+    assert ("a.com", "Site a.com") in got
+    assert ("a.com", "contact legal jobs") in got
+    assert not any(h == "a.com" and "unique" in t for h, t in got)
+    a = got[("a.com", "Site a.com")]
+    assert a.n_pages_with_block == 3 and a.n_pages == 3
+    assert a.frac_pages == 1.0
+    # b.com has one page: everything on it is "template" by frequency —
+    # the operator reports what the metric says; callers gate on n_pages
+    assert got[("b.com", "only page")].n_pages == 1
+
+
+def test_template_blocks_threshold_boundary(spark):
+    from tribeca_insights_spark.operators.boilerplate import template_blocks
+
+    # block on exactly 1 of 2 pages: 0.5 boundary must be INCLUSIVE via
+    # integer-micros compare (1 * 1e6 >= 5e5 * 2)
+    rows = [
+        ("h", "u1", bytearray(b"<p>half</p><p>both</p>")),
+        ("h", "u2", bytearray(b"<p>both</p>")),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, html binary")
+    texts = {r.block_text for r in template_blocks(df).collect()}
+    assert texts == {"half", "both"}
+    strict = {
+        r.block_text
+        for r in template_blocks(df, min_frac_micros=600_000).collect()
+    }
+    assert strict == {"both"}

@@ -286,3 +286,41 @@ def test_bfs_min_dist_k0_and_multi_seed(spark):
 
     with _pytest.raises(ValueError):
         bfs_min_dist(edges, seeds, k=-1)
+
+
+# --- recrawl priority --------------------------------------------------------
+
+
+def test_recrawl_priority_buckets(spark):
+    from tribeca_insights_spark.plans.snapshot import recrawl_priority
+
+    diffs = spark.createDataFrame(
+        [
+            Row(url="u0", status="unchanged"),
+            Row(url="u0", status="unchanged"),
+            Row(url="u1", status="changed"),
+            Row(url="u1", status="unchanged"),
+            Row(url="u2", status="changed"),
+            Row(url="u2", status="added"),   # added counts as churn
+            Row(url="u3", status="changed"),
+            Row(url="u3", status="changed"),
+            Row(url="u3", status="changed"),  # 3 changes clamp to last
+        ]
+    )
+    out = {r.url: r for r in recrawl_priority(diffs).collect()}
+    assert out["u0"].n_changes == 0
+    assert out["u0"].recrawl_interval == "30d"
+    assert out["u1"].recrawl_interval == "7d"
+    assert out["u2"].n_changes == 2 and out["u2"].recrawl_interval == "1d"
+    assert out["u3"].n_changes == 3 and out["u3"].recrawl_interval == "1d"
+    assert out["u1"].n_observations == 2
+
+
+def test_recrawl_priority_custom_intervals(spark):
+    from tribeca_insights_spark.plans.snapshot import recrawl_priority
+
+    diffs = spark.createDataFrame(
+        [Row(url="u", status="changed")]
+    )
+    r = recrawl_priority(diffs, intervals=("slow", "fast")).first()
+    assert r.recrawl_interval == "fast"

@@ -3775,6 +3775,100 @@ def q93_pdf_layout(spark, sf_dir):
     return extract_pdf_layout_pages(pdfs).select("doc_id", "pdf_layout_text")
 
 
+@q(
+    "q94_template_blocks",
+    """
+    WITH p AS (SELECT doc_id, source || '.example.com' AS host, text
+               FROM documents),
+    np AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+           FROM p GROUP BY host),
+    b AS (
+      SELECT host, doc_id, 'Doc ' || doc_id AS block_text FROM p
+      UNION ALL SELECT host, doc_id, 'site header' FROM p
+      UNION ALL SELECT host, doc_id, 'navlink' FROM p
+      UNION ALL SELECT host, doc_id, 'Heading ' || doc_id FROM p
+      UNION ALL SELECT host, doc_id, trim(text) FROM p
+                WHERE trim(text) <> ''
+      UNION ALL SELECT host, doc_id, 'about ext' FROM p
+      UNION ALL SELECT host, doc_id, 'footer' FROM p
+    ),
+    d AS (SELECT DISTINCT host, doc_id, block_text FROM b),
+    c AS (SELECT host, block_text,
+                 CAST(count(*) AS BIGINT) AS n_pages_with_block
+          FROM d GROUP BY host, block_text)
+    SELECT c.host, c.block_text, c.n_pages_with_block, np.n_pages,
+           round(CAST(c.n_pages_with_block AS DOUBLE)
+                 / CAST(np.n_pages AS DOUBLE), 4) AS frac_pages
+    FROM c JOIN np ON c.host = np.host
+    WHERE c.n_pages_with_block * 1000000 >= 500000 * np.n_pages
+    """,
+)
+def q94_template_blocks(spark, sf_dir):
+    """SITE-LEVEL template detection (operators/boilerplate.py
+    template_blocks): blocks recurring on >= 50% of a host's pages are
+    that host's template — the cross-page frequency tier that catches
+    link-light chrome the per-page jusText rule (q87) cannot. Host parsed
+    from the url natively; one Arrow segmentation pass → distinct →
+    partial-agg count → broadcast page-count dim; integer-micros
+    threshold so both engines agree at the boundary. Oracle enumerates
+    the synthesized page's 7 blocks and runs the same counting."""
+    from .operators.boilerplate import template_blocks
+
+    docs = documents_as_pages(spark, sf_dir).withColumn(
+        "host", F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    )
+    return template_blocks(docs, host_col="host", page_col="url")
+
+
+@q(
+    "q95_recrawl_priority",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 0
+                       THEN 1 ELSE 0 END AS INT) AS n_changes,
+           CAST(2 AS INT) AS n_observations,
+           CASE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 0
+                       THEN 1 ELSE 0 END
+                WHEN 0 THEN '30d' WHEN 1 THEN '7d' ELSE '1d' END
+             AS recrawl_interval
+    FROM documents
+    """,
+)
+def q95_recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling (plans/snapshot.py
+    recrawl_priority): three synthesized snapshots (v2 touches doc_id%3,
+    v3 touches doc_id%4), two snapshot_diff passes unioned, churn counted
+    per page, interval bucketed 0→30d / 1→7d / 2+→1d — the freshness
+    planner a recrawl frontier reads (Cho & Garcia-Molina 2003). One
+    partial-agg groupBy + codegen CASE. Oracle: churn is closed-form in
+    doc_id (diff(1,2) changes iff %3; diff(2,3) iff %3 or %4 — the
+    appended version suffixes differ)."""
+    from .plans.snapshot import recrawl_priority, snapshot_diff
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def snap(suffix_cond, suffix):
+        return d.select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.when(suffix_cond, F.lit(suffix)).otherwise(F.lit("")),
+                ).cast("binary")
+            ).alias("page_hash"),
+        )
+
+    s1 = snap(F.lit(False), "")
+    s2 = snap(F.col("doc_id") % 3 == 0, " v2")
+    s3 = snap(F.col("doc_id") % 4 == 0, " v3")
+    diffs = snapshot_diff(s1, s2, key="doc_id").unionByName(
+        snapshot_diff(s2, s3, key="doc_id")
+    ).select("doc_id", "status")
+    return recrawl_priority(diffs, key="doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 

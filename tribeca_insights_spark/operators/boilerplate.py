@@ -231,3 +231,66 @@ def content_spans(
             ).alias("span_text"),
         )
     )
+
+
+def template_blocks(
+    docs: DataFrame,
+    host_col: str = "host",
+    page_col: str = "url",
+    html_col: str = "html",
+    min_frac_micros: int = 500_000,
+) -> DataFrame:
+    """SITE-LEVEL template detection: blocks whose text recurs on at
+    least ``min_frac_micros``/10^6 of a host's pages are that host's
+    template (header, nav, footer, cookie banner) — the GLOBAL
+    boilerplate tier that complements the per-page jusText rule
+    (``main_content``): link-light repeated chrome ("© Example Corp",
+    taglines) passes a per-page link-density test but cannot hide from
+    cross-page frequency (site-template removal, Gibson et al. 2005).
+
+    Returns (host, block_text, n_pages_with_block, n_pages, frac_pages)
+    for template blocks only. The threshold compares in integer micros
+    (``n_with * 1_000_000 >= min_frac_micros * n_pages``) so engines
+    agree bit-for-bit at the boundary.
+
+    Scale shape: one Arrow segmentation pass → distinct (host, page,
+    block-text) — partial agg absorbs within-page repeats — → groupBy
+    (host, text) count → broadcast-join the per-host page-count dim.
+    At 10^12 pages group on (host, md5(text)) carrying min(text), and
+    salt mega-hosts exactly like corpus TF (operators/tf.py:61).
+    """
+    b = (
+        with_blocks(docs, html_col)
+        .select(
+            F.col(host_col).alias("host"),
+            F.col(page_col).alias("_page"),
+            F.explode_outer("blocks").alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("host", "_page", F.col("b.text").alias("block_text"))
+        .distinct()
+    )
+    n_pages = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_pages")
+    )
+    cnt = b.groupBy("host", "block_text").agg(
+        F.count("*").alias("n_pages_with_block")
+    )
+    return (
+        cnt.join(F.broadcast(n_pages), "host")
+        .filter(
+            F.col("n_pages_with_block") * F.lit(1_000_000)
+            >= F.lit(min_frac_micros) * F.col("n_pages")
+        )
+        .select(
+            "host",
+            "block_text",
+            "n_pages_with_block",
+            "n_pages",
+            F.round(
+                F.col("n_pages_with_block").cast("double")
+                / F.col("n_pages").cast("double"),
+                4,
+            ).alias("frac_pages"),
+        )
+    )

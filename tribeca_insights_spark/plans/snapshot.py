@@ -55,3 +55,45 @@ def snapshot_diff_counts(diff: DataFrame) -> DataFrame:
     """Per-status rollup of a :func:`snapshot_diff` result — the 4-row
     summary a recrawl report leads with."""
     return diff.groupBy("status").agg(F.count("*").alias("n_pages"))
+
+
+def recrawl_priority(
+    diffs: DataFrame,
+    key: str = "url",
+    intervals: tuple = ("30d", "7d", "1d"),
+) -> DataFrame:
+    """Change-rate-driven recrawl scheduling over a HISTORY of snapshot
+    diffs: union the :func:`snapshot_diff` outputs of consecutive
+    snapshot pairs (a ``status`` column each), count how often every page
+    changed, and bucket it into a recrawl interval — pages that never
+    change recrawl slowly, churny pages recrawl fast (the classic
+    freshness/politeness trade; Cho & Garcia-Molina 2003).
+
+    ``diffs``: union of diff outputs (``key``, ``status``); 'added' and
+    'changed' both count as churn (a new page is maximally fresh-needy).
+    ``intervals``: recrawl interval per change-count bucket — index
+    ``min(n_changes, len-1)``, so the default maps 0 → 30d, 1 → 7d,
+    ≥2 → 1d.
+
+    One partial-agg groupBy on the page key (map-side combine absorbs the
+    per-snapshot fan-in); the bucket pick is a codegen'd CASE — no UDF,
+    no window, no second shuffle.
+    """
+    churn = F.when(
+        F.col("status").isin("changed", "added"), F.lit(1)
+    ).otherwise(F.lit(0))
+    agg = diffs.groupBy(key).agg(
+        F.sum(churn).cast("int").alias("n_changes"),
+        F.count("*").cast("int").alias("n_observations"),
+    )
+    last = len(intervals) - 1
+    bucket = F.least(F.col("n_changes"), F.lit(last))
+    expr = F.when(bucket == 0, F.lit(intervals[0]))
+    for i, iv in enumerate(intervals[1:], start=1):
+        expr = expr.when(bucket == i, F.lit(iv))
+    return agg.select(
+        key,
+        "n_changes",
+        "n_observations",
+        expr.otherwise(F.lit(intervals[last])).alias("recrawl_interval"),
+    )
