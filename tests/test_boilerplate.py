@@ -243,3 +243,38 @@ def test_template_blocks_threshold_boundary(spark):
         for r in template_blocks(df, min_frac_micros=600_000).collect()
     }
     assert strict == {"both"}
+
+
+def test_main_content_site_aware_two_tiers(spark):
+    from tribeca_insights_spark.operators.boilerplate import (
+        main_content,
+        main_content_site_aware,
+    )
+
+    def page(host, i, body):
+        h = (
+            f"<html><body><h1>Title {host} {i}</h1>"
+            "<p>quality widgets since 1999</p>"  # link-light 4-word chrome
+            f"<p>{body}</p></body></html>"
+        )
+        return (host, f"https://{host}/p{i}", bytearray(h.encode()))
+
+    rows = [
+        page("a.com", 0, "alpha unique body text"),
+        page("a.com", 1, "bravo unique body text two"),
+        page("a.com", 2, "charlie unique body text three"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, html binary")
+    # tier 1 alone (per-page rule) keeps the tagline: it is link-free and
+    # long enough — exactly the false positive tier 2 exists for
+    naive = main_content(df).orderBy("url").first()
+    assert "quality widgets since 1999" in naive.main_text
+    out = {r.url: r for r in main_content_site_aware(df).collect()}
+    r0 = out["https://a.com/p0"]
+    assert r0.main_text == "Title a.com 0 alpha unique body text"
+    assert r0.n_content_blocks == 2  # h1 + body; tagline subtracted
+    # h1 texts are unique per page -> never template, always kept
+    assert all("Title a.com" in r.main_text for r in out.values())
+    assert all(
+        "quality widgets" not in r.main_text for r in out.values()
+    )

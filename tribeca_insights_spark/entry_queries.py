@@ -3869,6 +3869,64 @@ def q95_recrawl_priority(spark, sf_dir):
     return recrawl_priority(diffs, key="doc_id")
 
 
+@q(
+    "q96_site_aware_content",
+    """
+    WITH p AS (SELECT doc_id, source, trim(text) AS t,
+                      len(string_split(text, ' ')) AS pw
+               FROM documents),
+    np AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM p GROUP BY source),
+    tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+           FROM p GROUP BY source, t)
+    SELECT p.doc_id,
+           trim(CASE WHEN np.n > 2
+                     THEN 'Heading ' || p.doc_id ELSE '' END
+                || CASE WHEN p.pw >= 3 AND 2 * tc.c < np.n
+                        THEN ' ' || p.t ELSE '' END) AS main_text,
+           CAST(CASE WHEN length(p.t) > 0 THEN 4 ELSE 3 END AS INT)
+             AS n_blocks,
+           CAST((CASE WHEN np.n > 2 THEN 1 ELSE 0 END)
+                + (CASE WHEN p.pw >= 3 AND 2 * tc.c < np.n
+                        THEN 1 ELSE 0 END) AS INT) AS n_content_blocks
+    FROM p
+    JOIN np ON np.source = p.source
+    JOIN tc ON tc.source = p.source AND tc.t = p.t
+    """,
+)
+def q96_site_aware_content(spark, sf_dir):
+    """Two-tier main content (operators/boilerplate.py
+    main_content_site_aware): per-page jusText-lite rule MINUS host
+    templates. The synthesized page carries a link-light 5-word tagline
+    ("© {source} widgets est 1999") on EVERY host page: the per-page
+    rule (q87 tier) calls it content; only the cross-page frequency tier
+    removes it. Oracle computes both tiers closed-form — including the
+    h1-template case for <=2-page hosts and the duplicate-body-text case
+    (2c >= n) — so nothing about corpus uniqueness is assumed. The ©
+    guard: corpus text is letters+spaces only (verified), so tagline /
+    footer literals cannot collide with body text at >= 3 words."""
+    from .operators.boilerplate import main_content_site_aware
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Heading "), sid, F.lit("</h1>"),
+        F.lit("<p>© "), F.col("source"), F.lit(" widgets est 1999</p>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<footer>footer</footer></body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/docs/"), sid).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return main_content_site_aware(pages).select(
+        "doc_id", "main_text", "n_blocks", "n_content_blocks"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -294,3 +294,57 @@ def template_blocks(
             ).alias("frac_pages"),
         )
     )
+
+
+def main_content_site_aware(
+    docs: DataFrame,
+    host_col: str = "host",
+    page_col: str = "url",
+    html_col: str = "html",
+    min_words: int = 3,
+    min_frac_micros: int = 500_000,
+) -> DataFrame:
+    """TWO-TIER main content: the per-page jusText-lite rule
+    (``main_content``) minus the host's template blocks
+    (``template_blocks``) — link-light repeated chrome (taglines,
+    "© Example Corp", cookie banners) passes a per-page link-density
+    test and ONLY cross-page frequency removes it; unique headings and
+    body text only the per-page rule can classify. Production content
+    pipelines run exactly this composition (site-template removal over a
+    per-page classifier, Gibson et al. 2005 + Pomikálek 2011).
+
+    Shape: the template dim is a per-host ARRAY of template texts,
+    broadcast-joined; the subtraction is then pure array codegen inside
+    the same filter as the per-page rule — no explode, no extra shuffle
+    on the page path. The corpus is segmented twice (once exploded for
+    the dim, once per-page); at scale persist the block table or derive
+    the dim from an existing ``exploded_blocks`` materialization.
+    """
+    tmpl = (
+        template_blocks(docs, host_col, page_col, html_col,
+                        min_frac_micros)
+        .groupBy("host")
+        .agg(F.collect_list("block_text").alias("_tmpl"))
+        .withColumnRenamed("host", "_tmpl_host")
+    )
+    d = with_blocks(docs, html_col).join(
+        F.broadcast(tmpl),
+        F.col(host_col) == F.col("_tmpl_host"),
+        "left",
+    )
+
+    def keep(b: Column) -> Column:
+        is_tmpl = F.coalesce(
+            F.array_contains(F.col("_tmpl"), b["text"]), F.lit(False)
+        )
+        return _is_content(b, min_words) & ~is_tmpl
+
+    content = F.filter("blocks", keep)
+    return d.select(
+        *[c for c in docs.columns if c != html_col],
+        F.array_join(
+            F.transform(content, lambda b: b["text"]), " "
+        ).alias("main_text"),
+        F.size("blocks").alias("n_blocks"),
+        F.size(content).alias("n_content_blocks"),
+    )
