@@ -331,3 +331,55 @@ def test_decontaminate(spark):
     got = {(r["corpus_id"], r["benchmark_id"]): r["n_shared"]
            for r in decontaminate(corpus, bench, n=13).collect()}
     assert got == {(1, 100): 1}
+
+
+# --- exact substring dedup ----------------------------------------------------
+
+
+def test_exact_substring_keep_first(spark):
+    from tribeca_insights_spark.operators.dedup import dedup_exact_substring
+
+    shared = "one two three four"  # the only duplicated 4-gram: the
+    # flanking tokens differ on both sides, so no overlapping gram is
+    # shared and exactly these 4 positions are covered in doc 2
+    rows = [
+        (1, f"intro words {shared} alpha beta"),
+        (2, f"other start {shared} gamma delta"),
+        (3, "completely unrelated text here now"),
+        (4, "tiny doc"),  # shorter than k: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in dedup_exact_substring(df, k=4).collect()}
+    # doc 1 holds the canonical (min doc_id) occurrence: fully kept
+    assert out[1].deduped_text == rows[0][1] and out[1].n_removed == 0
+    # doc 2 loses exactly the 4 shared tokens
+    assert shared not in out[2].deduped_text
+    assert out[2].deduped_text == "other start gamma delta"
+    assert out[2].n_removed == 4
+    assert out[3].n_removed == 0
+    assert out[4].deduped_text == "tiny doc" and out[4].n_tokens == 2
+
+
+def test_exact_substring_full_coverage_empties_doc(spark):
+    from tribeca_insights_spark.operators.dedup import dedup_exact_substring
+
+    t = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in dedup_exact_substring(df, k=5).collect()}
+    assert out[1].deduped_text == t
+    assert out[2].deduped_text == "" and out[2].n_removed == 5
+
+
+def test_exact_substring_within_doc_repeat(spark):
+    from tribeca_insights_spark.operators.dedup import dedup_exact_substring
+
+    # the same 3-gram twice INSIDE one document: first occurrence is
+    # canonical, the second is excised
+    df = spark.createDataFrame(
+        [(1, "x y z pad pad x y z")], "doc_id int, text string"
+    )
+    r = dedup_exact_substring(df, k=3).first()
+    assert r.deduped_text == "x y z pad pad"
+    assert r.n_removed == 3

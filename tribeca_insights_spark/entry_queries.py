@@ -3927,6 +3927,60 @@ def q96_site_aware_content(spark, sf_dir):
     )
 
 
+@q(
+    "q97_exact_substring_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+               FROM documents),
+    g AS (SELECT doc_id, i AS start,
+                 array_to_string(tk[i:i+7], ' ') AS gram
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 7))
+                           AS i)
+          WHERE len(tk) >= 8),
+    o AS (SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, start) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS c
+          FROM g),
+    cov AS (SELECT DISTINCT doc_id, p
+            FROM o, LATERAL (SELECT unnest(generate_series(start,
+                                                           start + 7))
+                             AS p)
+            WHERE c > 1 AND rn > 1),
+    tokpos AS (SELECT doc_id, p, tk[p] AS w
+               FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)))
+                                AS p)),
+    kept AS (SELECT tp.doc_id, tp.p, tp.w
+             FROM tokpos tp
+             LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+             WHERE cov.p IS NULL),
+    reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS txt,
+                   count(*) AS nk
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(reb.txt, '') AS deduped_text,
+           CAST(len(t.tk) AS INT) AS n_tokens,
+           CAST(len(t.tk) - coalesce(reb.nk, 0) AS INT) AS n_removed
+    FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id
+    """,
+)
+def q97_exact_substring_dedup(spark, sf_dir):
+    """Exact substring deduplication at 8-gram granularity
+    (operators/dedup.py dedup_exact_substring; Lee et al. 2022 /
+    RefinedWeb span-level tier): every duplicated 8-token span is excised
+    from all occurrences except the corpus-first, documents re-assembled
+    from surviving tokens. The corpus carries ~1000 naturally duplicated
+    8-grams at sf0.01, so the oracle COMPUTES the same keep-first
+    coverage (window rank ≡ the operator's partial-agg min-struct pick)
+    rather than assuming injected duplicates. Canonical pick is a
+    mergeable MIN — no corpus-wide sort; all joins key on (gram) or
+    (doc_id, p)."""
+    from .operators.dedup import dedup_exact_substring
+
+    d = _read(spark, sf_dir, "documents")
+    return dedup_exact_substring(d, k=8)
+
+
 # ---------------------------------------------------------------------------
 
 

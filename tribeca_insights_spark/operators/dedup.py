@@ -539,3 +539,100 @@ def keep_best(df: DataFrame, cluster_col: str, id_col: str = "doc_id",
         )
         out = out.join(payload, [cluster_col, keeper])
     return out
+
+
+def dedup_exact_substring(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """EXACT SUBSTRING deduplication (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"; RefinedWeb runs it at
+    50-gram granularity): any k-token span appearing more than once in
+    the corpus is removed from every occurrence EXCEPT the canonical
+    first (minimum ``(doc_id, start)``), and each document's surviving
+    tokens are re-joined in order. This is span-level — the tier between
+    paragraph dedup (dedup_paragraphs) and document dedup: boilerplate
+    sentences embedded mid-document are excised without dropping the
+    host page.
+
+    Returns (doc_id, deduped_text, n_tokens, n_removed).
+
+    Dataflow (no driver state, no windows over the corpus):
+      1. per-doc k-gram explode with start positions (array codegen);
+      2. groupBy(gram) → count + min(struct(doc_id,start)) — the
+         canonical pick is a partial-aggregable MIN, not a row_number
+         sort (Zipf-hot grams absorb in map-side combine; salt like
+         corpus TF if one gram dominates);
+      3. re-join occurrences to gram stats (same key as the groupBy —
+         the shuffle partitioning is reused), keep non-canonical dup
+         occurrences, explode their covered positions, distinct;
+      4. anti-join token positions against covered, re-assemble with
+         sort_array over (pos, token) structs — per-doc arrays, never a
+         global sort.
+    """
+    tk = F.split(F.trim(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    n_grams = F.greatest(F.size("tk") - F.lit(k - 1), F.lit(0))
+    gram_arr = F.expr(
+        f"transform(slice(sequence(1, greatest(size(tk) - {k} + 1, 1)),"
+        f" 1, greatest(size(tk) - {k} + 1, 0)),"
+        f" i -> struct(i AS start, array_join(slice(tk, i, {k}), ' ')"
+        f" AS gram))"
+    )
+    g = (
+        base.select("doc_id", F.explode_outer(gram_arr).alias("o"))
+        .filter(F.col("o").isNotNull())
+        .select("doc_id", F.col("o.start").alias("start"),
+                F.col("o.gram").alias("gram"))
+    )
+    stats = g.groupBy("gram").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct("doc_id", "start")).alias("fo"),
+    )
+    dup_occ = (
+        g.join(stats, "gram")
+        .filter(
+            (F.col("c") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("fo.doc_id"))
+                & (F.col("start") == F.col("fo.start"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("tk").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    kept = tokpos.join(dup_occ, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("tk").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("deduped_text"), F.lit("")).alias(
+                "deduped_text"
+            ),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
