@@ -298,3 +298,40 @@ def test_bfs_no_cartesian_no_actions_in_plan(spark):
     p = _plan(bfs_min_dist(e, seeds, k=3))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_template_dim_broadcast_and_no_cartesian(spark):
+    """template_blocks joins the per-host page-count dim broadcast; the
+    two-tier subtraction joins the template array broadcast. Neither may
+    degrade to a cartesian/nested-loop."""
+    from tribeca_insights_spark.entry_queries import documents_as_pages
+    from tribeca_insights_spark.operators.boilerplate import (
+        main_content_site_aware,
+        template_blocks,
+    )
+    import pyspark.sql.functions as F
+
+    d = documents_as_pages(spark, "/root/testdata/sf0.001").withColumn(
+        "host", F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    )
+    for df in (template_blocks(d), main_content_site_aware(d)):
+        p = _plan(df)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_substring_no_window_sort(spark):
+    """The canonical pick must stay a partial-agg min(struct), never a
+    corpus-wide Window sort; all joins hash-based."""
+    from tribeca_insights_spark.operators.dedup import dedup_exact_substring
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id int, text string",
+    )
+    p = _plan(dedup_exact_substring(df, k=4))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
