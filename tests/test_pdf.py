@@ -129,3 +129,26 @@ def test_length_delimited_stream_survives_cr_tail():
     assert extract_pdf_text_layout(pdf) == (
         "Alpha 21\nBravo src1\nCharlie fr\nDelta 0"
     )
+
+
+def test_positioned_runs_linefeeds_and_leading():
+    from tribeca_insights_spark.htmlx.pdfx import _positioned_runs
+
+    # TL sets leading; T* advances one leading down; ' implies next-line
+    c = (b"BT /F1 12 Tf 20 TL 1 0 0 1 100 700 Tm (l1) Tj "
+         b"T* (l2) Tj (l3) ' ET")
+    assert _positioned_runs(c) == [
+        (100.0, 700.0, "l1"),
+        (100.0, 680.0, "l2"),
+        (100.0, 660.0, "l3"),
+    ]
+    # TD translates AND sets leading to -ty for subsequent T*
+    c2 = b"BT 72 700 Td (a) Tj 0 -10 TD (b) Tj T* (c) Tj ET"
+    assert _positioned_runs(c2) == [
+        (72.0, 700.0, "a"),
+        (72.0, 690.0, "b"),
+        (72.0, 680.0, "c"),
+    ]
+    # BT resets the matrix; junk numbers before an op are cleared after it
+    c3 = b"BT 1 0 0 1 50 50 Tm ET BT (origin) Tj ET"
+    assert _positioned_runs(c3) == [(0.0, 0.0, "origin")]
