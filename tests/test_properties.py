@@ -79,3 +79,77 @@ def test_legacy_tokenizer_invariants(s):
         assert len(t) > 2
         assert t not in stops
         assert all("a" <= c <= "z" for c in t)  # ASCII letters only
+
+
+# --- span walker invariants ---------------------------------------------------
+
+_tag_words = st.lists(
+    st.text(alphabet="abcdefgh XYZ09", min_size=1, max_size=12),
+    min_size=0, max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "div", "h1", "li", "footer"]),
+            st.text(alphabet="abc def\n\t", min_size=0, max_size=30),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_span_slices_reproduce_block_text(parts):
+    """For charref-free markup, the raw slice html[start:end] must
+    whitespace-collapse to exactly the block's reported text, and the
+    span/text block streams must agree with the span-free walker."""
+    import re
+
+    from tribeca_insights_spark.htmlx.blocks import (
+        segment_blocks,
+        segment_blocks_with_spans,
+    )
+
+    html = "".join(f"<{t}>{txt}</{t}>" for t, txt in parts)
+    pairs = segment_blocks_with_spans(html)
+    assert [b.text for b, _ in pairs] == [
+        b.text for b in segment_blocks(html)
+    ]
+    for b, (s, e) in pairs:
+        assert s is not None and 0 <= s < e <= len(html)
+        raw = html[s:e]
+        assert raw == raw.strip()
+        assert re.sub(r"\s+", " ", raw) == re.sub(r"\s+", " ", b.text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(junk=st.text(alphabet="<>/ab c='\"&;!-", min_size=0, max_size=80))
+def test_walkers_never_raise_on_garbage(junk):
+    from tribeca_insights_spark.htmlx.blocks import (
+        segment_blocks_with_spans,
+    )
+    from tribeca_insights_spark.htmlx.tables import extract_tables
+
+    for b, (s, e) in segment_blocks_with_spans(junk):
+        if s is not None:
+            assert 0 <= s <= e <= len(junk)
+    extract_tables(junk)  # must not raise
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(_tag_words, min_size=0, max_size=5),
+)
+def test_table_walker_roundtrips_wellformed(rows):
+    from tribeca_insights_spark.htmlx.tables import extract_tables
+
+    html = "<table>" + "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows
+    ) + "</table>"
+    got = extract_tables(html)
+    # every <tr> yields a row (empty ones included); cell text is the
+    # edge-stripped source text (internal whitespace preserved, same
+    # contract as block text), '' for whitespace-only cells
+    want = [[c.strip() for c in r] for r in rows]
+    assert got == [want]
