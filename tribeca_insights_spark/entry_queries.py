@@ -3981,6 +3981,38 @@ def q97_exact_substring_dedup(spark, sf_dir):
     return dedup_exact_substring(d, k=8)
 
 
+@q(
+    "q98_page_markdown",
+    """
+    SELECT doc_id,
+           'site header' || chr(10) || chr(10) ||
+           '[navlink](https://nav.example.net/x)' || chr(10) || chr(10) ||
+           '# Heading ' || doc_id ||
+           CASE WHEN trim(text) <> ''
+                THEN chr(10) || chr(10) || trim(text) ELSE '' END ||
+           chr(10) || chr(10) ||
+           '[about](/about/' || doc_id || ') ' ||
+           '[ext](https://ext' || (doc_id % 5) ||
+           '.example.org/page) ' ||
+           '![img ' || doc_id || '](/img/' || doc_id || '.png)' ||
+           chr(10) || chr(10) || 'footer' AS markdown
+    FROM documents
+    """,
+)
+def q98_page_markdown(spark, sf_dir):
+    """HTML → Markdown conversion (htmlx/markdown.py via
+    operators/markdown.pages_to_markdown): headings, links, and images
+    preserved as structure instead of flattening to word soup — the
+    training-data format a structure-aware corpus keeps. head/meta
+    dropped (the title line the flat extractor emits is absent on
+    purpose). Oracle states the full converted document byte-for-byte,
+    including the conditional body paragraph and inline image token."""
+    from .operators.markdown import pages_to_markdown
+
+    docs = documents_as_pages(spark, sf_dir)
+    return pages_to_markdown(docs).select("doc_id", "markdown")
+
+
 # ---------------------------------------------------------------------------
 
 
