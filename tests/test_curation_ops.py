@@ -247,3 +247,30 @@ def test_encoding_quality_signals(spark):
     assert rows[3].mojibake_hits == 3  # Ã§ + Ã©cole + Ã©té
     assert rows[4].n_replacement == 2 and rows[4].encoding_suspect is True
     assert rows[5].n_chars == 0 and rows[5].ascii_ratio == 0.0
+
+
+# --- reading ease -------------------------------------------------------------
+
+
+def test_reading_ease_known_values(spark):
+    from tribeca_insights_spark.operators.textstats import reading_ease
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat."),          # 3 words, 3 syllables, 1 sentence
+            (2, "Oratory obfuscates. Yes!"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in reading_ease(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_syllables, r1.n_sentences) == (3, 3, 1)
+    assert abs(r1.flesch_score - round(206.835 - 1.015 * 3 - 84.6, 4)) < 1e-9
+    r2 = rows[2]
+    # "oratory obfuscates. yes!": vowel groups o-a-o-y|o-u-a-e|(yes: 'ye'
+    # is one group as y+e are adjacent vowels in the proxy class) = 9
+    assert r2.n_sentences == 2
+    assert r2.n_syllables == 9
+    r3 = rows[3]
+    assert r3.n_words == 0 and r3.n_sentences == 1

@@ -4013,6 +4013,51 @@ def q98_page_markdown(spark, sf_dir):
     return pages_to_markdown(docs).select("doc_id", "markdown")
 
 
+@q(
+    "q99_reading_ease",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN trim(lt) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lt), '\\s+')) END
+               AS n_words,
+             CAST(length(regexp_replace(lt, '[aeiouy]+', '#', 'g'))
+                  - length(replace(regexp_replace(lt, '[aeiouy]+', '#',
+                                                  'g'), '#', ''))
+               AS INT) AS n_syllables,
+             greatest(CAST(length(regexp_replace(lt, '[.!?]+', '#', 'g'))
+                           - length(replace(regexp_replace(lt, '[.!?]+',
+                                                           '#', 'g'),
+                                            '#', '')) AS INT), 1)
+               AS n_sentences
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           n_syllables,
+           CAST(n_sentences AS INT) AS n_sentences,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(greatest(n_words, 1) AS DOUBLE)), 4)
+             AS flesch_score
+    FROM m
+    """,
+)
+def q99_reading_ease(spark, sf_dir):
+    """Flesch reading-ease (operators/textstats.reading_ease) — the
+    readability signal education-quality filters threshold on. Proxy
+    syllables = vowel-group runs; sentences = [.!?]+ runs floored at 1.
+    Oracle counts the same runs via replace-length arithmetic (a regex
+    shape Java and RE2 treat identically) and states the same rounded
+    formula. Native columnar, zero shuffle."""
+    from .operators.textstats import reading_ease
+
+    return reading_ease(_read(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -398,3 +398,40 @@ def encoding_quality(df: DataFrame, id_col: str = "doc_id",
         ).alias("ascii_ratio"),
         ((n_repl > 0) | (moji > 0)).alias("encoding_suspect"),
     )
+
+
+def reading_ease(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the readability gate
+    education-quality corpus filters (FineWeb-Edu-style) threshold on.
+    Deterministic proxy syllable model: one syllable per vowel GROUP
+    (``[aeiouy]+`` runs in the lowercased text — the standard cheap
+    estimator), sentences counted as ``[.!?]+`` runs (floored at 1 so
+    punctuation-free fragments still score), words by whitespace split.
+
+        score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    All native columnar (regexp_count/length arithmetic — zero Python,
+    zero shuffle); vowel-group and sentence counting use replace-length
+    arithmetic shapes both Java regex and RE2 evaluate identically.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(words)
+    syl = F.regexp_count(t, F.lit(r"[aeiouy]+"))
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    w = F.greatest(words, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / w)
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("int").alias("n_words"),
+        syl.cast("int").alias("n_syllables"),
+        sents.cast("int").alias("n_sentences"),
+        F.round(score, 4).alias("flesch_score"),
+    )
