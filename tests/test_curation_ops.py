@@ -274,3 +274,40 @@ def test_reading_ease_known_values(spark):
     assert r2.n_syllables == 9
     r3 = rows[3]
     assert r3.n_words == 0 and r3.n_sentences == 1
+
+
+# --- curation verdict ---------------------------------------------------------
+
+
+def test_curation_verdict_gates_and_order(spark):
+    from tribeca_insights_spark.operators.textstats import curation_verdict
+
+    df = spark.createDataFrame(
+        [
+            (1, "plenty of good clean words here to keep"),
+            (2, "tiny"),                               # too_short
+            (3, "damaged text with marker � plus words"),   # encoding
+            (4, "1234 5678 9012 3456 7890 and one word"),   # low_alpha
+            (5, "bad Ã© 123 456 789 000 111"),  # encoding AND low_alpha
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in curation_verdict(df).collect()}
+    assert rows[1].keep is True and rows[1].reasons_csv == ""
+    assert rows[2].reasons_csv == "too_short"
+    assert rows[3].reasons_csv == "encoding"
+    assert rows[4].reasons_csv == "low_alpha"
+    assert rows[5].keep is False
+    assert rows[5].reasons_csv == "encoding,low_alpha"  # fixed gate order
+
+
+def test_curation_verdict_thresholds(spark):
+    from tribeca_insights_spark.operators.textstats import curation_verdict
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id int, text string"
+    )
+    strict = curation_verdict(df, min_words=10).first()
+    assert strict.reasons_csv == "too_short"
+    tight = curation_verdict(df, max_words=3).first()
+    assert tight.reasons_csv == "too_long"

@@ -4058,6 +4058,86 @@ def q99_reading_ease(spark, sf_dir):
     return reading_ease(_read(spark, sf_dir, "documents"))
 
 
+@q(
+    "q100_curation_verdict",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' Ã©cole' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' ' || chr(65533) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' ' || repeat('0123456789 ', 40) ELSE '' END
+               AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t,
+             CASE WHEN trim(t) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(t), '\\s+')) END
+               AS n_words,
+             length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+             {_MOJI_SUM_SQL} AS moji,
+             length(regexp_replace(t, '\\s+', '', 'g')) AS nonspace,
+             length(t) - length(regexp_replace(t, '[A-Za-zÀ-ÿ]', '', 'g'))
+               AS alpha
+      FROM inj
+    ),
+    g AS (
+      SELECT doc_id, n_words,
+             round(CAST(alpha AS DOUBLE)
+                   / CAST(greatest(nonspace, 1) AS DOUBLE), 4)
+               AS alpha_ratio,
+             n_repl, moji
+      FROM m
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, alpha_ratio,
+           (concat_ws(',',
+              CASE WHEN n_words < 5 THEN 'too_short' END,
+              CASE WHEN n_words > 100000 THEN 'too_long' END,
+              CASE WHEN n_repl > 0 OR moji > 0 THEN 'encoding' END,
+              CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END) = '')
+             AS keep,
+           concat_ws(',',
+              CASE WHEN n_words < 5 THEN 'too_short' END,
+              CASE WHEN n_words > 100000 THEN 'too_long' END,
+              CASE WHEN n_repl > 0 OR moji > 0 THEN 'encoding' END,
+              CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END)
+             AS reasons_csv
+    FROM g
+    """,
+)
+def q100_curation_verdict(spark, sf_dir):
+    """Composite curation verdict (operators/textstats.curation_verdict):
+    keep/drop + ordered failed-gate reasons — the audit record ablations
+    and appeal queues read. Deterministic corruption injected in-dataflow
+    (mojibake %7, replacement char %13, digit spam %11 — the last drives
+    alpha_ratio below 0.6) so every gate fires somewhere in the corpus;
+    the oracle recomputes every gate from the same injected strings with
+    the same fixed-literal arithmetic and rounded-ratio compare. Native
+    per-row columnar; reasons as a fixed-order CSV so the verdict
+    hash-compares across engines."""
+    from .operators.textstats import curation_verdict
+
+    d = _read(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" Ã©cole")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" �")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" "),
+                            F.expr("repeat('0123456789 ', 40)")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation_verdict(injected)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -435,3 +435,68 @@ def reading_ease(df: DataFrame, id_col: str = "doc_id",
         sents.cast("int").alias("n_sentences"),
         F.round(score, 4).alias("flesch_score"),
     )
+
+
+def curation_verdict(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """The DECISION layer of a curation pipeline: per document, a
+    keep/drop verdict plus the ORDERED list of failed gates — the
+    audit column ablations and appeal queues read ("why was this page
+    dropped"). Gates, in reported order:
+
+    - ``too_short`` / ``too_long`` — whitespace word count bounds;
+    - ``encoding`` — replacement-char or mojibake evidence (the
+      ``encoding_quality`` signals, same fixed-literal arithmetic);
+    - ``low_alpha`` — letters (``[A-Za-zÀ-ÿ]``) below
+      ``min_alpha_ratio`` of non-space characters (digit/symbol spam).
+
+    Emits (id, n_words, alpha_ratio, keep, reasons_csv). All gates are
+    native per-row columnar expressions — zero Python, zero shuffle;
+    reasons are a comma-joined fixed-order string so the verdict is
+    engine-portable and hash-comparable.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    n_repl = n_chars - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    moji = None
+    for seq in MOJIBAKE_SEQS:
+        hits = (
+            (n_chars - F.length(F.replace(t, F.lit(seq), F.lit(""))))
+            / F.lit(len(seq))
+        ).cast("int")
+        moji = hits if moji is None else moji + hits
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    alpha = F.length(t) - F.length(
+        F.regexp_replace(t, r"[A-Za-zÀ-ÿ]", "")
+    )
+    alpha_ratio = F.round(
+        alpha.cast("double")
+        / F.greatest(nonspace, F.lit(1)).cast("double"),
+        4,
+    )
+    gates = [
+        ("too_short", words < min_words),
+        ("too_long", words > max_words),
+        ("encoding", (n_repl > 0) | (moji > 0)),
+        ("low_alpha", alpha_ratio < min_alpha_ratio),
+    ]
+    reasons = F.concat_ws(
+        ",",
+        *[F.when(cond, F.lit(name)) for name, cond in gates],
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("int").alias("n_words"),
+        alpha_ratio.alias("alpha_ratio"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons_csv"),
+    )
