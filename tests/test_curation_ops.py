@@ -311,3 +311,36 @@ def test_curation_verdict_thresholds(spark):
     assert strict.reasons_csv == "too_short"
     tight = curation_verdict(df, max_words=3).first()
     assert tight.reasons_csv == "too_long"
+
+
+# --- NFC normalization --------------------------------------------------------
+
+
+def test_nfc_folds_combining_marks(spark):
+    from tribeca_insights_spark.functions.normalize import with_nfc_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "café"),            # e + combining acute -> é
+            (2, "café"),             # already precomposed: unchanged
+            (3, "Ǻ ring"),   # A + ring + acute -> Ǻ
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in with_nfc_text(df).collect()}
+    assert rows[1].nfc_text == "café" and rows[1].nfc_changed is True
+    assert rows[2].nfc_changed is False
+    assert rows[3].nfc_text == "Ǻ ring"
+    assert len(rows[3].nfc_text) == len("Ǻ ring") - 2
+    assert rows[4].nfc_text is None
+    # dedup consequence: both forms hash identically after NFC
+    import pyspark.sql.functions as F
+
+    hashes = (
+        with_nfc_text(df.filter("doc_id in (1, 2)"))
+        .select(F.md5(F.col("nfc_text").cast("binary")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert hashes == 1

@@ -4138,6 +4138,60 @@ def q100_curation_verdict(spark, sf_dir):
     return curation_verdict(injected)
 
 
+@q(
+    "q101_nfc_normalize",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 6 = 0
+                          THEN ' cafe' || chr(769) ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0
+                          THEN ' A' || chr(778) || chr(769) ELSE '' END
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(t) AS nfc_text,
+           nfc_normalize(t) <> t AS nfc_changed,
+           CAST(length(t) AS INT) AS n_chars_before,
+           CAST(length(nfc_normalize(t)) AS INT) AS n_chars_after
+    FROM inj
+    """,
+)
+def q101_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions/normalize.with_nfc_text):
+    combining marks fold into precomposed codepoints so hash dedup and
+    token matching treat 'e'+U+0301 and 'é' as the same text — web
+    corpora mix both forms. Injection: %6 docs get a decomposed é
+    (composes, length shrinks by 1); %9 docs get A + ring + acute
+    (composes to Ǻ via the two-step canonical ordering + composition —
+    a genuinely multi-mark case). Cross-engine proof: Spark runs stdlib
+    unicodedata, the oracle runs DuckDB's INDEPENDENT utf8proc-based
+    nfc_normalize — hash equality means two implementations of the
+    Unicode standard agree byte-for-byte."""
+    from .functions.normalize import with_nfc_text
+
+    d = _read(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(" cafe\u0301")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" A\u030a\u0301")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_nfc_text(injected)
+    return out.select(
+        "doc_id",
+        "nfc_text",
+        "nfc_changed",
+        F.length("text").cast("int").alias("n_chars_before"),
+        F.length("nfc_text").cast("int").alias("n_chars_after"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

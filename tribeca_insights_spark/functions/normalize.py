@@ -50,3 +50,41 @@ def with_normalized_text(df, text_col: str = "text",
         "n_junk_chars",
         (F.length(c) - F.length(strip_controls(c))).cast("long"),
     )
+
+
+# --- Unicode NFC normalization (Arrow-batched; stdlib unicodedata) ----------
+
+def _nfc_batch(texts):
+    import unicodedata
+
+    import pandas as pd
+
+    return pd.Series(
+        [
+            unicodedata.normalize("NFC", t) if t is not None else None
+            for t in texts
+        ]
+    )
+
+
+def nfc_udf():
+    """Pandas UDF computing Unicode NFC — built lazily so importing this
+    module never requires an active SparkSession."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    return pandas_udf(_nfc_batch, StringType())
+
+
+def with_nfc_text(df, text_col: str = "text", out_col: str = "nfc_text"):
+    """Adds ``out_col`` = NFC(text) plus ``nfc_changed`` — canonical
+    composition (combining marks fold into precomposed codepoints) so
+    hash-based dedup and token matching treat 'e'+U+0301 and 'é' as the
+    SAME text. Web corpora mix both forms (editor/OS dependent); skipping
+    this step silently splits duplicate clusters. Arrow-batched stdlib
+    ``unicodedata`` — the canonical tables themselves, not a
+    reimplementation; the q101 oracle cross-checks against DuckDB's
+    independent ``nfc_normalize`` implementation."""
+    c = F.col(text_col)
+    out = df.withColumn(out_col, nfc_udf()(c))
+    return out.withColumn("nfc_changed", F.col(out_col) != c)
