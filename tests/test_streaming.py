@@ -83,3 +83,41 @@ def test_stream_windowed_tf(spark, dirs):
     # spot-check a few keys (timezone-naive match)
     for (w, word), freq in list(oracle.items())[:20]:
         assert got.get((w, word)) == freq, (w, word)
+
+
+def test_stream_windowed_doc_tf_hour_windows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.streaming.stream_extract import (
+        stream_windowed_doc_tf,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, "2026-01-01 00:10:00", "alpha beta alpha", "en"),
+            (2, "2026-01-01 00:50:00", "alpha", "en"),
+            (3, "2026-01-01 01:05:00", "beta", "en"),
+        ],
+        "doc_id long, ts string, text string, lang string",
+    ).select(
+        "doc_id", F.to_timestamp("ts").alias("warc_ts"), "text", "lang"
+    ).write.parquet(src)
+    agg = stream_windowed_doc_tf(spark, src, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wdtf_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.window_start, r.word): r.freq
+        for r in spark.table("wdtf_test").collect()
+    }
+    assert got == {
+        ("2026-01-01 00:00:00", "alpha"): 3,
+        ("2026-01-01 00:00:00", "beta"): 1,
+        ("2026-01-01 01:00:00", "beta"): 1,
+    }

@@ -4192,6 +4192,63 @@ def q101_nfc_normalize(spark, sf_dir):
     )
 
 
+@q(
+    "q102_stream_windowed_tf",
+    _TOKENS_CTE
+    + """
+    SELECT strftime(TIMESTAMP '2026-01-01 00:00:00'
+                    + (doc_id % 3) * INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           word, CAST(count(*) AS BIGINT) AS freq
+    FROM words GROUP BY 1, 2
+    """,
+)
+def q102_stream_windowed_tf(spark, sf_dir):
+    """Watermarked event-time WINDOWED corpus TF, driver-checked
+    (streaming/stream_extract.stream_windowed_doc_tf): documents arrive
+    as a stream with warc_ts spread across three hours (doc_id % 3), a
+    2-hour watermark bounds late data, and hourly tumbling windows
+    aggregate token counts — the "watermarks + windowed aggs" streaming
+    tier. Drained complete-mode to a memory sink under
+    Trigger.AvailableNow so the bounded result is deterministic; the
+    oracle computes the same per-window counts closed-form (window start
+    = the synthesized hour, windows align to the hour grid). Window
+    starts compared as formatted strings so timezone normalization
+    cannot perturb the hash."""
+    import uuid
+
+    from .streaming.stream_extract import stream_windowed_doc_tf
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "timestamp'2026-01-01 00:00:00'"
+            " + (doc_id % 3) * INTERVAL 1 HOUR"
+        ).alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    import tempfile
+
+    qname = "q102mem_" + uuid.uuid4().hex[:8]
+    with tempfile.TemporaryDirectory() as root:
+        d.write.mode("overwrite").parquet(f"{root}/src")
+        agg = stream_windowed_doc_tf(spark, f"{root}/src")
+        qry = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("windowed-TF drain exceeded 300s")
+        out = spark.table(qname).cache()
+        out.count()  # materialize before the tempdir vanishes
+        return out
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -77,3 +77,37 @@ def stream_windowed_tf(spark: SparkSession, src_dir: str,
     ).agg(F.count("*").alias("freq")).select(
         F.col("w.start").alias("window_start"), "word", "freq"
     )
+
+
+DOC_TF_SCHEMA = "doc_id bigint, warc_ts timestamp, text string, lang string"
+
+
+def stream_windowed_doc_tf(spark: SparkSession, src_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Event-time WINDOWED corpus TF over a document stream with a
+    late-data watermark — the brief's "watermarks + windowed aggs for
+    late data" shape over the reference's own tokenizer. Tokenization is
+    the native broadcast-stopword path (functions/tokenize.with_tokens —
+    no Python worker in the stream), so the stateful windowed groupBy is
+    the only stateful operator. Returns the streaming DataFrame
+    ``(window_start:string, word, freq)``; attach a sink (tests and q102
+    drain complete-mode to memory under Trigger.AvailableNow; production
+    runs update mode unbounded where the watermark actually expires
+    window state and drops late rows)."""
+    from ..functions.tokenize import with_tokens
+
+    s = spark.readStream.schema(DOC_TF_SCHEMA).parquet(src_dir)
+    t = with_tokens(s).withWatermark("warc_ts", watermark)
+    words = t.select("warc_ts", F.explode("tokens").alias("word"))
+    return (
+        words.groupBy(F.window("warc_ts", window).alias("w"), "word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "word",
+            "freq",
+        )
+    )
