@@ -121,3 +121,49 @@ def test_stream_windowed_doc_tf_hour_windows(spark, tmp_path):
         ("2026-01-01 00:00:00", "beta"): 1,
         ("2026-01-01 01:00:00", "beta"): 1,
     }
+
+
+def test_stream_session_windows_gap_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.streaming.stream_extract import (
+        stream_session_windows,
+    )
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        # host A: 3 events chained within the 30-min gap -> ONE session
+        ("a", "2026-01-01 00:00:00"),
+        ("a", "2026-01-01 00:20:00"),
+        ("a", "2026-01-01 00:45:00"),
+        # host A: a fourth event far away -> second session
+        ("a", "2026-01-01 03:00:00"),
+        # host B: single event
+        ("b", "2026-01-01 00:10:00"),
+    ]
+    spark.createDataFrame(rows, "host string, ts string").select(
+        "host", F.to_timestamp("ts").alias("warc_ts")
+    ).write.parquet(src)
+    agg = stream_session_windows(spark, src, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.host, r.session_start): (r.session_end, r.n_pages)
+        for r in spark.table("sess_test").collect()
+    }
+    # chained events extend the session: end = last event + gap
+    assert got[("a", "2026-01-01 00:00:00")] == (
+        "2026-01-01 01:15:00", 3
+    )
+    assert got[("a", "2026-01-01 03:00:00")] == (
+        "2026-01-01 03:30:00", 1
+    )
+    assert got[("b", "2026-01-01 00:10:00")] == (
+        "2026-01-01 00:40:00", 1
+    )

@@ -4249,6 +4249,68 @@ def q102_stream_windowed_tf(spark, sf_dir):
         return out
 
 
+@q(
+    "q103_stream_session_windows",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 8 AS m FROM documents),
+    s AS (SELECT 'h' || (m % 4) AS host,
+                 CASE WHEN m < 4 THEN m ELSE 120 + m END AS off_min,
+                 count(*) AS n_pages
+          FROM d GROUP BY 1, 2)
+    SELECT host,
+           strftime(TIMESTAMP '2026-01-01 00:00:00'
+                    + off_min * INTERVAL 1 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(TIMESTAMP '2026-01-01 00:00:00'
+                    + (off_min + 30) * INTERVAL 1 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(n_pages AS BIGINT) AS n_pages
+    FROM s
+    """,
+)
+def q103_stream_session_windows(spark, sf_dir):
+    """Streaming SESSION windows per host (streaming/stream_extract
+    .stream_session_windows): gap-based crawl-burst sessions — the third
+    windowing mode after tumbling (q102) and the stateful first-seen map
+    (q67). Fixture: each host gets two event-time clusters 124 minutes
+    apart, far beyond the 30-minute gap, so every host closes exactly two
+    sessions whose bounds and page counts are closed-form. Complete-mode
+    AvailableNow drain to a memory sink; session bounds compared as
+    formatted strings."""
+    import tempfile
+    import uuid
+
+    from .streaming.stream_extract import stream_session_windows
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string")).alias(
+            "host"
+        ),
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' + (CASE WHEN doc_id % 8 < 4"
+            " THEN doc_id % 8 ELSE 120 + doc_id % 8 END)"
+            " * INTERVAL 1 MINUTE"
+        ).alias("warc_ts"),
+    )
+    qname = "q103mem_" + uuid.uuid4().hex[:8]
+    with tempfile.TemporaryDirectory() as root:
+        d.write.mode("overwrite").parquet(f"{root}/src")
+        agg = stream_session_windows(spark, f"{root}/src")
+        qry = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("session-window drain exceeded 300s")
+        out = spark.table(qname).cache()
+        out.count()
+        return out
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -111,3 +111,36 @@ def stream_windowed_doc_tf(spark: SparkSession, src_dir: str,
             "freq",
         )
     )
+
+
+def stream_session_windows(spark: SparkSession, src_dir: str,
+                           gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Event-time SESSION windows per host: consecutive fetches from one
+    host merge into a session while gaps stay under ``gap`` — the
+    crawl-burst analysis (how long do we hammer a host, how many pages
+    per burst) that tumbling windows cannot express. Stateful session
+    merging is Spark's native ``session_window``; watermark bounds state
+    exactly like the tumbling-window TF. Source: a ``(host string,
+    warc_ts timestamp)`` stream (derive host upstream — e.g. a regexp
+    over the page url). Returns
+    ``(host, session_start, session_end, n_pages)`` with the bounds
+    formatted as strings (timezone-normalization-proof compare)."""
+    s = spark.readStream.schema(
+        "host string, warc_ts timestamp"
+    ).parquet(src_dir)
+    w = s.withWatermark("warc_ts", watermark)
+    return (
+        w.groupBy(F.session_window("warc_ts", gap).alias("sw"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            "host",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_pages",
+        )
+    )
