@@ -84,3 +84,31 @@ def test_hash_bucket_uniform_range(spark):
     assert 0 <= buckets[0] and buckets[1] < MICROS
     # crude uniformity: extremes of a 2000-draw uniform sample land wide
     assert buckets[0] < MICROS * 0.01 and buckets[1] > MICROS * 0.99
+
+
+# --- stratified exact-k sample ------------------------------------------------
+
+
+def test_stratified_topk_exact_counts_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.mixing import (
+        stratified_topk_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(40)]
+    )
+    out = stratified_topk_sample(df, k=3).collect()
+    from collections import Counter
+
+    sizes = Counter(r.lang for r in out)
+    assert sizes == {"en": 3, "de": 3}
+    # deterministic: a rerun picks the identical ids in identical order
+    again = stratified_topk_sample(df, k=3).collect()
+    key = lambda rows: sorted((r.lang, r.sample_rank, r.doc_id)
+                              for r in rows)
+    assert key(out) == key(again)
+    # small strata yield fewer than k, never padding
+    tiny = spark.createDataFrame([Row(doc_id=1, lang="xx")])
+    assert stratified_topk_sample(tiny, k=5).count() == 1

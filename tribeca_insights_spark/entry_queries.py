@@ -4311,6 +4311,39 @@ def q103_stream_session_windows(spark, sf_dir):
         return out
 
 
+@q(
+    "q104_stratified_sample",
+    """
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 10
+    """,
+)
+def q104_stratified_sample(spark, sf_dir):
+    """Exact-k stratified sampling (operators/mixing.
+    stratified_topk_sample): exactly 10 documents per language, ranked by
+    md5(doc_id) — a deterministic, engine-portable pseudo-random order
+    with no RNG state, so the probe/eval carve is rerun-stable and
+    reproducible from the id alone. Complements q74's rate-based mixture
+    sampling (target fraction vs target count). Stratum-partitioned
+    window only — never a global sort."""
+    from .operators.mixing import stratified_topk_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_topk_sample(d, stratum_col="lang", k=10).select(
+        "doc_id", "lang", F.col("sample_rank").cast("int").alias(
+            "sample_rank"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -133,3 +133,33 @@ def token_budget_rates(domain_tokens: DataFrame, weights: DataFrame,
                    " div n_tokens"),
         ).otherwise(F.lit(0).cast("long")).alias("rate_micros"),
     )
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """EXACT-k per-stratum sample, deterministic: rank documents inside
+    each stratum by ``md5(id)`` (a uniform, engine-portable pseudo-random
+    order — no RNG state, rerun-stable, join-reproducible) and keep the
+    first ``k``. The complement of rate-based mixture sampling
+    (``mixture_sample``): rates hit a TARGET FRACTION, this hits a
+    TARGET COUNT — eval-set carving and per-language probe sets need the
+    count form.
+
+    One window per stratum (partitioned hash sort of k·strata winners —
+    at 10^12 rows pre-filter with an approximate per-stratum rank bound
+    before the exact window; shape note only, the window itself is
+    already stratum-partitioned, never global).
+    """
+    from pyspark.sql import Window
+
+    rk = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(stratum_col).orderBy(rk.asc(), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "sample_rank")
+    )
