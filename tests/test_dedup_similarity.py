@@ -383,3 +383,25 @@ def test_exact_substring_within_doc_repeat(spark):
     r = dedup_exact_substring(df, k=3).first()
     assert r.deduped_text == "x y z pad pad"
     assert r.n_removed == 3
+
+
+def test_exact_substring_hashed_grams_identical(spark):
+    from tribeca_insights_spark.operators.dedup import dedup_exact_substring
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro words one two three four alpha beta"),
+            (2, "other start one two three four gamma delta"),
+            (3, "a b c d e"),
+            (4, "a b c d e"),
+        ],
+        "doc_id int, text string",
+    )
+    plain = sorted(
+        tuple(r) for r in dedup_exact_substring(df, k=4).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in dedup_exact_substring(df, k=4, hash_grams=True).collect()
+    )
+    assert plain == hashed

@@ -546,6 +546,7 @@ def dedup_exact_substring(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """EXACT SUBSTRING deduplication (Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better"; RefinedWeb runs it at
@@ -571,6 +572,13 @@ def dedup_exact_substring(
       4. anti-join token positions against covered, re-assemble with
          sort_array over (pos, token) structs — per-doc arrays, never a
          global sort.
+
+    ``hash_grams=True`` replaces the gram STRING with ``xxhash64`` of it
+    as the shuffle/group key — the 100-TB shape (a ~50-char key becomes
+    8 bytes; Lee et al. likewise dedup on hashes). Output is identical
+    barring a 64-bit collision (P ≈ n²/2⁶⁵; at true corpus scale use a
+    128-bit hash). The oracle runs the string form; equality of both
+    modes is pinned in tests.
     """
     tk = F.split(F.trim(F.col(text_col)), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
@@ -587,6 +595,9 @@ def dedup_exact_substring(
         .select("doc_id", F.col("o.start").alias("start"),
                 F.col("o.gram").alias("gram"))
     )
+    if hash_grams:
+        g = g.select("doc_id", "start",
+                     F.xxhash64("gram").alias("gram"))
     stats = g.groupBy("gram").agg(
         F.count("*").alias("c"),
         F.min(F.struct("doc_id", "start")).alias("fo"),
