@@ -203,3 +203,55 @@ def test_corrupt_payloads_fail_per_payload_not_per_job(spark):
     assert bytes(rows[2]["payload"]) == sofless_jpeg  # passthrough
     assert rows[2]["width"] is None and rows[2]["height"] is None
     assert rows[1]["width"] is not None  # unsniffable-dims PNG → hash fake
+
+
+# --- perceptual dHash ---------------------------------------------------------
+
+
+def test_dhash_stable_under_reencode_and_resize():
+    from tribeca_insights_spark.imagex import (
+        decode_png,
+        dhash64_hex,
+        encode_png,
+        make_png,
+        resize_nearest,
+    )
+
+    # wrap-rich pattern (monotonic gradients like make_png's hash to
+    # all-zero by design — every right neighbor is brighter)
+    def pat(a, b, w=18, h=16):
+        px = bytes((x * a + y * b) % 256 for y in range(h)
+                   for x in range(w))
+        return encode_png(px, w, h, 1), px
+
+    base, px = pat(41, 7)
+    h0 = dhash64_hex(base)
+    assert len(h0) == 16 and int(h0, 16) > 0
+    # re-encode: identical pixels -> identical hash
+    assert dhash64_hex(encode_png(px, 18, 16, 1)) == h0
+    # 2x nearest-neighbor upscale of the same image: dHash unchanged
+    up = resize_nearest(px, 18, 16, 1, 36, 32)
+    assert dhash64_hex(encode_png(up, 36, 32, 1)) == h0
+    # different pattern hashes differently
+    assert dhash64_hex(pat(87, 23)[0]) != h0
+    # monotonic gradient: all comparisons "right brighter" -> zero hash
+    assert dhash64_hex(make_png(36, 28, seed=5)) == "0" * 16
+
+
+def test_image_dhash_operator_null_for_garbage(spark):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.imagex import make_png
+    from tribeca_insights_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_png(20, 16, seed=1))),
+            (2, bytearray(b"not a png at all")),
+            (3, None),
+        ],
+        "media_id int, payload binary",
+    )
+    rows = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert rows[1] is not None and len(rows[1]) == 16
+    assert rows[2] is None and rows[3] is None

@@ -4344,6 +4344,74 @@ def q104_stratified_sample(spark, sf_dir):
     )
 
 
+@q(
+    "q105_image_dhash",
+    """
+    WITH p AS (SELECT doc_id,
+                      17 + doc_id % 97 AS a,
+                      5 + doc_id % 31 AS b
+               FROM documents),
+    b AS (
+      SELECT doc_id, y.i AS y, x.i AS x,
+             CASE WHEN (2 * x.i * a + 2 * y.i * b) % 256
+                     > (2 * (x.i + 1) * a + 2 * y.i * b) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM p,
+           (SELECT unnest(range(8)) AS i) y,
+           (SELECT unnest(range(8)) AS i) x
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN y * 8 + x < 32
+                           THEN bit * (CAST(1 AS BIGINT)
+                                       << (31 - (y * 8 + x)))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN y * 8 + x >= 32
+                           THEN bit * (CAST(1 AS BIGINT)
+                                       << (63 - (y * 8 + x)))
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, printf('%08x%08x', hi, lo) AS dhash FROM h
+    """,
+)
+def q105_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprint (operators/multimodal.image_dhash —
+    REAL PNG decode + grey + 9×8 nearest-neighbor downscale + dHash, not
+    a stub): 64-bit difference hash per image, the standard near-dup key
+    for image corpora; Hamming banding composes with the SimHash
+    machinery for corpus-scale candidate pairs. Fixture: 18×16 greys
+    with px(x,y) = (x·a + y·b) mod 256, per-doc multipliers — wrap-rich,
+    471 distinct hashes over 500 docs — and the 9×8 downscale sampling
+    every second pixel (sx = 2x, sy = 2y by resize_nearest's floor-div
+    mapping) keeps all 64 comparison bits closed-form. Only a real
+    decoder + downscaler reproduces the hex."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .imagex import encode_png
+    from .operators.multimodal import image_dhash
+
+    def _png_batch(doc_id):
+        out = []
+        for i in doc_id:
+            a, b = 17 + int(i) % 97, 5 + int(i) % 31
+            px = bytes(
+                (x * a + y * b) % 256
+                for y in range(16)
+                for x in range(18)
+            )
+            out.append(encode_png(px, 18, 16, 1))
+        return pd.Series(out)
+
+    png_udf = pandas_udf(_png_batch, BinaryType())
+    media = _read(spark, sf_dir, "documents").select(
+        "doc_id", png_udf(F.col("doc_id")).alias("payload")
+    )
+    return image_dhash(media).select("doc_id", "dhash")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -304,3 +304,32 @@ def resize_nearest(pixels: bytes, width: int, height: int, channels: int,
             out[o : o + channels] = pixels[row + sx : row + sx + channels]
             o += channels
     return bytes(out)
+
+
+def dhash64_hex(data: bytes) -> str:
+    """64-bit difference hash (dHash, the standard perceptual image
+    fingerprint) as 16 lowercase hex chars: decode → grey (integer mean
+    of up to 3 channels) → 9×8 nearest-neighbor downscale → one bit per
+    horizontally-adjacent pixel pair (left > right), MSB-first in
+    row-major order. Robust to re-encoding and mild resizing; Hamming
+    distance between hashes ≈ visual difference, so near-duplicate
+    detection composes with the SimHash banding machinery
+    (operators/dedup.py simhash_near_pairs) unchanged."""
+    w, h, ch, px = decode_png(data)
+    if ch > 1:
+        use = min(ch, 3)
+        grey = bytes(
+            sum(px[i * ch + c] for c in range(use)) // use
+            for i in range(w * h)
+        )
+    else:
+        grey = px
+    small = resize_nearest(grey, w, h, 1, 9, 8)
+    bits = 0
+    for y in range(8):
+        row = y * 9
+        for x in range(8):
+            bits = (bits << 1) | (
+                1 if small[row + x] > small[row + x + 1] else 0
+            )
+    return f"{bits:016x}"

@@ -301,3 +301,32 @@ def media_resize(media: DataFrame, max_px: int = 256, id_col: str = "media_id",
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_batches, schema=schema)
+
+
+def _dhash_batch(payload: pd.Series) -> pd.Series:
+    from ..imagex import dhash64_hex  # noqa: F811 — batch-local import
+
+    out = []
+    for p in payload:
+        try:
+            out.append(dhash64_hex(bytes(p)) if p is not None else None)
+        except Exception:
+            out.append(None)  # undecodable payload: no fingerprint
+    return pd.Series(out)
+
+
+from pyspark.sql import functions as _F
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+dhash_udf = _pandas_udf(_dhash_batch, StringType())
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(…, payload binary) → (…, dhash string): 64-bit perceptual
+    difference hash per image (imagex.dhash64_hex — REAL decode +
+    downscale, not a stub), NULL for undecodable payloads. Near-dup
+    pairs at corpus scale: band the 16-hex-char hash exactly like SimHash
+    (operators/dedup.py pigeonhole banding — ≤ k differing bits ⇒ one of
+    k+1 bands matches exactly) and equi-join on (band_idx, band_bits);
+    never all-pairs."""
+    return media.withColumn("dhash", dhash_udf(_F.col(payload_col)))
