@@ -95,3 +95,38 @@ def test_cli_report(spark, tmp_path):
                 assert hdr[0] == "url"
                 rows.extend(rdr)
     assert len(rows) == 10
+
+
+def test_cli_curate(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "plenty of good clean words here to keep", "en"),
+            (2, "plenty of good clean words here to keep", "en"),  # dup
+            (3, "tiny", "en"),
+            (4, "damaged � replacement marker with words", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+    p = subprocess.run(
+        [sys.executable, "-m", "tribeca_insights_spark", "curate",
+         "--input", src, "--out-dir", out_dir, "--dedup",
+         "--master", "local[2]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    res = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert res["by_reason"]["kept"] == 1
+    assert res["by_reason"]["duplicate"] == 1
+    assert res["by_reason"]["too_short"] == 1
+    assert res["by_reason"]["encoding"] == 1
+    kept = spark.read.parquet(f"{out_dir}/kept")
+    assert kept.count() == 1 and kept.first().doc_id == 1
+    dropped = spark.read.parquet(f"{out_dir}/dropped")
+    assert dropped.count() == 3
+    assert "reasons_csv" in dropped.columns
