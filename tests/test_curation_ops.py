@@ -301,6 +301,31 @@ def test_curation_verdict_gates_and_order(spark):
     assert rows[5].reasons_csv == "encoding,low_alpha"  # fixed gate order
 
 
+def test_curation_verdict_non_latin_scripts_keep(spark):
+    # ADVICE r3: the alpha gate must count letters in ANY script, not
+    # just [A-Za-zÀ-ÿ] — otherwise CJK/Cyrillic/Greek corpora are
+    # silently dropped as "low_alpha"
+    from tribeca_insights_spark.operators.textstats import curation_verdict
+
+    df = spark.createDataFrame(
+        [
+            (1, "это хороший русский текст с пятью или больше словами"),
+            (2, "日本語 の 良質な テキスト です ここに あります"),
+            (3, "Αυτό είναι ένα καλό ελληνικό κείμενο με λέξεις"),
+            (4, "한국어 로 된 좋은 텍스트 가 여기 있습니다"),
+            (5, "3 × 4 ÷ 2 = 6 and 7 × 8 ÷ 4 = 14 ok"),  # ×/÷ not letters
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in curation_verdict(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert rows[i].keep is True, (i, rows[i].reasons_csv)
+        assert rows[i].alpha_ratio > 0.9
+    # ×/÷ must NOT count as letters (old range included U+00D7/U+00F7)
+    assert rows[5].alpha_ratio < 0.6
+    assert "low_alpha" in rows[5].reasons_csv
+
+
 def test_curation_verdict_thresholds(spark):
     from tribeca_insights_spark.operators.textstats import curation_verdict
 

@@ -18,6 +18,7 @@ from tribeca_insights_spark.operators.linkgraph import (
 from tribeca_insights_spark.operators.lm import (
     bigram_lm_score,
     perplexity_buckets,
+    perplexity_buckets_ntile,
 )
 from tribeca_insights_spark.operators.textstats import length_percentiles
 from tribeca_insights_spark.plans.snapshot import (
@@ -234,8 +235,8 @@ def test_length_percentiles_exact(spark):
 # --- perplexity buckets -----------------------------------------------------
 
 
-def test_perplexity_buckets_split(spark):
-    docs = spark.createDataFrame(
+def _ppl_docs(spark):
+    return spark.createDataFrame(
         [
             Row(doc_id=i, lang="en",
                 text=("good tokens flow well " * (i + 1)))
@@ -243,17 +244,54 @@ def test_perplexity_buckets_split(spark):
         ]
         + [Row(doc_id=9, lang="xx", text="zz qq vv zz qq vv")]
     )
-    scored = bigram_lm_score(docs, F.col("lang") == "en")
+
+
+def test_perplexity_buckets_threshold_split(spark):
+    scored = bigram_lm_score(_ppl_docs(spark), F.col("lang") == "en")
     out = perplexity_buckets(scored)
     rows = {r.doc_id: r for r in out.collect()}
-    # 5 scored docs → ntile(3) sizes 2/2/1
+    # 5 scored distinct-score docs; quantile_disc ranks ceil(5/3)=2 and
+    # ceil(10/3)=4 → head = strictly above the 4th-smallest (1 doc),
+    # middle = (2nd, 4th] (2 docs), tail = rest (2 docs)
+    from collections import Counter
+
+    sizes = Counter(r.ppl_bucket for r in rows.values())
+    assert sizes == {1: 1, 2: 2, 3: 2}
+    assert rows[9].bucket_label == "tail"  # OOV doc scores worst
+    labels = {r.ppl_bucket: r.bucket_label for r in rows.values()}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+    # bucket assignment must be monotone in avg_logprob
+    by_bucket = {}
+    for r in rows.values():
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_logprob)
+    assert min(by_bucket[1]) > max(by_bucket[2]) > max(by_bucket[3])
+
+
+def test_perplexity_buckets_plan_has_no_window(spark):
+    scored = bigram_lm_score(_ppl_docs(spark), F.col("lang") == "en")
+    plan = perplexity_buckets(scored)._jdf.queryExecution().executedPlan().toString()
+    # VERDICT r3 #1: the registered path must never plan a WindowExec
+    # (the old global NTILE moved the corpus to one partition)
+    assert "Window" not in plan
+
+
+def test_perplexity_buckets_ntile_reference(spark):
+    # small-scale exact equal-frequency reference form
+    scored = bigram_lm_score(_ppl_docs(spark), F.col("lang") == "en")
+    out = perplexity_buckets_ntile(scored)
+    rows = {r.doc_id: r for r in out.collect()}
     from collections import Counter
 
     sizes = Counter(r.ppl_bucket for r in rows.values())
     assert sizes == {1: 2, 2: 2, 3: 1}
-    assert rows[9].bucket_label == "tail"  # OOV doc scores worst
-    labels = {r.ppl_bucket: r.bucket_label for r in rows.values()}
-    assert labels == {1: "head", 2: "middle", 3: "tail"}
+    assert rows[9].bucket_label == "tail"
+    # threshold and NTILE forms agree on the extremes: the single best
+    # doc is head in both, the single worst is tail in both
+    th = {r.doc_id: r for r in perplexity_buckets(scored).collect()}
+    best = max(rows.values(), key=lambda r: r.avg_logprob).doc_id
+    worst = min(rows.values(), key=lambda r: r.avg_logprob).doc_id
+    assert rows[best].bucket_label == th[best].bucket_label == "head"
+    assert rows[worst].bucket_label == th[worst].bucket_label == "tail"
 
 
 # --- k-hop BFS ---------------------------------------------------------------

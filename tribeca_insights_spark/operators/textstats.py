@@ -453,8 +453,14 @@ def curation_verdict(
     - ``too_short`` / ``too_long`` — whitespace word count bounds;
     - ``encoding`` — replacement-char or mojibake evidence (the
       ``encoding_quality`` signals, same fixed-literal arithmetic);
-    - ``low_alpha`` — letters (``[A-Za-zÀ-ÿ]``) below
+    - ``low_alpha`` — Unicode letters (``\\p{L}`` — any script: Latin,
+      CJK, Cyrillic, Greek, Hebrew, Hangul, …) below
       ``min_alpha_ratio`` of non-space characters (digit/symbol spam).
+      The class is script-agnostic so multilingual corpora are not
+      silently gutted (ADVICE r3: the old ``[A-Za-zÀ-ÿ]`` range gave
+      every non-Latin document alpha_ratio ≈ 0 and also counted ×/÷
+      as letters); ``\\p{L}`` agreement between Java regex and
+      DuckDB's RE2 is probe-verified across 9 scripts.
 
     Emits (id, n_words, alpha_ratio, keep, reasons_csv). All gates are
     native per-row columnar expressions — zero Python, zero shuffle;
@@ -476,7 +482,7 @@ def curation_verdict(
         moji = hits if moji is None else moji + hits
     nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
     alpha = F.length(t) - F.length(
-        F.regexp_replace(t, r"[A-Za-zÀ-ÿ]", "")
+        F.regexp_replace(t, r"\p{L}", "")
     )
     alpha_ratio = F.round(
         alpha.cast("double")
