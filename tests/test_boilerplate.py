@@ -191,6 +191,46 @@ def test_content_spans_operator(spark):
     )
 
 
+def test_content_spans_honors_declared_charset(spark):
+    # ADVICE r3: the span walker must decode with the per-page charset
+    # column like extract_pages does, and span_text must be cut from the
+    # walker's own decoded string
+    from tribeca_insights_spark.operators.boilerplate import content_spans
+
+    text = "café crème très bon ici"
+    html = f"<html><body><p>{text}</p></body></html>".encode("latin-1")
+    df = spark.createDataFrame(
+        [(1, bytearray(html), "iso-8859-1")],
+        "doc_id int, html binary, charset string",
+    )
+    rows = content_spans(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.span_text == text
+    # offsets address the latin-1-decoded page, not a UTF-8 misdecode
+    assert html.decode("iso-8859-1")[r.span_start:r.span_end] == text
+
+
+def test_content_spans_malformed_bytes_offsets_consistent(spark):
+    # a lone invalid UTF-8 byte decodes to U+FFFD; offsets and the cut
+    # text must agree because both come from the same decoded string
+    from tribeca_insights_spark.operators.boilerplate import content_spans
+    from tribeca_insights_spark.operators.extract import _decode
+
+    html = (
+        b"<html><body><p>bad \xff byte here with words</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(html))], "doc_id int, html binary"
+    )
+    rows = content_spans(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert "�" in r.span_text
+    page = _decode(html)
+    assert page[r.span_start:r.span_end] == r.span_text
+
+
 # --- site-level template detection -------------------------------------------
 
 
@@ -278,3 +318,39 @@ def test_main_content_site_aware_two_tiers(spark):
     assert all(
         "quality widgets" not in r.main_text for r in out.values()
     )
+
+
+def test_main_content_site_aware_small_host_guard(spark):
+    # ADVICE r3: template removal needs repetition evidence — a block on
+    # a 1-page host (frac 100%) or a unique block on a 2-page host
+    # (inclusive 1/2 boundary) must NOT be subtracted
+    from tribeca_insights_spark.operators.boilerplate import (
+        main_content_site_aware,
+    )
+
+    def page(host, i, body):
+        h = (
+            f"<html><body><h1>Title {host} {i}</h1>"
+            f"<p>{body}</p></body></html>"
+        )
+        return (host, f"https://{host}/p{i}", bytearray(h.encode()))
+
+    rows = [
+        page("solo.com", 0, "only page body text here"),
+        page("duo.com", 0, "first page unique body text"),
+        page("duo.com", 1, "second page different body text"),
+        page("duo2.com", 0, "shared footer line words"),
+        page("duo2.com", 1, "shared footer line words"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, html binary")
+    out = {r.url: r for r in main_content_site_aware(df).collect()}
+    # 1-page host keeps everything the per-page rule keeps
+    assert out["https://solo.com/p0"].main_text == (
+        "Title solo.com 0 only page body text here"
+    )
+    # unique blocks on a 2-page host survive the 1/2 boundary
+    assert "first page unique body text" in out["https://duo.com/p0"].main_text
+    assert "second page different body text" in out["https://duo.com/p1"].main_text
+    # but a block repeated on BOTH pages of a 2-page host is template
+    assert "shared footer line" not in out["https://duo2.com/p0"].main_text
+    assert "Title duo2.com 0" in out["https://duo2.com/p0"].main_text

@@ -360,6 +360,24 @@ def test_exact_substring_keep_first(spark):
     assert out[4].deduped_text == "tiny doc" and out[4].n_tokens == 2
 
 
+def test_exact_substring_empty_doc_zero_tokens(spark):
+    # ADVICE r3: empty / whitespace-only documents must report
+    # n_tokens=0 (split(trim('')) yields [''] without the filter)
+    from tribeca_insights_spark.operators.dedup import dedup_exact_substring
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two  spaced   words")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_exact_substring(df, k=4).collect()}
+    assert out[1].n_tokens == 0 and out[1].n_removed == 0
+    assert out[1].deduped_text == ""
+    assert out[2].n_tokens == 0 and out[2].deduped_text == ""
+    # runs of spaces collapse: 3 real tokens, none removed
+    assert out[3].n_tokens == 3
+    assert out[3].deduped_text == "two spaced words"
+
+
 def test_exact_substring_full_coverage_empties_doc(spark):
     from tribeca_insights_spark.operators.dedup import dedup_exact_substring
 

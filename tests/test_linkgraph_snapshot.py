@@ -311,6 +311,29 @@ def test_bfs_min_dist_chain_and_diamond(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 2}
 
 
+def test_bfs_materialize_unpersists_levels(spark):
+    # ADVICE r3: materialize=True must not leak the per-level caches
+    from tribeca_insights_spark.operators.linkgraph import bfs_min_dist
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(6)]
+    )
+    seeds = spark.createDataFrame([Row(node=0)])
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    out = bfs_min_dist(edges, seeds, k=3, materialize=True)
+    # only the localCheckpoint of the RESULT remains cached — the k+1
+    # frontier-level caches are released before return
+    assert n_persisted() <= base + 1
+    got = {r.node: r.dist for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    spark.catalog.clearCache()
+
+
 def test_bfs_min_dist_k0_and_multi_seed(spark):
     from tribeca_insights_spark.operators.linkgraph import bfs_min_dist
 

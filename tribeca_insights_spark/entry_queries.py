@@ -3587,7 +3587,7 @@ def q89_khop_reachable(spark, sf_dir):
     seeds = d.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("node")
     )
-    return bfs_min_dist(edges, seeds, k=3)
+    return bfs_min_dist(edges, seeds, k=3, materialize=True)
 
 
 @q(
@@ -3888,14 +3888,18 @@ def q95_recrawl_priority(spark, sf_dir):
     tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
            FROM p GROUP BY source, t)
     SELECT p.doc_id,
-           trim(CASE WHEN np.n > 2
-                     THEN 'Heading ' || p.doc_id ELSE '' END
-                || CASE WHEN p.pw >= 3 AND 2 * tc.c < np.n
+           trim('Heading ' || p.doc_id
+                || CASE WHEN np.n < 2
+                        THEN ' © ' || p.source || ' widgets est 1999'
+                        ELSE '' END
+                || CASE WHEN p.pw >= 3
+                             AND NOT (tc.c >= 2 AND 2 * tc.c >= np.n)
                         THEN ' ' || p.t ELSE '' END) AS main_text,
            CAST(CASE WHEN length(p.t) > 0 THEN 4 ELSE 3 END AS INT)
              AS n_blocks,
-           CAST((CASE WHEN np.n > 2 THEN 1 ELSE 0 END)
-                + (CASE WHEN p.pw >= 3 AND 2 * tc.c < np.n
+           CAST(1 + (CASE WHEN np.n < 2 THEN 1 ELSE 0 END)
+                + (CASE WHEN p.pw >= 3
+                             AND NOT (tc.c >= 2 AND 2 * tc.c >= np.n)
                         THEN 1 ELSE 0 END) AS INT) AS n_content_blocks
     FROM p
     JOIN np ON np.source = p.source
@@ -3908,9 +3912,10 @@ def q96_site_aware_content(spark, sf_dir):
     templates. The synthesized page carries a link-light 5-word tagline
     ("© {source} widgets est 1999") on EVERY host page: the per-page
     rule (q87 tier) calls it content; only the cross-page frequency tier
-    removes it. Oracle computes both tiers closed-form — including the
-    h1-template case for <=2-page hosts and the duplicate-body-text case
-    (2c >= n) — so nothing about corpus uniqueness is assumed. The ©
+    removes it. Oracle computes both tiers closed-form with the
+    min_template_pages=2 repeat guard (ADVICE r3): the unique h1 can
+    never be template (c=1), the tagline survives only on 1-page hosts,
+    and duplicate body text is template iff c >= 2 AND 2c >= n. The ©
     guard: corpus text is letters+spaces only (verified), so tagline /
     footer literals cannot collide with body text at >= 3 words."""
     from .operators.boilerplate import main_content_site_aware
@@ -3938,7 +3943,9 @@ def q96_site_aware_content(spark, sf_dir):
 @q(
     "q97_exact_substring_dedup",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(trim(text), ' '),
+                                  w -> w <> '') AS tk
                FROM documents),
     g AS (SELECT doc_id, i AS start,
                  array_to_string(tk[i:i+7], ' ') AS gram

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 )
 
 from ..htmlx.blocks import segment_blocks
-from .extract import _decode
+from .extract import _charset_expr, _decode
 
 BLOCK_TYPE = ArrayType(
     StructType(
@@ -170,52 +170,79 @@ SPAN_BLOCK_TYPE = ArrayType(
     )
 )
 
+# the walker's own decoded page travels with the offsets so the JVM-side
+# span cut addresses EXACTLY the string the offsets were measured in —
+# a second independent decode (Python vs JVM replacement-char policies
+# on malformed bytes, or an ignored per-page charset) could shift them
+SPAN_RESULT_TYPE = StructType(
+    [
+        StructField("page", StringType()),
+        StructField("blocks", SPAN_BLOCK_TYPE),
+    ]
+)
 
-def _span_blocks_batch(html: pd.Series) -> pd.Series:
+
+def _span_blocks_batch(html: pd.Series, charset: pd.Series) -> pd.DataFrame:
     from ..htmlx.blocks import segment_blocks_with_spans
 
-    out: List[list] = []
-    for h in html:
-        out.append(
+    pages: List[str] = []
+    blocks: List[list] = []
+    for h, cs in zip(html, charset):
+        page = _decode(h, cs)
+        pages.append(page)
+        blocks.append(
             [
                 (b.idx, b.tag, b.n_words, b.n_link_words, b.is_heading,
                  s, e)
-                for b, (s, e) in segment_blocks_with_spans(_decode(h))
+                for b, (s, e) in segment_blocks_with_spans(page)
             ]
         )
-    return pd.Series(out)
+    return pd.DataFrame({"page": pages, "blocks": blocks})
 
 
-span_blocks_udf = pandas_udf(_span_blocks_batch, SPAN_BLOCK_TYPE)
+span_blocks_udf = pandas_udf(_span_blocks_batch, SPAN_RESULT_TYPE)
 
 
 def content_spans(
     docs: DataFrame,
     html_col: str = "html",
     min_words: int = 3,
+    charset_col: str | None = "auto",
 ) -> DataFrame:
     """Per-document CONTENT-block source spans — one row per content
     block: ``(…, block_idx, tag, span_start, span_end, span_text)``
-    where ``html[span_start:span_end]`` (character offsets in the decoded
+    where ``page[span_start:span_end]`` (character offsets in the decoded
     page) is the raw source range of the block's visible text and
     ``span_text`` is that slice re-cut JVM-side with ``substring`` — the
     "extracted text/spans per document" contract (north_rule): a span-
     keyed audit, highlight, or provenance layer can address the original
     bytes without re-parsing.
 
+    Charset/consistency contract (ADVICE r3): the decode honors the
+    per-page declared ``charset`` column exactly like ``extract_pages``
+    (``charset_col="auto"`` picks up a ``charset`` column when present),
+    and the JVM ``substring`` cuts the SAME decoded string the span
+    walker measured — the walker's page text rides back across Arrow
+    next to the offsets, so Python-vs-JVM replacement-character policy
+    on malformed bytes can never shift a span.
+
     Shape: one Arrow-batched span-segmenter pass (htmlx/blocks.py
-    ``_SpanWalker`` — block facts + offsets, NO block text crossing
-    Arrow), classification and the slice itself as JVM codegen, then the
-    content-only explode. Widens rows like ``exploded_blocks``; the span
-    columns are 2 ints, so the exploded width stays slim at corpus scale.
+    ``_SpanWalker``), classification and the slice itself as JVM
+    codegen, then the content-only explode. The decoded page crosses
+    Arrow once outbound (≈ the html payload it replaces in the row);
+    the per-block span columns stay 2 ints, so the exploded width is
+    slim at corpus scale.
     """
-    d = docs.withColumn("_sblocks", span_blocks_udf(F.col(html_col)))
-    content = F.filter("_sblocks", lambda b: _is_content(b, min_words))
+    cs = _charset_expr(docs, charset_col)
+    d = docs.withColumn("_sr", span_blocks_udf(F.col(html_col), cs))
+    content = F.filter(
+        F.col("_sr.blocks"), lambda b: _is_content(b, min_words)
+    )
     keep = [c for c in docs.columns if c != html_col]
     return (
         d.select(
             *keep,
-            F.decode(F.col(html_col), "UTF-8").alias("_page"),
+            F.col("_sr.page").alias("_page"),
             F.explode(content).alias("b"),
         )
         .select(
@@ -303,6 +330,7 @@ def main_content_site_aware(
     html_col: str = "html",
     min_words: int = 3,
     min_frac_micros: int = 500_000,
+    min_template_pages: int = 2,
 ) -> DataFrame:
     """TWO-TIER main content: the per-page jusText-lite rule
     (``main_content``) minus the host's template blocks
@@ -312,6 +340,14 @@ def main_content_site_aware(
     body text only the per-page rule can classify. Production content
     pipelines run exactly this composition (site-template removal over a
     per-page classifier, Gibson et al. 2005 + Pomikálek 2011).
+
+    ``min_template_pages`` (ADVICE r3): "template" is a REPETITION
+    signal, so a block must recur on at least this many of the host's
+    pages before the frequency tier may remove it — without the guard a
+    1-page host has every block at frac 100% (main_text empties) and a
+    2-page host loses its unique headings/body at the inclusive 1/2
+    boundary. ``template_blocks``' raw frequency metric is unchanged;
+    the guard applies only to this composed subtraction.
 
     Shape: the template dim is a per-host ARRAY of template texts,
     broadcast-joined; the subtraction is then pure array codegen inside
@@ -323,6 +359,7 @@ def main_content_site_aware(
     tmpl = (
         template_blocks(docs, host_col, page_col, html_col,
                         min_frac_micros)
+        .filter(F.col("n_pages_with_block") >= min_template_pages)
         .groupBy("host")
         .agg(F.collect_list("block_text").alias("_tmpl"))
         .withColumnRenamed("host", "_tmpl_host")

@@ -580,9 +580,11 @@ def dedup_exact_substring(
     128-bit hash). The oracle runs the string form; equality of both
     modes is pinned in tests.
     """
-    tk = F.split(F.trim(F.col(text_col)), " ")
+    # drop empty tokens so an empty/whitespace-only document tokenizes
+    # to [] (n_tokens 0, not 1 — ADVICE r3) and runs of spaces collapse
+    # consistently with the single-space re-assembly below
+    tk = F.array_remove(F.split(F.trim(F.col(text_col)), " "), "")
     base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
-    n_grams = F.greatest(F.size("tk") - F.lit(k - 1), F.lit(0))
     gram_arr = F.expr(
         f"transform(slice(sequence(1, greatest(size(tk) - {k} + 1, 1)),"
         f" 1, greatest(size(tk) - {k} + 1, 0)),"

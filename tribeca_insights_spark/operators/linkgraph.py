@@ -211,6 +211,7 @@ def bfs_min_dist(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    materialize: bool = False,
 ) -> DataFrame:
     """Multi-source BFS over an edge list → (node, dist): minimum hop
     distance from any seed, out to ``k`` hops (frontier expansion — the
@@ -233,6 +234,15 @@ def bfs_min_dist(
     probe side. For large k, ``localCheckpoint`` the visited union every
     ~5 levels to truncate lineage (same discipline as
     ``pagerank_micros`` / dedup.connected_components).
+
+    Cache lifetime (ADVICE r3): ``materialize=True`` eagerly
+    ``localCheckpoint``-s the result (one job; result is frontier-sized,
+    not corpus-sized) and unpersists every cached level before
+    returning — repeated calls in one application then leak nothing.
+    The default stays lazy (one inspectable plan, zero actions) and
+    leaves the level caches to the CALLER's lifetime management: after
+    materializing the result, unpersist via
+    ``spark.catalog.clearCache()`` or re-call with ``materialize=True``.
     """
     if k < 0:
         raise ValueError("k must be >= 0")
@@ -263,4 +273,8 @@ def bfs_min_dist(
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        for lv in levels:
+            lv.unpersist()
     return out
