@@ -221,7 +221,21 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
     queries["extract_tf_full"] = round(wall_full, 3)
     queries["extract_tf_textonly"] = round(wall_text, 3)
+
+    # drain streaming and session state BEFORE stopping the JVM so the
+    # captured log tail stays traceback-free: r3's driver record caught an
+    # async pyspark/daemon.py BrokenPipeError from Python workers whose
+    # sockets closed mid-teardown (most plausibly the q102/q103 drains)
+    for sq in spark.streams.active:
+        try:
+            sq.stop()
+            sq.awaitTermination(30)
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    time.sleep(1.0)  # let idle reused Python workers exit on their own
     spark.stop()
+    time.sleep(0.5)  # absorb any async JVM-shutdown stderr before printing
 
     # scaling evidence: fresh JVM per parallelism level
     scaling = {}

@@ -232,6 +232,32 @@ def test_length_percentiles_exact(spark):
     assert math.isclose(row.p99, 4.96)
 
 
+def test_length_percentiles_sketch_matches_exact(spark):
+    # VERDICT r3 #6: percentile_approx path (the 10^12-row swap) must
+    # track the exact path — rank error ≤ n/accuracy, and the sketch
+    # returns data values, so tolerance = the local order-statistic gap
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {r[0]: r for r in length_percentiles(df).collect()}
+    approx = {
+        r[0]: r
+        for r in length_percentiles(
+            df, approx=True, accuracy=1_000_000
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for g, e in exact.items():
+        a = approx[g]
+        assert e.n_docs == a.n_docs
+        for p in ("p50", "p90", "p99"):
+            ev, av = getattr(e, p), getattr(a, p)
+            # exact interpolates between the two order stats the sketch
+            # may return either of — allow a tight relative band
+            assert abs(av - ev) <= max(1.0, 0.05 * ev), (g, p, ev, av)
+
+
 # --- perplexity buckets -----------------------------------------------------
 
 
