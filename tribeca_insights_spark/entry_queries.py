@@ -4427,6 +4427,87 @@ def q105_image_dhash(spark, sf_dir):
     return image_dhash(media).select("doc_id", "dhash")
 
 
+# words chosen to dodge every stopword profile list so the injected
+# payload tokenizes identically for every lang — cross-run duplicates
+# then match regardless of the doc's language tag
+_Q106_PAYLOAD = (
+    "shared corpus payload repeated across runs with plenty distinct "
+    "words to shingle hash deterministically"
+)
+
+# the full MinHash band chain from _MINHASH_CTES, fed by an injected
+# corpus: docs with doc_id % 10 = 0 share _Q106_PAYLOAD, so run 2
+# (doc_id % 3 = 0) provably contains cross-run duplicates of run 1.
+# Substitution order matters: retarget base's FROM first (single
+# occurrence), then prepend the inj CTE.
+_Q106_CTES = _MINHASH_CTES.replace("FROM documents", "FROM inj").replace(
+    "WITH base AS (",
+    "WITH inj AS (\n"
+    "  SELECT doc_id, source, lang,\n"
+    f"         CASE WHEN doc_id % 10 = 0 THEN '{_Q106_PAYLOAD}'\n"
+    "              ELSE text END AS text\n"
+    "  FROM documents\n"
+    "), base AS (",
+)
+
+
+@q(
+    "q106_incremental_dedup",
+    _Q106_CTES
+    + """
+    , idx AS (SELECT doc_id, band, band_key FROM bands
+              WHERE doc_id % 3 <> 0)
+    , newb AS (SELECT doc_id, band, band_key FROM bands
+               WHERE doc_id % 3 = 0)
+    , hits AS (SELECT n.doc_id, min(i.doc_id) AS matched_old_id
+               FROM newb n
+               JOIN idx i ON i.band = n.band AND i.band_key = n.band_key
+               GROUP BY n.doc_id)
+    SELECT nd.doc_id,
+           h.matched_old_id IS NOT NULL AS is_dup,
+           h.matched_old_id
+    FROM (SELECT DISTINCT doc_id FROM newb) nd
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q106_incremental_dedup(spark, sf_dir):
+    """Incremental cross-run dedup (operators/dedup.py
+    dedup_against_index; VERDICT r3 #4 — the RefinedWeb/FineWeb
+    production shape): run 1 (doc_id % 3 <> 0) persists its MinHash
+    band index; run 2 (doc_id % 3 = 0) is deduped by ONE equi-join of
+    its bands against that index — run-1 text is never re-read (pinned
+    by a parquet-plan test in tests/test_dedup_similarity.py). The
+    injected shared payload (doc_id % 10 = 0) guarantees cross-run
+    duplicates; the oracle computes both runs' bands closed-form with
+    the same md5 double-hash family and states the verdict per new
+    doc."""
+    from .operators.dedup import (
+        char_shingles,
+        dedup_against_index,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_Q106_PAYLOAD))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = with_tokens(d).select(
+        "doc_id", F.concat_ws(" ", "tokens").alias("tok_str")
+    )
+    bands = lsh_bands(
+        minhash_signatures(
+            char_shingles(t, text_col="tok_str", k=12), n_hashes=12
+        ),
+        rows_per_band=3,
+    )
+    idx = bands.filter(F.col("doc_id") % 3 != 0)
+    newb = bands.filter(F.col("doc_id") % 3 == 0)
+    return dedup_against_index(newb, idx)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -649,3 +649,68 @@ def dedup_exact_substring(
             .alias("n_removed"),
         )
     )
+
+
+def dedup_against_index(new_bands: DataFrame, index: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """INCREMENTAL (cross-run) dedup — the production shape
+    RefinedWeb/FineWeb-style pipelines actually run: run N persists its
+    MinHash band-bucket table (``lsh_bands`` output) as the corpus
+    index; run N+1 dedups its NEW batch by equi-joining the batch's
+    bands against that index, never re-reading or re-hashing the old
+    corpus text. Composes with the append-log discipline of
+    plans/state.py: the index is an append-only log of
+    (doc_id, band, band_key) rows; each run appends
+    :func:`index_increment` for its kept docs.
+
+    ``new_bands``: (id, band, band_key) for the new batch (from
+    ``lsh_bands``). ``index``: the persisted (id, band, band_key) table
+    of every previously-kept document (read back from Parquet/Iceberg —
+    the caller controls storage).
+
+    Returns one row per new document: (id, is_dup, matched_old_id) —
+    ``is_dup`` iff the doc shares at least one band bucket with the
+    index; ``matched_old_id`` = the smallest matching prior doc id (an
+    audit pointer; NULL when kept). Intra-batch duplicates are the
+    intra-run machinery's job (``lsh_candidate_pairs`` →
+    ``connected_components``) and are deliberately out of scope here.
+
+    Scale shape: ONE shuffle-equi-join on (band, band_key) — the index
+    side shuffles its slim 3-column rows only (the 100-TB index is
+    O(corpus × n_bands) fixed-width rows, no text), the probe side is
+    batch-sized. The groupBy(id) min() is a partial agg; the final
+    left join is batch × batch-distinct. With the index bucketed by
+    (band, band_key) at write time the big shuffle disappears entirely.
+    """
+    i = index.select(
+        F.col(id_col).alias("_old_id"), "band", "band_key"
+    )
+    n = new_bands.select(F.col(id_col), "band", "band_key")
+    hits = (
+        n.join(i, ["band", "band_key"])
+        .groupBy(id_col)
+        .agg(F.min("_old_id").alias("matched_old_id"))
+    )
+    return (
+        n.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("matched_old_id").isNotNull().alias("is_dup"),
+            "matched_old_id",
+        )
+    )
+
+
+def index_increment(new_bands: DataFrame, verdicts: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """The rows run N+1 appends to the persisted band index: the bands of
+    its KEPT documents only (dropped docs are represented by the prior
+    doc they matched). ``verdicts`` is :func:`dedup_against_index`
+    output. Join is id-keyed with the batch-sized verdict side —
+    broadcast-eligible; AQE picks it."""
+    kept = verdicts.filter(~F.col("is_dup")).select(id_col)
+    return new_bands.join(kept, id_col).select(
+        id_col, "band", "band_key"
+    )
