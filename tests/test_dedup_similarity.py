@@ -514,3 +514,31 @@ def test_incremental_dedup_never_scans_run1_text(spark, tmp_path):
     )
     assert "band_index" in plan and "run2_docs" in plan
     assert "run1_docs" not in plan
+
+
+def test_dhash_near_pairs_upscaled_and_reencoded(spark):
+    # VERDICT r3 #5: near-identical PNGs (re-encode / 2x upscale) must
+    # pair through the band equi-join; a visually different image must not
+    from tribeca_insights_spark.imagex import encode_png, resize_nearest
+    from tribeca_insights_spark.operators.dedup import dhash_near_pairs
+    from tribeca_insights_spark.operators.multimodal import image_dhash
+
+    base = bytes((x * 13 + y * 7) % 256 for y in range(16) for x in range(18))
+    other = bytes((x * 90 + y * 55 + 31) % 256
+                  for y in range(16) for x in range(18))
+    rows = [
+        (1, bytearray(encode_png(base, 18, 16, 1))),
+        (2, bytearray(encode_png(
+            resize_nearest(base, 18, 16, 1, 36, 32), 36, 32, 1))),
+        (3, bytearray(encode_png(other, 18, 16, 1))),
+        (4, None),  # undecodable → NULL hash → excluded, not crashed
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dhash_near_pairs(
+            image_dhash(media).select("media_id", "dhash"), max_hamming=2
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # upscale+re-encode: identical hash
+    assert all(3 not in p and 4 not in p for p in pairs)

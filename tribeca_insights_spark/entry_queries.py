@@ -4427,6 +4427,113 @@ def q105_image_dhash(spark, sf_dir):
     return image_dhash(media).select("doc_id", "dhash")
 
 
+@q(
+    "q107_image_neardup_pairs",
+    """
+    WITH p AS (SELECT doc_id,
+                      17 + doc_id % 97 AS a,
+                      5 + doc_id % 31 AS b
+               FROM documents),
+    b AS (
+      SELECT doc_id, y.i AS y, x.i AS x,
+             CASE WHEN (2 * x.i * a + 2 * y.i * b) % 256
+                     > (2 * (x.i + 1) * a + 2 * y.i * b) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM p,
+           (SELECT unnest(range(8)) AS i) y,
+           (SELECT unnest(range(8)) AS i) x
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN y * 8 + x < 32
+                           THEN bit * (CAST(1 AS BIGINT)
+                                       << (31 - (y * 8 + x)))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN y * 8 + x >= 32
+                           THEN bit * (CAST(1 AS BIGINT)
+                                       << (63 - (y * 8 + x)))
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM b GROUP BY doc_id
+    ),
+    -- both renditions of a doc (original 18x16 and the re-encoded 2x
+    -- upscale) share the SAME closed-form hash: the 9x8 downscale of
+    -- the 36x32 upscale samples source pixel (4x)//2 = 2x, (4y)//2 = 2y
+    -- -- exactly the original's samples (resize_nearest floor-div map)
+    m AS (SELECT doc_id * 2 + v.m AS media_id,
+                 printf('%08x%08x', hi, lo) AS dhash, hi, lo
+          FROM h, (SELECT unnest([0, 1]) AS m) v),
+    bands AS (
+      SELECT media_id, hi, lo, band,
+             CASE band WHEN 0 THEN substr(dhash, 1, 6)
+                       WHEN 1 THEN substr(dhash, 7, 5)
+                       ELSE substr(dhash, 12, 5) END AS band_sub
+      FROM m, (SELECT unnest(range(3)) AS band)
+    ),
+    pr AS (
+      SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
+             CAST(bit_count(xor(x.hi, y.hi))
+                  + bit_count(xor(x.lo, y.lo)) AS INT) AS hamming
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.band_sub = y.band_sub
+                   AND x.media_id < y.media_id
+    )
+    SELECT a_id, b_id, hamming FROM pr WHERE hamming <= 2
+    """,
+)
+def q107_image_neardup_pairs(spark, sf_dir):
+    """Image near-duplicate pairs via dHash Hamming banding (VERDICT r3
+    #5 / Next #5: the end-to-end composition q105 only described):
+    every doc contributes its original 18×16 PNG and a re-encoded 2×
+    nearest-neighbor upscale; operators/dedup.dhash_near_pairs bands
+    the 64-bit perceptual hashes pigeonhole-style (3 hex substrings for
+    max_hamming=2) and equi-joins — never all-pairs — then verifies
+    exact Hamming on the 32-bit halves. Guaranteed pairs: each doc's
+    two renditions (upscale invariance is closed-form, see oracle
+    comment) plus natural cross-doc hash collisions; the oracle states
+    all of them from the same bit formula as q105."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .imagex import encode_png, resize_nearest
+    from .operators.dedup import dhash_near_pairs
+    from .operators.multimodal import image_dhash
+
+    def _png_batch(media_id):
+        out = []
+        for mid in media_id:
+            d, m = divmod(int(mid), 2)
+            a, b = 17 + d % 97, 5 + d % 31
+            px = bytes(
+                (x * a + y * b) % 256
+                for y in range(16)
+                for x in range(18)
+            )
+            if m:
+                out.append(
+                    encode_png(
+                        resize_nearest(px, 18, 16, 1, 36, 32), 36, 32, 1
+                    )
+                )
+            else:
+                out.append(encode_png(px, 18, 16, 1))
+        return pd.Series(out)
+
+    png_udf = pandas_udf(_png_batch, BinaryType())
+    media = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("m"), "doc_id"
+        )
+        .select((F.col("doc_id") * 2 + F.col("m")).alias("media_id"))
+        .select("media_id", png_udf(F.col("media_id")).alias("payload"))
+    )
+    hashes = image_dhash(media, payload_col="payload").select(
+        "media_id", "dhash"
+    )
+    return dhash_near_pairs(hashes, max_hamming=2)
+
+
 # words chosen to dodge every stopword profile list so the injected
 # payload tokenizes identically for every lang — cross-run duplicates
 # then match regardless of the doc's language tag

@@ -714,3 +714,72 @@ def index_increment(new_bands: DataFrame, verdicts: DataFrame,
     return new_bands.join(kept, id_col).select(
         id_col, "band", "band_key"
     )
+
+
+def dhash_near_pairs(hashes: DataFrame, id_col: str = "media_id",
+                     hash_col: str = "dhash",
+                     max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate IMAGE pairs from 64-bit perceptual dHashes
+    (``multimodal.image_dhash`` output — 16 lowercase hex chars):
+    (a_id, b_id, hamming) for every pair within ``max_hamming`` bits.
+
+    Candidate generation is pigeonhole banding over the hex string —
+    the SAME discipline as :func:`simhash_near_pairs`, applied to the
+    image fingerprint: the 16 hex chars split into ``max_hamming + 1``
+    contiguous substrings (sizes as even as possible; any partition
+    works for the pigeonhole), so ≤ ``max_hamming`` differing bits
+    leave at least one band byte-identical → one equi-join on
+    (band, band_sub) finds every qualifying pair, NEVER all-pairs.
+    Verification is exact: the hash parses into two 32-bit halves
+    (signed-long-safe on every engine) and
+    ``bit_count(xor(hi)) + bit_count(xor(lo))`` is the true Hamming
+    distance. NULL hashes (undecodable payloads) are dropped first.
+
+    Scale shape: band join on short fixed-width keys; exact-duplicate
+    images collapse into shared buckets (bounded by duplicate-cluster
+    size, the quantity the job is measuring); distinct() before the
+    Hamming filter dedups multi-band matches.
+    """
+    nb = max_hamming + 1
+    if nb > 16:
+        raise ValueError("max_hamming must be <= 15 for hex banding")
+    lens = [16 // nb + (1 if i < 16 % nb else 0) for i in range(nb)]
+    starts = [1 + sum(lens[:i]) for i in range(nb)]
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(hash_col).alias("_dh"),
+        F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(hash_col, 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+    bands = h.select(
+        id_col, "_hi", "_lo",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("_dh", s, ln)
+                    for s, ln in zip(starts, lens)
+                ]
+            )
+        ).alias("band", "band_sub"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("a_id"), F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"), "band", "band_sub",
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"), F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"), "band", "band_sub",
+    )
+    return (
+        a.join(b, ["band", "band_sub"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            (
+                F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+                + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
