@@ -301,6 +301,30 @@ def test_perplexity_buckets_plan_has_no_window(spark):
     assert "Window" not in plan
 
 
+def test_perplexity_buckets_per_group(spark):
+    # CCNet granularity: each language gets its own LM and its own cut
+    # points — every language must see all three buckets independently
+    from tribeca_insights_spark.operators.lm import bigram_lm_score_grouped
+
+    rows = []
+    for lang, words in (("en", "good clean english text flows"),
+                        ("de", "guter sauberer deutscher text hier")):
+        for i in range(5):
+            rows.append(Row(doc_id=len(rows), lang=lang,
+                            text=(words + " ") * (i + 1)))
+    docs = spark.createDataFrame(rows)
+    scored = bigram_lm_score_grouped(docs, group_col="lang")
+    out = perplexity_buckets(scored, group_col="lang")
+    got = out.collect()
+    assert len(got) == 10
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.bucket_label)
+    # per-lang thresholds → each 5-doc language splits into all 3 buckets
+    assert by_lang["en"] == {"head", "middle", "tail"}
+    assert by_lang["de"] == {"head", "middle", "tail"}
+
+
 def test_perplexity_buckets_ntile_reference(spark):
     # small-scale exact equal-frequency reference form
     scored = bigram_lm_score(_ppl_docs(spark), F.col("lang") == "en")

@@ -4534,6 +4534,85 @@ def q107_image_neardup_pairs(spark, sf_dir):
     return dhash_near_pairs(hashes, max_hamming=2)
 
 
+@q(
+    "q108_ccnet_per_lang",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, lang, l, unnest(range(1, len(l))) AS i
+            FROM toks)
+    ),
+    uni AS (SELECT doc_id, lang, unnest(l) AS w FROM toks),
+    c1 AS (
+      SELECT lang, w AS w1, CAST(count(*) AS BIGINT) AS c1
+      FROM uni GROUP BY lang, w
+    ),
+    c12 AS (
+      SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big GROUP BY lang, w1, w2
+    ),
+    v AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS vsz
+          FROM uni GROUP BY lang),
+    scored AS (
+      SELECT b.doc_id, b.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(floor(1e6 * (ln(coalesce(c12, 0) + 1)
+                                        - ln(coalesce(c1, 0) + vsz)))
+                           AS BIGINT)) AS BIGINT) AS lm_logprob_micros
+      FROM big b
+      LEFT JOIN c12 USING (lang, w1, w2)
+      LEFT JOIN c1 USING (lang, w1)
+      JOIN v USING (lang)
+      GROUP BY b.doc_id, b.lang
+    ),
+    a AS (
+      SELECT doc_id, lang, n_bigrams, lm_logprob_micros,
+             CAST(lm_logprob_micros AS DOUBLE)
+               / CAST(n_bigrams AS DOUBLE) AS ar
+      FROM scored
+    ),
+    th AS (
+      SELECT lang, quantile_disc(ar, 1.0 / 3.0) AS t_lo,
+             quantile_disc(ar, 2.0 / 3.0) AS t_hi
+      FROM a GROUP BY lang
+    )
+    SELECT a.doc_id, a.lang, n_bigrams, lm_logprob_micros,
+           round(ar, 6) AS avg_logprob,
+           CAST(CASE WHEN ar > t_hi THEN 1
+                     WHEN ar > t_lo THEN 2 ELSE 3 END AS BIGINT)
+             AS ppl_bucket,
+           CASE WHEN ar > t_hi THEN 'head'
+                WHEN ar > t_lo THEN 'middle' ELSE 'tail' END
+             AS bucket_label
+    FROM a JOIN th USING (lang)
+    """,
+)
+def q108_ccnet_per_lang(spark, sf_dir):
+    """CCNet at its TRUE granularity (operators/lm.py
+    bigram_lm_score_grouped + perplexity_buckets(group_col) — Wenzek et
+    al. 2020 train one LM per language and bucket per language): each
+    language's bigram LM is fit on that language's documents
+    (self-perplexity), every doc scores against its own language's
+    model, and head/middle/tail cut points are per-language
+    percentile_approx sketches broadcast back. No window, no global
+    sort anywhere; count tables carry the lang key through the same
+    joins as q73, and the threshold dim is |languages| rows."""
+    from .operators.lm import bigram_lm_score_grouped, perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        bigram_lm_score_grouped(docs, group_col="lang"),
+        group_col="lang",
+    )
+
+
 # words chosen to dodge every stopword profile list so the injected
 # payload tokenizes identically for every lang — cross-run duplicates
 # then match regardless of the doc's language tag

@@ -91,7 +91,8 @@ def bigram_lm_score(docs: DataFrame, target_col,
 
 
 def perplexity_buckets(scored: DataFrame, id_col: str = "doc_id",
-                       accuracy: int = 1_000_000) -> DataFrame:
+                       accuracy: int = 1_000_000,
+                       group_col: str | None = None) -> DataFrame:
     """CCNet-style head/middle/tail split (Wenzek et al. 2020 §4.3) over
     :func:`bigram_lm_score` output — the SCALE-SAFE threshold form.
 
@@ -116,6 +117,12 @@ def perplexity_buckets(scored: DataFrame, id_col: str = "doc_id",
     buckets, which is exactly the tolerance CCNet's sampled-threshold
     procedure accepts.
 
+    ``group_col`` switches to CCNet's actual granularity — one pair of
+    cut points PER GROUP (Wenzek et al. bucket per language): the
+    sketch aggregation groups on the key and the threshold dim
+    (|groups| rows) broadcast-joins back. Pair with
+    :func:`bigram_lm_score_grouped` for per-language LMs.
+
     Replaces the round-3 global-NTILE form (single-partition WindowExec,
     flagged VERDICT r3 #1); the NTILE reference survives as
     :func:`perplexity_buckets_ntile` for small-scale tests.
@@ -125,14 +132,20 @@ def perplexity_buckets(scored: DataFrame, id_col: str = "doc_id",
         / F.col("n_bigrams").cast("double")
     )
     a = scored.withColumn("_ar", avg)
-    th = a.agg(
-        F.percentile_approx(
-            "_ar", F.array(F.lit(1 / 3), F.lit(2 / 3)), F.lit(accuracy)
-        ).alias("_q")
-    ).select(
-        F.col("_q")[0].alias("_t_lo"), F.col("_q")[1].alias("_t_hi")
-    )
-    out = a.crossJoin(F.broadcast(th))
+    q = F.percentile_approx(
+        "_ar", F.array(F.lit(1 / 3), F.lit(2 / 3)), F.lit(accuracy)
+    ).alias("_q")
+    if group_col is None:
+        th = a.agg(q).select(
+            F.col("_q")[0].alias("_t_lo"), F.col("_q")[1].alias("_t_hi")
+        )
+        out = a.crossJoin(F.broadcast(th))
+    else:
+        th = a.groupBy(group_col).agg(q).select(
+            group_col,
+            F.col("_q")[0].alias("_t_lo"), F.col("_q")[1].alias("_t_hi"),
+        )
+        out = a.join(F.broadcast(th), group_col)
     bucket = (
         F.when(F.col("_ar") > F.col("_t_hi"), F.lit(1))
         .when(F.col("_ar") > F.col("_t_lo"), F.lit(2))
@@ -143,8 +156,9 @@ def perplexity_buckets(scored: DataFrame, id_col: str = "doc_id",
         .when(bucket == 3, F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
+    keys = [id_col] if group_col is None else [id_col, group_col]
     return out.select(
-        id_col, "n_bigrams", "lm_logprob_micros",
+        *keys, "n_bigrams", "lm_logprob_micros",
         F.round(avg, 6).alias("avg_logprob"),
         bucket.cast("int").alias("ppl_bucket"),
         label.alias("bucket_label"),
@@ -186,3 +200,77 @@ def perplexity_buckets_ntile(scored: DataFrame, n_buckets: int = 3,
         id_col, "n_bigrams", "lm_logprob_micros", "avg_logprob",
         "ppl_bucket", label.alias("bucket_label"),
     )
+
+
+def bigram_lm_score_grouped(docs: DataFrame, group_col: str = "lang",
+                            target_col=None, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Per-GROUP bigram-LM scoring — the faithful CCNet shape: Wenzek
+    et al. 2020 train ONE language model per language and score each
+    document against its own language's model. Output:
+    (id, group, n_bigrams, lm_logprob_micros).
+
+    ``target_col`` selects each group's training slice (CCNet uses
+    trusted per-language text); ``None`` trains every group's LM on all
+    of that group's documents (self-perplexity — the head/middle/tail
+    split then ranks each document's typicality within its language).
+    Documents in groups whose training slice is empty drop out (inner
+    join on the per-group vocabulary), mirroring CCNet's
+    no-model-no-score behavior.
+
+    Scale shape: identical to :func:`bigram_lm_score` with the group
+    key riding every aggregation and join — count tables stay
+    vocabulary-bounded per group, the vocab dim is |groups| rows
+    (broadcast), and no window or driver-side model appears. Same
+    integer-micros quantization → same order-independence and DuckDB
+    oracle exactness.
+    """
+    tgt = F.lit(True) if target_col is None else target_col
+    toks = docs.select(
+        F.col(id_col), F.col(group_col).alias("_g"), tgt.alias("_is_t"),
+        _words(F.col(text_col)).alias("_l"),
+    )
+    uni = toks.select(
+        id_col, "_g", "_is_t", F.explode("_l").alias("_w")
+    )
+    n = F.size("_l")
+    big = toks.filter(n >= 2).select(
+        id_col, "_g", "_is_t",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_l", 1, n - 1).alias("w1"),
+                F.slice("_l", 2, n - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_g", "_is_t", F.col("_p.w1").alias("_w1"),
+             F.col("_p.w2").alias("_w2"))
+
+    c1 = uni.filter("_is_t").groupBy(
+        "_g", F.col("_w").alias("_w1")
+    ).agg(F.count("*").alias("_c1"))
+    c12 = big.filter("_is_t").groupBy("_g", "_w1", "_w2").agg(
+        F.count("*").alias("_c12")
+    )
+    vocab = uni.filter("_is_t").groupBy("_g").agg(
+        F.countDistinct("_w").alias("_V")
+    )
+
+    scored = (
+        big.join(c12, ["_g", "_w1", "_w2"], "left")
+        .join(c1, ["_g", "_w1"], "left")
+        .join(F.broadcast(vocab), "_g")
+        .select(
+            id_col, "_g",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(F.coalesce("_c12", F.lit(0)) + 1)
+                    - F.log(F.coalesce("_c1", F.lit(0)) + F.col("_V"))
+                )
+            ).alias("_lp_micros"),
+        )
+    )
+    return scored.groupBy(id_col, "_g").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("_lp_micros").alias("lm_logprob_micros"),
+    ).withColumnRenamed("_g", group_col)
