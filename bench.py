@@ -180,7 +180,8 @@ def scale_run(cores: int) -> dict:
             "wall_sec_median": round(med, 3),
             "docs_per_sec": round(n / wall, 1),
             "docs_per_sec_median": round(n / med, 1),
-            "n_repeats": len(walls)}
+            "n_repeats": len(walls),
+            "load_avg_1m": round(os.getloadavg()[0], 1)}
 
 
 def main() -> None:
@@ -189,6 +190,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     results: dict = {"sf": SF_DIR, "reps": REPS}
+    load_at_start = round(os.getloadavg()[0], 1)
 
     spark = get_spark(
         app_name="bench", master=f"local[{CPUS}]",
@@ -300,6 +302,9 @@ def main() -> None:
             },
             "n_queries_timed": len(queries),
             "queries_detail": "BENCH_QUERIES.json",
+            # co-tenant evidence: 1-min load BEFORE this process ramped —
+            # >8-10 on this 32-thread box means a contended record
+            "load_avg_at_start": load_at_start,
             "scaling": {
                 f"l{lo}": thr_lo,
                 f"l{hi}": thr_hi,
