@@ -4694,6 +4694,53 @@ def q106_incremental_dedup(spark, sf_dir):
     return dedup_against_index(newb, idx)
 
 
+@q(
+    "q109_bloom_decontaminate",
+    """
+    WITH corpus AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0) AS t
+      FROM documents
+    ), bench AS (SELECT * FROM corpus WHERE doc_id % 100 = 3),
+    cg AS (
+      SELECT DISTINCT doc_id AS corpus_id,
+             array_to_string(t[i:i+12], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+            FROM corpus WHERE len(t) >= 13)
+    ), bg AS (
+      SELECT DISTINCT doc_id AS benchmark_id,
+             array_to_string(t[i:i+12], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+            FROM bench WHERE len(t) >= 13)
+    )
+    SELECT corpus_id, benchmark_id, count(*) AS n_shared
+    FROM cg JOIN bg USING (g)
+    GROUP BY corpus_id, benchmark_id
+    """,
+)
+def q109_bloom_decontaminate(spark, sf_dir):
+    """q57's 13-gram decontamination with a Bloom pre-filter on the
+    corpus side (operators/bloom.py): the benchmark's gram set becomes
+    a broadcast BITMAP and non-candidate corpus grams are dropped
+    map-side BEFORE the corpus distinct() shuffle — the 100-TB shape
+    when the index is too large to broadcast as rows. The exact verify
+    join removes Bloom false positives, so the oracle is q57's exact
+    closed form, unchanged — same rows, same hashes."""
+    from .operators.bloom import bloom_decontaminate
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split("text", " "), lambda w: F.length(w) > 0
+            ),
+        ).alias("tokens_str"),
+    )
+    bench = d.filter(F.col("doc_id") % 100 == 3)
+    return bloom_decontaminate(d, bench, n=13)
+
+
 # ---------------------------------------------------------------------------
 
 
