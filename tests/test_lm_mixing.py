@@ -112,3 +112,32 @@ def test_stratified_topk_exact_counts_and_determinism(spark):
     # small strata yield fewer than k, never padding
     tiny = spark.createDataFrame([Row(doc_id=1, lang="xx")])
     assert stratified_topk_sample(tiny, k=5).count() == 1
+
+
+def test_split_assign_deterministic_partition(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.mixing import split_assign
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(2000)])
+    out = split_assign(df, train_micros=800_000, val_micros=100_000)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    # exact partition of the corpus, no gaps/overlaps
+    assert len(rows) == 2000
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    # fractions land near the cuts (md5 is uniform; 2000 keys, wide slack)
+    assert 0.75 < c["train"] / 2000 < 0.85
+    # membership survives re-sharding: same assignment from a reshuffled df
+    again = {r.doc_id: r.split
+             for r in split_assign(df.repartition(7),
+                                   train_micros=800_000,
+                                   val_micros=100_000).collect()}
+    assert again == rows
+    # salting decorrelates: a different salt moves some docs across splits
+    other = {r.doc_id: r.split
+             for r in split_assign(df, salt="other", train_micros=800_000,
+                                   val_micros=100_000).collect()}
+    assert other != rows

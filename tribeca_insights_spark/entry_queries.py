@@ -4741,6 +4741,37 @@ def q109_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(d, bench, n=13)
 
 
+@q(
+    "q110_split_assign",
+    """
+    SELECT doc_id, source,
+           ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT % 1000000 AS split_bucket,
+           CASE
+             WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 1000000 < 980000
+               THEN 'train'
+             WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 1000000 < 990000
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q110_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (operators/mixing.py
+    split_assign): salted md5-bucket of the stable doc key cut into
+    contiguous ranges — a narrow no-shuffle projection whose membership
+    survives re-sharding, re-ordering, and incremental corpus growth.
+    The oracle states the same salted bucket arithmetic closed-form."""
+    from .operators.mixing import split_assign
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(d, key_col="doc_id", salt="split",
+                        train_micros=980_000, val_micros=10_000)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -135,6 +135,34 @@ def token_budget_rates(domain_tokens: DataFrame, weights: DataFrame,
     )
 
 
+def split_assign(df: DataFrame, key_col: str = "doc_id",
+                 salt: str = "split",
+                 train_micros: int = 980_000,
+                 val_micros: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: md5-bucket the stable
+    key (salted, so the split is independent of every other hash-bucket
+    decision in the pipeline) and cut [0, 1e6) into train / val / test
+    contiguous ranges. Membership is a pure function of (key, salt,
+    cuts) — rerun-stable, partition-replay-stable, and portable across
+    engines, which is what makes held-out sets trustworthy: a document
+    can never migrate between splits when the corpus is re-sharded,
+    re-ordered, or incrementally extended.
+
+    Scale shape: one narrow projection over the scan — no shuffle, no
+    RNG state, no driver involvement. The test split is whatever
+    remains above train+val, so the three fractions always partition
+    the corpus exactly.
+    """
+    bucket = hash_bucket_micros(F.col(key_col), salt=salt)
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_micros, F.lit("train"))
+        .when(F.col("split_bucket") < train_micros + val_micros,
+              F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def stratified_topk_sample(
     df: DataFrame,
     stratum_col: str = "lang",
