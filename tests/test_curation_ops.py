@@ -369,3 +369,26 @@ def test_nfc_folds_combining_marks(spark):
         .count()
     )
     assert hashes == 1
+
+
+def test_script_profile_closed_form(spark):
+    from tribeca_insights_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "abc привет 123"),     # 3 latin, 6 cyrillic, 3 digit / 12
+            (2, "你好"),                # 2 han / 2
+            (3, "   "),                 # whitespace-only -> zero row
+            (4, "γειά مرحبا"),          # 4 greek, 5 arabic / 9
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["n_chars"] == 12
+    assert out[1]["latin_micros"] == 3 * 1_000_000 // 12
+    assert out[1]["cyrillic_micros"] == 6 * 1_000_000 // 12
+    assert out[1]["digit_micros"] == 3 * 1_000_000 // 12
+    assert out[2]["han_micros"] == 1_000_000
+    assert out[3]["n_chars"] == 0 and out[3]["latin_micros"] == 0
+    assert out[4]["greek_micros"] == 4 * 1_000_000 // 9
+    assert out[4]["arabic_micros"] == 5 * 1_000_000 // 9

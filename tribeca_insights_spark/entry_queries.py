@@ -4772,6 +4772,63 @@ def q110_split_assign(spark, sf_dir):
                         train_micros=980_000, val_micros=10_000)
 
 
+@q(
+    "q111_script_profile",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             text || ' ' ||
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'привет мир'
+               WHEN 1 THEN 'γειά σου κόσμε'
+               WHEN 2 THEN '你好世界'
+               ELSE 'مرحبا بالعالم'
+             END || ' 2026' AS t0
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, regexp_replace(t0, '\\s', '', 'g') AS t FROM base
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           (length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g')))
+             * 1000000 // greatest(length(t), 1) AS latin_micros,
+           (length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')))
+             * 1000000 // greatest(length(t), 1) AS cyrillic_micros,
+           (length(t) - length(regexp_replace(t, '\\p{Greek}', '', 'g')))
+             * 1000000 // greatest(length(t), 1) AS greek_micros,
+           (length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')))
+             * 1000000 // greatest(length(t), 1) AS han_micros,
+           (length(t) - length(regexp_replace(t, '\\p{Arabic}', '', 'g')))
+             * 1000000 // greatest(length(t), 1) AS arabic_micros,
+           (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+             * 1000000 // greatest(length(t), 1) AS digit_micros
+    FROM stripped
+    """,
+)
+def q111_script_profile(spark, sf_dir):
+    """Unicode script mix per document (operators/textstats.py
+    script_profile): integer-micros fractions of Latin / Cyrillic /
+    Greek / Han / Arabic / digit characters — pure per-row JVM regex
+    codegen, no shuffle. A non-Latin snippet is injected per doc_id%4
+    so every script class is provably exercised; the oracle computes
+    the identical arithmetic with RE2's \\p{Script} classes (Java
+    spells them \\p{IsScript} — same Unicode tables)."""
+    from .operators.textstats import script_profile
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("привет мир"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("γειά σου κόσμε"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("你好世界"))
+            .otherwise(F.lit("مرحبا بالعالم")),
+            F.lit(" 2026"),
+        ).alias("text"),
+    )
+    return script_profile(d)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -521,3 +521,50 @@ def curation_verdict(
         (reasons == "").alias("keep"),
         reasons.alias("reasons_csv"),
     )
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script mix — the multilingual-curation signal
+    lang_guess (n-gram heuristic) cannot give: WHAT WRITING SYSTEM the
+    page is in, robust to short texts and code-mixed pages. Counts
+    non-whitespace characters per major script (Latin, Cyrillic, Greek,
+    Han, Arabic) plus decimal digits, and emits integer-micros fractions
+    (floor(1e6·n/total)) so results are engine-exact and
+    aggregation-order-free.
+
+    Beyond-reference capability (task brief): the reference pipeline is
+    Latin-only by construction; a 100-TB web corpus is not.
+
+    Shape: pure per-row codegen — each count is
+    ``length(t) - length(regexp_replace(t, '\\p{script}', ''))``, a
+    JVM-side regex with no Python, no UDF, no shuffle; at any corpus
+    size this is a narrow projection over the scan. Script classes are
+    Unicode-standard, shared by Java regex (``\\p{IsLatin}``) and RE2 /
+    DuckDB (``\\p{Latin}``), which is what makes the strict cross-engine
+    oracle possible.
+    """
+    t = F.regexp_replace(F.col(text_col), r"\s", "")
+    total = F.length(t)
+
+    def n_of(cls):
+        return total - F.length(F.regexp_replace(t, cls, ""))
+
+    counts = {
+        "latin": n_of(r"\p{IsLatin}"),
+        "cyrillic": n_of(r"\p{IsCyrillic}"),
+        "greek": n_of(r"\p{IsGreek}"),
+        "han": n_of(r"\p{IsHan}"),
+        "arabic": n_of(r"\p{IsArabic}"),
+        "digit": n_of(r"[0-9]"),
+    }
+    return df.select(
+        id_col,
+        total.cast("long").alias("n_chars"),
+        *[
+            F.floor(c.cast("long") * 1_000_000 / F.greatest(total, F.lit(1)))
+            .cast("long")
+            .alias(f"{name}_micros")
+            for name, c in counts.items()
+        ],
+    )
