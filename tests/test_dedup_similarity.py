@@ -542,3 +542,31 @@ def test_dhash_near_pairs_upscaled_and_reencoded(spark):
     }
     assert pairs.get((1, 2)) == 0  # upscale+re-encode: identical hash
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_embedding_near_dup_vectorized_equals_expression(spark, sf_dir):
+    from tribeca_insights_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = emb.unionByName(dups)
+    kw = dict(threshold=0.99, max_left_id=60)
+    fast = {(r.a_id, r.b_id): r.sim
+            for r in embedding_near_dup_pairs(allv, vectorized=True,
+                                              **kw).collect()}
+    slow = {(r.a_id, r.b_id): r.sim
+            for r in embedding_near_dup_pairs(allv, vectorized=False,
+                                              **kw).collect()}
+    assert fast == slow
+    assert len(fast) >= 10  # every synthesized dup pair fires
