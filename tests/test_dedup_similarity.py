@@ -570,3 +570,29 @@ def test_embedding_near_dup_vectorized_equals_expression(spark, sf_dir):
                                               **kw).collect()}
     assert fast == slow
     assert len(fast) >= 10  # every synthesized dup pair fires
+
+
+def test_kmeans_assign_deterministic_and_partitioning(spark, sf_dir):
+    from tribeca_insights_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r.vec_id: (r.cid, r.dist2)
+           for r in kmeans_assign(emb, k=4, iters=2).collect()}
+    assert len(out) == emb.count()
+    # all k clusters non-trivially populated on real data
+    from collections import Counter
+
+    sizes = Counter(c for c, _ in out.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    # deterministic under re-sharding: same seeds, same rounds, same result
+    again = {r.vec_id: (r.cid, r.dist2)
+             for r in kmeans_assign(emb.repartition(7), k=4,
+                                    iters=2).collect()}
+    assert again == out
+    # one more round never increases a doc's own distance on average
+    # (Lloyd monotonicity holds up to integer-floor noise; check the mean)
+    three = {r.vec_id: r.dist2
+             for r in kmeans_assign(emb, k=4, iters=3).collect()}
+    mean2 = sum(d for _, d in out.values()) / len(out)
+    mean3 = sum(three.values()) / len(three)
+    assert mean3 <= mean2 * 1.001

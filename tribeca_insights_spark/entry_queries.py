@@ -4829,6 +4829,80 @@ def q111_script_profile(spark, sf_dir):
     return script_profile(d)
 
 
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
+    """Closed-form DuckDB SQL for kmeans_assign: md5-rank seeds, then
+    ``iters`` Lloyd rounds (argmin assignment + truncating-integer-mean
+    update) in exact integer-micros arithmetic, then the final
+    assignment. Generated because the rounds are mechanical CTE
+    repetitions; the emitted SQL is static per (k, iters)."""
+    def assign(src_cents, tag):
+        return f"""
+    a{tag}p AS (
+      SELECT b.vec_id, b.v, s.cid,
+             CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                  i -> (b.v[i] - s.c[i]) * (b.v[i] - s.c[i])))
+                  AS BIGINT) AS d2
+      FROM base b CROSS JOIN {src_cents} s
+    ),
+    a{tag} AS (
+      SELECT vec_id, v, cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rn
+        FROM a{tag}p) WHERE rn = 1
+    )"""
+
+    def update(tag):
+        return f"""
+    c{tag} AS (
+      SELECT cid, list(sm ORDER BY pos) AS c FROM (
+        SELECT cid, pos,
+               CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS sm
+        FROM (SELECT cid, i AS pos, v[i] AS x
+              FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i
+                    FROM a{tag}))
+        GROUP BY cid, pos) GROUP BY cid
+    )"""
+
+    ctes = [f"""
+    base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cid, v AS c
+      FROM base
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    )"""]
+    cents = "c0"
+    for r in range(1, iters + 1):
+        ctes.append(assign(cents, str(r)))
+        ctes.append(update(str(r)))
+        cents = f"c{r}"
+    ctes.append(assign(cents, "f"))
+    return (
+        "WITH " + ",".join(ctes)
+        + "\n    SELECT vec_id, cid, d2 AS dist2 FROM af"
+    )
+
+
+@q("q112_kmeans_assign", _kmeans_oracle_sql(k=4, iters=2))
+def q112_kmeans_assign(spark, sf_dir):
+    """IVF coarse-quantizer training (operators/kmeans.py): 2 Lloyd
+    rounds from md5-rank seeds over integer-micros vectors, then the
+    final argmin assignment. Assignment is a zero-shuffle broadcast
+    map (array_min over a packed centroid row); each update is one
+    partial-agg shuffle of k×d sums. Engine-exact: the oracle replays
+    both rounds closed-form in the same integer arithmetic."""
+    from .operators.kmeans import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, iters=2)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,147 @@
+"""Deterministic Lloyd k-means over embedding columns — IVF training.
+
+Beyond-reference capability (task brief): the similarity module's IVF
+index (similarity.py ann_ivf) needs a coarse quantizer; production
+systems train it with a few Lloyd iterations over a corpus sample. This
+implements that training step Spark-first and ENGINE-EXACTLY:
+
+- vectors quantized to integer micros (floor(x·1e6)) so every distance
+  and every centroid mean is exact 64-bit integer arithmetic —
+  aggregation-order-free, reproducible across engines (the strict
+  DuckDB oracle states both Lloyd rounds closed-form);
+- seeds picked by md5-rank (TakeOrderedAndProject top-k, not a global
+  sort) — deterministic without RNG state;
+- ASSIGNMENT is zero-shuffle: the k centroids ride along as ONE
+  broadcast row holding an array of (cid, vector) structs, and each doc
+  computes argmin via ``array_min`` over nested higher-order lambdas —
+  a narrow map over the scan, never a shuffle of the corpus;
+- UPDATE is one partial-agg shuffle of k × d running sums per
+  iteration: per-dimension ``sum(element_at(v, i))`` columns (static d,
+  so map-side combine applies), then truncating integer division by the
+  cluster count (Spark ``div`` ≡ DuckDB ``//``: both truncate toward
+  zero — verified, the floor/trunc trap is real for negative sums).
+
+Per-iteration cost at 10^12 rows: one broadcast of k·d longs + one
+shuffle of (partitions × k × d) partial sums. Nothing corpus-sized
+moves after the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MICROS = 1_000_000
+
+
+def to_micros(vec_col):
+    """array<float> → array<long> integer-micros quantization:
+    floor(double(x)·1e6). The float→double cast happens BEFORE the
+    multiply, explicitly — engines disagree on implicit float32
+    promotion order, and a widen-after-multiply loses mantissa bits
+    differently (DuckDB equivalent:
+    list_transform(v, x -> floor(CAST(x AS DOUBLE) * 1000000)))."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * MICROS).cast("long")
+    )
+
+
+def _dist2(v, c):
+    """Exact squared L2 between two array<long> columns (BIGINT-safe for
+    |x| ≤ ~5e8 at d ≤ 64)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, d: s + d,
+    )
+
+
+def _seed_cids(seeds: DataFrame, id_col: str) -> DataFrame:
+    """cid by md5 order over the (tiny, k-row) seed set — a window over
+    k rows, not the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_rk", id_col)
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cid"),
+        F.col("v").alias("c"),
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cid, dist2): zero-shuffle argmin assignment — the
+    centroid set travels as one broadcast row; ties break on cid via
+    lexicographic struct comparison."""
+    packed = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("cid", "c"))
+        ).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                _dist2(F.col("v"), s["c"]).alias("dist2"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn("_best", best)
+        .select(
+            "vec_id", "v",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.dist2").alias("dist2"),
+        )
+    )
+
+
+def _update(assigned: DataFrame, dim: int) -> DataFrame:
+    """(cid, c): new centroids = per-dimension truncating-integer mean.
+    Static per-dim sum columns keep the aggregation partial (map-side
+    combine); empty clusters simply vanish (standard Lloyd drop)."""
+    sums = assigned.groupBy("cid").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.element_at("v", i + 1)).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    return sums.select(
+        "cid",
+        F.array(
+            *[F.expr(f"_s{i} div _n").cast("long") for i in range(dim)]
+        ).alias("c"),
+    )
+
+
+def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Run ``iters`` Lloyd rounds from md5-rank seeds, then return the
+    final assignment (vec_id, cid, dist2) against the trained centroids.
+    All arithmetic integer-micros exact; no actions inside the loop —
+    the whole training is ONE lazy plan (per-round lineage is shallow:
+    iters is small by contract, 1-5 rounds train an IVF quantizer)."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), to_micros(F.col(vec_col)).alias("v")
+    )
+    dim = _infer_dim(emb, vec_col)
+    cents = _seed_cids(
+        base.select(
+            "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("_rk")
+        ).orderBy("_rk", "vec_id").limit(k),
+        "vec_id",
+    )
+    for _ in range(iters):
+        cents = _update(_assign(base, cents), dim)
+    return _assign(base, cents).select("vec_id", "cid", "dist2")
+
+
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Vector width from the first row — a bounded single-row action,
+    run once before the lazy training plan is built."""
+    row = emb.select(F.size(vec_col).alias("d")).head(1)
+    if not row:
+        raise ValueError("empty embedding table")
+    return int(row[0]["d"])
