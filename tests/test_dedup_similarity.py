@@ -596,3 +596,42 @@ def test_kmeans_assign_deterministic_and_partitioning(spark, sf_dir):
     mean2 = sum(d for _, d in out.values()) / len(out)
     mean3 = sum(three.values()) / len(three)
     assert mean3 <= mean2 * 1.001
+
+
+def test_ann_ivf_trained_shape_and_recall(spark, sf_dir):
+    from tribeca_insights_spark.operators.kmeans import (
+        ann_ivf_trained_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_ivf_trained_topk(emb, query_ids=[1, 2, 3], k=5, n_cells=4,
+                               iters=2, n_probe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.dist2 for r in rows]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+    # probing 2/4 trained cells must beat random-half recall on average:
+    # the rank-1 candidate should be the TRUE nearest for most queries
+    from tribeca_insights_spark.operators.kmeans import (
+        kmeans_fit, _assign, _dist2,
+    )
+    from pyspark.sql import functions as F
+
+    base, _ = kmeans_fit(emb, k=4, iters=2)
+    truth = {}
+    for qid in (1, 2, 3):
+        qv = base.filter(F.col("vec_id") == qid).head()[1]
+        d = base.filter(F.col("vec_id") != qid).select(
+            "vec_id",
+            _dist2(F.col("v"), F.lit(qv).cast("array<long>")).alias("d2"),
+        ).orderBy("d2", "vec_id").head()
+        truth[qid] = d["vec_id"]
+    hits = sum(1 for qid in (1, 2, 3)
+               if by_q[qid][0].neighbor_id == truth[qid])
+    assert hits >= 2

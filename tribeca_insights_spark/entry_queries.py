@@ -4883,13 +4883,55 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
         ctes.append(update(str(r)))
         cents = f"c{r}"
     ctes.append(assign(cents, "f"))
-    return (
-        "WITH " + ",".join(ctes)
-        + "\n    SELECT vec_id, cid, d2 AS dist2 FROM af"
+    return "WITH " + ",".join(ctes), cents
+
+
+def _kmeans_assign_oracle(k: int = 4, iters: int = 2) -> str:
+    ctes, _ = _kmeans_oracle_sql(k=k, iters=iters)
+    return ctes + "\n    SELECT vec_id, cid, d2 AS dist2 FROM af"
+
+
+def _ivf_trained_oracle(k_cells: int = 4, iters: int = 2,
+                        query_ids=(1, 2, 3, 5, 8), n_probe: int = 2,
+                        topk: int = 5) -> str:
+    """Trained-IVF search replayed closed-form on top of the k-means
+    CTEs: probe = n_probe nearest trained cells per query, candidates =
+    cell equi-join against the final assignment, rank by exact integer
+    squared-L2 (ties on neighbor_id)."""
+    ctes, cents = _kmeans_oracle_sql(k=k_cells, iters=iters)
+    ids = ", ".join(str(i) for i in query_ids)
+    return ctes + f""",
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM base
+           WHERE vec_id IN ({ids})),
+    qc AS (
+      SELECT query_id, qv, s.cid,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> (qv[i] - s.c[i]) * (qv[i] - s.c[i])))
+                  AS BIGINT) AS cd2
+      FROM qv CROSS JOIN {cents} s
+    ),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cd2, cid) AS rn
+        FROM qc) WHERE rn <= {n_probe}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+                  i -> (p.qv[i] - a.v[i]) * (p.qv[i] - a.v[i])))
+                  AS BIGINT) AS dist2
+      FROM probes p JOIN af a USING (cid)
+      WHERE a.vec_id <> p.query_id
     )
+    SELECT query_id, neighbor_id, rank, dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist2, neighbor_id) AS rank
+      FROM cands) WHERE rank <= {topk}
+    """
 
 
-@q("q112_kmeans_assign", _kmeans_oracle_sql(k=4, iters=2))
+@q("q112_kmeans_assign", _kmeans_assign_oracle(k=4, iters=2))
 def q112_kmeans_assign(spark, sf_dir):
     """IVF coarse-quantizer training (operators/kmeans.py): 2 Lloyd
     rounds from md5-rank seeds over integer-micros vectors, then the
@@ -4901,6 +4943,21 @@ def q112_kmeans_assign(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=4, iters=2)
+
+
+@q("q113_ann_ivf_trained", _ivf_trained_oracle())
+def q113_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN over a TRAINED coarse quantizer (operators/kmeans.py
+    ann_ivf_trained_topk): q112's deterministic Lloyd training feeds the
+    cell index; queries probe their 2 nearest cells and candidates come
+    from the cell equi-join — never all-pairs. Unlike q45's MLlib twin,
+    the ENTIRE pipeline (training included) is replayed closed-form by
+    the oracle in exact integer-micros arithmetic."""
+    from .operators.kmeans import ann_ivf_trained_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_ivf_trained_topk(emb, query_ids=[1, 2, 3, 5, 8], k=5,
+                                n_cells=4, iters=2, n_probe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -115,14 +115,15 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Run ``iters`` Lloyd rounds from md5-rank seeds, then return the
-    final assignment (vec_id, cid, dist2) against the trained centroids.
-    All arithmetic integer-micros exact; no actions inside the loop —
-    the whole training is ONE lazy plan (per-round lineage is shallow:
-    iters is small by contract, 1-5 rounds train an IVF quantizer)."""
+def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """(base, centroids): run ``iters`` Lloyd rounds from md5-rank seeds.
+    ``base`` is the integer-micros projection (vec_id, v); ``centroids``
+    is (cid, c). All arithmetic integer-micros exact; no actions inside
+    the loop — the whole training is ONE lazy plan (per-round lineage is
+    shallow: iters is small by contract, 1-5 rounds train an IVF
+    quantizer)."""
     base = emb.select(
         F.col(id_col).alias("vec_id"), to_micros(F.col(vec_col)).alias("v")
     )
@@ -135,7 +136,70 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
     )
     for _ in range(iters):
         cents = _update(_assign(base, cents), dim)
+    return base, cents
+
+
+def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Train via :func:`kmeans_fit`, then return the final assignment
+    (vec_id, cid, dist2) against the trained centroids."""
+    base, cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                             vec_col=vec_col)
     return _assign(base, cents).select("vec_id", "cid", "dist2")
+
+
+def ann_ivf_trained_topk(emb: DataFrame, query_ids, k: int = 5,
+                         n_cells: int = 4, iters: int = 2,
+                         n_probe: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, rank, dist2): IVF ANN whose coarse
+    quantizer is the TRAINED deterministic Lloyd k-means above — the
+    fully oracle-able counterpart of similarity.ann_ivf_topk (whose
+    MLlib quantizer can't be expressed in SQL; this one is replayed
+    closed-form by the q113 oracle, training included).
+
+    Search shape at 10^12 rows: corpus assigned once (zero-shuffle
+    broadcast map, table stored bucketed by cell); each query probes its
+    ``n_probe`` nearest cells (|queries| × k_cells tiny cross join);
+    candidates come from the cell equi-join (≈ n·n_probe/k_cells of the
+    corpus), ranked by exact integer squared-L2. Never all-pairs."""
+    from pyspark.sql import Window
+
+    base, cents = kmeans_fit(emb, k=n_cells, iters=iters, id_col=id_col,
+                             vec_col=vec_col)
+    # the trained centroid set (k rows) feeds both the corpus assignment
+    # and the query probes — persist it so training runs once, not once
+    # per consumer; k·d longs, negligible at any scale
+    cents = cents.persist()
+    assigned = _assign(base, cents)
+    q = assigned.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid",
+        _dist2(F.col("qv"), F.col("c")).alias("cd2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("cd2", "cid")
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    cands = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dist2(F.col("qv"), F.col("v")).alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist2")
+    )
 
 
 def _infer_dim(emb: DataFrame, vec_col: str) -> int:
