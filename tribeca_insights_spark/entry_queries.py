@@ -4499,15 +4499,20 @@ def q107_image_neardup_pairs(spark, sf_dir):
     from .operators.dedup import dhash_near_pairs
     from .operators.multimodal import image_dhash
 
+    import numpy as np
+
+    _xs = np.arange(18, dtype=np.int64)
+    _ys = np.arange(16, dtype=np.int64)
+
     def _png_batch(media_id):
         out = []
         for mid in media_id:
             d, m = divmod(int(mid), 2)
             a, b = 17 + d % 97, 5 + d % 31
-            px = bytes(
-                (x * a + y * b) % 256
-                for y in range(16)
-                for x in range(18)
+            px = (
+                (np.add.outer(_ys * b, _xs * a) % 256)
+                .astype(np.uint8)
+                .tobytes()
             )
             if m:
                 out.append(
@@ -4528,8 +4533,14 @@ def q107_image_neardup_pairs(spark, sf_dir):
         .select((F.col("doc_id") * 2 + F.col("m")).alias("media_id"))
         .select("media_id", png_udf(F.col("media_id")).alias("payload"))
     )
-    hashes = image_dhash(media, payload_col="payload").select(
-        "media_id", "dhash"
+    # the fingerprint table feeds BOTH sides of the banding self-join —
+    # persist it so the image encode/decode/dHash Arrow pipeline runs
+    # once, not once per side (at corpus scale you materialize exactly
+    # this index: id + 16 hex chars per image)
+    hashes = (
+        image_dhash(media, payload_col="payload")
+        .select("media_id", "dhash")
+        .persist()
     )
     return dhash_near_pairs(hashes, max_hamming=2)
 
