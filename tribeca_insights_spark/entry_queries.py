@@ -4840,12 +4840,16 @@ def q111_script_profile(spark, sf_dir):
     return script_profile(d)
 
 
-def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2,
+                       src: str = "embeddings") -> str:
     """Closed-form DuckDB SQL for kmeans_assign: md5-rank seeds, then
     ``iters`` Lloyd rounds (argmin assignment + truncating-integer-mean
     update) in exact integer-micros arithmetic, then the final
     assignment. Generated because the rounds are mechanical CTE
-    repetitions; the emitted SQL is static per (k, iters)."""
+    repetitions; the emitted SQL is static per (k, iters). ``src`` lets
+    callers train over a derived (vec_id, embedding) relation — q115's
+    SemDeDup oracle injects the corpus-plus-synthesized-duplicates
+    union here."""
     def assign(src_cents, tag):
         return f"""
     a{tag}p AS (
@@ -4880,7 +4884,7 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
              list_transform(embedding,
                             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
                                       AS BIGINT)) AS v
-      FROM embeddings
+      FROM {src}
     ),
     c0 AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -4969,6 +4973,132 @@ def q113_ann_ivf_trained(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return ann_ivf_trained_topk(emb, query_ids=[1, 2, 3, 5, 8], k=5,
                                 n_cells=4, iters=2, n_probe=2)
+
+
+@q(
+    "q114_bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0) AS t
+      FROM documents
+    ), totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(t)) AS BIGINT) AS sumdl
+      FROM base
+    ), hits AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             unnest(list_filter(t, w -> w IN ('dup', 'join', 'window')))
+               AS term
+      FROM base
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             min(dl) AS dl
+      FROM hits GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM hits GROUP BY term
+    ), contrib AS (
+      SELECT doc_id, dl,
+             CAST(floor(1e6 * (
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                    * (CAST(dl AS DOUBLE)
+                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             )) AS BIGINT) AS c
+      FROM tf JOIN dft USING (term), totals
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micros,
+           CAST(count(*) AS BIGINT) AS n_terms_hit, min(dl) AS dl
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_micros DESC, doc_id LIMIT 20
+    """,
+)
+def q114_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (operators/retrieval.py) for the
+    3-term query (dup, join, window) — 'dup' is ~35× rarer than 'join'
+    in the synthetic vocabulary, so the idf spread is real. Tokens are
+    filtered to the query terms before the explode (hit stream ≪ token
+    stream); corpus stats and DF are broadcast 1-row / |terms|-row
+    dims; top-k plans as TakeOrderedAndProject, never a global sort.
+    Per-(doc,term) contributions quantized to integer micros (the q72
+    LLR idiom) so the BIGINT per-doc sum is aggregation-order-free."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["dup", "join", "window"], topk=20)
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 2, tau: float = 0.99) -> str:
+    """SemDeDup replayed closed-form: the k-means CTEs run over the
+    corpus ∪ synthesized duplicates union, then within-cluster pairs,
+    IEEE-exact cosine (BIGINT dot/norms over integer micros, then three
+    correctly-rounded double ops), keep-min-id verdicts."""
+    src = """(SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 1.001) AS embedding
+              FROM embeddings WHERE vec_id < 50)"""
+    ctes, _ = _kmeans_oracle_sql(k=k, iters=iters, src=src)
+    return ctes + f""",
+    pr AS (
+      SELECT b.vec_id AS b_id,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * a.v[i])) AS BIGINT) AS n2a,
+             CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                  i -> b.v[i] * b.v[i])) AS BIGINT) AS n2b
+      FROM af a JOIN af b USING (cid) WHERE a.vec_id < b.vec_id
+    ),
+    dp AS (
+      SELECT b_id, CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(n2a AS DOUBLE))
+                        * sqrt(CAST(n2b AS DOUBLE))) AS cos
+      FROM pr
+      WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(n2a AS DOUBLE))
+                 * sqrt(CAST(n2b AS DOUBLE))) >= {tau}
+    ),
+    w AS (
+      SELECT b_id, CAST(count(*) AS BIGINT) AS n_dup_smaller,
+             CAST(floor(1e6 * max(cos)) AS BIGINT) AS max_cos_micros
+      FROM dp GROUP BY b_id
+    )
+    SELECT af.vec_id, af.cid, (w.b_id IS NULL) AS keep,
+           coalesce(w.n_dup_smaller, CAST(0 AS BIGINT)) AS n_dup_smaller,
+           w.max_cos_micros
+    FROM af LEFT JOIN w ON af.vec_id = w.b_id
+    """
+
+
+@q("q115_semdedup", _semdedup_oracle(k=8, iters=2, tau=0.99))
+def q115_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023; operators/semdedup.py): deterministic
+    Lloyd k-means confines candidate pairs to clusters (the equi-join on
+    cid IS the scale bound — production picks k ≈ √n), cosine is exact
+    integer-micros arithmetic plus three IEEE-rounded double ops, and
+    keep-min-id drops every vector with a smaller near-identical
+    neighbor. 50 synthesized duplicates (v×1.001 at vec_id+10000) make
+    the detector provably fire; the oracle replays the ENTIRE pipeline —
+    training included — closed-form."""
+    from .operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dups = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = emb.unionByName(dups)
+    return semdedup(allv, k=8, iters=2, tau=0.99)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,113 @@
+"""BM25 ranked retrieval over a document corpus — Spark-first.
+
+Beyond-reference capability (task brief: LLM-data-pipeline operators):
+the reference computes raw term frequencies for SEO reports
+(tribeca_insights/analysis/keywords.py builds per-page and corpus TF
+tables); production corpus tooling additionally needs *ranked*
+retrieval — "find the documents most relevant to these terms" — for
+curation audits, contamination triage, and eval-set mining. This is
+the classic Okapi BM25 scorer expressed as pure DataFrame algebra.
+
+Scale shape (10^12 docs):
+
+- tokens are filtered to the query-term set BEFORE the explode, inside
+  whole-stage codegen — the exploded stream is |hits|, not |tokens|
+  (for a 3-term query that is orders of magnitude smaller than the
+  corpus token stream);
+- corpus stats (N, sum of lengths) are a 1-row aggregate, broadcast;
+  document frequencies are a |terms|-row aggregate, broadcast — the
+  only corpus-sized shuffle is the (doc, term) partial-agg count over
+  matched terms;
+- the final top-k is ``orderBy(...).limit(k)`` → Spark plans
+  TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+  NEVER a global sort or a single-partition window.
+
+Determinism contract (mirrors operators/dsir.py): the per-(doc, term)
+BM25 contribution is quantized to integer micros with ``floor(1e6·x)``
+and the per-doc score is a sum of BIGINTs — aggregation-order-free, so
+the DuckDB oracle matches bit-for-bit. All double math before the
+quantization (ln / divisions / literal constants) is written in the
+identical expression shape on both engines; inputs to every transcend-
+ental are exact integers (+0.5 halves), the idiom q72's LLR weights
+already proved hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_micros, n_terms_hit, dl): top-``topk`` documents
+    by Okapi BM25 against ``query_terms``, whitespace tokenization.
+
+        idf(t)  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   [Lucene form]
+        tfw(d,t)= tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+        score   = Σ_t floor(1e6 · idf·tfw)   (integer micros)
+
+    Documents with no query-term hit never enter the scored stream
+    (BM25 gives them score 0; they cannot reach a positive top-k).
+    Ties at the k boundary break on doc_id ascending.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+
+    # 1-row corpus stats; broadcast onto the hit stream
+    totals = base.select(F.size("_t").cast("long").alias("dl")).agg(
+        F.count("*").alias("_n"), F.sum("dl").alias("_sumdl")
+    )
+
+    # dl rides along on the hit stream — no second corpus-sized join
+    hits = base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        F.explode(
+            F.filter(F.col("_t"), lambda w: w.isin(*query_terms))
+        ).alias("term"),
+    )
+    # the one corpus-sized shuffle: (doc, term) counts, map-side combine
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("_tf"), F.first("dl").alias("dl")
+    )
+    # |terms|-row dim
+    df_t = (
+        hits.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("_df"))
+    )
+
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfw = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    contrib = F.floor(F.lit(1e6) * (idf * tfw)).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "dl", contrib.alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("score_micros"),
+            F.count("*").alias("n_terms_hit"),
+            F.first("dl").alias("dl"),
+        )
+    )
+    # TakeOrderedAndProject — never a global sort / unpartitioned window
+    return scored.orderBy(
+        F.desc("score_micros"), F.asc("doc_id")
+    ).limit(topk)
