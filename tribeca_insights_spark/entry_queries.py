@@ -5101,6 +5101,87 @@ def q115_semdedup(spark, sf_dir):
     return semdedup(allv, k=8, iters=2, tau=0.99)
 
 
+@q(
+    "q116_chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0) AS t
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             1 + CAST(floor((greatest(0, CAST(len(t) AS BIGINT) - 32)
+                             + 23) / 24.0) AS BIGINT) AS nc
+      FROM base WHERE len(t) > 0
+    ), e AS (
+      SELECT doc_id, t, n, unnest(range(0, nc)) AS ci FROM b2
+    )
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+           CAST(1 + ci * 24 AS BIGINT) AS start_token,
+           CAST(least(32, n - ci * 24) AS BIGINT) AS n_tokens,
+           array_to_string(
+             t[CAST(1 + ci * 24 AS BIGINT)
+               :CAST(ci * 24 + least(32, n - ci * 24) AS BIGINT)],
+             ' ') AS chunk_text
+    FROM e
+    """,
+)
+def q116_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunks (operators/chunking.py) — RAG /
+    embedding prep: 32-token chunks, stride 24 (8-token overlap).
+    Map-only plan: tokenize + slice + explode inside one codegen
+    Project, zero Exchange (the extraction-stage scale shape). The
+    oracle replays chunk boundaries closed-form with DuckDB list
+    slicing."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk=32, stride=24
+    )
+
+
+@q(
+    "q117_pack_sequences",
+    """
+    WITH base AS (
+      SELECT doc_id, source AS "group",
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, "group", n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY "group" ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS stream_offset
+      FROM base WHERE n_tokens > 0
+    )
+    SELECT doc_id, "group", n_tokens, stream_offset,
+           CAST(floor(stream_offset / 256.0) AS BIGINT) AS start_seq,
+           CAST(floor((stream_offset + n_tokens - 1) / 256.0) AS BIGINT)
+             AS end_seq,
+           CAST(floor((stream_offset + n_tokens - 1) / 256.0)
+                - floor(stream_offset / 256.0) + 1 AS BIGINT)
+             AS n_seqs_spanned,
+           stream_offset % 256 AS offset_in_seq
+    FROM o
+    """,
+)
+def q117_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/chunking.py): per-source
+    token streams cut into 256-token training sequences; each doc
+    reports its stream offset and the sequence span it lands in. The
+    cumulative sum is a window partitioned by source — never a global
+    unpartitioned window (the q84 lesson); one hash Exchange on the
+    group key, per-partition sorts only."""
+    from .operators.chunking import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), ctx=256, group_col="source"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,150 @@
+"""Document chunking and sequence packing — LLM training/retrieval prep.
+
+Beyond-reference capability (task brief: LLM-data-pipeline operators).
+The reference stops at whole-page keyword tables
+(tribeca_insights/analysis/keywords.py); a training pipeline must also
+(a) cut documents into overlapping retrieval/embedding chunks and
+(b) pack the token stream into fixed-length training sequences.  Both
+are expressed here as pure DataFrame algebra — array codegen for the
+chunker (zero shuffle, embarrassingly parallel), a single partitioned
+window for the packer (the partition key IS the scale story).
+
+Scale shape (10^12 docs):
+
+- ``chunk_documents`` never shuffles: tokenize, count, and slice all
+  happen inside one whole-stage-codegen Project per input row; the
+  explode multiplies rows locally (~n_tokens/stride per doc).  At
+  100 TB this is the same map-only plan as extraction — add executors,
+  done.
+- ``pack_sequences`` concatenates documents *within a group* (here the
+  ``source`` column — in production a shard/date bucket) and cuts the
+  group's token stream into fixed ``ctx``-token sequences.  The
+  cumulative offset is a window partitioned BY THE GROUP — never a
+  global unpartitioned window (the q84 lesson: a global cumsum moves
+  the corpus to one task).  Groups are independent, so packing
+  parallelism = number of shards; production pickers use
+  O(10^4-10^5) shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_token, n_tokens, chunk_text): overlapping
+    token-window chunks, whitespace tokenization.
+
+    Chunk ``i`` starts at token ``1 + i*stride`` (1-based) and takes up
+    to ``chunk`` tokens.  The number of chunks is
+    ``1 + ceil(max(0, n - chunk) / stride)`` — every token is covered,
+    the final chunk may be short, and no chunk starts beyond the text.
+    Empty documents produce no chunks.  ``stride < chunk`` gives
+    ``chunk - stride`` tokens of overlap (RAG-style context stitching).
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    n = F.size(F.col("_t")).cast("long")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.lit(0), n - F.lit(chunk)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t")
+    ).select(
+        "doc_id",
+        "_t",
+        n.alias("_n"),
+        # explode(NULL) emits nothing: empty docs vanish here
+        F.when(n > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        .alias("_cis"),
+    )
+    start = F.lit(1) + F.col("chunk_id") * F.lit(stride)
+    take = F.least(F.lit(chunk).cast("long"), F.col("_n") - start + 1)
+    return (
+        base.select(
+            "doc_id", "_t", "_n", F.explode("_cis").alias("chunk_id")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.cast("long").alias("start_token"),
+            take.cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_t"), start.cast("int"), take.cast("int")),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, group, n_tokens, stream_offset, start_seq, end_seq,
+    n_seqs_spanned, offset_in_seq): GPT-style sequence packing.
+
+    Documents within a group are concatenated in ``id_col`` order into
+    one token stream; the stream is cut into consecutive ``ctx``-token
+    training sequences.  Each document reports its byte-…er, token
+    placement: ``stream_offset`` (tokens before it in the group's
+    stream), the first and last sequence index it lands in, and its
+    offset inside the first sequence.  Downstream loaders use
+    (group, start_seq..end_seq) to materialize batches; documents with
+    ``n_seqs_spanned > 1`` cross a sequence boundary (candidates for
+    attention-mask resets).
+
+    The window is partitioned by the group — cumulative sums never
+    leave a shard, so the plan has one hash Exchange on the group key
+    and per-partition sorts only (no single-task global sort).
+    """
+    if ctx <= 0:
+        raise ValueError("ctx must be positive")
+    n = F.size(_tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy("group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        n.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    out = base.select(
+        "doc_id",
+        "group",
+        "n_tokens",
+        off.alias("stream_offset"),
+    )
+    start_seq = F.floor(F.col("stream_offset") / F.lit(ctx)).cast("long")
+    end_seq = F.floor(
+        (F.col("stream_offset") + F.col("n_tokens") - 1) / F.lit(ctx)
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "group",
+        "n_tokens",
+        "stream_offset",
+        start_seq.alias("start_seq"),
+        end_seq.alias("end_seq"),
+        (end_seq - start_seq + 1).alias("n_seqs_spanned"),
+        (F.col("stream_offset") % F.lit(ctx)).alias("offset_in_seq"),
+    )
