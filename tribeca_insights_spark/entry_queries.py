@@ -5182,6 +5182,73 @@ def q117_pack_sequences(spark, sf_dir):
     )
 
 
+@q(
+    "q118_bpe_pair_counts",
+    """
+    WITH v AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> length(x) > 0)) AS w
+            FROM documents)
+      GROUP BY 1
+    ), pos AS (
+      SELECT word, freq, unnest(range(1, length(word))) AS i
+      FROM v WHERE length(word) > 1
+    ), p AS (
+      SELECT substring(word, CAST(i AS INT), 2) AS pair, word, freq
+      FROM pos
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 30
+    """,
+)
+def q118_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training primitive (operators/bpe.py): corpus-
+    weighted adjacent character-pair counts. One corpus-sized shuffle
+    (the word-frequency groupBy, map-side combined); the pair explode
+    runs over the |V|-row vocabulary table only; top-k plans as
+    TakeOrderedAndProject."""
+    from .operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_read(spark, sf_dir, "documents"), topk=30)
+
+
+@q(
+    "q119_inverted_index",
+    """
+    WITH h AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          w -> length(w) > 0)) AS term
+        FROM documents)
+    ), g AS (
+      SELECT term, CAST(floor(doc_id / 100.0) AS BIGINT) AS block,
+             list(doc_id ORDER BY doc_id) AS postings
+      FROM h GROUP BY 1, 2
+    )
+    SELECT term, block, CAST(len(postings) AS BIGINT) AS df_block,
+           postings,
+           list_transform(range(1, len(postings) + 1),
+             i -> postings[i]
+                  - CASE WHEN i = 1 THEN 0 ELSE postings[i - 1] END)
+             AS gaps
+    FROM g
+    """,
+)
+def q119_inverted_index(spark, sf_dir):
+    """Blocked inverted index with gap-encoded postings
+    (operators/retrieval.py:inverted_index): posting lists sharded by
+    doc-id range so hot terms never funnel into one reducer; deltas in
+    the compressor-ready form. Two keyed shuffles, no window."""
+    from .operators.retrieval import inverted_index
+
+    return inverted_index(
+        _read(spark, sf_dir, "documents"), block_size=100
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

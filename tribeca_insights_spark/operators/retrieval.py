@@ -111,3 +111,59 @@ def bm25_topk(
     return scored.orderBy(
         F.desc("score_micros"), F.asc("doc_id")
     ).limit(topk)
+
+
+def inverted_index(
+    docs: DataFrame,
+    block_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, block, df_block, postings, gaps): blocked inverted index
+    with gap-encoded posting lists — the search-index build step.
+
+    Posting lists are sharded by doc-id range block
+    (``block = floor(doc_id / block_size)``): at corpus scale one term's
+    postings never have to fit in one task — each (term, block) cell is
+    an independent partial list, naturally ordered for merge, and the
+    groupBy key (term, block) spreads hot stopword-like terms across
+    the cluster instead of funneling them to a single reducer (the
+    classic skew kill for whole-term collect_list). ``gaps`` is the
+    standard delta encoding (first entry absolute, then successive
+    differences) — the form index compressors (VByte/PForDelta)
+    consume; emitting it here proves the arrays are sorted.
+
+    Plan: one distinct on (term, doc_id) + one partial-agg groupBy —
+    two keyed shuffles, no window, no driver-side collection.
+    """
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    hits = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(toks).alias("term"),
+        )
+        .distinct()
+    )
+    post = (
+        hits.withColumn(
+            "block", F.floor(F.col("doc_id") / F.lit(block_size))
+        )
+        .groupBy("term", "block")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    p = F.col("postings")
+    gaps = F.transform(
+        F.sequence(F.lit(1), F.size(p)),
+        lambda i: F.element_at(p, i)
+        - F.when(i == 1, F.lit(0).cast("long"))
+        .otherwise(F.element_at(p, i - 1)),
+    )
+    return post.select(
+        "term",
+        "block",
+        F.size(p).cast("long").alias("df_block"),
+        "postings",
+        gaps.alias("gaps"),
+    )
