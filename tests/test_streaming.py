@@ -167,3 +167,38 @@ def test_stream_session_windows_gap_merge(spark, tmp_path):
     assert got[("b", "2026-01-01 00:10:00")] == (
         "2026-01-01 00:40:00", 1
     )
+
+
+def test_stream_stream_join_time_bound(spark, tmp_path):
+    from tribeca_insights_spark.streaming.stream_extract import (
+        stream_stream_join,
+    )
+
+    pdir, adir = str(tmp_path / "pages"), str(tmp_path / "annots")
+    spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00"), (2, "2026-01-01 00:00:00")],
+        "doc_id long, ts string",
+    ).select("doc_id", F.to_timestamp("ts").alias("fetch_ts")) \
+        .write.parquet(pdir)
+    spark.createDataFrame(
+        [
+            (1, "2026-01-01 00:30:00", 7),   # inside 1h bound -> joins
+            (2, "2026-01-01 02:00:00", 9),   # outside -> dropped
+            (3, "2026-01-01 00:05:00", 5),   # no matching fetch
+        ],
+        "doc_id long, ts string, score long",
+    ).select(
+        "doc_id", F.to_timestamp("ts").alias("score_ts"), "score"
+    ).write.parquet(adir)
+
+    j = stream_stream_join(spark, pdir, adir, max_lag="1 hour")
+    q = (
+        j.writeStream.format("memory").queryName("ssj_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.table("ssj_test").collect()}
+    assert set(got) == {1}
+    assert got[1].lag_min == 30 and got[1].score == 7
+    assert got[1].fetch_ts == "2026-01-01 00:00:00"
+    assert got[1].score_ts == "2026-01-01 00:30:00"

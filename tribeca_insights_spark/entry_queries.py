@@ -5249,6 +5249,76 @@ def q119_inverted_index(spark, sf_dir):
     )
 
 
+@q(
+    "q120_stream_stream_join",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS h FROM documents
+               WHERE doc_id % 2 = 0)
+    SELECT doc_id,
+           strftime(TIMESTAMP '2026-01-01 00:00:00'
+                    + h * INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS fetch_ts,
+           strftime(TIMESTAMP '2026-01-01 00:00:00'
+                    + h * INTERVAL 1 HOUR + 10 * INTERVAL 1 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS score_ts,
+           CAST(10 AS BIGINT) AS lag_min,
+           CAST(doc_id % 7 AS BIGINT) AS score
+    FROM d
+    """,
+)
+def q120_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (streaming/stream_extract
+    .stream_stream_join), driver-checked: a fetch stream meets an
+    asynchronous quality-score stream; the time-range predicate
+    (score within 1 hour of the fetch) bounds join state AND the
+    result. Fixture: even doc_ids are scored 10 minutes after fetch
+    (inside the bound → join), odd ones 90 minutes after (outside →
+    dropped by construction), so the joined set is closed-form.
+    Append-mode AvailableNow drain to a memory sink."""
+    import tempfile
+    import uuid
+
+    from .streaming.stream_extract import stream_stream_join
+
+    base = "timestamp'2026-01-01 00:00:00'"
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.expr(f"{base} + (doc_id % 3) * INTERVAL 1 HOUR").alias(
+            "fetch_ts"
+        ),
+    )
+    annots = d.select(
+        "doc_id",
+        F.expr(
+            f"{base} + (doc_id % 3) * INTERVAL 1 HOUR"
+            " + (CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 90 END)"
+            " * INTERVAL 1 MINUTE"
+        ).alias("score_ts"),
+        (F.col("doc_id") % 7).cast("long").alias("score"),
+    )
+    qname = "q120mem_" + uuid.uuid4().hex[:8]
+    with tempfile.TemporaryDirectory() as root:
+        pages.write.mode("overwrite").parquet(f"{root}/pages")
+        annots.write.mode("overwrite").parquet(f"{root}/annots")
+        j = stream_stream_join(
+            spark, f"{root}/pages", f"{root}/annots", max_lag="1 hour"
+        )
+        qry = (
+            j.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("stream-stream-join drain exceeded 300s")
+        out = spark.table(qname).cache()
+        out.count()
+        return out
+
+
 # ---------------------------------------------------------------------------
 
 

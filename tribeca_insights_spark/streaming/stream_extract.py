@@ -113,6 +113,50 @@ def stream_windowed_doc_tf(spark: SparkSession, src_dir: str,
     )
 
 
+def stream_stream_join(spark: SparkSession, pages_dir: str,
+                       annots_dir: str, max_lag: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: a fetch stream
+    ``(doc_id, fetch_ts)`` joined with an asynchronous annotation
+    stream ``(doc_id, score_ts, score)`` — the "pages meet their
+    quality scores as both arrive" shape a live curation pipeline
+    runs. Spark buffers each side in join state; the time-range
+    predicate ``fetch_ts <= score_ts <= fetch_ts + max_lag`` plus the
+    watermarks lets it EXPIRE state (without the range bound the state
+    grows forever — the documented stream-stream-join trap). Late or
+    slow annotations beyond ``max_lag`` are dropped by construction.
+    Returns ``(doc_id, fetch_ts, score_ts, lag_min, score)`` with
+    timestamps formatted as strings (timezone-proof compare); attach
+    an append-mode sink (stream-stream inner joins only support
+    append)."""
+    pages = spark.readStream.schema(
+        "doc_id bigint, fetch_ts timestamp"
+    ).parquet(pages_dir).withWatermark("fetch_ts", watermark)
+    annots = spark.readStream.schema(
+        "doc_id bigint, score_ts timestamp, score bigint"
+    ).parquet(annots_dir).withWatermark("score_ts", watermark)
+    j = pages.join(
+        annots,
+        [
+            pages.doc_id == annots.doc_id,
+            F.col("score_ts") >= F.col("fetch_ts"),
+            F.col("score_ts")
+            <= F.col("fetch_ts") + F.expr(f"INTERVAL {max_lag}"),
+        ],
+        "inner",
+    )
+    return j.select(
+        pages.doc_id.alias("doc_id"),
+        F.date_format("fetch_ts", "yyyy-MM-dd HH:mm:ss").alias("fetch_ts"),
+        F.date_format("score_ts", "yyyy-MM-dd HH:mm:ss").alias("score_ts"),
+        (
+            (F.unix_timestamp("score_ts") - F.unix_timestamp("fetch_ts"))
+            / F.lit(60)
+        ).cast("long").alias("lag_min"),
+        "score",
+    )
+
+
 def stream_session_windows(spark: SparkSession, src_dir: str,
                            gap: str = "30 minutes",
                            watermark: str = "2 hours") -> DataFrame:
