@@ -635,3 +635,42 @@ def test_ann_ivf_trained_shape_and_recall(spark, sf_dir):
     hits = sum(1 for qid in (1, 2, 3)
                if by_q[qid][0].neighbor_id == truth[qid])
     assert hits >= 2
+
+
+def test_pq_codes_closed_form_and_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.kmeans import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r.vec_id: r for r in pq_codes(emb, m=4, k=4, iters=1).collect()}
+    assert len(out) == emb.count()
+    for r in out.values():
+        assert len(r.codes) == 4
+        assert all(0 <= c <= 3 for c in r.codes)
+        assert r.recon_err >= 0
+    # deterministic under re-sharding
+    again = {r.vec_id: (list(r.codes), r.recon_err) for r in
+             pq_codes(emb.repartition(7), m=4, k=4, iters=1).collect()}
+    assert again == {v: (list(r.codes), r.recon_err)
+                     for v, r in out.items()}
+    # m must divide the dimension
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pq_codes(emb, m=5)
+    # subspace codes = kmeans over the slice: check subspace 0 directly
+    from tribeca_insights_spark.operators.kmeans import kmeans_assign
+    sl = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    sub0 = {r.vec_id: r.cid
+            for r in kmeans_assign(sl, k=4, iters=1).collect()}
+    assert all(out[v].codes[0] == sub0[v] for v in out)
+
+
+def test_kmeans_plan_no_window(spark, sf_dir):
+    from tribeca_insights_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = kmeans_assign(emb, k=4, iters=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # seed ranking is pack/posexplode, not an unpartitioned window
+    assert "Window" not in plan

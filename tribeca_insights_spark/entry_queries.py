@@ -4841,7 +4841,8 @@ def q111_script_profile(spark, sf_dir):
 
 
 def _kmeans_oracle_sql(k: int = 4, iters: int = 2,
-                       src: str = "embeddings") -> str:
+                       src: str = "embeddings",
+                       prefix: str = "") -> str:
     """Closed-form DuckDB SQL for kmeans_assign: md5-rank seeds, then
     ``iters`` Lloyd rounds (argmin assignment + truncating-integer-mean
     update) in exact integer-micros arithmetic, then the final
@@ -4849,54 +4850,58 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2,
     repetitions; the emitted SQL is static per (k, iters). ``src`` lets
     callers train over a derived (vec_id, embedding) relation — q115's
     SemDeDup oracle injects the corpus-plus-synthesized-duplicates
-    union here."""
+    union here. ``prefix`` renames every CTE so several independent
+    chains can share one WITH clause — q121's product quantizer trains
+    one chain per subspace."""
+    p = prefix
+
     def assign(src_cents, tag):
         return f"""
-    a{tag}p AS (
+    {p}a{tag}p AS (
       SELECT b.vec_id, b.v, s.cid,
              CAST(list_sum(list_transform(range(1, len(b.v) + 1),
                   i -> (b.v[i] - s.c[i]) * (b.v[i] - s.c[i])))
                   AS BIGINT) AS d2
-      FROM base b CROSS JOIN {src_cents} s
+      FROM {p}base b CROSS JOIN {src_cents} s
     ),
-    a{tag} AS (
+    {p}a{tag} AS (
       SELECT vec_id, v, cid, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY d2, cid) AS rn
-        FROM a{tag}p) WHERE rn = 1
+        FROM {p}a{tag}p) WHERE rn = 1
     )"""
 
     def update(tag):
         return f"""
-    c{tag} AS (
+    {p}c{tag} AS (
       SELECT cid, list(sm ORDER BY pos) AS c FROM (
         SELECT cid, pos,
                CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS sm
         FROM (SELECT cid, i AS pos, v[i] AS x
               FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i
-                    FROM a{tag}))
+                    FROM {p}a{tag}))
         GROUP BY cid, pos) GROUP BY cid
     )"""
 
     ctes = [f"""
-    base AS (
+    {p}base AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
                                       AS BIGINT)) AS v
       FROM {src}
     ),
-    c0 AS (
+    {p}c0 AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) - 1 AS cid, v AS c
-      FROM base
+      FROM {p}base
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
     )"""]
-    cents = "c0"
+    cents = f"{p}c0"
     for r in range(1, iters + 1):
         ctes.append(assign(cents, str(r)))
         ctes.append(update(str(r)))
-        cents = f"c{r}"
+        cents = f"{p}c{r}"
     ctes.append(assign(cents, "f"))
     return "WITH " + ",".join(ctes), cents
 
@@ -5317,6 +5322,52 @@ def q120_stream_stream_join(spark, sf_dir):
         out = spark.table(qname).cache()
         out.count()
         return out
+
+
+def _pq_oracle(m: int = 4, k: int = 4, iters: int = 1,
+               dim: int = 64) -> str:
+    """Product quantization replayed closed-form: one prefixed k-means
+    CTE chain per subspace (each trained over its slice of the
+    embedding), then the per-subspace argmin codes and summed exact
+    quantization error joined on vec_id."""
+    sub = dim // m
+    chains = []
+    for s in range(m):
+        src = (
+            f"(SELECT vec_id, embedding[{s * sub + 1}:{(s + 1) * sub}]"
+            " AS embedding FROM embeddings)"
+        )
+        ctes, _ = _kmeans_oracle_sql(
+            k=k, iters=iters, src=src, prefix=f"p{s}"
+        )
+        chains.append(ctes if s == 0 else ctes[len("WITH "):])
+    codes = ", ".join(f"s{s}.cid" for s in range(m))
+    err = " + ".join(f"s{s}.d2" for s in range(m))
+    joins = " ".join(
+        f"JOIN p{s}af s{s} USING (vec_id)" for s in range(1, m)
+    )
+    return ",".join(chains) + f"""
+    SELECT s0.vec_id, [{codes}] AS codes,
+           CAST({err} AS BIGINT) AS recon_err
+    FROM p0af s0 {joins}
+    """
+
+
+@q("q121_pq_codes", _pq_oracle(m=4, k=4, iters=1, dim=64))
+def q121_pq_codes(spark, sf_dir):
+    """Product-quantization codes (operators/kmeans.py:pq_codes): the
+    64-dim embedding splits into 4 subvectors, each with its own
+    deterministic-Lloyd 4-centroid codebook; the vector compresses to
+    4 code ids plus an exact integer reconstruction error. Training is
+    the q112 zero-shuffle-assignment machinery per slice; the pivot
+    back to one row per vector is a single groupBy(vec_id) over slim
+    (vec_id, sub, cid) rows — never m self-joins. The oracle replays
+    all four trainings closed-form in one WITH clause."""
+    from .operators.kmeans import pq_codes
+
+    return pq_codes(
+        _read(spark, sf_dir, "embeddings"), m=4, k=4, iters=1
+    )
 
 
 # ---------------------------------------------------------------------------

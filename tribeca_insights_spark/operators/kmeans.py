@@ -56,14 +56,20 @@ def _dist2(v, c):
 
 
 def _seed_cids(seeds: DataFrame, id_col: str) -> DataFrame:
-    """cid by md5 order over the (tiny, k-row) seed set — a window over
-    k rows, not the corpus."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy("_rk", id_col)
-    return seeds.select(
-        (F.row_number().over(w) - 1).cast("long").alias("cid"),
-        F.col("v").alias("c"),
+    """cid by md5 order over the (tiny, k-row) seed set. Window-free:
+    the k rows pack into ONE sorted struct array and posexplode back
+    out with their position as the cid — same result as a row_number
+    window, but the plan never contains a WindowExec (an unpartitioned
+    window, even over k rows post-limit, logs Spark's single-partition
+    WARN and trips plan audits)."""
+    packed = seeds.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_rk", F.col(id_col).alias("_id"), "v"))
+        ).alias("_s")
+    )
+    return packed.select(F.posexplode("_s").alias("_pos", "_st")).select(
+        F.col("_pos").cast("long").alias("cid"),
+        F.col("_st.v").alias("c"),
     )
 
 
@@ -199,6 +205,60 @@ def ann_ivf_trained_topk(emb: DataFrame, query_ids, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist2")
+    )
+
+
+def pq_codes(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 1,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, codes, recon_err): product-quantization codes — the
+    vector-compression step production ANN indexes (IVF-PQ) run after
+    the coarse quantizer. The d-dim vector splits into ``m`` contiguous
+    subvectors; each subspace trains its OWN ``k``-centroid codebook
+    (deterministic Lloyd, integer-micros exact — the q112 machinery on
+    a slice), and the code word is the per-subspace argmin centroid id.
+    ``recon_err`` is the summed exact squared-L2 quantization error.
+
+    Scale shape: each subspace training is the kmeans_fit plan (zero-
+    shuffle broadcast assignment + one k×(d/m) partial-agg shuffle per
+    iteration); the m per-subspace assignments are slim (vec_id, sub,
+    cid, d2) rows UNIONED then pivoted by ONE groupBy(vec_id) — a
+    single corpus-sized shuffle regardless of m, never m self-joins.
+    A 64-dim float vector (256 bytes) compresses to m codebook bytes —
+    at 10^12 vectors that is the difference between an index that fits
+    the cluster and one that doesn't.
+    """
+    dim = _infer_dim(emb, vec_col)
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        base, cents = kmeans_fit(sl, k=k, iters=iters)
+        parts.append(
+            _assign(base, cents).select(
+                "vec_id",
+                F.lit(s).cast("long").alias("sub"),
+                "cid",
+                "dist2",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "cid"))),
+                lambda st: st["cid"],
+            ).alias("codes"),
+            F.sum("dist2").alias("recon_err"),
+        )
     )
 
 
