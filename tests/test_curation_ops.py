@@ -392,3 +392,63 @@ def test_script_profile_closed_form(spark):
     assert out[3]["n_chars"] == 0 and out[3]["latin_micros"] == 0
     assert out[4]["greek_micros"] == 4 * 1_000_000 // 9
     assert out[4]["arabic_micros"] == 5 * 1_000_000 // 9
+
+
+class TestTrainHashedClassifier:
+    def _train(self, spark, rows, **kw):
+        from pyspark.sql import functions as F
+
+        from tribeca_insights_spark.operators.classifier import (
+            train_hashed_classifier,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        label = F.when(
+            F.col("text").contains("good"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        return {
+            r["bucket"]: r["weight"]
+            for r in train_hashed_classifier(
+                df, label=label, n_buckets=1 << 16, **kw
+            ).collect()
+        }
+
+    def _bucket(self, tok, n_buckets=1 << 16):
+        import hashlib
+
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def test_round1_is_positive_class_sum(self, spark):
+        # zero weights -> every margin 0 -> pred -1 -> only y=+1 docs
+        # are misclassified, so w1 = sum of positive docs' features
+        w = self._train(
+            spark, [(0, "good good win"), (1, "bad bad")], rounds=1
+        )
+        assert w[self._bucket("good")] == 2
+        assert w[self._bucket("win")] == 1
+        assert w[self._bucket("bad")] == 0  # negative doc was correct
+
+    def test_round2_no_update_when_separated(self, spark):
+        r1 = self._train(spark, [(0, "good good"), (1, "bad")], rounds=1)
+        r2 = self._train(spark, [(0, "good good"), (1, "bad")], rounds=2)
+        # after round 1 both docs classify correctly (margins 4 and 0
+        # -> preds +1/-1) so round 2 changes nothing
+        assert r1 == r2
+
+    def test_round2_fixes_negative_doc(self, spark):
+        # shared token pushes the negative doc's margin positive after
+        # round 1; round 2 must subtract its features
+        rows = [(0, "good common"), (1, "common common bad")]
+        r2 = self._train(spark, rows, rounds=2)
+        # round1: w[good]=1, w[common]=1, w[bad]=0
+        # doc1 margin = 2*1 = 2 > 0 -> pred +1, y=-1 -> misclassified
+        # delta: common -2, bad -1
+        assert r2[self._bucket("good")] == 1
+        assert r2[self._bucket("common")] == -1
+        assert r2[self._bucket("bad")] == -1
+
+    def test_bad_rounds(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._train(spark, [(0, "good")], rounds=0)

@@ -5370,6 +5370,73 @@ def q121_pq_codes(spark, sf_dir):
     )
 
 
+@q(
+    "q122_train_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE -1 END AS y,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS x
+      FROM (SELECT doc_id, y,
+                   unnest(list_transform(l, w ->
+                     ('0x' || substr(md5(w), 1, 8))::BIGINT % 64)) AS b
+            FROM toks)
+      GROUP BY 1, 2, 3
+    ),
+    d1 AS (
+      SELECT b, CAST(sum(y * x) AS BIGINT) AS dw
+      FROM f WHERE y = 1 GROUP BY b
+    ),
+    w1 AS (
+      SELECT b, CAST(coalesce(dw, 0) AS BIGINT) AS w
+      FROM (SELECT DISTINCT b FROM f) LEFT JOIN d1 USING (b)
+    ),
+    m2 AS (
+      SELECT doc_id, y, CAST(sum(x * w) AS BIGINT) AS margin
+      FROM f JOIN w1 USING (b) GROUP BY 1, 2
+    ),
+    mis2 AS (
+      SELECT doc_id FROM m2
+      WHERE (CASE WHEN margin > 0 THEN 1 ELSE -1 END) <> y
+    ),
+    d2 AS (
+      SELECT b, CAST(sum(y * x) AS BIGINT) AS dw
+      FROM f JOIN mis2 USING (doc_id) GROUP BY b
+    )
+    SELECT w1.b AS bucket, CAST(w1.w + coalesce(d2.dw, 0) AS BIGINT)
+             AS weight
+    FROM w1 LEFT JOIN d2 ON w1.b = d2.b
+    """,
+)
+def q122_train_classifier(spark, sf_dir):
+    """Full-batch perceptron training for the hashed linear classifier
+    (operators/classifier.py:train_hashed_classifier) — distills a
+    rule-based curation prior (label = +1 iff n_chars >= 200) into a
+    64-bucket fastText-style model. Round 1 from zero weights reduces
+    to the positive-class feature sum; round 2 is a genuine
+    misclassified-set update — the oracle replays both rounds in exact
+    integer arithmetic. Features built once (one corpus shuffle,
+    persisted); each round = two keyed shuffles of slim feature rows +
+    a broadcast K-row weight table; no actions in the loop."""
+    from .operators.classifier import train_hashed_classifier
+
+    d = _read(spark, sf_dir, "documents")
+    return train_hashed_classifier(
+        d,
+        label=F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+        n_buckets=64,
+        rounds=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

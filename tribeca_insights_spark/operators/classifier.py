@@ -85,6 +85,94 @@ def hashed_linear_score(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def hashed_features(docs: DataFrame, label, n_buckets: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, y, bucket, x): hashed bag-of-words feature rows.
+    ``label`` is a Column evaluating to +1/-1; it rides along from the
+    projection so no label join ever touches the corpus. One
+    map-combined groupBy — the single corpus-sized shuffle of the
+    whole training pipeline (every later step operates on these slim
+    rows or on K-row weight tables)."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                            "[^A-Za-zÀ-ÿ]+", " "))),
+            " ", -1,
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            label.cast("long").alias("y"),
+            F.explode(toks).alias("_tok"),
+        )
+        .select(
+            "doc_id", "y", _bucket(F.col("_tok"), n_buckets).alias("bucket")
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+
+
+def train_hashed_classifier(docs: DataFrame, label,
+                            n_buckets: int = 64, rounds: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(bucket, weight): full-batch perceptron over hashed token
+    features — the TRAINING counterpart of :func:`hashed_linear_score`
+    (which is the serving side). The production pattern this mirrors:
+    distill a rule-based curation heuristic (the ``label`` column —
+    q122 uses a length prior) into a cheap linear model, fastText-style.
+
+    Update rule (lr = 1, all integer — aggregation-order-free, so the
+    DuckDB oracle replays every round bit-exactly):
+
+        margin_d = Σ_b w[b]·x_d[b]
+        pred_d   = +1 if margin_d > 0 else -1      (tie → -1)
+        w       += Σ_{pred_d ≠ y_d} y_d · x_d      (misclassified only)
+
+    Scale shape: features are built ONCE (one corpus shuffle) and
+    persisted; each round is two keyed shuffles of the slim feature
+    rows (the margin groupBy(doc) and the delta groupBy(bucket)) plus
+    a broadcast of the K-row weight table — the model never exceeds
+    ``n_buckets`` rows, and no action runs inside the loop (training
+    is one lazy plan; ``rounds`` is small by contract, like the Lloyd
+    iterations in operators/kmeans.py).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    feats = hashed_features(docs, label, n_buckets=n_buckets,
+                            id_col=id_col, text_col=text_col).persist()
+    w = feats.select("bucket").distinct().select(
+        "bucket", F.lit(0).cast("long").alias("w")
+    )
+    for _ in range(rounds):
+        margins = (
+            feats.join(F.broadcast(w), "bucket", "left")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0)))
+                .alias("margin")
+            )
+        )
+        pred = F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1))
+        mis = margins.filter(pred != F.col("y")).select("doc_id")
+        delta = (
+            feats.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("dw"))
+        )
+        # delta buckets ⊆ observed buckets, so a left merge is total
+        w = w.join(delta, "bucket", "left").select(
+            "bucket",
+            (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
+            .cast("long").alias("w"),
+        )
+    return w.select("bucket", F.col("w").alias("weight"))
+
+
 def sigmoid(x: float) -> float:
     """Python-side mirror for tests."""
     return 1.0 / (1.0 + math.exp(-x))
