@@ -5437,6 +5437,111 @@ def q122_train_classifier(spark, sf_dir):
     )
 
 
+def _hll_register_cte(p: int = 6) -> str:
+    """Shared CTEs: token keys → (register, max_rho) — the exact HLL
+    sketch replay. bits(rem) is the static sum of power-of-two
+    comparisons, the same expression shape the Spark operator uses."""
+    width = 64 - p
+    div = 1 << (32 - p)
+    bits = " + ".join(
+        f"CAST(rem >= {1 << i} AS INT)" for i in range(width)
+    )
+    return f"""
+    k AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS key
+      FROM documents
+    ),
+    h AS (
+      SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(key), 9, 8))::BIGINT AS lo
+      FROM k
+    ),
+    r AS (
+      SELECT CAST(floor(hi / {div}.0) AS BIGINT) AS register,
+             (hi % {div}) * 4294967296 + lo AS rem
+      FROM h
+    ),
+    sk AS (
+      SELECT register,
+             CAST(max({width} - ({bits}) + 1) AS BIGINT) AS max_rho
+      FROM r GROUP BY register
+    )"""
+
+
+@q(
+    "q123_hll_registers",
+    "WITH" + _hll_register_cte(p=6) + """
+    SELECT register, max_rho FROM sk
+    """,
+)
+def q123_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (operators/sketches.py): the exact
+    integer sketch of the corpus' distinct-token cardinality — 2^6
+    registers, md5-derived 64-bit hash, leading-zero rho via static
+    power-of-two comparisons (no float log anywhere). One map-combined
+    m-row groupBy above a narrow hash projection; sketches union across
+    shards by element-wise max (hll_merge). The oracle replays the hash
+    split, register extraction, and rho bit-math identically."""
+    from .operators.sketches import hll_registers
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("key")
+    )
+    return hll_registers(toks, "key", p=6)
+
+
+def _hll_estimate_oracle(p: int = 6) -> str:
+    from .operators.sketches import _alpha
+
+    m = 1 << p
+    num = 1e6 * _alpha(m) * m * m * float(1 << 61)
+    return "WITH" + _hll_register_cte(p=p) + f"""
+    , a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN max_rho <= 29 THEN
+                        CAST(1 AS BIGINT) << CAST(29 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_hi,
+             CAST(sum(CASE WHEN max_rho >= 30 THEN
+                        CAST(1 AS BIGINT) << CAST(61 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_lo
+      FROM sk
+    )
+    SELECT CAST({m} AS BIGINT) AS m, n_hit AS n_registers_hit,
+           harmonic_hi, harmonic_lo,
+           CAST(floor({num!r} / (CAST(harmonic_hi AS DOUBLE)
+                       * 4294967296.0
+                     + CAST(harmonic_lo AS DOUBLE)
+                     + CAST({m} - n_hit AS DOUBLE)
+                       * 2305843009213693952.0)) AS BIGINT)
+             AS estimate_micros
+    FROM a
+    """
+
+
+@q("q124_hll_estimate", _hll_estimate_oracle(p=6))
+def q124_hll_estimate(spark, sf_dir):
+    """Raw HLL cardinality estimate from q123's sketch: the harmonic
+    sum stays an EXACT BIGINT in units of 2^-61 (empty registers enter
+    only at the final division), so the single float division is the
+    only IEEE op — micro-quantized and engine-identical. At 10^12 docs
+    this one row replaces a corpus-sized distinct() shuffle."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("key")
+    )
+    return hll_estimate(hll_registers(toks, "key", p=6), p=6)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,152 @@
+"""Deterministic HyperLogLog — engine-exact cardinality sketching.
+
+Beyond-reference capability (task brief: LLM-data-pipeline operators).
+At 10^12 documents "how many distinct tokens / urls / hosts" cannot be
+answered with a distinct() (the distinct IS a corpus-sized shuffle);
+production pipelines carry an HLL sketch instead. Spark's built-in
+``approx_count_distinct`` is HLL++ but its register hashing is engine-
+private — un-oracle-able. This implementation is Flajolet et al.'s
+plain HLL over an md5-derived 64-bit hash, built so EVERY intermediate
+is exact integer arithmetic that DuckDB replays bit-for-bit:
+
+- hash: first 16 hex chars of md5(key) as a 64-bit value (computed as
+  two 32-bit halves — both engines parse 8-hex safely in signed 64);
+- register = top ``p`` bits; rho = leading-zero count of the remaining
+  ``64 - p`` bits + 1 (pure integer comparisons via power-of-two
+  thresholds);
+- the register table (register, max_rho) IS the sketch — a groupBy of
+  m = 2^p rows, mergeable across shards/runs by max() (the property
+  that makes HLL the production answer: union = element-wise max);
+- the estimate's harmonic sum Σ 2^(-rho) is kept EXACT as a BIGINT in
+  units of 2^-64: Σ 2^(64 - rho) (rho ≤ 65 ⇒ each term ≥ 2^-1 in those
+  units… and ≤ 2^63 — no overflow at m ≤ 2^14). Only the final
+  alpha·m²/S division is floating point, computed once from two exact
+  integers, then micro-quantized.
+
+Scale shape: one map-combined groupBy of (register) — m-row output —
+after a narrow per-row hash projection. Zero corpus-sized state; the
+sketch unions across 10^5 shards by a second m-row max-groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _hash64_hi_lo(key):
+    """(hi, lo): the first 16 md5 hex chars as two unsigned 32-bit
+    halves in BIGINTs — identical construction in DuckDB:
+    ('0x' || substr(md5(k), 1, 8))::BIGINT etc."""
+    hx = F.md5(key.cast("string"))
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return hi, lo
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """(register, max_rho): the HLL sketch of ``key_col``'s distinct
+    cardinality with m = 2^p registers.
+
+    register = top p bits of the 64-bit hash (from the hi half);
+    rho = leading zeros of the remaining 64-p bits + 1, scanning the
+    rest of hi then all of lo; an all-zero remainder gets the
+    conventional rho = 64 - p + 1. Registers never hit stay absent
+    (callers treat missing as rho 0 — :func:`hll_estimate` densifies).
+    """
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+    hi, lo = _hash64_hi_lo(F.col(key_col))
+    # top p bits of hi (hi is 32 bits)
+    reg = F.floor(hi / F.lit(1 << (32 - p))).cast("long")
+    # remaining bits: low (32 - p) of hi, then all 32 of lo, as one
+    # 64-p bit integer
+    rem = (hi % F.lit(1 << (32 - p))) * F.lit(1 << 32) + lo
+    width = 64 - p
+    # leading zeros via the position of the highest set bit:
+    # rem >= 2^(width-1-z) ⟺ at most z leading zeros. floor(log2) is
+    # float-unsafe; use exact integer halving: nlz = width - bits(rem)
+    # where bits(x) = number of times x halves to 0 — expressed as a
+    # sum of comparisons against powers of two (static, width terms).
+    bits = sum(
+        (rem >= F.lit(1 << i)).cast("int") for i in range(width)
+    )
+    rho = (F.lit(width) - bits + 1).cast("long")
+    return (
+        df.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union HLL sketches: element-wise max over registers — the m-row
+    groupBy that makes cross-shard / cross-run cardinality free."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
+    """One row (m, n_registers_hit, harmonic_hi, harmonic_lo,
+    estimate_micros): the raw HLL estimate alpha_m · m² / Σ 2^(-rho_j)
+    with empty registers contributing 2^0.
+
+    The harmonic sum is kept EXACT in units of 2^-61 as a 96-bit value
+    split across two BIGINTs (Σ can reach m·2^60 > int64):
+    ``harmonic_hi`` = Σ 2^(29 - rho) over rho ≤ 29 and ``harmonic_lo``
+    = Σ 2^(61 - rho) over rho ≥ 30, i.e. S = hi·2^32 + lo — both halves
+    bounded by m·2^28 / m·2^31, overflow-free to p = 14. Only the final
+    division touches floats: the numerator is one double literal and
+    the denominator recombines three exact integers with the identical
+    expression shape on both engines (each step one correctly-rounded
+    IEEE op). No small/large-range corrections — raw estimate, stated
+    as such (both engines apply none, so parity is exact).
+    """
+    m = 1 << p
+    alpha = _alpha(m)
+    # python-API shiftleft wants a literal bit count; the SQL form
+    # takes a column exponent
+    agg = sketch.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(
+            F.expr(
+                "CASE WHEN max_rho <= 29 THEN"
+                " shiftleft(cast(1 as bigint), cast(29 - max_rho as int))"
+                " ELSE cast(0 as bigint) END"
+            )
+        ).alias("harmonic_hi"),
+        F.sum(
+            F.expr(
+                "CASE WHEN max_rho >= 30 THEN"
+                " shiftleft(cast(1 as bigint), cast(61 - max_rho as int))"
+                " ELSE cast(0 as bigint) END"
+            )
+        ).alias("harmonic_lo"),
+    )
+    denom = (
+        F.col("harmonic_hi").cast("double") * F.lit(float(1 << 32))
+        + F.col("harmonic_lo").cast("double")
+        + (F.lit(m) - F.col("n_hit")).cast("double")
+        * F.lit(float(1 << 61))
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_hit").alias("n_registers_hit"),
+        "harmonic_hi",
+        "harmonic_lo",
+        F.floor(F.lit(1e6 * alpha * m * m * float(1 << 61)) / denom)
+        .cast("long").alias("estimate_micros"),
+    )
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
