@@ -92,3 +92,60 @@ class TestHllEstimate:
         assert row.harmonic_hi >= 0 and row.harmonic_lo >= 0
         # at least one half carries signal
         assert row.harmonic_hi + row.harmonic_lo > 0
+
+
+class TestCountMin:
+    def _toks(self, spark, words):
+        return spark.createDataFrame([(w,) for w in words], ["key"])
+
+    def test_never_underestimates_and_tight_when_sparse(self, spark):
+        from collections import Counter
+
+        from tribeca_insights_spark.operators.sketches import (
+            cms_build,
+            cms_point_estimates,
+        )
+
+        words = ["a"] * 10 + ["b"] * 3 + ["c"] * 1
+        toks = self._toks(spark, words)
+        cms = cms_build(toks, "key", depth=4, width=64)
+        est = {r.key: r.est_count for r in cms_point_estimates(
+            cms, toks.distinct(), "key", depth=4, width=64).collect()}
+        exact = Counter(words)
+        for k, n in exact.items():
+            assert est[k] >= n          # CMS invariant
+        # 3 keys in a 4x64 sketch: collisions essentially impossible
+        assert est == dict(exact)
+
+    def test_absent_key_estimates_small(self, spark):
+        from tribeca_insights_spark.operators.sketches import (
+            cms_build,
+            cms_point_estimates,
+        )
+
+        cms = cms_build(self._toks(spark, ["x"] * 5), "key")
+        est = {r.key: r.est_count for r in cms_point_estimates(
+            cms, self._toks(spark, ["never-seen"]), "key").collect()}
+        assert est["never-seen"] == 0
+
+    def test_merge_by_cellwise_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from tribeca_insights_spark.operators.sketches import cms_build
+
+        a = cms_build(self._toks(spark, ["a", "b", "a"]), "key")
+        b = cms_build(self._toks(spark, ["a", "c"]), "key")
+        merged = a.unionByName(b).groupBy("row", "col").agg(
+            F.sum("cnt").alias("cnt"))
+        whole = cms_build(self._toks(spark, ["a", "b", "a", "a", "c"]),
+                          "key")
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, whole.collect()))
+
+    def test_bad_params(self, spark):
+        import pytest
+
+        from tribeca_insights_spark.operators.sketches import cms_build
+
+        with pytest.raises(ValueError):
+            cms_build(self._toks(spark, ["a"]), "key", depth=0)

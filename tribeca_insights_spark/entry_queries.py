@@ -5542,6 +5542,82 @@ def q124_hll_estimate(spark, sf_dir):
     return hll_estimate(hll_registers(toks, "key", p=6), p=6)
 
 
+_CMS_CTES = """
+    k AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS key
+      FROM documents
+    ),
+    cms AS (
+      SELECT CAST(r.row AS BIGINT) AS row,
+             ('0x' || substr(md5(r.row || ':' || key), 1, 8))::BIGINT
+               % 64 AS col,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM k, (VALUES (0), (1), (2), (3)) AS r(row)
+      GROUP BY 1, 2
+    )"""
+
+
+@q(
+    "q125_cms_build",
+    "WITH" + _CMS_CTES + """
+    SELECT row, col, cnt FROM cms
+    """,
+)
+def q125_cms_build(spark, sf_dir):
+    """Count-min sketch build (operators/sketches.py:cms_build): 4×64
+    counters summarize the corpus token-frequency distribution — the
+    heavy-hitter companion to q123's HLL. The d per-row cells ride one
+    posexplode (no extra corpus shuffle); output is ONE map-combined
+    groupBy of ≤ d·w rows; shards merge by cell-wise sum."""
+    from .operators.sketches import cms_build
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("key")
+    )
+    return cms_build(toks, "key", depth=4, width=64)
+
+
+@q(
+    "q126_cms_point_estimates",
+    "WITH" + _CMS_CTES + """,
+    p AS (SELECT DISTINCT key FROM k),
+    w AS (
+      SELECT key, CAST(r.row AS BIGINT) AS row,
+             ('0x' || substr(md5(r.row || ':' || key), 1, 8))::BIGINT
+               % 64 AS col
+      FROM p, (VALUES (0), (1), (2), (3)) AS r(row)
+    ),
+    hit AS (
+      SELECT key, coalesce(cnt, CAST(0 AS BIGINT)) AS c
+      FROM w LEFT JOIN cms USING (row, col)
+    )
+    SELECT key, CAST(min(c) AS BIGINT) AS est_count
+    FROM hit GROUP BY key
+    """,
+)
+def q126_cms_point_estimates(spark, sf_dir):
+    """Count-min point queries over the whole vocabulary
+    (operators/sketches.py:cms_point_estimates): min over each row's
+    counter at the key's column — never an underestimate, collisions
+    bound the overestimate. The probe set is a dim against the
+    d·w-row sketch; nothing corpus-sized moves."""
+    from .operators.sketches import cms_build, cms_point_estimates
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("key")
+    )
+    cms = cms_build(toks, "key", depth=4, width=64)
+    probes = toks.distinct()
+    return cms_point_estimates(cms, probes, "key", depth=4, width=64)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -142,6 +142,63 @@ def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
     )
 
 
+def _cms_col(key, row: int, width: int):
+    """Row-``row``'s column for ``key``: first 8 md5 hex chars of
+    'row:key' mod width — an independent hash per row, the same
+    construction DuckDB replays."""
+    hx = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 64) -> DataFrame:
+    """(row, col, cnt): a count-min sketch of ``key_col``'s frequency
+    distribution — d·w counters replace an unbounded-cardinality exact
+    frequency table (the heavy-hitter / frequency-estimation companion
+    to :func:`hll_registers`).
+
+    Each occurrence increments one counter per row (col = an
+    independent md5-derived hash of the key); a point estimate is the
+    MIN over the d counters — never an underestimate, overestimates
+    bounded by collisions (ε ≈ e/width of the stream length at the
+    standard analysis). Plan: the d per-row cells ride one posexplode
+    (rows ×d locally, no corpus shuffle added), then ONE map-combined
+    groupBy of at most d·w output rows. Sketches merge across shards
+    by cell-wise sum — like HLL's max-merge, union is free.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cells = F.array(*[
+        _cms_col(F.col(key_col), r, width) for r in range(depth)
+    ])
+    return (
+        df.select(F.posexplode(cells).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("row").cast("long").alias("row"), "col", "cnt")
+    )
+
+
+def cms_point_estimates(cms: DataFrame, probes: DataFrame,
+                        key_col: str = "key", depth: int = 4,
+                        width: int = 64) -> DataFrame:
+    """(key, est_count): count-min point queries — min over each row's
+    counter at the key's column. The probe set is a dim (broadcast);
+    the sketch is d·w rows, so the whole lookup is sketch-sized. A
+    probe key whose cells were never incremented estimates 0 (absent
+    cells are zero by construction)."""
+    cells = F.array(*[
+        _cms_col(F.col(key_col), r, width) for r in range(depth)
+    ])
+    want = probes.select(
+        F.col(key_col).alias("key"), F.posexplode(cells).alias("row", "col")
+    ).select("key", F.col("row").cast("long").alias("row"), "col")
+    hit = want.join(cms, ["row", "col"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c")
+    )
+    return hit.groupBy("key").agg(F.min("c").alias("est_count"))
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
