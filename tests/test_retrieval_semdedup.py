@@ -54,6 +54,12 @@ class TestBM25:
         # docs 0/1 tie exactly; doc_id ascending breaks it; doc 2 absent
         assert [r["doc_id"] for r in got] == [0]
 
+    def test_empty_query_terms_raise(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            bm25_topk(_docs(spark, [(0, "a")]), [])
+
     def test_plan_takeordered_no_window(self, spark):
         df = _docs(spark, [(0, "a b"), (1, "b c")])
         plan = bm25_topk(df, ["b"], topk=5)._jdf.queryExecution() \

@@ -57,6 +57,8 @@ def bm25_topk(
     (BM25 gives them score 0; they cannot reach a positive top-k).
     Ties at the k boundary break on doc_id ascending.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
 
