@@ -235,6 +235,15 @@ def main() -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
+    try:
+        # the streaming state-store maintenance task is a JVM-global
+        # scheduled thread; left running it fires once after
+        # spark.stop() and logs "SparkEnv not active" + a stack into
+        # the captured tail — stop it explicitly first
+        spark._jvm.org.apache.spark.sql.execution.streaming.state \
+            .StateStore.stop()
+    except Exception:
+        pass
     time.sleep(1.0)  # let idle reused Python workers exit on their own
     spark.stop()
     time.sleep(0.5)  # absorb any async JVM-shutdown stderr before printing

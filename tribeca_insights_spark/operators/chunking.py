@@ -49,10 +49,13 @@ def chunk_documents(
 
     Chunk ``i`` starts at token ``1 + i*stride`` (1-based) and takes up
     to ``chunk`` tokens.  The number of chunks is
-    ``1 + ceil(max(0, n - chunk) / stride)`` — every token is covered,
-    the final chunk may be short, and no chunk starts beyond the text.
-    Empty documents produce no chunks.  ``stride < chunk`` gives
-    ``chunk - stride`` tokens of overlap (RAG-style context stitching).
+    ``1 + ceil(max(0, n - chunk) / stride)`` — the final chunk may be
+    short, and no chunk starts beyond the text.  Empty documents
+    produce no chunks.  ``stride < chunk`` gives ``chunk - stride``
+    tokens of overlap (RAG-style context stitching); full-coverage of
+    every token (the property test_chunking pins) holds iff
+    ``stride <= chunk`` — a larger stride is legal and means sparse
+    strided SAMPLING of the document instead.
     """
     if stride <= 0 or chunk <= 0:
         raise ValueError("chunk and stride must be positive")

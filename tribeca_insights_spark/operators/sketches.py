@@ -17,11 +17,11 @@ is exact integer arithmetic that DuckDB replays bit-for-bit:
 - the register table (register, max_rho) IS the sketch — a groupBy of
   m = 2^p rows, mergeable across shards/runs by max() (the property
   that makes HLL the production answer: union = element-wise max);
-- the estimate's harmonic sum Σ 2^(-rho) is kept EXACT as a BIGINT in
-  units of 2^-64: Σ 2^(64 - rho) (rho ≤ 65 ⇒ each term ≥ 2^-1 in those
-  units… and ≤ 2^63 — no overflow at m ≤ 2^14). Only the final
-  alpha·m²/S division is floating point, computed once from two exact
-  integers, then micro-quantized.
+- the estimate's harmonic sum Σ 2^(-rho) is kept EXACT in units of
+  2^-61 as a 96-bit value split across two BIGINT halves (see
+  :func:`hll_estimate` — the single-BIGINT form can overflow at
+  m·2^60). Only the final alpha·m²/S division is floating point,
+  computed once from exact integers, then micro-quantized.
 
 Scale shape: one map-combined groupBy of (register) — m-row output —
 after a narrow per-row hash projection. Zero corpus-sized state; the
@@ -55,7 +55,9 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
     """
     if not 4 <= p <= 14:
         raise ValueError("p must be in [4, 14]")
-    hi, lo = _hash64_hi_lo(F.col(key_col))
+    df = df.filter(F.col(key_col).isNotNull())  # md5(NULL) would poison
+    hi, lo = _hash64_hi_lo(F.col(key_col))      # a register with NULLs
+
     # top p bits of hi (hi is 32 bits)
     reg = F.floor(hi / F.lit(1 << (32 - p))).cast("long")
     # remaining bits: low (32 - p) of hi, then all 32 of lo, as one
@@ -168,6 +170,7 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4,
     """
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
+    df = df.filter(F.col(key_col).isNotNull())
     cells = F.array(*[
         _cms_col(F.col(key_col), r, width) for r in range(depth)
     ])
