@@ -5618,6 +5618,122 @@ def q126_cms_point_estimates(spark, sf_dir):
     return cms_point_estimates(cms, probes, "key", depth=4, width=64)
 
 
+@q(
+    "q127_hits_scores",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS s
+           FROM documents),
+    ar1 AS (SELECT dst, CAST(sum(s) AS BIGINT) AS raw
+            FROM e JOIN h0 ON e.src = h0.node GROUP BY dst),
+    am1 AS (SELECT greatest(max(raw), 1) AS mx FROM ar1),
+    a1 AS (SELECT d.doc_id AS node,
+                  CAST((coalesce(raw, 0) * 1000000) // mx AS BIGINT) AS s
+           FROM documents d LEFT JOIN ar1 ON d.doc_id = ar1.dst, am1),
+    hr1 AS (SELECT src, CAST(sum(s) AS BIGINT) AS raw
+            FROM e JOIN a1 ON e.dst = a1.node GROUP BY src),
+    hm1 AS (SELECT greatest(max(raw), 1) AS mx FROM hr1),
+    h1 AS (SELECT d.doc_id AS node,
+                  CAST((coalesce(raw, 0) * 1000000) // mx AS BIGINT) AS s
+           FROM documents d LEFT JOIN hr1 ON d.doc_id = hr1.src, hm1),
+    ar2 AS (SELECT dst, CAST(sum(s) AS BIGINT) AS raw
+            FROM e JOIN h1 ON e.src = h1.node GROUP BY dst),
+    am2 AS (SELECT greatest(max(raw), 1) AS mx FROM ar2),
+    a2 AS (SELECT d.doc_id AS node,
+                  CAST((coalesce(raw, 0) * 1000000) // mx AS BIGINT) AS s
+           FROM documents d LEFT JOIN ar2 ON d.doc_id = ar2.dst, am2),
+    hr2 AS (SELECT src, CAST(sum(s) AS BIGINT) AS raw
+            FROM e JOIN a2 ON e.dst = a2.node GROUP BY src),
+    hm2 AS (SELECT greatest(max(raw), 1) AS mx FROM hr2),
+    h2 AS (SELECT d.doc_id AS node,
+                  CAST((coalesce(raw, 0) * 1000000) // mx AS BIGINT) AS s
+           FROM documents d LEFT JOIN hr2 ON d.doc_id = hr2.src, hm2)
+    SELECT a2.node, a2.s AS auth_micros, h2.s AS hub_micros
+    FROM a2 JOIN h2 ON a2.node = h2.node
+    """,
+)
+def q127_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities (operators/linkgraph.py:hits_micros) over
+    the q83 synthetic page graph (each page → (7·id+3)%N and
+    (13·id+5)%N), 2 iterations. All-BIGINT mutual recursion with
+    max-normalization, so the oracle unrolls the identical arithmetic —
+    the frontier-prioritization complement of PageRank (hub pages find
+    new content; authority pages anchor quality signals). Two groupBys
+    per round + 1-row broadcast maxima; no window, no global sort."""
+    from .operators.linkgraph import hits_micros
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return hits_micros(edges, n_iter=2, materialize=True)
+
+
+@q(
+    "q128_priority_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     t -> length(t) > 0)) AS BIGINT)
+               AS weight,
+             CAST(('0x' || substr(md5('prio' || doc_id), 1, 8))::BIGINT
+                  % 1000000 + 1 AS BIGINT) AS u_micros
+      FROM documents
+    ),
+    p AS (
+      SELECT *, CAST((weight * 1000000000000) // u_micros AS BIGINT)
+               AS priority
+      FROM w
+    ),
+    t1 AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 51),
+    tau AS (SELECT CASE WHEN count(*) > 50 THEN min(priority)
+                        ELSE 0 END AS tau FROM t1),
+    s AS (SELECT * FROM t1 ORDER BY priority DESC, doc_id LIMIT 50)
+    SELECT doc_id, source, weight, u_micros, priority,
+           CAST(greatest(weight * 1000000, tau) AS BIGINT)
+             AS est_weight_micros
+    FROM s, tau
+    """,
+)
+def q128_priority_sample(spark, sf_dir):
+    """Weight-proportional exact-k sample with unbiased estimators
+    (operators/mixing.py:priority_sample; Duffield-Lund-Thorup priority
+    sampling, JACM 2007): k=50 docs weighted by token count. Priorities
+    are BIGINT w·1e12 div u with deterministic md5 uniforms, winners via
+    TakeOrderedAndProject (per-partition heaps, never a global sort),
+    τ = the 51st priority broadcast from a 1-row aggregate. Σ
+    est_weight over the sample unbiasedly estimates corpus tokens."""
+    from .operators.mixing import priority_sample
+
+    d = _read(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        ).cast("long").alias("weight"),
+    )
+    return priority_sample(weighted, "weight", k=50).select(
+        "doc_id", "source", "weight", "u_micros", "priority",
+        "est_weight_micros",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -204,6 +204,102 @@ def pagerank_micros(
     return ranks.select("node", F.col("s").alias("rank_micros"))
 
 
+def hits_micros(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+    materialize: bool = False,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over an edge list →
+    (node, auth_micros, hub_micros).
+
+    Per iteration (the classic mutual recursion, max-normalized)::
+
+        auth_raw(v) = Σ_{u→v} hub(u)
+        auth(v)     = (auth_raw(v) * 1_000_000) div max_v auth_raw
+        hub_raw(u)  = Σ_{u→v} auth(v)
+        hub(u)      = (hub_raw(u) * 1_000_000)  div max_u hub_raw
+
+    Everything is BIGINT with floor division, so partial-sum order can
+    never perturb the result — max-normalization (not L2) is chosen
+    precisely because max and integer sums are aggregation-order
+    independent, making the fixed-unroll recurrence bit-identical
+    across Spark partitionings and across engines (the DuckDB oracle
+    unrolls the same arithmetic). Multi-edges count with multiplicity
+    on both sides, mirroring ``pagerank_micros``.
+
+    Plan shape: two groupBy aggregations per round (dst-keyed for
+    authority, src-keyed for hub) over the edge table, each 1-row max
+    broadcast back — no window, no global sort, no driver-side graph.
+    Each half-round's node-sized ``raw`` frame is ``persist()``-ed
+    because TWO consumers reference it (the 1-row max and the score
+    join); without the cache the alternating recursion re-evaluates
+    every upstream half twice, exponentially (measured 50.7 s → 2 s at
+    sf0.01 for n_iter=2). ``materialize=True`` eagerly checkpoints the
+    result and unpersists every cached frame (the ``bfs_min_dist``
+    cache-lifetime discipline, ADVICE r3); the default stays lazy and
+    leaves cleanup to the caller's session lifetime.
+
+    At 10^12 edges keep TWO bucketed copies of the edge table (one by
+    src, one by dst) so both per-round joins reuse a fixed
+    partitioning, and swap persist → ``localCheckpoint`` every ~5
+    rounds to truncate lineage. Overflow headroom: raw ≤ N·1e6 and the
+    normalize multiplies by 1e6, so BIGINT holds to N ≈ 9·10^6 nodes
+    per connected region; above that swap the normalize to
+    DECIMAL(38,0) (same plan shape).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    cached = [nodes]
+    hub = nodes.select("node", F.lit(1_000_000).cast("long").alias("score"))
+    auth = None
+
+    def _half(scores: DataFrame, join_key: str, group_key: str) -> DataFrame:
+        raw = (
+            e.join(scores.select(F.col("node").alias(join_key), "score"),
+                   join_key)
+            .groupBy(group_key)
+            .agg(F.sum("score").alias("raw"))
+            .persist()
+        )
+        cached.append(raw)
+        mx = raw.agg(
+            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+        )
+        return (
+            nodes.join(raw, nodes["node"] == raw[group_key], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr("(coalesce(raw, 0L) * 1000000L) div mx")
+                .cast("long")
+                .alias("score"),
+            )
+        )
+
+    for _ in range(n_iter):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    out = (
+        auth.select("node", F.col("score").alias("auth_micros"))
+        .join(hub.select("node", F.col("score").alias("hub_micros")),
+              "node")
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        for c in cached:
+            c.unpersist()
+    return out
+
+
 def bfs_min_dist(
     edges: DataFrame,
     seeds: DataFrame,

@@ -163,6 +163,75 @@ def split_assign(df: DataFrame, key_col: str = "doc_id",
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    weight-proportional sample of EXACTLY ``k`` rows with an unbiased
+    per-row weight estimator — the scheme production pipelines use to
+    build small weighted sketches of huge corpora (per-domain token
+    subsets, debug slices) whose aggregates still estimate corpus
+    totals.
+
+    Each row draws a deterministic uniform ``u ∈ [1, 1e6]`` from the
+    salted md5 bucket of its key (rerun-stable, partition-replay-stable,
+    engine-portable — no RNG state), gets priority
+    ``q = w · 1e12 div u`` (all BIGINT), and the top-``k`` priorities
+    win. Since ``u = u_micros/1e6``, the priority IS the real-valued
+    q = w/u expressed in micros. τ = the (k+1)-th priority; each
+    sampled row's estimator is ``ŵ = max(w, τ)``, emitted as
+    ``est_weight_micros = greatest(w·1e6, τ)`` so Σ est over the
+    sample estimates Σ w over the corpus unbiasedly (τ = 0 when
+    n ≤ k, and the estimator degrades to the exact weight).
+
+    Plan shape: priorities are a narrow projection over the scan; the
+    top-(k+1) is TakeOrderedAndProject (per-partition heaps + driver
+    merge of k+1-row fronts — never a global sort); τ is a 1-row
+    aggregate broadcast back. One job, no shuffle wider than k+1 rows
+    per partition. Ties are broken by key ascending for full
+    determinism (md5 priorities make real ties vanishingly rare).
+
+    Overflow headroom: w · 1e12 must fit BIGINT → w < 9·10^6. For
+    token-count weights beyond that, drop the priority scale to 1e9
+    (u resolution unchanged; same plan).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (hash_bucket_micros(F.col(key_col), salt=salt) + 1).alias(
+        "u_micros"
+    )
+    with_pri = df.withColumn("u_micros", u).withColumn(
+        "priority",
+        F.expr(f"({weight_col} * 1000000000000L) div u_micros")
+        .cast("long"),
+    )
+    topk1 = with_pri.orderBy(
+        F.desc("priority"), F.asc(key_col)
+    ).limit(k + 1)
+    tau = topk1.agg(
+        F.when(F.count("*") > k, F.min("priority"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tau")
+    )
+    return (
+        topk1.orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "est_weight_micros",
+            F.expr(
+                f"greatest({weight_col} * {MICROS}L, tau)"
+            ).cast("long"),
+        )
+        .drop("tau")
+    )
+
+
 def stratified_topk_sample(
     df: DataFrame,
     stratum_col: str = "lang",
