@@ -674,3 +674,96 @@ def test_kmeans_plan_no_window(spark, sf_dir):
         .executedPlan().toString()
     # seed ranking is pack/posexplode, not an unpartitioned window
     assert "Window" not in plan
+
+
+# --- prefix-filtered exact Jaccard join (q129) ------------------------------
+
+
+def _token_sets(spark, sets):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(doc_id=i, token=t) for i, toks in sets for t in toks]
+    )
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    """The prefix filter must lose NO qualifying pair — compare against
+    brute force over every pair on a corpus designed with overlapping
+    mid-similarity sets (the regime where a buggy prefix bound bites)."""
+    from itertools import combinations
+
+    from tribeca_insights_spark.operators.dedup import prefix_jaccard_join
+
+    sets = [
+        (0, {"a", "b", "c", "d"}),
+        (1, {"a", "b", "c", "e"}),          # J(0,1)=3/5=0.6
+        (2, {"a", "b", "x", "y", "z"}),     # J(0,2)=2/7
+        (3, {"p", "q", "r"}),
+        (4, {"p", "q", "r"}),               # J(3,4)=1.0
+        (5, {"a", "b", "c", "d"}),          # J(0,5)=1.0
+        (6, {"m", "n"}),
+        (7, {"m", "n", "o"}),               # J(6,7)=2/3
+    ]
+    t = 0.5
+    expect = set()
+    for (i, A), (j, B) in combinations(sets, 2):
+        inter = len(A & B)
+        union = len(A | B)
+        if inter / union >= t:
+            expect.add((min(i, j), max(i, j), inter, union))
+    got = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in prefix_jaccard_join(
+            _token_sets(spark, sets), threshold_micros=500_000
+        ).collect()
+    }
+    # (0,1), (1,5), (3,4), (0,5), (6,7)
+    assert got == expect and len(got) == 5
+
+
+def test_prefix_jaccard_threshold_boundary(spark):
+    """inter*1e6 >= t*union is inclusive: J exactly at t is kept."""
+    from tribeca_insights_spark.operators.dedup import prefix_jaccard_join
+
+    # J = 1/2 exactly: {a,b} vs {a,c} -> inter 1, union 3 -> keep at 1/3
+    sets = [(0, {"a", "b"}), (1, {"a", "c"})]
+    rows = prefix_jaccard_join(
+        _token_sets(spark, sets), threshold_micros=333_333
+    ).collect()
+    assert len(rows) == 1 and rows[0]["jaccard_micros"] == 333_333
+    rows = prefix_jaccard_join(
+        _token_sets(spark, sets), threshold_micros=333_334
+    ).collect()
+    assert rows == []
+
+
+def test_prefix_jaccard_hot_token_not_a_key(spark):
+    """A stopword shared by everyone lands in every doc's SUFFIX under
+    rarest-first ordering, so it generates no candidate pairs on its
+    own — the skew-resistance claim, checked behaviorally: two docs
+    whose ONLY common token is the hot one and whose Jaccard is far
+    below t produce no output pair (and no false negatives elsewhere)."""
+    from tribeca_insights_spark.operators.dedup import prefix_jaccard_join
+
+    sets = [(i, {"the", f"u{i}", f"v{i}", f"w{i}"}) for i in range(20)]
+    out = prefix_jaccard_join(
+        _token_sets(spark, sets), threshold_micros=500_000
+    ).collect()
+    assert out == []
+
+
+def test_prefix_jaccard_duplicate_rows_collapse(spark):
+    """Input with repeated (id, token) rows dedups before sizing."""
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.dedup import prefix_jaccard_join
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, token="a"), Row(doc_id=0, token="a"),
+         Row(doc_id=0, token="b"), Row(doc_id=1, token="a"),
+         Row(doc_id=1, token="b")]
+    )
+    rows = prefix_jaccard_join(df, threshold_micros=900_000).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_inter"] == 2 and rows[0]["n_union"] == 2

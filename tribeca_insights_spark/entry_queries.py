@@ -5734,6 +5734,51 @@ def q128_priority_sample(spark, sf_dir):
     )
 
 
+@q(
+    "q129_prefix_jaccard_join",
+    """
+    WITH g AS (
+      SELECT DISTINCT doc_id, substr(text, i, 12) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 11, 1) + 1))
+                     AS i
+            FROM documents WHERE length(text) > 0)
+    ),
+    s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+           CAST((n_inter * 1000000) // (sa.n + sb.n - n_inter)
+                AS BIGINT) AS jaccard_micros
+    FROM i JOIN s sa ON i.a_id = sa.doc_id
+           JOIN s sb ON i.b_id = sb.doc_id
+    WHERE n_inter * 1000000 >= 500000 * (sa.n + sb.n - n_inter)
+    """,
+)
+def q129_prefix_jaccard_join(spark, sf_dir):
+    """EXACT set-similarity self-join without MinHash
+    (operators/dedup.py:prefix_jaccard_join; Bayardo All-Pairs WWW'07 /
+    PPJoin): every doc pair with char-12-gram Jaccard ≥ 0.5. Prefix
+    filtering under a rarest-first global token order makes candidate
+    keys maximally skew-resistant (hot shingles never become join
+    keys); completeness holds by the ceil-superadditive t/(1+t) prefix
+    bound, all arithmetic BIGINT. The ORACLE verifies against the
+    brute-force all-pairs join — the driver hash-matching proves the
+    prefix filter dropped no qualifying pair on this corpus."""
+    from .operators.dedup import char_shingles, prefix_jaccard_join
+
+    d = _read(spark, sf_dir, "documents")
+    grams = char_shingles(d, text_col="text", k=12)
+    return prefix_jaccard_join(
+        grams, threshold_micros=500_000, token_col="gram"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

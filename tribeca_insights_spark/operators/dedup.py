@@ -783,3 +783,103 @@ def dhash_near_pairs(hashes: DataFrame, id_col: str = "media_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def prefix_jaccard_join(
+    tokens: DataFrame,
+    threshold_micros: int = 500_000,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Bayardo et
+    al. All-Pairs, WWW'07 / Xiao et al. PPJoin): every pair of documents
+    whose token-set Jaccard ≥ t, WITHOUT MinHash approximation and
+    WITHOUT an all-pairs product. Output: (a_id, b_id, n_inter, n_union,
+    jaccard_micros = n_inter·1e6 div n_union).
+
+    The filter: order all tokens by (document frequency asc, token asc)
+    — rarest first — and keep only each document's PREFIX of length
+    ``n - ceil(t/(1+t)·n) + 1`` as join keys. Completeness: J ≥ t ⇒
+    |A∩B| ≥ ceil(t/(1+t)·(|A|+|B|)) ≥ suffix_A + suffix_B + 1 (ceil
+    superadditivity), so the intersection cannot hide entirely in the
+    two dropped suffixes — every qualifying pair shares ≥ 1 PREFIX
+    token. Integer form: ceil(t_micros·n / (1e6+t_micros)) =
+    (t_micros·n + 1e6 + t_micros − 1) div (1e6 + t_micros) — exact,
+    engine-portable, no float thresholds.
+
+    Candidates additionally pass the size filter (t·max(n_a,n_b) ≤
+    1e6·min — a necessary Jaccard condition) before exact verification
+    counts intersections over FULL token sets restricted to the
+    candidate pairs (the :func:`ngram_jaccard_pairs` discipline).
+
+    Scale shape (10^12 docs): rarest-first ordering makes the prefix
+    join key distribution MAXIMALLY skew-resistant — the corpus's hot
+    tokens (stopwords) land in suffixes and never become join keys; the
+    per-doc ranking window partitions by doc_id (never global); the
+    document-frequency table is vocabulary-sized. Verification touches
+    candidate pairs only.
+    """
+    if not 0 < threshold_micros <= 1_000_000:
+        raise ValueError("threshold_micros must be in (0, 1e6]")
+    t = tokens.select(F.col(id_col).alias("_id"),
+                      F.col(token_col).alias("token")).distinct()
+    sizes = t.groupBy("_id").agg(F.count("*").alias("n"))
+    freq = t.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("token"))
+    ranked = (
+        t.join(freq, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "_id")
+    )
+    denom = 1_000_000 + threshold_micros
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(
+            f"({threshold_micros}L * n + {denom - 1}L) div {denom}L"
+        )
+        + 1
+    ).select("_id", "token", "n")
+    a = prefix.select(F.col("_id").alias("a_id"),
+                      F.col("n").alias("n_a"), "token")
+    b = prefix.select(F.col("_id").alias("b_id"),
+                      F.col("n").alias("n_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.lit(threshold_micros)
+            * F.greatest("n_a", "n_b")
+            <= F.lit(1_000_000) * F.least("n_a", "n_b")
+        )
+        .select("a_id", "b_id", "n_a", "n_b")
+        .distinct()
+    )
+    ta = t.select(F.col("_id").alias("a_id"), "token")
+    tb = t.select(F.col("_id").alias("b_id"), "token")
+    inter = (
+        cand.join(ta, "a_id")
+        .join(tb, ["b_id", "token"])
+        .groupBy("a_id", "b_id", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.select(
+            "a_id",
+            "b_id",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+        )
+        .filter(
+            F.col("n_inter") * 1_000_000
+            >= F.lit(threshold_micros) * F.col("n_union")
+        )
+        .withColumn(
+            "jaccard_micros",
+            F.expr("(n_inter * 1000000L) div n_union").cast("long"),
+        )
+    )
