@@ -128,3 +128,68 @@ def test_priority_sample_weight_proportional_tendency(spark):
     df = _weighted(spark, [(i, 1) for i in range(100)] + [(999, 100000)])
     ids = {r["doc_id"] for r in priority_sample(df, "weight", k=5).collect()}
     assert 999 in ids
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def _tri_brute(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    # each triangle reaches a node via its 3 edges exactly... (a,b) sees
+    # c, (a,c) sees b, (b,c) sees a -> every node counted 3x per triangle
+    return {n: v // 3 for n, v in counts.items() if v}
+
+
+def test_triangles_k4(spark):
+    from tribeca_insights_spark.operators.linkgraph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, k4)).collect()
+    }
+    # K4 has 4 triangles; every node sits in exactly 3 of them.
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_star_has_none(spark):
+    from tribeca_insights_spark.operators.linkgraph import triangle_counts
+
+    e = _edges(spark, [(0, i) for i in range(1, 8)])
+    assert triangle_counts(e).count() == 0
+
+
+def test_triangles_ignore_selfloops_multiedges_direction(spark):
+    from tribeca_insights_spark.operators.linkgraph import triangle_counts
+
+    # one triangle, plus a self-loop, a duplicate edge, and a reversed
+    # duplicate -- none of which may change the count
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (1, 0), (2, 2), (0, 1)])
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(e).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_vs_brute_force(spark):
+    from tribeca_insights_spark.operators.linkgraph import triangle_counts
+
+    # deterministic pseudo-random graph incl. a high-degree hub (node 0)
+    pairs = [(0, i) for i in range(1, 20)]
+    pairs += [((i * 7) % 20, (i * 11 + 3) % 20) for i in range(40)]
+    expect = _tri_brute(pairs)
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, pairs)).collect()
+    }
+    assert out == expect

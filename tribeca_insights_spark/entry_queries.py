@@ -5779,6 +5779,61 @@ def q129_prefix_jaccard_join(spark, sf_dir):
     )
 
 
+@q(
+    "q130_triangle_counts",
+    """
+    WITH n AS (SELECT count(*) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS s, (doc_id + 1) % N AS d FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % N FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % N FROM documents, n
+    ),
+    und AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e WHERE s <> d
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def q130_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over a synthesized host graph
+    (operators/linkgraph.py:triangle_counts; Suri-Vassilvitskii
+    degree-oriented wedges). Each page links to (id+1)%N, (id+2)%N and
+    (7id+3)%N — the two ring families guarantee a dense triangle
+    population. The ORACLE is the brute-force x<y<z 3-way self-join;
+    the engine path never enumerates unoriented wedges: edges are
+    oriented low→high under the (degree, node) total order so each
+    triangle is produced exactly once from its lowest-order vertex,
+    which is what bounds wedge inflation on celebrity nodes at corpus
+    scale."""
+    from .operators.linkgraph import triangle_counts
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = None
+    for expr in (
+        (F.col("doc_id") + 1) % F.col("N"),
+        (F.col("doc_id") + 2) % F.col("N"),
+        (F.col("doc_id") * 7 + 3) % F.col("N"),
+    ):
+        part = base.select(
+            F.col("doc_id").alias("src"), expr.alias("dst")
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    return triangle_counts(edges)
+
+
 # ---------------------------------------------------------------------------
 
 

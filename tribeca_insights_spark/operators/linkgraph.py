@@ -374,3 +374,75 @@ def bfs_min_dist(
         for lv in levels:
             lv.unpersist()
     return out
+
+
+def triangle_counts(edges: DataFrame,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED
+    simple graph induced by ``edges`` — (node, n_triangles), nodes in
+    at least one triangle.
+
+    Reference has no graph analytics; beyond-reference capability for
+    link-graph curation (triangle density separates organic link
+    neighborhoods from spam farms — the classic TrustRank-era signal).
+
+    Algorithm (Suri & Vassilvitskii WWW'11 / Cohen's MapReduce
+    triangles): canonicalize to undirected distinct edges, then ORIENT
+    every edge from its lower endpoint to its higher endpoint under the
+    total order (degree, node). Each triangle then has exactly ONE
+    wedge rooted at its lowest-order vertex, so
+
+    - wedges are enumerated by self-joining oriented edges on the root
+      (u→v, u→w with ord(v) < ord(w)),
+    - a wedge is a triangle iff oriented edge (v, w) exists — one
+      equi-join probe, and each triangle is found exactly once (no /3
+      or /6 correction, no double counting).
+
+    Scale shape (10^9-node host graph): orientation bounds the wedge
+    count by sum(min_deg²-ish) — the degree-ordering trick keeps a
+    celebrity node with degree 10^7 from generating 10^14 wedges,
+    because ALL its edges point toward it (its out-degree under the
+    order is ~0; wedges root only at low-degree endpoints). Every step
+    is an equi-join or partial-agg groupBy; degrees are node-sized; no
+    windows, no driver-side graph state.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    withd = und.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    ori = withd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("degv"),
+    )
+    e1 = ori.select("u", F.col("v").alias("v1"), F.col("degv").alias("d1"))
+    e2 = ori.select("u", F.col("v").alias("v2"), F.col("degv").alias("d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = ori.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    return (
+        tris.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
