@@ -435,3 +435,63 @@ def test_recrawl_priority_custom_intervals(spark):
     )
     r = recrawl_priority(diffs, intervals=("slow", "fast")).first()
     assert r.recrawl_interval == "fast"
+
+
+# --- SCD2 history -----------------------------------------------------------
+
+
+def _scd2(spark, rows):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.plans.snapshot import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            Row(k=k, s=s, ts=datetime(2026, 1, d), eid=i)
+            for i, (k, s, d) in enumerate(rows)
+        ]
+    )
+    return sorted(
+        (
+            (r["k"], r["state"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None,
+             r["is_current"])
+            for r in scd2_history(
+                df, ["k"], "s", ts_col="ts", tiebreak_col="eid"
+            ).collect()
+        )
+    )
+
+
+def test_scd2_runs_collapse_and_intervals(spark):
+    # key a: A A B A -> three runs; key b: single open row
+    out = _scd2(
+        spark,
+        [("a", "A", 1), ("a", "A", 2), ("a", "B", 3), ("a", "A", 4),
+         ("b", "X", 2)],
+    )
+    assert out == [
+        ("a", "A", 1, 3, False),
+        ("a", "A", 4, None, True),
+        ("a", "B", 3, 4, False),
+        ("b", "X", 2, None, True),
+    ]
+
+
+def test_scd2_no_change_single_interval(spark):
+    out = _scd2(spark, [("a", "A", 1), ("a", "A", 5), ("a", "A", 9)])
+    assert out == [("a", "A", 1, None, True)]
+
+
+def test_scd2_at_time_t_lookup(spark):
+    # the point of the table: status AT day 3 for key a is the interval
+    # containing day 3
+    out = _scd2(
+        spark, [("a", "A", 1), ("a", "B", 2), ("a", "C", 6)]
+    )
+    covering = [
+        s for (_, s, lo, hi, _) in out if lo <= 3 and (hi is None or 3 < hi)
+    ]
+    assert covering == ["B"]

@@ -5834,6 +5834,42 @@ def q130_triangle_counts(spark, sf_dir):
     return triangle_counts(edges)
 
 
+@q(
+    "q131_scd2_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (SELECT * FROM o WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM c
+    """,
+)
+def q131_scd2_history(spark, sf_dir):
+    """Type-2 SCD history of each user's event_type runs
+    (plans/snapshot.py:scd2_history): run-length collapse + lead()
+    validity intervals, every window partitioned by the key — ONE hash
+    Exchange total, reused by all three window steps (the
+    answers-at-time-t companion to the reference's last-wins visited
+    view, storage.py:65-80). Ties on (user_id, ts) break on event_id,
+    so the history is replay-deterministic."""
+    from .plans.snapshot import scd2_history
+
+    ev = _read(spark, sf_dir, "events")
+    return scd2_history(
+        ev, ["user_id"], "event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -97,3 +97,58 @@ def recrawl_priority(
         "n_observations",
         expr.otherwise(F.lit(intervals[last])).alias("recrawl_interval"),
     )
+
+
+def scd2_history(
+    log: DataFrame,
+    key_cols,
+    state_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only
+    event log: one validity interval per OBSERVED STATE RUN —
+    (key…, state, valid_from, valid_to, is_current), where
+    ``valid_to IS NULL`` marks the open current row.
+
+    The reference's visited CSV (storage.py:65-80) keeps only the
+    last-wins current status; the warehouse-standard companion is the
+    full history table that answers "what was the status AT time t".
+    Built in three window steps, every window PARTITIONED BY THE KEY
+    (never global — at 10^12 log rows a key's history is tiny even when
+    the log is not):
+
+    1. order each key's events by (ts, tiebreak) and drop rows whose
+       state equals the previous state (run-length collapse — re-crawls
+       observing the same status create no new interval);
+    2. ``valid_from`` = the surviving row's ts, ``valid_to`` =
+       ``lead(valid_from)`` over the same key window;
+    3. ``is_current`` = ``valid_to IS NULL``.
+
+    Determinism: equal (key, ts) pairs are ordered by ``tiebreak_col``
+    (required if duplicates are possible — pass the event id). The
+    whole plan is ONE hash Exchange on the key (all three windows share
+    the partitioning) plus codegen projects.
+    """
+    keys = list(key_cols)
+    order = [F.asc(ts_col)] + (
+        [F.asc(tiebreak_col)] if tiebreak_col else []
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    collapsed = (
+        log.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col(state_col) != F.col("_prev"))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return collapsed.select(
+        *keys,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
