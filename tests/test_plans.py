@@ -159,3 +159,73 @@ def test_bucketed_interval_join_vs_naive(spark):
     k = lambda rows: sorted((r["event_id"], r["win_id"]) for r in rows)
     assert k(fast.collect()) == k(naive.collect())
     assert k(fast.collect())  # non-empty
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    from tribeca_insights_spark.operators.joins import salted_skew_join
+
+    # key "hot" has 40 rows (skewed); "a"/"b" are cold
+    big = spark.createDataFrame(
+        [(i, "hot" if i < 40 else ("a" if i % 2 else "b"))
+         for i in range(60)],
+        "id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3), ("unmatched", 4)],
+        "k string, v long",
+    )
+    out = salted_skew_join(big, dim, "k", salt_source="id",
+                           n_salts=4, hot_threshold=10)
+    plain = big.join(dim, "k")
+    key = lambda rows: sorted((r["id"], r["k"], r["v"]) for r in rows)
+    assert key(out.collect()) == key(plain.collect())
+    assert out.count() == 60
+
+
+def test_salted_skew_join_left_keeps_unmatched_once(spark):
+    from tribeca_insights_spark.operators.joins import salted_skew_join
+
+    big = spark.createDataFrame(
+        [(i, "hot") for i in range(30)] + [(99, "lonely")],
+        "id long, k string",
+    )
+    dim = spark.createDataFrame([("hot", 7)], "k string, v long")
+    out = salted_skew_join(big, dim, "k", salt_source="id",
+                           n_salts=3, hot_threshold=5, how="left")
+    rows = {(r["id"], r["v"]) for r in out.collect()}
+    assert (99, None) in rows
+    assert out.count() == 31  # no dim replication leaks into the result
+
+
+def test_salted_skew_join_actually_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.joins import salted_skew_join
+
+    big = spark.createDataFrame(
+        [(i, "hot") for i in range(64)], "id long, k string"
+    )
+    dim = spark.createDataFrame([("hot", 1)], "k string, v long")
+    # distinct crc32(id)%4 values over 64 ids must exceed 1 — the hot
+    # key's rows genuinely land in multiple salt buckets
+    n_buckets = (
+        big.select((F.crc32(F.col("id").cast("string")) % 4).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+    out = salted_skew_join(big, dim, "k", salt_source="id",
+                           n_salts=4, hot_threshold=5)
+    assert out.count() == 64
+
+
+def test_salted_skew_join_rejects_bad_args(spark):
+    import pytest
+
+    from tribeca_insights_spark.operators.joins import salted_skew_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError):
+        salted_skew_join(df, df, "k", "id", how="full")
+    with pytest.raises(ValueError):
+        salted_skew_join(df, df, "k", "id", n_salts=1)

@@ -5870,6 +5870,41 @@ def q131_scd2_history(spark, sf_dir):
     )
 
 
+@q(
+    "q132_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs,
+             CAST(sum(n_chars) AS BIGINT) AS lang_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.source, dim.lang_docs, dim.lang_chars
+    FROM documents d JOIN dim USING (lang)
+    """,
+)
+def q132_salted_skew_join(spark, sf_dir):
+    """Hot-key-salted equi-join (operators/joins.py:salted_skew_join):
+    documents joined to a per-lang dim where 'en' holds ~40% of all
+    rows. Hot keys (count >= 150) are detected by a map-combined
+    groupBy, big-side rows spread across 4 deterministic crc32 salt
+    buckets, dim rows replicated per salt — the join result is
+    PROVABLY identical to the plain join (the oracle IS the plain
+    join), while no reducer owns a hot key's full row set. The
+    pre-emptive complement to AQE skew splitting, for dims too big to
+    broadcast at corpus scale."""
+    from .operators.joins import salted_skew_join
+
+    d = _read(spark, sf_dir, "documents")
+    dim = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("lang_docs"),
+        F.sum("n_chars").cast("bigint").alias("lang_chars"),
+    )
+    return salted_skew_join(
+        d, dim, "lang", salt_source="doc_id", n_salts=4,
+        hot_threshold=150,
+    ).select("doc_id", "lang", "source", "lang_docs", "lang_chars")
+
+
 # ---------------------------------------------------------------------------
 
 

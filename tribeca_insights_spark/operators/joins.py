@@ -54,3 +54,81 @@ def bucketed_interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop(bucket)
+
+
+def salted_skew_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_source: str,
+    n_salts: int = 8,
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ dim`` on ``key`` with EXPLICIT hot-key salting —
+    result identical to ``big.join(dim, key, how)``, but no single
+    reducer ever owns a hot key's full row set.
+
+    AQE's skew-join split only rebalances SORT-MERGE joins after a
+    shuffle materializes; this operator is the classic pre-emptive form
+    for when the dim side is too big to broadcast outright but hot-key
+    replication is cheap:
+
+    1. hot keys = big-side counts ≥ ``hot_threshold`` (a partial-agg
+       groupBy — map-side combined, key-sized output), broadcast;
+    2. big rows get salt = crc32(``salt_source``) % n_salts on hot keys,
+       0 otherwise (deterministic — replay/resume stable, no rand());
+    3. dim rows for hot keys are REPLICATED across all n_salts salts
+       (explode of a literal sequence), others carry salt 0;
+    4. equi-join on (key, salt): every big row meets its dim row in
+       exactly one salt bucket, so no dedup and no lost/duplicated rows.
+
+    Cost at 10^12 rows: dim inflation = n_hot_keys · n_salts rows —
+    thousands, while the hot key's 10^9 big rows now spread over
+    n_salts reducers instead of one. ``how`` supports inner/left (the
+    dim side is replicated, so right/full outer would duplicate
+    unmatched dim rows — rejected).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_skew_join supports inner/left only")
+    if n_salts < 2:
+        raise ValueError("n_salts must be >= 2")
+    taken = set(big.columns) | set(dim.columns)
+    salt = "_salt"
+    while salt in taken:
+        salt = "_" + salt
+    hot = (
+        big.groupBy(key)
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= hot_threshold)
+        .select(key, F.lit(True).alias("_hot"))
+    )
+    b = (
+        big.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            salt,
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.crc32(F.col(salt_source).cast("string"))
+                % F.lit(n_salts),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .drop("_hot")
+    )
+    d = (
+        dim.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            salt,
+            F.explode(
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        F.lit(n_salts - 1).cast("bigint"),
+                    ),
+                ).otherwise(F.array(F.lit(0).cast("bigint")))
+            ),
+        )
+        .drop("_hot")
+    )
+    return b.join(d, [key, salt], how).drop(salt)
