@@ -75,3 +75,89 @@ class TestInvertedIndex:
             .queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "SinglePartition" not in plan
+
+
+# --- iterative BPE merge training -------------------------------------------
+
+
+def _py_bpe(texts, n_merges):
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) for w in words}
+    out = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (l, r), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((step, l, r, c))
+        for w, s in vocab.items():
+            m, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    m.append(l + r)
+                    i += 2
+                else:
+                    m.append(s[i])
+                    i += 1
+            vocab[w] = m
+    return out
+
+
+def test_bpe_train_matches_python_bpe(spark):
+    from tribeca_insights_spark.operators.bpe import bpe_train_merges
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest low newest",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(texts, 5)
+
+
+def test_bpe_train_merge_applies_before_next_round(spark):
+    from tribeca_insights_spark.operators.bpe import bpe_train_merges
+
+    # "aaaa" x3: round 1 merges (a,a) with count 3*3=9 (overlap-counted
+    # adjacency); round 2 must count pairs over [aa, aa] -- NOT raw chars
+    df = spark.createDataFrame([(0, "aaaa aaaa aaaa")],
+                               "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_train_multichar_symbol_boundaries(spark):
+    from tribeca_insights_spark.operators.bpe import bpe_train_merges
+
+    # after merging (a,b)->ab, the string "xab" is [x, ab]; a naive
+    # unanchored replace could corrupt "ab" inside other contexts --
+    # the sentinel wrapping must keep symbols atomic
+    texts = ["ab ab ab xab xab ba"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(texts, 3)
+
+
+def test_bpe_train_rejects_bad_nmerges(spark):
+    import pytest
+
+    from tribeca_insights_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_train_merges(df, n_merges=0)

@@ -5905,6 +5905,88 @@ def q132_salted_skew_join(spark, sf_dir):
     ).select("doc_id", "lang", "source", "lang_docs", "lang_chars")
 
 
+@q(
+    "q133_bpe_train_merges",
+    """
+    WITH vocab AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY word
+    ),
+    v0 AS (
+      SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30),
+                            'g') AS sym, freq
+      FROM vocab
+    ),
+    p1 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, freq
+      FROM (SELECT str_split(substr(sym, 2, length(sym) - 2),
+                             chr(30) || chr(31)) AS l, freq FROM v0),
+           unnest(range(1, len(l))) AS t(i)
+    ),
+    m1 AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p1
+      GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v1 AS (
+      SELECT replace(sym,
+               chr(31) || a || chr(30) || chr(31) || b || chr(30),
+               chr(31) || a || b || chr(30)) AS sym, freq
+      FROM v0, m1
+    ),
+    p2 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, freq
+      FROM (SELECT str_split(substr(sym, 2, length(sym) - 2),
+                             chr(30) || chr(31)) AS l, freq FROM v1),
+           unnest(range(1, len(l))) AS t(i)
+    ),
+    m2 AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p2
+      GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v2 AS (
+      SELECT replace(sym,
+               chr(31) || a || chr(30) || chr(31) || b || chr(30),
+               chr(31) || a || b || chr(30)) AS sym, freq
+      FROM v1, m2
+    ),
+    p3 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, freq
+      FROM (SELECT str_split(substr(sym, 2, length(sym) - 2),
+                             chr(30) || chr(31)) AS l, freq FROM v2),
+           unnest(range(1, len(l))) AS t(i)
+    ),
+    m3 AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p3
+      GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    )
+    SELECT 1 AS step, a AS "left", b AS "right", cnt AS pair_count
+    FROM m1
+    UNION ALL
+    SELECT 2, a, b, cnt FROM m2
+    UNION ALL
+    SELECT 3, a, b, cnt FROM m3
+    """,
+)
+def q133_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, first 3 merges learned greedily with
+    each merge applied before the next count
+    (operators/bpe.py:bpe_train_merges). One corpus-sized shuffle
+    total (word frequencies); each round is |V|-sized pair counting +
+    a TakeOrderedAndProject top-1 argmax cross-joined back as a
+    broadcast 1-row table — NO driver action inside the loop, the
+    whole recurrence is one lazy plan. Merges are literal replaces on
+    a sentinel-delimited symbol string, boundary-safe by construction
+    and identically non-overlapping left-to-right in Spark, DuckDB and
+    Python (pinned against a pure-Python BPE in tests). The ORACLE
+    unrolls the identical 3-round recurrence in SQL."""
+    from .operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(
+        _read(spark, sf_dir, "documents"), n_merges=3
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

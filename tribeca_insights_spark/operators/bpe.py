@@ -67,3 +67,110 @@ def bpe_pair_counts(
         F.countDistinct("word").alias("n_words"),
     )
     return agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(topk)
+
+
+# sentinel pair wrapping every symbol: literal replace of a pair pattern
+# can then never match across a symbol boundary (the classic BPE regex
+# uses lookarounds, which RE2-family engines don't support — delimiters
+# give the same guarantee with plain literal replace, identically
+# left-to-right non-overlapping in Spark, DuckDB and Python)
+_SL = "\x1f"   # symbol start
+_SR = "\x1e"   # symbol end
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full BPE training LOOP for the first ``n_merges`` merges:
+    (step, left, right, pair_count) — the merge table a tokenizer
+    trainer emits, learned greedily (argmax pair count, ties on
+    (left, right) ascending) with each round's merge APPLIED to the
+    vocabulary before the next round counts.
+
+    Extends :func:`bpe_pair_counts` (the single-round primitive) to the
+    real training recurrence. Plan shape per round — everything after
+    the one corpus-sized word-frequency groupBy is |V|-sized:
+
+    - adjacent pairs via an index-transform + explode over the split
+      symbol list (|V|·avg_len rows);
+    - the argmax is a TakeOrderedAndProject top-1, CROSS-JOINED BACK AS
+      A BROADCAST 1-ROW TABLE — no driver action inside the loop, the
+      whole n_merges recurrence is one lazy plan;
+    - the merge itself is a literal ``F.replace`` on the
+      sentinel-delimited symbol string (boundary-safe by construction,
+      see module sentinels) — per-row codegen, no shuffle.
+
+    Symbols are wrapped ⟨s⟩ = ``\\x1f s \\x1e``; input text containing
+    the sentinel codepoints (U+001F/U+001E — absent from any sane
+    corpus; the reference's tokenizer strips control chars anyway) is
+    rejected defensively by a filter rather than silently corrupted.
+
+    At real tokenizer scale (30k merges) the driver loop stays this
+    shape with a localCheckpoint every ~50 rounds to truncate lineage;
+    n_merges here is small enough that one lazy plan is both faster
+    and oracle-replayable closed-form.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(~F.col("word").contains(_SL) & ~F.col("word").contains(_SR))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = vocab.select(
+        F.regexp_replace("word", "(.)", f"{_SL}$1{_SR}").alias("sym"),
+        "freq",
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(sym, 2, length(sym) - 2)"), _SR + _SL
+        )
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("left"),
+                        F.element_at(syms, i + 1).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        ).filter(F.size(syms) > 1)
+        best = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                "left", "right", "pair_count",
+            )
+        )
+        cur = cur.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("left").alias("_ml"), F.col("right").alias("_mr")
+                )
+            )
+        ).select(
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(_SL), "_ml", F.lit(_SR + _SL), "_mr",
+                         F.lit(_SR)),
+                F.concat(F.lit(_SL), "_ml", "_mr", F.lit(_SR)),
+            ).alias("sym"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
