@@ -229,3 +229,60 @@ def test_salted_skew_join_rejects_bad_args(spark):
         salted_skew_join(df, df, "k", "id", how="full")
     with pytest.raises(ValueError):
         salted_skew_join(df, df, "k", "id", n_salts=1)
+
+
+def test_compaction_plan_next_fit_groups(spark):
+    from tribeca_insights_spark.plans.compaction import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    files = spark.createDataFrame(
+        # partition p: 60+60 (group 0, cum_excl 0,60) | 60 starts at 120
+        # -> group 1 | 200-byte monster starts at 180 -> group 1 too |
+        # next starts at 380 -> group 3
+        [("p", 1, 60), ("p", 2, 60), ("p", 3, 60), ("p", 4, 200),
+         ("p", 5, 10), ("q", 1, 1)],
+        "part string, file_id long, bytes long",
+    )
+    plan = compaction_plan(files, ["part"], target_bytes=100)
+    got = {
+        (r["part"], r["file_id"]): r["group_id"] for r in plan.collect()
+    }
+    assert got == {("p", 1): 0, ("p", 2): 0, ("p", 3): 1, ("p", 4): 1,
+                   ("p", 5): 3, ("q", 1): 0}
+    summ = {
+        (r["part"], r["group_id"]): (r["n_files"], r["group_bytes"])
+        for r in compaction_summary(plan, ["part"]).collect()
+    }
+    assert summ[("p", 0)] == (2, 120)
+    assert summ[("p", 1)] == (2, 260)
+    assert summ[("q", 0)] == (1, 1)
+
+
+def test_compaction_plan_partition_independence(spark):
+    from tribeca_insights_spark.plans.compaction import compaction_plan
+
+    files = spark.createDataFrame(
+        [(p, i, 50) for p in ("a", "b") for i in range(6)],
+        "part string, file_id long, bytes long",
+    )
+    plan = compaction_plan(files, ["part"], target_bytes=100)
+    # identical per-partition layout -> identical group sequence in each
+    for p in ("a", "b"):
+        ids = sorted(
+            (r["file_id"], r["group_id"])
+            for r in plan.filter(F.col("part") == p).collect()
+        )
+        assert ids == [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2), (5, 2)]
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest
+
+    from tribeca_insights_spark.plans.compaction import compaction_plan
+
+    df = spark.createDataFrame([("a", 1, 1)],
+                               "part string, file_id long, bytes long")
+    with pytest.raises(ValueError):
+        compaction_plan(df, ["part"], target_bytes=0)

@@ -5987,6 +5987,44 @@ def q133_bpe_train_merges(spark, sf_dir):
     )
 
 
+@q(
+    "q134_compaction_plan",
+    """
+    WITH plan AS (
+      SELECT source, doc_id, n_chars,
+             CAST((sum(n_chars) OVER
+                     (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_chars) // 2000
+                  AS BIGINT) AS group_id
+      FROM documents
+    )
+    SELECT source, group_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS group_bytes
+    FROM plan GROUP BY source, group_id
+    """,
+)
+def q134_compaction_plan(spark, sf_dir):
+    """Small-file compaction work-list
+    (plans/compaction.py:compaction_plan + compaction_summary):
+    documents stand in for the per-partition file manifest (file =
+    doc, bytes = n_chars, table partition = source, target = 2000).
+    Streaming next-fit in manifest order — group_id = exclusive
+    running sum div target, ONE window partitioned by the table
+    partition (never global), zero data files read. The maintenance
+    pass that keeps a per-partition-checkpointed 10^12-doc ingest from
+    drowning in small files; summary rows are the compactor's output
+    files."""
+    from .plans.compaction import compaction_plan, compaction_summary
+
+    d = _read(spark, sf_dir, "documents")
+    plan = compaction_plan(
+        d.select("source", "doc_id", "n_chars"),
+        ["source"], size_col="n_chars", file_col="doc_id",
+        target_bytes=2000,
+    )
+    return compaction_summary(plan, ["source"], size_col="n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 
