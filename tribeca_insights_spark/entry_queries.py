@@ -6025,6 +6025,208 @@ def q134_compaction_plan(spark, sf_dir):
     return compaction_summary(plan, ["source"], size_col="n_chars")
 
 
+@q(
+    "q135_label_propagation",
+    """
+    WITH n AS (SELECT count(*) AS N FROM documents),
+    e0 AS (
+      SELECT doc_id AS s, (doc_id + 1) % N AS d FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % N FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % N FROM documents, n
+    ),
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT s AS u, d AS v FROM e0 WHERE s <> d
+        UNION ALL
+        SELECT d AS u, s AS v FROM e0 WHERE s <> d
+      )
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    r1 AS (
+      SELECT s.u AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2
+    ),
+    b1 AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER
+          (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM r1
+      ) WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT nodes.node, coalesce(b1.label, nodes.node) AS label
+      FROM nodes LEFT JOIN b1 USING (node)
+    ),
+    r2 AS (
+      SELECT s.u AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2
+    ),
+    b2 AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER
+          (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM r2
+      ) WHERE rn = 1
+    )
+    SELECT nodes.node, coalesce(b2.label, nodes.node) AS label
+    FROM nodes LEFT JOIN b2 USING (node)
+    """,
+)
+def q135_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities, 2 rounds, on the
+    same ring+hash host graph as q130
+    (operators/linkgraph.py:label_propagation). Deterministic
+    GraphX-style LPA: adopt the most frequent neighbor label from the
+    PREVIOUS round, ties to the smallest label. The engine's per-node
+    argmax is min(struct(-count, label)) — a plain HashAggregate, no
+    window and no driver action inside the loop; the ORACLE replays
+    both rounds with window row_number argmax, proving the
+    aggregate-only form equivalent."""
+    from .operators.linkgraph import label_propagation
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = None
+    for expr in (
+        (F.col("doc_id") + 1) % F.col("N"),
+        (F.col("doc_id") + 2) % F.col("N"),
+        (F.col("doc_id") * 7 + 3) % F.col("N"),
+    ):
+        part = base.select(
+            F.col("doc_id").alias("src"), expr.alias("dst")
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    return label_propagation(edges, n_iter=2)
+
+
+@q(
+    "q136_funnel_stages",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+           CAST(1 + (CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END)
+                AS INT) AS stage_reached
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def q136_funnel_stages(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user
+    (operators/funnel.py:funnel_stages): t_i = earliest step-i event
+    STRICTLY AFTER t_{i-1}. Chained conditional-min aggregates joined
+    back on the user key — each stage is one keyed shuffle of slim
+    (user, ts) rows, no window over the raw stream, no per-user event
+    arrays, so a 10^6-event power user costs min() and nothing
+    more."""
+    from .operators.funnel import funnel_stages
+
+    return funnel_stages(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@q(
+    "q137_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_date,
+           CAST(date_diff('day', cohort_date, CAST(ts AS DATE))
+                AS INT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q137_retention_cohorts(spark, sf_dir):
+    """Cohort-retention matrix (operators/funnel.py:retention_cohorts):
+    users cohorted by first-event DATE, counted active at each day
+    offset. User-keyed first-event aggregate → same-key join →
+    (cohort, offset) partial-agg distinct count; every intermediate
+    beyond the first map-side combine is user-count-sized, never
+    event-count-sized."""
+    from .operators.funnel import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf_dir, "events"))
+
+
+@q(
+    "q138_grouped_ols",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(floor(value * 1000000) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY event_type
+    ),
+    k AS (
+      SELECT *, (n * sxy - sx * sy) AS num,
+             (n * sxx - sx * sx) AS den
+      FROM s
+    ),
+    sl AS (
+      SELECT *, CASE WHEN den > 0 THEN
+               (num - ((num % den + den) % den)) // den END AS slope
+      FROM k
+    )
+    SELECT event_type, n,
+           CAST(slope AS BIGINT) AS slope_micros,
+           CAST(CASE WHEN den > 0 THEN
+                  ((sy - slope * sx)
+                   - (((sy - slope * sx) % n + n) % n)) // n
+                END AS BIGINT) AS intercept_micros
+    FROM sl
+    """,
+)
+def q138_grouped_ols(spark, sf_dir):
+    """Exact-integer least-squares trend per event_type
+    (operators/stats.py:grouped_ols): y = event value in micros, x =
+    day offset from 2024-01-01. One partial-agg groupBy collects the
+    five sufficient statistics as BIGINTs (bit-stable under any
+    partitioning — what float regr_slope cannot promise at 10^12
+    rows); slope/intercept are pmod-adjusted floor divisions, so
+    engine `div` and oracle `//` agree by construction."""
+    from .operators.stats import grouped_ols
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint").alias("x"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("y"),
+    )
+    return grouped_ols(ev, ["event_type"], "x", "y")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -446,3 +446,67 @@ def triangle_counts(edges: DataFrame,
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 2,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """SYNCHRONOUS label-propagation community detection over the
+    undirected graph — (node, label) after ``n_iter`` rounds, every
+    node initialized to its own id.
+
+    Update rule (deterministic — no random visit order): each round,
+    every node adopts the label that is most frequent among its
+    neighbors' PREVIOUS-round labels, ties broken by smallest label;
+    isolated nodes keep their own. GraphX/GraphFrames LPA semantics,
+    made replay-stable by the total tie-break.
+
+    Plan shape per round (10^9-node host graph): edge⋈label equi-join
+    on the neighbor endpoint, a (node, label) partial-agg count, and a
+    per-node argmax as ``min(struct(-count, label))`` — an ordinary
+    reusable HashAggregate, NO window and NO driver action in the
+    loop. Labels persist per round to truncate lineage (unpersisted
+    when superseded); synchronous updates also dodge the oscillation
+    pathologies of async LPA on bipartite-ish link graphs — at corpus
+    scale you run ~5 rounds and take the fixpoint-ish communities.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    sym = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("u"), F.col(src).alias("v")
+            )
+        )
+        .distinct()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    for _ in range(n_iter):
+        neigh = sym.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        best = (
+            neigh.groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"),
+                             F.col("label").alias("lb"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.lb").alias("label"))
+        )
+        nxt = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("label", F.col("node")).alias("label"),
+            )
+            .persist()
+        )
+        labels.unpersist()
+        labels = nxt
+    return labels
