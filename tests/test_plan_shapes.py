@@ -335,3 +335,94 @@ def test_exact_substring_no_window_sort(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_triangle_and_lpa_no_window_no_cartesian(spark):
+    """Graph rounds must stay joins + HashAggregates: a WindowExec or
+    an unbounded CartesianProduct in the loop is the 10^12-node
+    scale-killer (the q84 lesson)."""
+    from tribeca_insights_spark.operators.linkgraph import (
+        label_propagation,
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    for df in (triangle_counts(e), label_propagation(e, n_iter=2)):
+        p = _plan(df)
+        assert "WindowExec" not in p
+        assert "CartesianProduct" not in p
+
+
+def test_salted_join_hot_dim_broadcast_and_salted_partitioning(spark):
+    """Hot-key marking must ride BroadcastHashJoins (the hot-key dim is
+    key-sized) and the main join must shuffle on (key, salt) — salt
+    missing from the partitioning means the skew is back."""
+    from tribeca_insights_spark.operators.joins import salted_skew_join
+
+    big = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(30)], "id long, k string"
+    )
+    dim = spark.createDataFrame(
+        [("k0", 1), ("k1", 2), ("k2", 3)], "k string, v long"
+    )
+    p = _plan(salted_skew_join(big, dim, "k", "id", n_salts=4,
+                               hot_threshold=5))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "_salt" in p  # join keys include the salt column
+
+
+def test_scd2_single_exchange(spark):
+    """All three SCD2 window steps must share ONE hash Exchange on the
+    key — a second Exchange means the windows disagree on
+    partitioning."""
+    import datetime as dt
+
+    from tribeca_insights_spark.plans.snapshot import scd2_history
+
+    log = spark.createDataFrame(
+        [(1, "a", dt.datetime(2026, 1, 1), 1)],
+        "k long, s string, ts timestamp, eid long",
+    )
+    p = _plan(scd2_history(log, ["k"], "s", tiebreak_col="eid"))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in p
+
+
+def test_compaction_window_is_partitioned(spark):
+    from tribeca_insights_spark.plans.compaction import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 1, 10)], "part string, file_id long, bytes long"
+    )
+    p = _plan(compaction_plan(files, ["part"]))
+    assert "SinglePartition" not in p
+    assert "Exchange hashpartitioning" in p
+
+
+def test_funnel_no_window_user_sized_shuffles(spark):
+    import datetime as dt
+
+    from tribeca_insights_spark.operators.funnel import funnel_stages
+
+    ev = spark.createDataFrame(
+        [(1, "view", dt.datetime(2026, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    p = _plan(funnel_stages(ev, ["view", "click", "purchase"]))
+    assert "WindowExec" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ols_single_aggregate_no_window(spark):
+    from tribeca_insights_spark.operators.stats import grouped_ols
+
+    rows = spark.createDataFrame(
+        [("g", 1, 2)], "g string, x long, y long"
+    )
+    p = _plan(grouped_ols(rows, ["g"], "x", "y"))
+    assert "WindowExec" not in p
+    # two-phase hash agg over one Exchange; the stats never sort
+    assert "SortAggregate" not in p
