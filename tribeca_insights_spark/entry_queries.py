@@ -6227,6 +6227,237 @@ def q138_grouped_ols(spark, sf_dir):
     return grouped_ols(ev, ["event_type"], "x", "y")
 
 
+@q(
+    "q139_stupid_backoff",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, is_t, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+      FROM (SELECT doc_id, is_t, l, unnest(range(1, len(l) - 1)) AS i
+            FROM toks WHERE len(l) >= 3)
+    ),
+    big AS (
+      SELECT doc_id, is_t, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, is_t, l, unnest(range(1, len(l))) AS i
+            FROM toks)
+    ),
+    uni AS (SELECT doc_id, is_t, unnest(l) AS w FROM toks),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri
+             WHERE is_t GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+            WHERE is_t GROUP BY 1, 2),
+    c23 AS (SELECT w1 AS w2, w2 AS w3, count(*) AS c23 FROM big
+            WHERE is_t GROUP BY 1, 2),
+    c2 AS (SELECT w AS w2, count(*) AS c2 FROM uni
+           WHERE is_t GROUP BY 1),
+    c3 AS (SELECT w AS w3, count(*) AS c3 FROM uni
+           WHERE is_t GROUP BY 1),
+    nt AS (SELECT count(*) AS N FROM uni WHERE is_t)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CAST(floor(1e6 * (
+             CASE
+               WHEN c123.c123 IS NOT NULL
+                 THEN ln(c123.c123 / c12.c12)
+               WHEN c23.c23 IS NOT NULL
+                 THEN ln(0.4) + ln(c23.c23 / c2.c2)
+               ELSE ln(0.4) + ln(0.4)
+                    + ln(greatest(coalesce(c3.c3, 0), 1) / N)
+             END)) AS BIGINT)) AS BIGINT) AS sb_logprob_micros
+    FROM tri t
+    LEFT JOIN c123 USING (w1, w2, w3)
+    LEFT JOIN c12 USING (w1, w2)
+    LEFT JOIN c23 USING (w2, w3)
+    LEFT JOIN c2 USING (w2)
+    LEFT JOIN c3 USING (w3)
+    CROSS JOIN nt
+    GROUP BY t.doc_id
+    """,
+)
+def q139_stupid_backoff(spark, sf_dir):
+    """Trigram Stupid-Backoff quality score
+    (operators/lm.py:stupid_backoff_score; Brants EMNLP'07 — the LM
+    scheme DESIGNED for MapReduce scale): relative frequencies + fixed
+    0.4 backoff, no normalization pass, the model is just count tables
+    living in the dataflow. English slice trains; every doc scores via
+    three LEFT equi-joins against vocabulary-bounded counts + a
+    broadcast 1-row N. Per-trigram logs floor to integer micros BEFORE
+    the doc sum — aggregation-order-free, hence hash-oracle-able."""
+    from .operators.lm import stupid_backoff_score
+
+    d = _read(spark, sf_dir, "documents")
+    return stupid_backoff_score(d, F.col("lang") == "en")
+
+
+@q(
+    "q140_edit_distance_neardup",
+    _SIMHASH_CTES
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, j AS band,
+             (simhash // CAST(power(2, j * 8) AS BIGINT)) % 256
+               AS band_val
+      FROM simhashes CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    lv AS (
+      SELECT c.a_id, c.b_id, c.hamming,
+             CAST(levenshtein(da.text, db.text) AS INT) AS lev,
+             greatest(length(da.text), length(db.text)) AS mx
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.a_id
+      JOIN documents db ON db.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, hamming, lev,
+           CAST(CASE WHEN mx = 0 THEN 1000000
+                     ELSE ((mx - lev) * 1000000) // mx END
+                AS BIGINT) AS edit_sim_micros
+    FROM lv
+    WHERE (CASE WHEN mx = 0 THEN 1000000
+                ELSE ((mx - lev) * 1000000) // mx END) >= 500000
+    """,
+)
+def q140_edit_distance_neardup(spark, sf_dir):
+    """Edit-distance-verified near-duplicates
+    (operators/dedup.py:edit_distance_verify composed behind
+    simhash_near_pairs): SimHash banded candidates (Hamming ≤ 6)
+    verified by EXACT JVM Levenshtein, kept at ≥ 50% character edit
+    similarity. The O(n·m) verifier's cost is bounded by the banded
+    candidate count, never the corpus pair count — the discipline that
+    makes exact edit distance usable at 10^12 docs."""
+    from .operators.dedup import (
+        edit_distance_verify,
+        simhash32,
+        simhash_near_pairs,
+    )
+
+    t = _tokens_df(spark, sf_dir)
+    tc = (
+        t.select("doc_id", F.explode("tokens").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = simhash_near_pairs(simhash32(tc), max_hamming=6)
+    d = _read(spark, sf_dir, "documents")
+    return edit_distance_verify(pairs, d, min_sim_micros=500_000)
+
+
+@q(
+    "q141_lexical_diversity",
+    """
+    WITH w AS (
+      SELECT lang, unnest(list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               x -> length(x) > 0)) AS w
+      FROM documents
+    ),
+    wc AS (SELECT lang, w, count(*) AS c FROM w GROUP BY lang, w),
+    a AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM wc GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types, n_hapax,
+           CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micros,
+           CAST(n_hapax * 1000000 // n_types AS BIGINT)
+             AS hapax_frac_micros
+    FROM a
+    """,
+)
+def q141_lexical_diversity(spark, sf_dir):
+    """Per-language lexical-diversity profile
+    (operators/textstats.py:lexical_diversity): type-token ratio and
+    hapax fraction in integer micros. One (lang, word) map-combined
+    groupBy (vocabulary-sized output) + a language-sized rollup —
+    never countDistinct over the raw token stream, never a window."""
+    from .operators.textstats import lexical_diversity
+
+    return lexical_diversity(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q142_decayed_activity",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(
+             CAST(floor(value * 1000000) AS BIGINT)
+             // CAST(power(2, least(greatest(
+                  date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'),
+                  0), 62)) AS BIGINT)
+           ) AS BIGINT) AS decayed_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def q142_decayed_activity(spark, sf_dir):
+    """Exponentially time-decayed per-user activity
+    (operators/stats.py:decayed_activity): half-life 1 day anchored at
+    2024-01-31. The decay divisor is a power of two applied as an
+    ARITHMETIC RIGHT SHIFT — exact BIGINT per-row, so the per-key sum
+    is aggregation-order independent (float exp(-λ·age) cannot
+    hash-match an oracle). One map-combined groupBy, decay in
+    codegen."""
+    from .operators.stats import decayed_activity
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 1_000_000).cast("bigint")
+        .alias("value_micros"),
+    )
+    return decayed_activity(ev, "2024-01-31", half_life_days=1)
+
+
+@q(
+    "q143_skew_report",
+    """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT count(*) AS tot FROM documents),
+    r AS (
+      SELECT source, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, source) AS rn,
+             sum(n_rows) OVER (ORDER BY n_rows DESC, source
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    )
+    SELECT source, n_rows,
+           CAST(n_rows * 1000000 // tot AS BIGINT) AS share_micros,
+           CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_micros
+    FROM r, t WHERE rn <= 8
+    """,
+)
+def q143_skew_report(spark, sf_dir):
+    """Join/agg skew diagnostics (operators/stats.py:skew_report): the
+    top-8 heaviest `source` keys with individual and cumulative row
+    share in micros — the broadcast-vs-salt-vs-AQE decision table.
+    Key-sized groupBy → TakeOrderedAndProject top-k → array prefix-sum
+    in codegen (NO window, not even a k-row one: a global WindowExec
+    would log the single-partition WARN this repo bans from bench
+    tails). The oracle uses the window form — hash equality proves the
+    array form equivalent."""
+    from .operators.stats import skew_report
+
+    return skew_report(_read(spark, sf_dir, "documents"), "source",
+                       topk=8)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -274,3 +274,105 @@ def bigram_lm_score_grouped(docs: DataFrame, group_col: str = "lang",
         F.count("*").alias("n_bigrams"),
         F.sum("_lp_micros").alias("lm_logprob_micros"),
     ).withColumnRenamed("_g", group_col)
+
+
+def stupid_backoff_score(docs: DataFrame, target_col,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-document TRIGRAM Stupid-Backoff log-score:
+    (id, n_trigrams, sb_logprob_micros).
+
+    Stupid Backoff (Brants et al., EMNLP 2007 — the scheme DESIGNED for
+    MapReduce-scale LMs) replaces smoothed probabilities with relative
+    frequencies and a fixed 0.4 back-off factor, so the "model" is just
+    count tables and scoring needs no normalization pass:
+
+        S(w3|w1 w2) = c123/c12             if c123 > 0
+                      0.4 · S(w3|w2)       otherwise
+        S(w3|w2)    = c23/c2               if c23 > 0
+                      0.4 · S(w3)          otherwise
+        S(w3)       = max(c3, 1)/N         (unseen unigrams → 1/N)
+
+    Counts come from the ``target_col`` training slice (same contract
+    as :func:`bigram_lm_score`). Scoring = three LEFT equi-joins of the
+    doc trigram stream against corpus-vocabulary-bounded count tables +
+    a broadcast 1-row N; the per-trigram log is floored to integer
+    micros BEFORE the per-doc sum (aggregation-order-free, exactly
+    statable by the DuckDB oracle). Docs with <3 tokens emit no row.
+    """
+    from .dsir import _words
+
+    toks = docs.select(
+        F.col(id_col), target_col.alias("_is_t"),
+        _words(F.col(text_col)).alias("_l"),
+    )
+    n = F.size("_l")
+    tri = toks.filter(n >= 3).select(
+        id_col, "_is_t",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_l", 1, n - 2).alias("w1"),
+                F.slice("_l", 2, n - 2).alias("w2"),
+                F.slice("_l", 3, n - 2).alias("w3"),
+            )
+        ).alias("_t"),
+    ).select(id_col, "_is_t",
+             F.col("_t.w1").alias("_w1"),
+             F.col("_t.w2").alias("_w2"),
+             F.col("_t.w3").alias("_w3"))
+    uni = toks.select(id_col, "_is_t", F.explode("_l").alias("_w"))
+    big = toks.filter(n >= 2).select(
+        id_col, "_is_t",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_l", 1, n - 1).alias("w1"),
+                F.slice("_l", 2, n - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_is_t", F.col("_p.w1").alias("_w1"),
+             F.col("_p.w2").alias("_w2"))
+
+    t = lambda df: df.filter("_is_t")
+    c123 = t(tri).groupBy("_w1", "_w2", "_w3").agg(
+        F.count("*").alias("_c123"))
+    c12 = t(big).groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c23 = t(big).select(F.col("_w1").alias("_w2"),
+                        F.col("_w2").alias("_w3")).groupBy(
+        "_w2", "_w3").agg(F.count("*").alias("_c23"))
+    c2 = t(uni).groupBy(F.col("_w").alias("_w2")).agg(
+        F.count("*").alias("_c2"))
+    c3 = t(uni).groupBy(F.col("_w").alias("_w3")).agg(
+        F.count("*").alias("_c3"))
+    ntot = t(uni).agg(F.count("*").alias("_N"))
+
+    ln04 = F.log(F.lit(0.4))
+    lp = (
+        F.when(
+            F.col("_c123").isNotNull(),
+            F.log(F.col("_c123") / F.col("_c12")),
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            ln04 + F.log(F.col("_c23") / F.col("_c2")),
+        )
+        .otherwise(
+            ln04 + ln04
+            + F.log(
+                F.greatest(F.coalesce("_c3", F.lit(0)), F.lit(1))
+                / F.col("_N")
+            )
+        )
+    )
+    scored = (
+        tri.join(c123, ["_w1", "_w2", "_w3"], "left")
+        .join(c12, ["_w1", "_w2"], "left")
+        .join(c23, ["_w2", "_w3"], "left")
+        .join(c2, "_w2", "left")
+        .join(c3, "_w3", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(id_col, F.floor(F.lit(1e6) * lp).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("_lp").alias("sb_logprob_micros"),
+    )

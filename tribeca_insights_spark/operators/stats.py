@@ -71,3 +71,107 @@ def grouped_ols(
         f"CAST({slope} AS BIGINT) AS slope_micros",
         f"CAST({intercept} AS BIGINT) AS intercept_micros",
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    anchor_date,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_micros_col: str = "value_micros",
+    half_life_days: int = 1,
+) -> DataFrame:
+    """Exponentially time-decayed activity score per key:
+    (key, n_events, decayed_micros) with
+
+        decayed_micros = Σ_events  value_micros div 2^(age/half_life)
+
+    where age = whole days from the event date to ``anchor_date``
+    (clamped at ≥ 0). The freshness weighting behind recrawl frontiers
+    and trending-host ranking — recent signal counts full, signal one
+    half-life old counts half, and so on.
+
+    EXACT integer arithmetic: the decay factor is a power-of-two
+    divisor (2^k is exact in BIGINT for k < 63; older events simply
+    floor to 0), so the per-key sum is aggregation-order independent —
+    the float ``exp(-λ·age)`` form cannot hash-match an oracle at any
+    scale. ONE map-combined groupBy; the decay is per-row codegen.
+    """
+    age = F.greatest(
+        F.datediff(F.lit(anchor_date).cast("date"),
+                   F.to_date(F.col(ts_col))),
+        F.lit(0),
+    )
+    k = F.least(
+        F.floor(age / F.lit(half_life_days)).cast("int"), F.lit(62)
+    )
+    # div by 2^k == arithmetic right shift: exact, no float anywhere
+    # (call_function: the F.shiftright wrapper only takes literal bits)
+    per_row = F.call_function(
+        "shiftright", F.col(value_micros_col).cast("bigint"), k
+    )
+    return events.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(per_row).cast("bigint").alias("decayed_micros"),
+    )
+
+
+def skew_report(
+    rows: DataFrame,
+    key_col: str,
+    topk: int = 10,
+) -> DataFrame:
+    """Join/agg skew diagnostics for a key column: the top-``topk``
+    heaviest keys with (key, n_rows, share_micros, cum_share_micros) —
+    the numbers that decide broadcast vs salt vs AQE before a big join
+    is launched.
+
+    share_micros = key count · 1e6 div total; cum_share_micros is the
+    running share over the ranked heavy keys, so "top 3 keys own 60%
+    of rows" is one glance. Plan: ONE map-combined groupBy (key-sized
+    output), a TakeOrderedAndProject top-k, then a k-row window —
+    bounded at k rows, never corpus- or key-sized. Ties rank by key
+    ascending for replay determinism.
+    """
+    total = rows.groupBy().agg(F.count("*").alias("_tot"))
+    counts = rows.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc(key_col)).limit(topk)
+    # cumulative share WITHOUT a window (even a k-row global WindowExec
+    # would log the single-partition WARN this repo bans from bench
+    # tails): pack the k rows into one sorted array, prefix-sum with
+    # aggregate() in codegen, posexplode back. O(k^2) on k=topk rows.
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_rows")).alias("neg"),
+                    F.col(key_col).alias("k"),
+                    F.col("n_rows").alias("n"),
+                )
+            )
+        ).alias("a")
+    )
+    exploded = arr.select(
+        F.posexplode(
+            F.transform(
+                "a",
+                lambda s, i: F.struct(
+                    s["k"].alias("k"),
+                    s["n"].alias("n"),
+                    F.aggregate(
+                        F.slice("a", F.lit(1), i + 1),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x["n"],
+                    ).alias("cum"),
+                ),
+            )
+        ).alias("_pos", "s")
+    )
+    return exploded.crossJoin(F.broadcast(total)).select(
+        F.col("s.k").alias(key_col),
+        F.col("s.n").alias("n_rows"),
+        F.expr("s.n * 1000000L div _tot").alias("share_micros"),
+        F.expr("s.cum * 1000000L div _tot").alias("cum_share_micros"),
+    )

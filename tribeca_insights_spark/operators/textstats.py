@@ -568,3 +568,45 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
             for name, c in counts.items()
         ],
     )
+
+
+def lexical_diversity(docs: DataFrame, group_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """Per-group lexical-diversity profile: (group, n_tokens, n_types,
+    n_hapax, ttr_micros, hapax_frac_micros).
+
+    Type-token ratio and hapax-legomenon fraction are the classic
+    corpus-health gauges behind dedup/contamination triage: a source
+    whose TTR collapses is template-stamped or machine-spun; a hapax
+    fraction far off the Zipfian ~0.4-0.6 band flags boilerplate
+    floods (low) or OCR/mojibake noise (high). Integer-micros ratios,
+    floor division — hash-oracle-able.
+
+    Plan: ONE (group, word) map-combined groupBy (same shape as corpus
+    TF — the count table is vocabulary-sized per group), then a
+    group-sized rollup counting types/hapaxes/tokens in a single
+    partial agg. No windows, no distinct-on-corpus (countDistinct
+    would shuffle the raw token stream twice).
+    """
+    from .dsir import _words
+
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    )
+    wc = words.groupBy("grp", "w").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_hapax"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("n_types * 1000000L div n_tokens").alias("ttr_micros"),
+        F.expr("n_hapax * 1000000L div n_types")
+        .alias("hapax_frac_micros"),
+    )
