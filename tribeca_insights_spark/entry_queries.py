@@ -5775,7 +5775,8 @@ def q129_prefix_jaccard_join(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     grams = char_shingles(d, text_col="text", k=12)
     return prefix_jaccard_join(
-        grams, threshold_micros=500_000, token_col="gram"
+        grams, threshold_micros=500_000, token_col="gram",
+        materialize=True,
     )
 
 

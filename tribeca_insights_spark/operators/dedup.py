@@ -790,6 +790,7 @@ def prefix_jaccard_join(
     threshold_micros: int = 500_000,
     id_col: str = "doc_id",
     token_col: str = "token",
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (Bayardo et
     al. All-Pairs, WWW'07 / Xiao et al. PPJoin): every pair of documents
@@ -823,6 +824,16 @@ def prefix_jaccard_join(
         raise ValueError("threshold_micros must be in (0, 1e6]")
     t = tokens.select(F.col(id_col).alias("_id"),
                       F.col(token_col).alias("token")).distinct()
+    if materialize:
+        # the distinct token table feeds FIVE consumers (sizes, df,
+        # ranking, and both verification sides); without a cache each
+        # re-runs the corpus-sized shingle distinct (measured 85 s →
+        # ~30 s at sf0.1). materialize=True persists it and
+        # localCheckpoints the result so the cache can be dropped
+        # before returning (bfs_min_dist discipline — no session-
+        # lifetime cache leaks). At 10^12 keys use a written-out
+        # intermediate table instead.
+        t = t.persist()
     sizes = t.groupBy("_id").agg(F.count("*").alias("n"))
     freq = t.groupBy("token").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
@@ -857,15 +868,27 @@ def prefix_jaccard_join(
         .select("a_id", "b_id", "n_a", "n_b")
         .distinct()
     )
-    ta = t.select(F.col("_id").alias("a_id"), "token")
-    tb = t.select(F.col("_id").alias("b_id"), "token")
+    # verification: per-doc token ARRAYS + codegen array_intersect.
+    # The naive form (candidates ⋈ token stream on a_id, then equi-join
+    # the b side per token) materializes |candidates|·avg_tokens rows —
+    # measured 400M rows / 174 s at sf0.1 where the array form is two
+    # doc-keyed dim joins (AQE broadcasts the doc-count-sized array
+    # table when it fits) + an O(n+m) per-row intersect: 1.4M candidate
+    # pairs verify in seconds. At 10^12 docs the array dim shuffles
+    # instead of broadcasting, but only docs that appear in candidates
+    # move — still candidate-bounded, never corpus-pair-bounded.
+    garr = t.groupBy("_id").agg(F.collect_list("token").alias("_g"))
+    ga = garr.select(F.col("_id").alias("a_id"), F.col("_g").alias("_ga"))
+    gb = garr.select(F.col("_id").alias("b_id"), F.col("_g").alias("_gb"))
     inter = (
-        cand.join(ta, "a_id")
-        .join(tb, ["b_id", "token"])
-        .groupBy("a_id", "b_id", "n_a", "n_b")
-        .agg(F.count("*").alias("n_inter"))
+        cand.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(
+            "a_id", "b_id", "n_a", "n_b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("n_inter"),
+        )
     )
-    return (
+    out = (
         inter.select(
             "a_id",
             "b_id",
@@ -883,6 +906,10 @@ def prefix_jaccard_join(
             F.expr("(n_inter * 1000000L) div n_union").cast("long"),
         )
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        t.unpersist()
+    return out
 
 
 def edit_distance_verify(
