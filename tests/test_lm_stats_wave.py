@@ -195,3 +195,103 @@ def test_skew_report_tie_order_and_no_window(spark):
     plan = skew_report(rows, "k", topk=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "WindowExec" not in plan
+
+
+# --- gram novelty -----------------------------------------------------------
+
+
+def test_gram_novelty_shared_vs_unique(spark):
+    from tribeca_insights_spark.operators.dedup import gram_novelty
+
+    shared = " ".join(f"w{i}" for i in range(13))
+    uniq_a = " ".join(f"a{i}" for i in range(13))
+    uniq_b = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + uniq_a), (2, shared + " " + uniq_b),
+         (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gram_novelty(docs, n=13).collect()}
+    # 26 tokens -> 14 grams; the first gram (pure shared window) occurs
+    # in both docs, all windows touching unique tokens are private
+    assert out[1]["n_grams"] == 14
+    assert out[1]["n_shared"] == 1
+    assert out[1]["novelty_micros"] == 13 * 1_000_000 // 14
+    assert 3 not in out  # < 13 tokens
+
+
+def test_gram_novelty_identical_docs_zero_novelty(spark):
+    from tribeca_insights_spark.operators.dedup import gram_novelty
+
+    t = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, t), (2, t)],
+                                 "doc_id long, text string")
+    for r in gram_novelty(docs, n=13).collect():
+        assert r["novelty_micros"] == 0 and r["n_shared"] == r["n_grams"]
+
+
+# --- reciprocity ------------------------------------------------------------
+
+
+def test_link_reciprocity_hand_graph(spark):
+    from tribeca_insights_spark.operators.linkgraph import link_reciprocity
+
+    e = spark.createDataFrame(
+        [Row(src=a, dst=b)
+         for a, b in [(1, 2), (2, 1), (1, 3), (3, 3), (1, 2)]]
+    )
+    out = {r["node"]: (r["n_out"], r["n_recip"], r["reciprocity_micros"])
+           for r in link_reciprocity(e).collect()}
+    # node 1: out {2,3}, only 2 links back -> 1/2; self-loop 3-3 ignored
+    assert out[1] == (2, 1, 500_000)
+    assert out[2] == (1, 1, 1_000_000)
+    assert 3 not in out  # only a self-loop
+
+
+# --- keyness ----------------------------------------------------------------
+
+
+def test_keyness_distinctive_word_ranks_first(spark):
+    from tribeca_insights_spark.operators.textstats import keyness_g2
+
+    docs = spark.createDataFrame(
+        [("s1", "quantum quantum quantum common common"),
+         ("s2", "common common common common pasta"),
+         ("s2", "common pasta pasta")],
+        "source string, text string",
+    )
+    out = keyness_g2(docs, group_col="source", topk=2).collect()
+    top = {r["source"]: r["word"] for r in out if r["rank"] == 1}
+    assert top["s1"] == "quantum"
+    assert top["s2"] == "pasta"
+    for r in out:
+        if r["word"] in ("quantum", "pasta"):
+            assert r["g2_micros"] > 0
+
+
+def test_keyness_matches_python_formula(spark):
+    from tribeca_insights_spark.operators.textstats import keyness_g2
+
+    docs = spark.createDataFrame(
+        [("x", "aa bb aa cc"), ("y", "bb bb cc dd")],
+        "source string, text string",
+    )
+    rows = keyness_g2(docs, group_col="source", topk=10).collect()
+    # python replay
+    from collections import Counter
+
+    toks = {"x": ["aa", "bb", "aa", "cc"], "y": ["bb", "bb", "cc", "dd"]}
+    a = Counter((g, w) for g, ws in toks.items() for w in ws)
+    wt = Counter()
+    st = Counter()
+    for (g, w), c in a.items():
+        wt[w] += c
+        st[g] += c
+    N = sum(st.values())
+    for r in rows:
+        g, w = r["source"], r["word"]
+        av, b = a[(g, w)], wt[w] - a[(g, w)]
+        exp = av * math.log(av * N / (wt[w] * st[g]))
+        if b > 0:
+            exp += b * math.log(b * N / (wt[w] * (N - st[g])))
+        assert r["g2_micros"] == math.floor(1e6 * 2 * exp)

@@ -6459,6 +6459,143 @@ def q143_skew_report(spark, sf_dir):
                        topk=8)
 
 
+@q(
+    "q144_gram_novelty",
+    """
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             md5(list_aggregate(list_slice(t, i, i + 12), 'string_agg',
+                                ' ')) AS gkey
+      FROM (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '),
+                           w -> length(w) > 0) AS t
+        FROM documents
+      ), unnest(range(1, len(t) - 11)) AS r(i)
+      WHERE len(t) >= 13
+    ),
+    d AS (SELECT gkey, count(*) AS df FROM g GROUP BY gkey),
+    p AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM g JOIN d USING (gkey) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_shared,
+           CAST((n_grams - n_shared) * 1000000 // n_grams AS BIGINT)
+             AS novelty_micros
+    FROM p
+    """,
+)
+def q144_gram_novelty(spark, sf_dir):
+    """Per-document 13-gram novelty score
+    (operators/dedup.py:gram_novelty; Lee et al. 2022 memorization-risk
+    triage): fraction of a doc's distinct word 13-grams unseen in any
+    other document. Distinct (id, gram-md5) explode → gram-df table →
+    one partial-agg rollup; the KEEP/WEIGHT companion to q57's
+    decontamination and q97's span removal."""
+    from .operators.dedup import gram_novelty
+
+    return gram_novelty(_read(spark, sf_dir, "documents"), n=13)
+
+
+@q(
+    "q145_link_reciprocity",
+    """
+    WITH n AS (SELECT count(*) AS N FROM documents),
+    e0 AS (
+      SELECT doc_id AS s, (doc_id * 7 + 3) % N AS d FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, n
+    ),
+    e AS (SELECT DISTINCT s AS u, d AS v FROM e0 WHERE s <> d),
+    m AS (
+      SELECT a.u, a.v, CASE WHEN b.u IS NULL THEN 0 ELSE 1 END AS back
+      FROM e a LEFT JOIN e b ON b.u = a.v AND b.v = a.u
+    ),
+    g AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS n_out,
+             CAST(sum(back) AS BIGINT) AS n_recip
+      FROM m GROUP BY u
+    )
+    SELECT node, n_out, n_recip,
+           CAST(n_recip * 1000000 // n_out AS BIGINT)
+             AS reciprocity_micros
+    FROM g
+    """,
+)
+def q145_link_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity on the directed 7id+3 / 13id+5 page
+    graph (operators/linkgraph.py:link_reciprocity; Becchetti'08
+    webspam features): distinct edges LEFT-joined to their own
+    reversal + a src-keyed partial agg — no adjacency set
+    materialization, integer-micros ratio."""
+    from .operators.linkgraph import link_reciprocity
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return link_reciprocity(edges)
+
+
+@q(
+    "q146_keyness_g2",
+    """
+    WITH w AS (
+      SELECT source AS grp, unnest(list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               x -> length(x) > 0)) AS w
+      FROM documents
+    ),
+    a AS (SELECT grp, w, count(*) AS a FROM w GROUP BY grp, w),
+    wt AS (SELECT w, sum(a) AS wt FROM a GROUP BY w),
+    st AS (SELECT grp, sum(a) AS st FROM a GROUP BY grp),
+    n AS (SELECT sum(a) AS N FROM a),
+    s AS (
+      SELECT grp, w, a, wt - a AS b, wt, st, N,
+             CAST(floor(1e6 * (2 * (
+               a * ln(CAST(a * N AS DOUBLE) / (wt * st))
+               + CASE WHEN wt - a > 0 THEN
+                   (wt - a) * ln(CAST((wt - a) * N AS DOUBLE)
+                                 / (wt * (N - st)))
+                 ELSE 0 END))) AS BIGINT) AS g2_micros
+      FROM a JOIN wt USING (w) JOIN st USING (grp) CROSS JOIN n
+    ),
+    r AS (
+      SELECT grp, w, a, b, g2_micros,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY g2_micros DESC, w) AS rank
+      FROM s
+    )
+    SELECT grp AS source, w AS word, CAST(a AS BIGINT) AS n_in,
+           CAST(b AS BIGINT) AS n_out, g2_micros,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q146_keyness_g2(spark, sf_dir):
+    """Top-5 keyness terms per source by Dunning's log-likelihood G²
+    (operators/textstats.py:keyness_g2) — what makes each source
+    DIFFERENT from the rest of the corpus, where the reference's raw-TF
+    keyword report surfaces corpus-common words. Vocabulary-sized aggs,
+    broadcast group totals, per-term micros floored before the
+    group-partitioned rank window."""
+    from .operators.textstats import keyness_g2
+
+    return keyness_g2(_read(spark, sf_dir, "documents"),
+                      group_col="source", topk=5)
+
+
 # ---------------------------------------------------------------------------
 
 

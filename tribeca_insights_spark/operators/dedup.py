@@ -954,3 +954,62 @@ def edit_distance_verify(
         .filter(F.col("edit_sim_micros") >= min_sim_micros)
         .drop("_ta", "_tb")
     )
+
+
+def gram_novelty(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY profile: (id, n_grams, n_shared,
+    novelty_micros) where ``n_shared`` counts the doc's distinct word
+    ``n``-grams that also occur in at least one OTHER document and
+    ``novelty_micros = (n_grams − n_shared) · 1e6 div n_grams``.
+
+    The memorization-risk triage from Lee et al. 2022's duplication
+    studies, turned into a per-doc score: a document whose long grams
+    are mostly seen elsewhere contributes near-zero novel text to a
+    training corpus (boilerplate flood, mirror, quote farm) even when
+    no single dedup rule fires. Complements q57's decontamination
+    (same 13-gram unit, cross-set) and exact-substring dedup (span
+    removal) with a KEEP/WEIGHT signal.
+
+    Shape: docs explode to DISTINCT (id, gram-md5) — identical to
+    :func:`decontaminate`'s corpus side; the document-frequency table
+    is gram-vocabulary-sized; the per-doc rollup is one partial-agg
+    groupBy. ``df ≥ 2`` on distinct-per-doc grams ⇔ "occurs in another
+    doc". Docs with fewer than ``n`` tokens emit no row.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+        ).alias("_t"),
+    ).filter(F.size("_t") >= n)
+    g = (
+        base.select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1))
+            ).alias("_i"),
+            "_t",
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+            ).alias("gkey"),
+        )
+        .distinct()
+    )
+    df_tab = g.groupBy("gkey").agg(F.count("*").alias("_df"))
+    per = g.join(df_tab, "gkey").groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+        .cast("bigint").alias("n_shared"),
+    )
+    return per.withColumn(
+        "novelty_micros",
+        F.expr("(n_grams - n_shared) * 1000000L div n_grams"),
+    )

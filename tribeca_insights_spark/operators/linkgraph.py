@@ -510,3 +510,39 @@ def label_propagation(edges: DataFrame, n_iter: int = 2,
         labels.unpersist()
         labels = nxt
     return labels
+
+
+def link_reciprocity(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Per-source link reciprocity over the DIRECTED simple graph:
+    (node, n_out, n_recip, reciprocity_micros) — the fraction of a
+    host's distinct out-links that link back.
+
+    Organic link neighborhoods reciprocate (blogrolls, partner pages);
+    link farms built for PageRank transfer are near-one-directional by
+    construction, and paid-link networks near-fully-reciprocal — both
+    tails of this score are curation signals (the classic webspam
+    features of Becchetti et al. 2008).
+
+    Shape: distinct directed edges LEFT-joined against their own
+    reversal (one self-equi-join on the edge key — no adjacency
+    materialization), then a src-keyed partial agg. Self-loops are
+    excluded (trivially 'reciprocal').
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"),
+                   F.lit(1).alias("_back"))
+    marked = e.join(rev, ["u", "v"], "left")
+    agg = marked.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_out"),
+        F.sum(F.coalesce("_back", F.lit(0))).cast("bigint")
+        .alias("n_recip"),
+    )
+    return agg.withColumn(
+        "reciprocity_micros",
+        F.expr("n_recip * 1000000L div n_out"),
+    )

@@ -610,3 +610,75 @@ def lexical_diversity(docs: DataFrame, group_col: str = "lang",
         F.expr("n_hapax * 1000000L div n_types")
         .alias("hapax_frac_micros"),
     )
+
+
+def keyness_g2(docs: DataFrame, group_col: str = "source",
+               text_col: str = "text", topk: int = 5) -> DataFrame:
+    """Per-group keyword KEYNESS: the ``topk`` terms most
+    over-represented in each group vs the rest of the corpus by
+    Dunning's log-likelihood G² (the corpus-linguistics standard that
+    the reference's raw-TF keyword report cannot provide — raw TF
+    surfaces corpus-common words; G² surfaces what makes THIS source
+    different). Output: (group, word, n_in, n_out, g2_micros, rank).
+
+    G² = 2·(a·ln(aN/(wt·st)) + b·ln(bN/(wt·(N−st)))) with a/b the
+    in/out-group counts, wt the word total, st the group token total,
+    N the corpus total; zero-count terms contribute 0. Per-term values
+    are floored to micros BEFORE ranking (cross-engine determinism —
+    q72/q73's LLR discipline); ties rank by word ascending.
+
+    Shape: one (group, word) map-combined groupBy (vocabulary-sized),
+    word totals = a second vocab-sized agg, group totals broadcast;
+    the top-k window partitions BY GROUP. Nothing corpus-row-sized
+    after the first combine.
+    """
+    from pyspark.sql import Window
+
+    from .dsir import _words
+
+    w = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    )
+    a = w.groupBy("grp", "w").agg(F.count("*").alias("a"))
+    wt = a.groupBy("w").agg(F.sum("a").alias("wt"))
+    st = a.groupBy("grp").agg(F.sum("a").alias("st"))
+    n = a.agg(F.sum("a").alias("N"))
+    j = (
+        a.join(wt, "w")
+        .join(F.broadcast(st), "grp")
+        .crossJoin(F.broadcast(n))
+        .withColumn("b", F.col("wt") - F.col("a"))
+    )
+    term_a = F.col("a") * F.log(
+        (F.col("a") * F.col("N")).cast("double")
+        / (F.col("wt") * F.col("st"))
+    )
+    term_b = F.when(
+        F.col("b") > 0,
+        F.col("b")
+        * F.log(
+            (F.col("b") * F.col("N")).cast("double")
+            / (F.col("wt") * (F.col("N") - F.col("st")))
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = j.withColumn(
+        "g2_micros",
+        F.floor(F.lit(1e6) * (F.lit(2.0) * (term_a + term_b)))
+        .cast("bigint"),
+    )
+    rk = Window.partitionBy("grp").orderBy(
+        F.desc("g2_micros"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("w").alias("word"),
+            F.col("a").cast("bigint").alias("n_in"),
+            F.col("b").cast("bigint").alias("n_out"),
+            "g2_micros",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
