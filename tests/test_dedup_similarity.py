@@ -767,3 +767,46 @@ def test_prefix_jaccard_duplicate_rows_collapse(spark):
     rows = prefix_jaccard_join(df, threshold_micros=900_000).collect()
     assert len(rows) == 1
     assert rows[0]["n_inter"] == 2 and rows[0]["n_union"] == 2
+
+
+def test_embedding_outliers_hand_case(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.kmeans import embedding_outliers
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[0.0, 0.2], label=0),
+            Row(vec_id=3, embedding=[0.0, 10.0], label=0),  # outlier
+            Row(vec_id=4, embedding=[-1.0, -1.0], label=1),
+            Row(vec_id=5, embedding=[-1.0, -1.1], label=1),
+        ]
+    )
+    out = embedding_outliers(vecs, topk=1).collect()
+    top = {r["label"]: r["vec_id"] for r in out}
+    assert top[0] == 3
+    assert top[1] in (4, 5)
+    # centroid floor-div on NEGATIVE sums must floor, not truncate:
+    # label-1 dim-1 sum = (-1000000) + (-1100000) = -2100000, n=2
+    # -> centroid -1050000; dist2 for both = 50000^2
+    d = {r["vec_id"]: r["dist2"] for r in out}
+    assert d[top[1]] == 50_000 ** 2
+
+
+def test_embedding_outliers_rank_determinism(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.kmeans import embedding_outliers
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 2)], label=0)
+         for i in range(6)]
+    )
+    a = [(r["vec_id"], r["rank"])
+         for r in embedding_outliers(vecs, topk=3).collect()]
+    b = [(r["vec_id"], r["rank"])
+         for r in embedding_outliers(vecs, topk=3).collect()]
+    assert sorted(a) == sorted(b)
+    # equidistant vectors rank by vec_id ascending
+    assert sorted(a)[0][0] < sorted(a)[1][0]

@@ -32,3 +32,26 @@ def test_canonical_url_idempotent(spark):
     twice = once.select(canonical_url("c").alias("c2"))
     for r1, r2 in zip(once.collect(), twice.collect()):
         assert r1["c"] == r2["c2"]
+
+
+def test_canonical_url_dedup_clusters_variants(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.functions.urlnorm import (
+        canonical_url_dedup,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            Row(url="HTTP://A.COM:80/p?utm_source=x&b=2&a=1#f"),
+            Row(url="http://a.com/p?b=2&a=1"),
+            Row(url="http://a.com/p?b=2&a=1"),   # exact dup collapses
+            Row(url="http://a.com/q"),
+        ]
+    )
+    out = {r["canon"]: (r["keeper_url"], r["n_variants"])
+           for r in canonical_url_dedup(urls,
+                                        strip_tracking=True).collect()}
+    assert out["http://a.com/p?a=1&b=2"] == (
+        "HTTP://A.COM:80/p?utm_source=x&b=2&a=1#f", 2)
+    assert out["http://a.com/q"] == ("http://a.com/q", 1)

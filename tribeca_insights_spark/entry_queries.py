@@ -6596,6 +6596,120 @@ def q146_keyness_g2(spark, sf_dir):
                       group_col="source", topk=5)
 
 
+@q(
+    "q147_embedding_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    cent AS (
+      SELECT label, dim,
+             (sum(x) - ((sum(x) % count(*) + count(*)) % count(*)))
+               // count(*) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT vec_id, ex.label,
+             CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist2
+      FROM ex JOIN cent USING (label, dim)
+      GROUP BY vec_id, ex.label
+    ),
+    r AS (
+      SELECT label, vec_id, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rank
+      FROM d2
+    )
+    SELECT label, vec_id, dist2, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q147_embedding_outliers(spark, sf_dir):
+    """Top-5 farthest-from-centroid vectors per label
+    (operators/kmeans.py:embedding_outliers) — the audit that catches
+    mislabeled/off-topic/encoder-garbage vectors before IVF training
+    and dedup. Integer-micros exact: floor-quantized values, pmod-
+    adjusted floor-division centroids (negative sums!), vec-keyed
+    partial-agg distances, label-partitioned rank window."""
+    from .operators.kmeans import embedding_outliers
+
+    return embedding_outliers(_read(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "q148_canonical_url_dedup",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             'http://' || source || '.example.com/Docs/' || doc_id ||
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN '?a=1&b=2'
+                 WHEN 1 THEN '?z=9'
+                 ELSE '' END AS canon
+      FROM documents
+    ),
+    variants AS (
+      SELECT doc_id, canon,
+             'HTTP://' || source || '.Example.COM:80/Docs/' || doc_id ||
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                 WHEN 1 THEN '?gclid=' || doc_id || '&z=9'
+                 ELSE '?utm_campaign=x&fbclid=y' END
+               || '#frag' || doc_id AS url
+      FROM documents JOIN canon USING (doc_id)
+      UNION ALL
+      SELECT doc_id, canon,
+             'http://' || source || '.example.com/Docs/' || doc_id ||
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN '?b=2&a=1'
+                 WHEN 1 THEN '?z=9&utm_medium=email'
+                 ELSE '' END
+               || '#x' AS url
+      FROM documents JOIN canon USING (doc_id)
+    )
+    SELECT canon, min(url) AS keeper_url,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+    FROM variants GROUP BY canon
+    """,
+)
+def q148_canonical_url_dedup(spark, sf_dir):
+    """Frontier URL-cluster dedup
+    (functions/urlnorm.py:canonical_url_dedup): two synthesized raw
+    variants per page (tracking-laden uppercase-host + clean
+    reordered-query) collapse to one canonical fetch key. Per-row
+    codegen canonicalization + one map-combined groupBy — the
+    exact_dedup plan with the canonical string as the content hash."""
+    from .functions.urlnorm import canonical_url_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTP://"), F.col("source"),
+        F.lit(".Example.COM:80/Docs/"), sid,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?gclid="), sid, F.lit("&z=9")))
+        .otherwise(F.lit("?utm_campaign=x&fbclid=y")),
+        F.lit("#frag"), sid,
+    )
+    clean = F.concat(
+        F.lit("http://"), F.col("source"),
+        F.lit(".example.com/Docs/"), sid,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_medium=email"))
+        .otherwise(F.lit("")),
+        F.lit("#x"),
+    )
+    urls = d.select(messy.alias("url")).unionByName(
+        d.select(clean.alias("url"))
+    )
+    return canonical_url_dedup(urls, strip_tracking=True)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -70,3 +70,27 @@ def canonical_url(url, sort_query: bool = True,
             F.lit("")
         ),
     )
+
+
+def canonical_url_dedup(df, url_col: str = "url", **canon_kwargs):
+    """URL-cluster dedup over canonical forms:
+    (canon, keeper_url, n_variants) — every distinct raw URL mapped
+    through :func:`canonical_url`, clustered by the canonical string,
+    keeper = lexicographic min raw variant (deterministic).
+
+    The frontier-hygiene composition every crawler runs before
+    scheduling: tracking-parameter and fragment variants of one page
+    must collapse to ONE fetch. Shape: per-row codegen canonicalization
+    (no UDF) + one map-combined groupBy on the canonical key; at
+    10^12 URLs this is exactly the exact_dedup plan with the canonical
+    string standing in for the content hash.
+    """
+    from pyspark.sql import functions as F
+
+    c = df.select(F.col(url_col).alias("_u")).distinct().select(
+        "_u", canonical_url(F.col("_u"), **canon_kwargs).alias("canon")
+    )
+    return c.groupBy("canon").agg(
+        F.min("_u").alias("keeper_url"),
+        F.count("*").cast("bigint").alias("n_variants"),
+    )

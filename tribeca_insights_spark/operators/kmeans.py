@@ -269,3 +269,69 @@ def _infer_dim(emb: DataFrame, vec_col: str) -> int:
     if not row:
         raise ValueError("empty embedding table")
     return int(row[0]["d"])
+
+
+def embedding_outliers(
+    vecs: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding OUTLIERS: the ``topk`` vectors farthest from
+    their own group's centroid — (label, vec_id, dist2, rank).
+
+    The third leg of embedding-space curation next to SemDeDup (too
+    close ⇒ redundant) and ANN retrieval: too FAR from every mass
+    center ⇒ mislabeled, off-topic, or encoder garbage. Used exactly
+    this way in practice to audit cluster assignments before IVF
+    training and to drop encoder failures before dedup.
+
+    All integer-micros exact (``to_micros`` / floor-div centroids), so
+    ranks are replay-stable and oracle-stateable:
+
+    - posexplode to (label, dim, value-micros) — the one row-count·d
+      expansion, map-only;
+    - centroid = per-(label, dim) SUM div COUNT floor division (one
+      partial agg; output is groups×d rows, broadcast back);
+    - dist2 = Σ_dim (v−c)² via the same (label, dim) join + a
+      vec-keyed partial agg — no arrays shuffle, only slim triples;
+    - top-k farthest per label via a window PARTITIONED BY LABEL
+      (group-sized, never global), ties on vec_id ascending.
+    """
+    from pyspark.sql import Window
+
+    ex = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(to_micros(F.col(vec_col))).alias("dim", "x"),
+    )
+    # floor-division centroid with the pmod adjustment: sums of micros
+    # go NEGATIVE (embeddings are signed), where Spark's `div` truncates
+    # toward zero but an oracle's `//` floors — the adjusted numerator
+    # is exactly divisible, so both semantics agree (stats.grouped_ols
+    # discipline).
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr(
+            "(sum(x) - ((sum(x) % count(*) + count(*)) % count(*)))"
+            " div count(*)"
+        ).alias("c")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist2"), F.asc("vec_id")
+    )
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("label", "vec_id",
+                F.col("dist2").cast("bigint").alias("dist2"),
+                F.col("rank").cast("int").alias("rank"))
+    )
