@@ -810,3 +810,67 @@ def test_embedding_outliers_rank_determinism(spark):
     assert sorted(a) == sorted(b)
     # equidistant vectors rank by vec_id ascending
     assert sorted(a)[0][0] < sorted(a)[1][0]
+
+
+def test_dedup_eval_counts_and_ratios(spark):
+    from tribeca_insights_spark.operators.dedup import dedup_eval
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (6, 5), (7, 7)],  # dup + reversed + self
+        "a_id long, b_id long",
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (3, 4), (8, 9)], "a_id long, b_id long"
+    )
+    r = dedup_eval(cand, truth).collect()[0]
+    # canonical candidates: {1-2, 3-4, 5-6}; truth: {1-2, 3-4, 8-9}
+    assert (r["n_candidates"], r["n_truth"]) == (3, 3)
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision_micros"] == 2 * 1_000_000 // 3
+    assert r["recall_micros"] == 2 * 1_000_000 // 3
+
+
+def test_dedup_eval_empty_sets_null_ratios(spark):
+    from tribeca_insights_spark.operators.dedup import dedup_eval
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    truth = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    r = dedup_eval(empty, truth).collect()[0]
+    assert (r["n_candidates"], r["tp"], r["fn"]) == (0, 0, 1)
+    assert r["precision_micros"] is None
+    assert r["recall_micros"] == 0
+
+
+def test_gram_accumulation_first_bucket_owns_shared(spark):
+    from tribeca_insights_spark.operators.dedup import (
+        gram_accumulation_curve,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(0, shared), (1, shared),                       # bucket 0 & 1
+         (2, " ".join(f"x{i}" for i in range(13)))],     # bucket 2
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: (r["n_new_grams"], r["cum_new_grams"])
+           for r in gram_accumulation_curve(docs, n=13,
+                                            n_buckets=3).collect()}
+    # the shared gram is NEW only in bucket 0; bucket 1 adds nothing
+    # (and emits no row); bucket 2 adds its own gram
+    assert out[0] == (1, 1)
+    assert 1 not in out
+    assert out[2] == (1, 2)
+
+
+def test_gram_accumulation_plan_no_window(spark):
+    from tribeca_insights_spark.operators.dedup import (
+        gram_accumulation_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    p = gram_accumulation_curve(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowExec" not in p

@@ -6710,6 +6710,126 @@ def q148_canonical_url_dedup(spark, sf_dir):
     return canonical_url_dedup(urls, strip_tracking=True)
 
 
+@q(
+    "q149_dedup_eval",
+    _MINHASH_CTES.replace(
+        "WHERE length(tok_str) > 0",
+        "WHERE length(tok_str) > 0 AND doc_id % 5 = 0",
+    )
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    tr0 AS (
+      SELECT a.doc_id AS ta, b.doc_id AS tb, count(*) AS ni
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT ta, tb FROM tr0
+      JOIN sz sa ON sa.doc_id = ta JOIN sz sb ON sb.doc_id = tb
+      WHERE round(ni / CAST(sa.sz + sb.sz - ni AS DOUBLE), 6) >= 0.2
+    ),
+    j AS (
+      SELECT cand.ca, truth.ta
+      FROM cand FULL OUTER JOIN truth
+        ON cand.ca = truth.ta AND cand.cb = truth.tb
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN ca IS NULL AND ta IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM j
+    )
+    SELECT *,
+           CASE WHEN n_candidates > 0
+                THEN tp * 1000000 // n_candidates END
+             AS precision_micros,
+           CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth END
+             AS recall_micros
+    FROM agg
+    """,
+)
+def q149_dedup_eval(spark, sf_dir):
+    """Candidate-generator quality evaluation on a labeled slice
+    (operators/dedup.py:dedup_eval): MinHash-LSH band candidates vs
+    exact 12-gram Jaccard ≥ 0.2 ground truth over the doc_id%5 slice —
+    tp/fp/fn + precision/recall micros in ONE full-outer pair join +
+    a 1-row aggregate. The measurement loop that makes band/row
+    parameter changes an engineering decision instead of a guess; the
+    brute-force truth join is slice-bounded by construction."""
+    from .operators.dedup import (
+        char_shingles,
+        dedup_eval,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    t = _tokstr_df(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    sh = char_shingles(t, text_col="tok_str", k=12)
+    cand = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(sh, n_hashes=12), rows_per_band=3)
+    )
+    truth = ngram_jaccard_pairs(sh, min_jaccard=0.2).select(
+        "a_id", "b_id"
+    )
+    return dedup_eval(cand, truth)
+
+
+@q(
+    "q150_gram_accumulation",
+    """
+    WITH g AS (
+      SELECT DISTINCT doc_id % 20 AS bucket,
+             md5(array_to_string(list_slice(t, i, i + 12), ' '))
+               AS gkey
+      FROM (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '),
+                           w -> length(w) > 0) AS t
+        FROM documents
+      ), unnest(range(1, len(t) - 11)) AS r(i)
+      WHERE len(t) >= 13
+    ),
+    f AS (SELECT gkey, min(bucket) AS bucket FROM g GROUP BY gkey),
+    p AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_grams
+      FROM f GROUP BY bucket
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_new_grams,
+           CAST(sum(n_new_grams) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new_grams
+    FROM p
+    """,
+)
+def q150_gram_accumulation(spark, sf_dir):
+    """Novel-text accumulation curve
+    (operators/dedup.py:gram_accumulation_curve): 13-gram first-
+    introduction counts over 20 doc-id buckets + cumulative total —
+    the is-this-source-exhausted diagnostic for data scaling. Gram-df
+    shaped aggs; the cumulative sum uses the q143 array-prefix-sum
+    idiom (no WindowExec even over 20 rows); the ORACLE's window form
+    hash-matching proves the array form."""
+    from .operators.dedup import gram_accumulation_curve
+
+    return gram_accumulation_curve(
+        _read(spark, sf_dir, "documents"), n=13, n_buckets=20
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1013,3 +1013,139 @@ def gram_novelty(
         "novelty_micros",
         F.expr("(n_grams - n_shared) * 1000000L div n_grams"),
     )
+
+
+def dedup_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
+    """Candidate-generator QUALITY evaluation: one row
+    (n_candidates, n_truth, tp, fp, fn, precision_micros,
+    recall_micros) comparing a candidate pair set (e.g. MinHash-LSH
+    bands) against a ground-truth pair set (e.g. exact Jaccard ≥ t on
+    a labeled slice).
+
+    The measurement loop every production dedup pipeline needs before
+    touching band/row parameters: banding tighter trades recall for
+    cost, and without tp/fp/fn counts the trade is blind. Both inputs
+    are (a_id, b_id) with a < b; pairs are canonicalized defensively
+    (least/greatest + distinct) so caller orientation can't skew
+    counts.
+
+    Shape: two distinct projections + ONE full-outer equi-join on the
+    pair key + a single-row aggregate — candidate-set-sized, the
+    corpus never appears. Integer-micros ratios; empty sets yield 0
+    counts and NULL ratios (0/0), not errors.
+    """
+    def canon(df):
+        return df.select(
+            F.least("a_id", "b_id").alias("a"),
+            F.greatest("a_id", "b_id").alias("b"),
+        ).filter(F.col("a") != F.col("b")).distinct()
+
+    c = canon(candidates).withColumn("_c", F.lit(1))
+    t = canon(truth).withColumn("_t", F.lit(1))
+    j = c.join(t, ["a", "b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce("_c", F.lit(0))).cast("bigint")
+        .alias("n_candidates"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("bigint")
+        .alias("n_truth"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("fp"),
+        F.sum(
+            F.when(F.col("_c").isNull() & F.col("_t").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("fn"),
+    )
+    return agg.select(
+        "*",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("tp * 1000000L div n_candidates"),
+        ).alias("precision_micros"),
+        F.when(
+            F.col("n_truth") > 0, F.expr("tp * 1000000L div n_truth")
+        ).alias("recall_micros"),
+    )
+
+
+def gram_accumulation_curve(
+    docs: DataFrame,
+    n: int = 13,
+    n_buckets: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Novel-text accumulation curve: partition the corpus into
+    ``n_buckets`` doc-id ranges and count how many word ``n``-grams
+    each bucket introduces FIRST — (bucket, n_new_grams,
+    cum_new_grams).
+
+    The data-scaling diagnostic behind "is more of this source still
+    adding new text?": a flattening curve means the marginal crawl
+    slice is re-crawling what the corpus already holds (novelty
+    exhaustion — the practical signal for when to stop scaling a
+    source). Bucketing by doc id keeps the definition deterministic
+    and replayable.
+
+    Shape: the same distinct (id, gram-md5) explode as
+    :func:`gram_novelty`, then min-bucket per gram (gram-vocabulary-
+    sized partial agg), a bucket-sized count, and the cumulative sum
+    via the q143 array-prefix-sum idiom — NO WindowExec anywhere, not
+    even over the n_buckets rows.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+        ).alias("_t"),
+    ).filter(F.size("_t") >= n)
+    g = (
+        base.select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1))
+            ).alias("_i"),
+            "_t",
+        )
+        .select(
+            (F.col("_id") % n_buckets).alias("bucket"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+            ).alias("gkey"),
+        )
+        .distinct()
+    )
+    first = g.groupBy("gkey").agg(F.min("bucket").alias("bucket"))
+    per = first.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_new_grams")
+    )
+    arr = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "n_new_grams"))
+        ).alias("a")
+    )
+    return arr.select(
+        F.posexplode(
+            F.transform(
+                "a",
+                lambda s, i: F.struct(
+                    s["bucket"].alias("bucket"),
+                    s["n_new_grams"].alias("n_new_grams"),
+                    F.aggregate(
+                        F.slice("a", F.lit(1), i + 1),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x["n_new_grams"],
+                    ).alias("cum"),
+                ),
+            )
+        ).alias("_p", "s")
+    ).select(
+        F.col("s.bucket").cast("int").alias("bucket"),
+        F.col("s.n_new_grams").alias("n_new_grams"),
+        F.col("s.cum").alias("cum_new_grams"),
+    )
