@@ -942,6 +942,23 @@ def edit_distance_verify(
     tb = docs.select(F.col(id_col).alias("b_id"),
                      F.col(text_col).alias("_tb"))
     mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    # two cost gates before the O(n·m) distance:
+    # 1. length gate — lev >= |len_a − len_b|, so a pair whose length
+    #    gap alone breaks the similarity bar never runs the DP;
+    # 2. thresholded levenshtein — the max distance that can still
+    #    pass is mx − ceil(min_sim·mx/1e6); Spark's banded
+    #    levenshtein(l, r, k) early-exits at O(k·min(n,m)) and returns
+    #    −1 past the band (filtered: −1 must not alias "similar").
+    gap = F.abs(F.length("_ta") - F.length("_tb"))
+    # (the python F.levenshtein wrapper takes only a literal threshold;
+    # the SQL form accepts a per-row expression — verified returning -1
+    # past the band and the true distance inside it)
+    lev_expr = F.expr(
+        "levenshtein(_ta, _tb, greatest(cast("
+        "greatest(length(_ta), length(_tb)) - "
+        f"(({min_sim_micros}L * greatest(length(_ta), length(_tb))"
+        " + 999999L) div 1000000L) as int), 0))"
+    )
     sim = F.when(mx == 0, F.lit(1_000_000).cast("bigint")).otherwise(
         ((mx - F.col("lev")) * F.lit(1_000_000).cast("bigint") / mx)
         .cast("bigint")
@@ -949,7 +966,12 @@ def edit_distance_verify(
     return (
         pairs.join(ta, "a_id")
         .join(tb, "b_id")
-        .withColumn("lev", F.levenshtein("_ta", "_tb"))
+        .filter(
+            (mx == 0)
+            | ((mx - gap) * F.lit(1_000_000) >= F.lit(min_sim_micros) * mx)
+        )
+        .withColumn("lev", lev_expr)
+        .filter(F.col("lev") >= 0)
         .withColumn("edit_sim_micros", sim)
         .filter(F.col("edit_sim_micros") >= min_sim_micros)
         .drop("_ta", "_tb")
