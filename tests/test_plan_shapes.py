@@ -426,3 +426,34 @@ def test_ols_single_aggregate_no_window(spark):
     assert "WindowExec" not in p
     # two-phase hash agg over one Exchange; the stats never sort
     assert "SortAggregate" not in p
+
+
+def test_edit_distance_verify_thresholded_and_gated(spark):
+    """The exact-Levenshtein verifier must plan with (a) the banded
+    3-arg levenshtein (O(k·min(n,m)) early exit — the unbounded 2-arg
+    form measured 956 s vs seconds at sf0.1) and (b) the length gate
+    BEFORE the DP, so pairs whose length gap alone breaks the
+    similarity bar never run it. Both live in the same codegen stage —
+    no Exchange beyond the two doc-text hash joins."""
+    from tribeca_insights_spark.operators.dedup import edit_distance_verify
+
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdxf")], "doc_id long, text string"
+    )
+    df = edit_distance_verify(pairs, docs, min_sim_micros=500_000)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    try:
+        p = _plan(df)
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
+    # the threshold arg renders as Some(<expr>) in the plan string —
+    # a bare 2-arg levenshtein would render levenshtein(_ta#N, _tb#M)
+    assert "levenshtein(_ta" in p and "Some(greatest(" in p, (
+        "thresholded 3-arg levenshtein missing from plan"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # semantics unchanged by the gates: the 1-edit pair still verifies
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["lev"] == 1
