@@ -354,3 +354,81 @@ def test_main_content_site_aware_small_host_guard(spark):
     # but a block repeated on BOTH pages of a 2-page host is template
     assert "shared footer line" not in out["https://duo2.com/p0"].main_text
     assert "Title duo2.com 0" in out["https://duo2.com/p0"].main_text
+
+
+def test_tag_sequence_walker_pure():
+    """The signature is the start-tag stream only: text, attrs, end
+    tags, comments and case must not affect it; void and self-closing
+    elements count."""
+    from tribeca_insights_spark.operators.boilerplate import (
+        _tag_sequences_batch,
+    )
+    import pandas as pd
+
+    a = '<DIV class="x"><P>hello</P><BR><img src="i.png"/></DIV>'
+    b = "<div><p>totally different words</p><br><img src='j.jpg'></div>"
+    c = "<div><p>x</p></div>"  # no br/img: different skeleton
+    sigs = list(
+        _tag_sequences_batch(
+            pd.Series([a.encode(), b.encode(), c.encode(), b"", None]),
+            pd.Series([None] * 5),
+        )
+    )
+    assert sigs[0] == sigs[1] == "div>p>br>img"
+    assert sigs[2] == "div>p"
+    assert sigs[3] == "" and sigs[4] == ""
+
+
+def test_layout_fingerprint_and_clusters(spark):
+    """Two templates → two clusters; hash is md5 of the sig's UTF-8
+    bytes; empty page gets n_tags 0 (not 1)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.boilerplate import (
+        layout_clusters,
+        layout_fingerprint,
+    )
+
+    t1 = b"<html><body><p>one</p></body></html>"
+    t2 = b"<html><body><p>two words here</p></body></html>"
+    t3 = b"<html><body><table><tr><td>x</td></tr></table></body></html>"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, html=t1),
+            Row(doc_id=2, html=t2),
+            Row(doc_id=3, html=t3),
+            Row(doc_id=4, html=b""),
+        ]
+    )
+    fp = {r["doc_id"]: r for r in layout_fingerprint(docs).collect()}
+    assert fp[1]["layout_sig"] == fp[2]["layout_sig"] == "html>body>p"
+    assert fp[1]["n_tags"] == 3 and fp[4]["n_tags"] == 0
+    assert (
+        fp[1]["layout_hash"]
+        == hashlib.md5(b"html>body>p").hexdigest()
+    )
+    cl = {
+        r["layout_hash"]: (r["n_pages"], r["n_tags"], r["min_id"])
+        for r in layout_clusters(docs).collect()
+    }
+    assert cl[fp[1]["layout_hash"]] == (2, 3, 1)
+    assert cl[fp[3]["layout_hash"]] == (1, 5, 3)
+    assert cl[fp[4]["layout_hash"]] == (1, 0, 4)
+
+
+def test_layout_fingerprint_plan_no_shuffle(spark):
+    """The fingerprint stage must stay Scan → ArrowEvalPython → Project
+    (the extraction discipline): no Exchange in the per-page plan."""
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.boilerplate import (
+        layout_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, html=b"<html><body><p>x</p></body></html>")]
+    )
+    plan = layout_fingerprint(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -874,3 +874,67 @@ def test_gram_accumulation_plan_no_window(spark):
     p = gram_accumulation_curve(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "WindowExec" not in p
+
+
+def test_containment_matches_bruteforce(spark):
+    """Directed containment must lose NO qualifying ordered pair —
+    compare against brute force, including the asymmetric case a
+    symmetric Jaccard join misses (a small set fully inside a big
+    one)."""
+    from itertools import permutations
+
+    from tribeca_insights_spark.operators.dedup import containment_join
+
+    sets = [
+        (0, {"a", "b"}),                         # fully inside 1 and 2
+        (1, {"a", "b", "c", "d", "e", "f"}),     # C(0->1)=1, C(1->0)=1/3
+        (2, {"a", "b", "x", "y", "z", "w", "v", "u", "t", "s"}),
+        (3, {"p", "q", "r", "s"}),
+        (4, {"p", "q", "r", "s"}),               # both directions 1.0
+        (5, {"p", "q", "r", "k", "l"}),          # C(3->5)=3/4
+        (6, {"m"}),
+        (7, {"m", "n"}),                         # C(6->7)=1, C(7->6)=1/2
+    ]
+    t = 0.75
+    expect = set()
+    for (i, A), (j, B) in permutations(sets, 2):
+        if len(A & B) / len(A) >= t:
+            expect.add((i, j, len(A & B), len(A)))
+    got = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_a"])
+        for r in containment_join(
+            _token_sets(spark, sets), threshold_micros=750_000
+        ).collect()
+    }
+    # (0,1) (0,2) (3,4) (4,3) (3,5) (4,5) (6,7) — note (5,3)/(5,4) are
+    # 3/5 < t and (1,0)/(2,0)/(7,6) fail: asymmetry exercised both ways
+    assert got == expect and len(got) == 7
+
+
+def test_containment_threshold_boundary(spark):
+    """n_inter·1e6 ≥ t·n_a must be inclusive at exact equality."""
+    from tribeca_insights_spark.operators.dedup import containment_join
+
+    sets = [(0, {"a", "b", "c", "d"}), (1, {"a", "b", "c", "z", "y"})]
+    # C(0->1) = 3/4 exactly
+    rows = containment_join(
+        _token_sets(spark, sets), threshold_micros=750_000
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in rows} == {(0, 1)}
+    assert rows[0]["containment_micros"] == 750_000
+    rows = containment_join(
+        _token_sets(spark, sets), threshold_micros=750_001
+    ).collect()
+    assert rows == []
+
+
+def test_containment_hot_token_not_a_key(spark):
+    """A corpus-wide stopword must never survive as a join key: the
+    contained side's prefixes exclude it (rarest-first ordering) and
+    the containing side is semi-join-pruned to prefix tokens."""
+    from tribeca_insights_spark.operators.dedup import containment_join
+
+    sets = [(i, {"the", f"u{i}", f"v{i}", f"w{i}"}) for i in range(12)]
+    out = containment_join(_token_sets(spark, sets),
+                           threshold_micros=500_000)
+    assert out.collect() == []  # only 'the' is shared: C = 1/4 < 0.5

@@ -6839,6 +6839,104 @@ def q150_gram_accumulation(spark, sf_dir):
     )
 
 
+@q(
+    "q151_containment_join",
+    """
+    WITH g AS (
+      SELECT DISTINCT doc_id, substr(text, i, 12) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 11, 1) + 1))
+                     AS i
+            FROM documents WHERE length(text) > 0)
+    ),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM g GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_inter, s.n AS n_a,
+           CAST((n_inter * 1000000) // s.n AS BIGINT)
+             AS containment_micros
+    FROM i JOIN s ON i.a_id = s.doc_id
+    WHERE n_inter * 1000000 >= 800000 * s.n
+    """,
+)
+def q151_containment_join(spark, sf_dir):
+    """EXACT directed set-CONTAINMENT self-join
+    (operators/dedup.py:containment_join; set-containment-join
+    literature — Melnik & Garcia-Molina TODS'03 — under the All-Pairs
+    prefix discipline): every ordered doc pair with char-12-gram
+    containment |A∩B|/|A| ≥ 0.8. Asymmetric: catches quote-inclusion
+    and snippet-vs-article duplication invisible to Jaccard (q129).
+    Prefix filter applies to the contained side only; the containing
+    side's postings are semi-join-pruned to A-prefix (rare) tokens so
+    corpus stopword grams never become join keys. The ORACLE is the
+    brute-force directed all-pairs join — hash-matching proves the
+    prefix+semi-join pruning dropped no qualifying pair."""
+    from .operators.dedup import char_shingles, containment_join
+
+    d = _read(spark, sf_dir, "documents")
+    grams = char_shingles(d, text_col="text", k=12)
+    return containment_join(
+        grams, threshold_micros=800_000, token_col="gram",
+        materialize=True,
+    )
+
+
+@q(
+    "q152_layout_clusters",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'html>head>title>meta>body>header>nav>a>h1>p>a>a'
+                    || '>img>section>h2>p>footer'
+               ELSE 'html>head>title>meta>body>header>nav>a>h1>p>a>a'
+                    || '>img>footer'
+             END AS sig
+      FROM documents
+    )
+    SELECT md5(sig) AS layout_hash,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(len(string_split(sig, '>'))) AS INT) AS n_tags,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM v GROUP BY 1
+    """,
+)
+def q152_layout_clusters(spark, sf_dir):
+    """DOM structural-fingerprint clustering
+    (operators/boilerplate.py:layout_clusters): every page reduced to
+    its document-order start-tag sequence, md5'd into a layout key, one
+    row per distinct skeleton — the template-farm detector, structural
+    complement to content SimHash (q20) and block-text template mining
+    (q94/q96). Pages here are the deterministic synthetic template with
+    an extra <section><h2><p> wing grafted onto every third doc, so the
+    corpus has exactly TWO skeletons; the ORACLE restates both tag
+    sequences closed-form — hash-matching proves the walker emits the
+    canonical start-tag stream from raw bytes. Plan: one Arrow walker
+    pass (zero shuffle) + a map-combinable count/min agg on the
+    template-cardinality key."""
+    from .operators.boilerplate import layout_clusters
+
+    docs = documents_as_pages(spark, sf_dir)
+    page = F.decode("html", "UTF-8")
+    wing = "<section><h2>More</h2><p>extra</p></section><footer>"
+    varied = docs.withColumn(
+        "html",
+        F.encode(
+            F.when(
+                (F.col("doc_id") % 3) == 0,
+                F.replace(page, F.lit("<footer>"), F.lit(wing)),
+            ).otherwise(page),
+            "UTF-8",
+        ),
+    )
+    return layout_clusters(varied)
+
+
 # ---------------------------------------------------------------------------
 
 

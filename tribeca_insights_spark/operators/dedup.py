@@ -1171,3 +1171,110 @@ def gram_accumulation_curve(
         F.col("s.n_new_grams").alias("n_new_grams"),
         F.col("s.cum").alias("cum_new_grams"),
     )
+
+
+def containment_join(
+    tokens: DataFrame,
+    threshold_micros: int = 800_000,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    materialize: bool = False,
+) -> DataFrame:
+    """EXACT directed set-CONTAINMENT self-join via prefix filtering:
+    every ordered pair (a, b), a ≠ b, with C(a→b) = |A∩B| / |A| ≥ t —
+    "a's token set is ≥ t-contained in b's". Asymmetric by design:
+    catches quote inclusion, page-within-page and snippet-vs-article
+    duplication that symmetric Jaccard misses (a 50-token quote inside
+    a 5 000-token article has J ≈ 0.01 but C = 1.0). Output: (a_id,
+    b_id, n_inter, n_a, containment_micros = n_inter·1e6 div n_a).
+
+    Complement to :func:`prefix_jaccard_join` (reference has no
+    containment analogue; capability from the set-containment-join
+    literature — Melnik & Garcia-Molina "Adaptive algorithms for set
+    containment joins", TODS'03, and the All-Pairs/PPJoin prefix
+    discipline of Bayardo WWW'07 restricted to the contained side).
+
+    Filter soundness: order tokens rarest-first (df asc, token asc) and
+    keep the CONTAINED side's prefix of length n_a − ceil(t·n_a) + 1.
+    C ≥ t ⇒ |A∩B| ≥ ceil(t·n_a) > ceil(t·n_a) − 1 = |A's dropped
+    suffix|, so at least one shared token sits in A's prefix — no
+    qualifying pair is lost. The CONTAINING side has no size-based
+    prefix (the bound depends on n_a, not n_b), so its postings are
+    pruned instead by a semi-join against the distinct A-prefix token
+    set: only tokens that are SOME document's rare-prefix token survive
+    as join keys — corpus stopwords never do, which is what keeps the
+    equi-join skew-resistant at 10^12 docs. Size filter n_b ≥ ceil(
+    t·n_a) (⟺ n_b·1e6 ≥ t_micros·n_a for integer n_b) prunes pairs
+    whose containing side is too small before verification.
+
+    Verification is candidate-bounded: per-doc token arrays joined to
+    the candidate pairs, one O(|A|+|B|) codegen array_intersect per
+    pair — the :func:`prefix_jaccard_join` discipline (never re-joins
+    the token stream per candidate). All thresholds integer micros.
+    """
+    if not 0 < threshold_micros <= 1_000_000:
+        raise ValueError("threshold_micros must be in (0, 1e6]")
+    t = tokens.select(F.col(id_col).alias("_id"),
+                      F.col(token_col).alias("token")).distinct()
+    if materialize:
+        t = t.persist()
+    sizes = t.groupBy("_id").agg(F.count("*").alias("n"))
+    freq = t.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("token"))
+    ranked = (
+        t.join(freq, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "_id")
+    )
+    # ceil(t_micros·n / 1e6) = (t_micros·n + 1e6 − 1) div 1e6
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"({threshold_micros}L * n + 999999L) div 1000000L")
+        + 1
+    ).select("_id", "token", "n")
+    a = prefix.select(F.col("_id").alias("a_id"),
+                      F.col("n").alias("n_a"), "token")
+    # containing side: full postings, pruned to A-prefix tokens only
+    b_all = t.join(prefix.select("token").distinct(), "token",
+                   "left_semi")
+    b = b_all.join(sizes, "_id").select(
+        F.col("_id").alias("b_id"), F.col("n").alias("n_b"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(
+            F.col("n_b") * 1_000_000
+            >= F.lit(threshold_micros) * F.col("n_a")
+        )
+        .select("a_id", "b_id", "n_a")
+        .distinct()
+    )
+    garr = t.groupBy("_id").agg(F.collect_list("token").alias("_g"))
+    ga = garr.select(F.col("_id").alias("a_id"), F.col("_g").alias("_ga"))
+    gb = garr.select(F.col("_id").alias("b_id"), F.col("_g").alias("_gb"))
+    out = (
+        cand.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(
+            "a_id", "b_id",
+            F.size(F.array_intersect("_ga", "_gb")).cast("long")
+            .alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+        )
+        .filter(
+            F.col("n_inter") * 1_000_000
+            >= F.lit(threshold_micros) * F.col("n_a")
+        )
+        .withColumn(
+            "containment_micros",
+            F.expr("(n_inter * 1000000L) div n_a").cast("long"),
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        t.unpersist()
+    return out
