@@ -6937,6 +6937,200 @@ def q152_layout_clusters(spark, sf_dir):
     return layout_clusters(varied)
 
 
+@q(
+    "q153_pmi_collocations",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(
+          string_split(lower(trim(regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+          w -> length(w) >= 2
+               AND NOT (lang = 'en' AND w IN ('the','a','and','of','is','this'))
+               AND NOT (lang = 'es' AND w IN ('y','de','la','que'))
+               AND NOT (lang IN ('pt','pt-br') AND w IN ('e','de','que','o'))
+        ) AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+    ),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
+            FROM base)
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM big)
+    SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(floor(1000000 * ln((c_ab / n_bi)
+                / ((ua.c / n_uni) * (ub.c / n_uni)))) AS BIGINT)
+             AS pmi_micros
+    FROM big
+    JOIN uni ua ON big.w1 = ua.w
+    JOIN uni ub ON big.w2 = ub.w
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY pmi_micros DESC, w1, w2
+    """,
+)
+def q153_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/tf.py:pmi_collocations; Church
+    & Hanks 1990): every adjacent token pair scored by pointwise mutual
+    information, min_count=5 — the boilerplate-collocation / phrase-farm
+    detector built on q43's shuffle-free zip_with bigrams. The unigram
+    join keys on VOCABULARY-sized tables (Heaps' law ≪ corpus); corpus
+    totals ride in as broadcast 1-row scalars; floor(1e6·ln(...)) keeps
+    the score integer-exact (the q73 idiom) so the oracle hash-matches
+    bit-for-bit."""
+    from .operators.tf import pmi_collocations
+
+    return pmi_collocations(_tokens_df(spark, sf_dir), min_count=5)
+
+
+@q(
+    "q154_roc_auc",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(l, w ->
+               (((('0x' || substr(md5(w), 1, 8))::BIGINT % 1048576)
+                 * 2654435761) % 2000001) - 1000000)), 0) AS BIGINT)
+               AS score_micros
+      FROM toks
+    ),
+    s AS (
+      SELECT CASE WHEN n_tokens > 0
+                  THEN CAST(floor(score_micros / n_tokens) AS BIGINT)
+                  ELSE 0 END AS sv,
+             (doc_id % 3 = 0) AS lbl
+      FROM sc
+    ),
+    b AS (
+      SELECT CAST(floor(sv / 10000.0) * 10000 AS BIGINT)
+               AS threshold_micros,
+             CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM s GROUP BY 1
+    ),
+    c AS (
+      SELECT threshold_micros,
+             CAST(sum(np) OVER w AS BIGINT) AS tp,
+             CAST(sum(nn) OVER w AS BIGINT) AS fp
+      FROM b
+      WINDOW w AS (ORDER BY threshold_micros DESC
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (SELECT CAST(sum(np) AS BIGINT) AS p_tot,
+                 CAST(sum(nn) AS BIGINT) AS n_tot FROM b),
+    a AS (
+      SELECT CAST(sum(term) AS BIGINT) AS s_num FROM (
+        SELECT (fp - coalesce(lag(fp) OVER o, 0))
+               * (tp + coalesce(lag(tp) OVER o, 0)) AS term
+        FROM c WINDOW o AS (ORDER BY threshold_micros DESC)
+      )
+    )
+    SELECT c.threshold_micros, c.tp, c.fp,
+           t.p_tot - c.tp AS fn, t.n_tot - c.fp AS tn,
+           (c.tp * 1000000) // nullif(t.p_tot, 0) AS tpr_micros,
+           (c.fp * 1000000) // nullif(t.n_tot, 0) AS fpr_micros,
+           (c.tp * 1000000) // nullif(c.tp + c.fp, 0)
+             AS precision_micros,
+           (a.s_num * 1000000) // nullif(2 * t.p_tot * t.n_tot, 0)
+             AS auc_micros
+    FROM c CROSS JOIN t CROSS JOIN a
+    """,
+)
+def q154_roc_auc(spark, sf_dir):
+    """ROC threshold sweep + integer-exact AUC over the q77 hashed
+    quality classifier (operators/classifier.py:roc_points): scores are
+    per-doc mean hashed weights (micros), labels the deterministic
+    doc_id%3 split, bucket_width=10^4 → ≤201 threshold rows. The sweep
+    runs as ONE bounded-cardinality partial agg + the q143 array-prefix-
+    sum idiom — NO WindowExec, nothing corpus-sized past the first agg;
+    the ORACLE states the same curve with window cumsums and lag()
+    trapezoids, so hash-matching proves the array form computes the
+    classical ROC/AUC exactly."""
+    from .operators.classifier import hashed_linear_score, roc_points
+
+    sc = hashed_linear_score(_read(spark, sf_dir, "documents"))
+    scored = sc.select(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.col("score_micros") / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sv"),
+        (F.col("doc_id") % 3 == 0).alias("lbl"),
+    )
+    return roc_points(
+        scored, score_col="sv", label_col="lbl", bucket_width=10_000
+    )
+
+
+@q(
+    "q155_line_dedup",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             'promo ' || (doc_id % 4) || chr(10) || substr(text, 1, 40)
+             || chr(10) || 'promo ' || (doc_id % 4) || chr(10)
+             || 'subscribe' || chr(10) || 'subscribe' AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM aug),
+    e AS (
+      SELECT doc_id, l[i] AS line, i, len(l) AS n0
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ls)
+    ),
+    f AS (
+      SELECT doc_id, line, min(i) AS fi, min(n0) AS n0
+      FROM e GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY fi) AS text,
+           CAST(min(n0) AS INT) AS n_lines,
+           CAST(count(*) AS INT) AS n_kept
+    FROM f GROUP BY doc_id
+    """,
+)
+def q155_line_dedup(spark, sf_dir):
+    """WITHIN-document repeated-line removal, first occurrence kept
+    (operators/dedup.py:dedup_lines_within_doc) — the CCNet/RefinedWeb
+    page-cleaning step that strips per-page repeated chrome before
+    corpus dedup. Every doc gets a deterministic repeated promo line and
+    a doubled 'subscribe' footer spliced in; the operator must remove
+    exactly the repeats in document order. Pure per-row codegen
+    (split → array_distinct → array_join), zero shuffle at any corpus
+    size; the ORACLE restates first-occurrence semantics positionally
+    (min(i) + ordered string_agg), so hash-matching pins
+    array_distinct's keep-first order."""
+    from .operators.dedup import dedup_lines_within_doc
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("promo "), (F.col("doc_id") % 4).cast("string")),
+            F.substring("text", 1, 40),
+            F.concat(F.lit("promo "), (F.col("doc_id") % 4).cast("string")),
+            F.lit("subscribe"),
+            F.lit("subscribe"),
+        ).alias("text"),
+    )
+    return dedup_lines_within_doc(aug, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 

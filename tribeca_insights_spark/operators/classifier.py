@@ -176,3 +176,125 @@ def train_hashed_classifier(docs: DataFrame, label,
 def sigmoid(x: float) -> float:
     """Python-side mirror for tests."""
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def roc_points(
+    scored: DataFrame,
+    score_col: str = "score_micros",
+    label_col: str = "label",
+    bucket_width: int = 1,
+) -> DataFrame:
+    """ROC curve + AUC for a document-quality classifier: one row per
+    observed score bucket, descending-threshold sweep — the calibration
+    artifact behind "where do I set the FineWeb-Edu / DCLM quality
+    cutoff?". Output per threshold (= bucket lower edge, all docs with
+    ``score >= threshold`` predicted positive): ``threshold_micros, tp,
+    fp, fn, tn, tpr_micros, fpr_micros, precision_micros`` plus the
+    curve-constant ``auc_micros`` (trapezoid over the bucketed curve,
+    (0,0)-anchored; ties inside a bucket handled as one group — the
+    standard tied-score trapezoid).
+
+    Beyond-reference capability (threshold-sweep evaluation for the
+    curation gate; reference has no classifier at all). Integer-exact:
+    AUC's trapezoid numerator Σ Δfp·(tp_i + tp_{i−1}) is a plain integer
+    sum, so ``auc_micros = 1e6·S div (2·N·P)`` is order-independent and
+    the DuckDB oracle matches bit-for-bit; rates are integer micros with
+    NULL (not 0) when a class is empty.
+
+    Scale shape (100 TB): per-bucket (n_pos, n_neg) is ONE map-combined
+    partial agg on a key whose cardinality is bounded by
+    ``ceil(score_range / bucket_width)`` (micros scores at width 10^4 →
+    ≤101 buckets); the cumulative sweep then runs on that bucket-sized
+    array via the q143/q150 array-prefix-sum idiom — NO WindowExec, no
+    single-partition sort, nothing corpus-sized past the first agg. The
+    prefix is O(B²) array ops in one row — pick ``bucket_width`` so
+    B ≲ a few thousand (the resolution a threshold decision needs).
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    lbl = F.col(label_col).cast("boolean")
+    per = (
+        scored.select(
+            (
+                F.floor(F.col(score_col) / F.lit(bucket_width))
+                * F.lit(bucket_width)
+            )
+            .cast("long")
+            .alias("_b"),
+            F.when(lbl, F.lit(1)).otherwise(F.lit(0)).alias("_p"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum("_p").cast("long").alias("_np"),
+            (F.count("*") - F.sum("_p")).cast("long").alias("_nn"),
+        )
+    )
+    # descending threshold order: cum through index i = tp/fp at that cut
+    arr = per.agg(
+        F.reverse(
+            F.sort_array(F.collect_list(F.struct("_b", "_np", "_nn")))
+        ).alias("a")
+    )
+    cum = arr.select(
+        F.transform(
+            "a",
+            lambda s, i: F.struct(
+                s["_b"].alias("b"),
+                F.aggregate(
+                    F.slice("a", F.lit(1), i + 1),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["_np"],
+                ).alias("tp"),
+                F.aggregate(
+                    F.slice("a", F.lit(1), i + 1),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["_nn"],
+                ).alias("fp"),
+            ),
+        ).alias("p")
+    )
+    tot_p = F.element_at("p", -1)["tp"]
+    tot_n = F.element_at("p", -1)["fp"]
+    # trapezoid numerator: Σ Δfp·(tp_i + tp_{i−1}), (0,0)-anchored
+    auc_num = F.aggregate(
+        F.zip_with(
+            "p",
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit(0).cast("long").alias("b"),
+                        F.lit(0).cast("long").alias("tp"),
+                        F.lit(0).cast("long").alias("fp"),
+                    )
+                ),
+                F.slice("p", F.lit(1), F.greatest(F.size("p") - 1, F.lit(0))),
+            ),
+            lambda cur, prev: (cur["fp"] - prev["fp"])
+            * (cur["tp"] + prev["tp"]),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    staged = cum.select(
+        "p",
+        tot_p.alias("_P"),
+        tot_n.alias("_N"),
+        auc_num.alias("_S"),
+    )
+    return staged.select(
+        F.explode("p").alias("s"), "_P", "_N", "_S"
+    ).select(
+        F.col("s.b").alias("threshold_micros"),
+        F.col("s.tp").alias("tp"),
+        F.col("s.fp").alias("fp"),
+        (F.col("_P") - F.col("s.tp")).alias("fn"),
+        (F.col("_N") - F.col("s.fp")).alias("tn"),
+        F.expr("(s.tp * 1000000L) div nullif(_P, 0L)").alias("tpr_micros"),
+        F.expr("(s.fp * 1000000L) div nullif(_N, 0L)").alias("fpr_micros"),
+        F.expr("(s.tp * 1000000L) div nullif(s.tp + s.fp, 0L)").alias(
+            "precision_micros"
+        ),
+        F.expr("(_S * 1000000L) div nullif(2L * _P * _N, 0L)").alias(
+            "auc_micros"
+        ),
+    )

@@ -1278,3 +1278,36 @@ def containment_join(
         out = out.localCheckpoint(eager=True)
         t.unpersist()
     return out
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal, first occurrence kept in
+    document order — the CCNet/RefinedWeb page-cleaning step that strips
+    per-page repeated chrome (cookie banners, "subscribe" interstitials,
+    footer lines duplicated by templating) BEFORE corpus-level dedup:
+    repeated lines inside one page otherwise inflate its shingle mass
+    and its token count. Corpus-level cross-doc line dedup is
+    :func:`paragraph_dedup`; this is its zero-shuffle per-page
+    complement. Output: input columns with ``text`` rewritten plus
+    ``n_lines`` (original) and ``n_kept`` (after dedup).
+
+    Scale shape (100 TB): pure per-row whole-stage codegen —
+    ``split → array_distinct → array_join`` (``array_distinct`` keeps
+    the FIRST occurrence of each element in array order, pinned by
+    test); no Python, no Exchange, no state. Embarrassingly parallel at
+    any corpus size.
+    """
+    lines = F.split(F.col(text_col), sep, -1)
+    kept = F.array_distinct(lines)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        F.array_join(kept, sep).alias(text_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+    )

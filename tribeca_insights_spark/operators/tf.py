@@ -245,3 +245,96 @@ def merge_pages_by_slug(pages: DataFrame, order_col: str = "warc_ts") -> DataFra
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def pmi_collocations(
+    extracted: DataFrame,
+    min_count: int = 5,
+    k: int | None = None,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over the corpus
+    (Church & Hanks 1990): for every adjacent token pair,
+    ``pmi = ln( (c_ab / N_bi) / ((c_a / N_uni) · (c_b / N_uni)) )`` —
+    the classic "which word pairs stick together" statistic, used in
+    curation to spot boilerplate collocations and machine-generated
+    phrase farms (unnaturally PMI-flat text). Output: ``(w1, w2, c_ab,
+    c_a, c_b, pmi_micros = floor(1e6·pmi))``, ``c_ab >= min_count``,
+    ordered pmi desc then lexicographic.
+
+    Beyond-reference capability (reference stops at raw TF; q43 counts
+    bigrams, this normalizes them into an association score).
+
+    Scale shape (100 TB): bigrams build per-row with zip_with (no
+    shuffle until the count — the :func:`bigram_tf` discipline); unigram
+    and bigram counts are map-combined partial aggs; the PMI join keys
+    on w1/w2 against the VOCABULARY-sized unigram table (words, not
+    documents — Heaps' law keeps it ≪ corpus), and totals ride in as
+    broadcast 1-row scalars. ``floor(1e6·ln(...))`` keeps the score an
+    integer (the q73 idiom), so ordering and oracle comparison are
+    exact. Top-k (``k``) is TakeOrderedAndProject, never a global sort.
+    """
+    if "tokens" in extracted.columns:
+        toks = extracted.select("tokens")
+    else:
+        from ..functions.tokenize import with_tokens
+
+        toks = with_tokens(extracted).select("tokens")
+    uni = (
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("_n_uni"))
+    big = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("tokens"),
+                        1,
+                        F.greatest(F.size("tokens") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("tokens"),
+                        2,
+                        F.greatest(F.size("tokens") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_bi = big.agg(F.sum("c_ab").alias("_n_bi"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    out = (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    (F.col("c_ab") / F.col("_n_bi"))
+                    / (
+                        (F.col("c_a") / F.col("_n_uni"))
+                        * (F.col("c_b") / F.col("_n_uni"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pmi_micros"),
+        )
+        .orderBy(F.desc("pmi_micros"), "w1", "w2")
+    )
+    return out.limit(k) if k else out
