@@ -7131,6 +7131,175 @@ def q155_line_dedup(spark, sf_dir):
     return dedup_lines_within_doc(aug, id_col="doc_id")
 
 
+# fixed BPE merge list for q156 — rank-ordered, every output symbol
+# distinct (the bpe_encode one-pass-per-merge precondition); (a,n)→an
+# feeding (an,d)→and exercises merge chaining
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    enc = "regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30), 'g')"
+    for a, b in _BPE_MERGES:
+        pat = (
+            f"chr(31) || '{a}' || chr(30) || chr(31) || '{b}' || chr(30)"
+        )
+        rep = f"chr(31) || '{a}{b}' || chr(30)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(str_split(text, ' '),
+                                        x -> length(x) > 0)) AS word
+      FROM documents
+    ),
+    e AS (SELECT doc_id, {enc} AS sym FROM w),
+    s AS (
+      SELECT doc_id,
+             unnest(str_split(substr(sym, 2, length(sym) - 2),
+                              chr(30) || chr(31))) AS symbol
+      FROM e
+    )
+    SELECT symbol, CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM s GROUP BY symbol ORDER BY freq DESC, symbol
+    """
+
+
+@q("q156_bpe_encode", _bpe_encode_oracle())
+def q156_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (operators/bpe.py:bpe_encode) — the
+    encode half of the q133 train/encode pair: a fixed rank-ordered
+    8-merge list applied to every word as a sentinel-delimited
+    replace-fold (exact greedy BPE, pure whole-stage codegen, zero
+    Python / zero shuffle on the corpus path), then corpus symbol
+    frequencies. The ORACLE replays the identical replace chain in
+    DuckDB — left-to-right non-overlapping replace is a shared
+    contract — so hash-matching proves encoder equivalence symbol by
+    symbol."""
+    from .operators.bpe import bpe_encode
+
+    be = bpe_encode(_read(spark, sf_dir, "documents"), _BPE_MERGES)
+    return (
+        be.select("doc_id", F.explode("symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("freq"), "symbol")
+    )
+
+
+@q(
+    "q157_wilson_quality",
+    """
+    WITH a AS (
+      SELECT source,
+             CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS s
+      FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS successes
+      FROM a GROUP BY source
+    ),
+    p AS (
+      SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+             CAST(n AS DOUBLE) AS nd
+      FROM g
+    )
+    SELECT source, n, successes,
+           round(ph, 6) AS p_hat,
+           round((ph + (1.96 * 1.96) / (2.0 * nd)
+                  - 1.96 * sqrt(ph * (1.0 - ph) / nd
+                                + (1.96 * 1.96) / (4.0 * nd * nd)))
+                 / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_lo
+    FROM p
+    """,
+)
+def q157_wilson_quality(spark, sf_dir):
+    """Per-domain quality rate with Wilson-score LOWER bound
+    (operators/textstats.py:wilson_bounds; Wilson 1927): success =
+    doc length ≥ 200 chars, grouped by source — the statistically
+    honest domain-curation gate (a 3/3 host cannot out-rank a 70/100
+    host on the lower bound the way raw rates allow). One map-combined
+    partial agg on the domain key; the Wilson arithmetic is per-row
+    codegen on the group-cardinality result, written as ONE canonical
+    double expression (z² stated as 1.96*1.96 on both sides so the
+    doubles are bit-identical) and rounded to 6dp."""
+    from .operators.textstats import wilson_bounds
+
+    d = _read(spark, sf_dir, "documents").select(
+        "source", (F.length("text") >= 200).alias("is_good")
+    )
+    return wilson_bounds(d, group_col="source", success_col="is_good")
+
+
+@q(
+    "q158_zipf_slope",
+    _TOKENS_CTE
+    + """
+    , f AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+      FROM words GROUP BY lang, word
+    ),
+    r AS (
+      SELECT lang,
+             CAST(floor(1000000 * ln(CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY freq DESC, word)
+               AS DOUBLE))) AS BIGINT) AS x,
+             CAST(floor(1000000 * ln(CAST(freq AS DOUBLE)))
+               AS BIGINT) AS y
+      FROM f
+    ),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM r GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             THEN floor(1e6 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             END AS BIGINT) AS slope_micros,
+           CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             THEN floor((CAST(sy AS DOUBLE)
+                  - (CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                     THEN floor(1e6 * (CAST(n AS DOUBLE)
+                          * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     END) * CAST(sx AS DOUBLE) / 1e6)
+                / CAST(n AS DOUBLE))
+             END AS BIGINT) AS intercept_micros
+    FROM s
+    """,
+)
+def q158_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per language (operators/textstats.py:zipf_slope):
+    OLS slope of ln(freq) on ln(rank) over each language's frequency-
+    ranked vocabulary — natural text runs ≈ −1·10^6 micros; template
+    farms and generated spam flatten it. Sufficient statistics are
+    exact BIGINT sums of micro-quantized logs (order-free under any
+    partitioning); the rank window partitions BY LANGUAGE over the
+    vocabulary-sized table (never a global sort); the final two-ratio
+    arithmetic is one canonical double expression replayed verbatim by
+    the oracle."""
+    from .operators.textstats import zipf_slope
+
+    return zipf_slope(_tokens_df(spark, sf_dir), group_col="lang")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -174,3 +174,68 @@ def bpe_train_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE every document with a fixed, ordered BPE merge list —
+    tokenizer APPLICATION, the counterpart of :func:`bpe_train_merges`
+    (train once, encode the corpus; this is the corpus-sized half).
+    Output: input id column + ``symbols`` (the BPE token sequence,
+    words independently encoded in document order) + ``n_bpe_tokens``
+    — the "how many tokens is this corpus under my tokenizer" question
+    every training-data budget starts with.
+
+    Encoding is EXACT greedy BPE, yet pure whole-stage codegen — zero
+    Python, zero shuffle: each word is sentinel-wrapped per symbol
+    (module sentinels; literal replace can then never match across a
+    symbol boundary) and the merge list is applied as a fold of
+    ``F.replace`` calls, one left-to-right non-overlapping pass per
+    merge in priority order. One pass per merge is the full fixpoint:
+    merging (a,b)→ab consumes both symbols, so it can never create a
+    NEW (a,b) adjacency, and — provided every merge output is a
+    distinct new symbol, asserted below — a later merge can never
+    recreate an earlier merge's pair (its output symbol did not exist
+    when the earlier pair was defined). Spark, DuckDB and Python
+    ``str.replace`` share the left-to-right non-overlapping contract,
+    so the oracle replays the encoder exactly.
+
+    Scale shape (10^12 docs): embarrassingly parallel — one Project
+    above the scan, |merges| literal replaces deep. At 30k merges,
+    fold in chunks through intermediate columns (same plan, bounded
+    expression-tree depth); the corpus is still touched once with no
+    exchange.
+    """
+    outs = ["".join(p) for p in merges]
+    if len(set(outs)) != len(outs):
+        raise ValueError("merge outputs must be distinct symbols")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+
+    def enc(w):
+        s = F.regexp_replace(w, "(.)", f"{_SL}$1{_SR}")
+        for a, b in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{_SL}{a}{_SR}{_SL}{b}{_SR}"),
+                F.lit(f"{_SL}{a}{b}{_SR}"),
+            )
+        return s
+
+    symbols = F.flatten(
+        F.transform(
+            toks,
+            lambda w: F.split(
+                enc(w).substr(F.lit(2), F.length(enc(w)) - F.lit(2)),
+                _SR + _SL,
+            ),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        symbols.alias("symbols"),
+        F.size(symbols).cast("int").alias("n_bpe_tokens"),
+    )

@@ -682,3 +682,122 @@ def keyness_g2(docs: DataFrame, group_col: str = "source",
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def wilson_bounds(
+    df: DataFrame,
+    group_col: str = "source",
+    success_col: str = "is_good",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group success rate with its Wilson-score LOWER bound
+    (Wilson 1927) — the statistically honest "is this domain's quality
+    rate really above the cutoff?" answer for domain-level curation
+    gates: a 3/3 domain has p_hat 1.0 but wilson_lo ≈ 0.44, so small
+    hosts cannot out-rank well-sampled ones the way a raw rate lets
+    them. Output: (group, n, successes, p_hat, wilson_lo), floats
+    rounded to 6dp AFTER a fixed-shape double computation both engines
+    evaluate identically (sqrt is IEEE correctly-rounded; every other
+    op is a single mul/div chain written in one canonical order).
+
+    Scale shape (10^12 docs): ONE map-combined partial agg (count +
+    conditional sum) on the group key; the Wilson arithmetic is per-row
+    codegen on the GROUP-cardinality result. Nothing else touches the
+    corpus.
+    """
+    g = F.col(group_col)
+    s = F.when(F.col(success_col).cast("boolean"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    agg = df.groupBy(g.alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(s).cast("bigint").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    ph = F.col("successes").cast("double") / n
+    z2 = F.lit(float(z) * float(z))
+    center = ph + z2 / (F.lit(2.0) * n)
+    rad = F.lit(float(z)) * F.sqrt(
+        ph * (F.lit(1.0) - ph) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    lo = (center - rad) / (F.lit(1.0) + z2 / n)
+    return agg.select(
+        group_col,
+        "n",
+        "successes",
+        F.round(ph, 6).alias("p_hat"),
+        F.round(lo, 6).alias("wilson_lo"),
+    )
+
+
+def zipf_slope(
+    tokens_df: DataFrame,
+    group_col: str = "lang",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Zipf's-law fit per group: OLS slope of ln(freq) on ln(rank)
+    over the group's frequency-ranked vocabulary — the corpus-health
+    diagnostic behind "does this source still look like natural
+    language?" (natural text slopes ≈ −1; template farms and
+    machine-generated spam flatten or steepen it). Output:
+    (group, n, slope_micros, intercept_micros): lns are floored to
+    integer MICROS before summing, so the five sufficient statistics
+    are exact BIGINTs (bit-stable under any partitioning — q138's
+    discipline); only the final two-ratio arithmetic runs in double,
+    as ONE canonical expression both engines evaluate identically
+    (q138's pure-integer floor division would overflow BIGINT here:
+    micro-scaled x AND y make n·Σxy ~ 1e26 at real vocab sizes).
+
+    Scale shape (10^12 docs): the corpus is touched ONCE by the
+    (group, word) partial-agg count; ranking is a row_number window
+    PARTITIONED by group over the VOCABULARY-sized table (Heaps' law
+    keeps it ≪ corpus — never a global sort); the OLS consumes five
+    integer sufficient statistics per group.
+    """
+    freq = (
+        tokens_df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_col).alias("w"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    rk = Window.partitionBy("grp").orderBy(F.desc("freq"), F.asc("w"))
+    xy = freq.withColumn("rank", F.row_number().over(rk)).select(
+        "grp",
+        F.floor(F.lit(1e6) * F.log(F.col("rank").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.lit(1e6) * F.log(F.col("freq").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = xy.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # canonical double expressions — every operand cast BEFORE the
+    # multiply, same shape in the oracle, so IEEE rounding is identical
+    num = (
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    den = (
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    slope = f"CASE WHEN {den} > 0 THEN floor(1e6 * ({num}) / ({den})) END"
+    intercept = (
+        f"CASE WHEN {den} > 0 THEN floor((CAST(sy AS DOUBLE)"
+        f" - ({slope}) * CAST(sx AS DOUBLE) / 1e6)"
+        " / CAST(n AS DOUBLE)) END"
+    )
+    return s.selectExpr(
+        f"grp AS {group_col}",
+        "n",
+        f"CAST({slope} AS BIGINT) AS slope_micros",
+        f"CAST({intercept} AS BIGINT) AS intercept_micros",
+    )
