@@ -7300,6 +7300,157 @@ def q158_zipf_slope(spark, sf_dir):
     return zipf_slope(_tokens_df(spark, sf_dir), group_col="lang")
 
 
+@q(
+    "q159_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    per AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    a AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             CAST(sum(CAST(floor(1e6 * CAST(cnt AS DOUBLE)
+                                 * ln(CAST(cnt AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_chars, 0) AS n_chars,
+           coalesce(a.n_distinct_chars, 0) AS n_distinct_chars,
+           CAST(CASE WHEN a.n_chars > 0 THEN
+                  floor(1e6 * ln(CAST(a.n_chars AS DOUBLE))
+                        - CAST(a.s AS DOUBLE)
+                          / CAST(a.n_chars AS DOUBLE))
+                END AS BIGINT) AS entropy_micros
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def q159_char_entropy(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy
+    (operators/textstats.py:char_entropy) — the base64/binary/minified
+    blob detector (natural prose ≈ 2.8-3.1 nats, base64 ≈ ln 64 flat).
+    Per-char terms floor(1e6·c·ln c) are quantized BEFORE the sum so
+    the per-doc statistic is an order-free BIGINT (q73 discipline);
+    only the final ln n − S/n runs in double, replayed canonically by
+    the oracle. One (doc, char) map-combined agg + per-doc re-agg;
+    empty docs keep a NULL-entropy row via the id-keyed join."""
+    from .operators.textstats import char_entropy
+
+    return char_entropy(_read(spark, sf_dir, "documents"))
+
+
+@q(
+    "q160_url_patterns",
+    """
+    WITH u AS (
+      SELECT 'https://h' || (doc_id % 5) || '.example.com' ||
+        CASE WHEN doc_id % 7 = 0
+               THEN '/archive/' || (2000 + doc_id % 25) || '/'
+                    || (doc_id % 12 + 1)
+             WHEN doc_id % 3 = 0
+               THEN '/blog/' || doc_id || '/comments'
+             ELSE '/docs/' || doc_id END AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+             AS host,
+           regexp_replace(
+             regexp_extract(url,
+               '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1),
+             '[0-9]+', '{n}', 'g') AS path_template,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           min(url) AS sample_url
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q160_url_patterns(spark, sf_dir):
+    """URL path-template mining (functions/urlnorm.py:
+    url_path_templates): digit runs masked to {n}, counted per host —
+    the calendar/pagination/session-trap detector a crawl frontier
+    budgets patterns (not pages) with. URLs are synthesized
+    deterministically with three route shapes (/archive/{yyyy}/{n},
+    /blog/{id}/comments, /docs/{id}); the oracle replays the same
+    regex pair. Two codegen regexps + one map-combined agg on the
+    site-structure-sized (host, template) key."""
+    from .functions.urlnorm import url_path_templates
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    u = d.select(
+        F.concat(
+            F.lit("https://h"), (sid % 5).cast("string"),
+            F.lit(".example.com"),
+            F.when(
+                sid % 7 == 0,
+                F.concat(
+                    F.lit("/archive/"),
+                    (sid % 25 + 2000).cast("string"),
+                    F.lit("/"),
+                    (sid % 12 + 1).cast("string"),
+                ),
+            )
+            .when(
+                sid % 3 == 0,
+                F.concat(
+                    F.lit("/blog/"), sid.cast("string"),
+                    F.lit("/comments"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("/docs/"), sid.cast("string"))),
+        ).alias("url")
+    )
+    return url_path_templates(u)
+
+
+@q(
+    "q161_mirror_hosts",
+    """
+    WITH pages AS (
+      SELECT 'h' || (doc_id % 5) || '.example.com' AS host, text
+      FROM documents
+      UNION ALL
+      SELECT 'mirror.example.net', text FROM documents
+      WHERE doc_id % 4 = 0
+    ),
+    a AS (
+      SELECT md5(text) AS content_key,
+             CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+             string_agg(DISTINCT host, ',' ORDER BY host) AS hosts
+      FROM pages GROUP BY 1
+    )
+    SELECT content_key, n_hosts, n_pages, hosts
+    FROM a WHERE n_hosts >= 2
+    """,
+)
+def q161_mirror_hosts(spark, sf_dir):
+    """Cross-host mirror detection (operators/dedup.py:mirror_hosts):
+    verbatim content on ≥2 distinct hosts, surfaced (not silently
+    collapsed) for crawl planning and scraper-farm blocklisting. Every
+    doc_id%4==0 document gets a deterministic mirror on a second host;
+    the oracle restates the construction and the hash-keyed host
+    aggregation closed-form. One content-hash partial agg; text never
+    shuffles — only (hash, host) pairs."""
+    from .operators.dedup import mirror_hosts
+
+    d = _read(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "text",
+    )
+    mirrored = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.lit("mirror.example.net").alias("host"), "text"
+    )
+    return mirror_hosts(base.unionByName(mirrored))
+
+
 # ---------------------------------------------------------------------------
 
 

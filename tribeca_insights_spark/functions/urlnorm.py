@@ -94,3 +94,41 @@ def canonical_url_dedup(df, url_col: str = "url", **canon_kwargs):
         F.min("_u").alias("keeper_url"),
         F.count("*").cast("bigint").alias("n_variants"),
     )
+
+
+def url_path_templates(
+    df,
+    url_col: str = "url",
+) -> "DataFrame":
+    """URL PATH-TEMPLATE mining per host: every path with digit runs
+    masked to ``{n}`` becomes a template key, counted per host — the
+    crawl-frontier diagnostic behind "this host is a calendar /
+    pagination / session-id trap": one template (``/blog/{n}/page/{n}``)
+    carrying millions of URLs is a trap or an archive, and either way
+    the frontier should budget it as ONE pattern, not millions of
+    independent pages. Output: (host, path_template, n_urls,
+    sample_url) — sample_url = lexicographic min, deterministic.
+
+    Pure per-row codegen (two regexp ops) + one map-combined groupBy
+    on the (host, template)-cardinality key — templates are
+    site-structure-sized, orders of magnitude below URL count, so the
+    agg output is tiny at any corpus scale. Host/path come from the
+    same regexes the oracle replays (no parse_url — engine parity).
+    """
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    tpl = F.regexp_replace(path, "[0-9]+", "{n}")
+    return (
+        df.select(
+            host.alias("host"),
+            tpl.alias("path_template"),
+            F.col(url_col).alias("_u"),
+        )
+        .groupBy("host", "path_template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.min("_u").alias("sample_url"),
+        )
+    )

@@ -1311,3 +1311,38 @@ def dedup_lines_within_doc(
         F.size(lines).cast("int").alias("n_lines"),
         F.size(kept).cast("int").alias("n_kept"),
     )
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-host MIRROR detection: content (by md5 of the text) that
+    appears verbatim on two or more distinct hosts — the www/apex
+    mirrors, CDN clones and scraper farms that exact dedup collapses
+    silently but a crawl planner wants SURFACED (fetch one mirror, skip
+    the rest; blocklist the scraper). Output per mirrored content:
+    (content_key, n_hosts, n_pages, hosts) with ``hosts`` the
+    lexicographically sorted distinct host list joined by ',' —
+    deterministic for oracle comparison.
+
+    Scale shape (10^12 docs): ONE partial agg on the content-hash key
+    (the exact_dedup shuffle); collect_set fan-in is bounded by the
+    mirror count per content (pathological hash keys with thousands of
+    hosts are exactly the scraper farms the report exists to surface —
+    cap with a slice if a corpus proves degenerate). Text never
+    shuffles — only (hash, host) pairs.
+    """
+    pairs = docs.select(
+        F.md5(F.col(text_col)).alias("content_key"),
+        F.col(host_col).alias("_h"),
+    )
+    agg = pairs.groupBy("content_key").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.size(F.collect_set("_h")).cast("bigint").alias("n_hosts"),
+        F.array_join(F.array_sort(F.collect_set("_h")), ",").alias(
+            "hosts"
+        ),
+    )
+    return agg.filter(F.col("n_hosts") >= 2)

@@ -801,3 +801,69 @@ def zipf_slope(
         f"CAST({slope} AS BIGINT) AS slope_micros",
         f"CAST({intercept} AS BIGINT) AS intercept_micros",
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution —
+    the cheap "is this natural language or a base64/binary/minified
+    blob?" curation signal (natural prose sits ~4.0-4.5 bits ≈
+    2.8-3.1 nats; base64 runs ≈ ln 64 = 4.16 nats flat, hex ≈ 2.77
+    with no whitespace mass). Output: (id, n_chars, n_distinct_chars,
+    entropy_micros) with entropy in NATS micro-quantized; empty
+    documents keep a row with NULL entropy.
+
+    Integer-exact decomposition: H = ln n − (Σ c·ln c)/n, where the
+    per-character term floor(1e6·c·ln c) is quantized BEFORE the sum
+    (the q73 discipline — BIGINT sums are order-free under any
+    partitioning); only the final ln n − S/n runs in double, as one
+    canonical expression the oracle replays verbatim.
+
+    Scale shape (10^12 docs): the char explode is the corpus-token
+    explode every TF query already pays, feeding ONE map-combined
+    (doc, char) partial agg (alphabet-bounded fan-in per doc) + a
+    per-doc re-agg; the join back for empty docs is id-keyed.
+    """
+    # split('', '') yields [''] in Spark AND DuckDB — filter the empty
+    # element so empty docs take the NULL-entropy path, not a 1-char one
+    ch = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), ""), lambda c: F.length(c) > 0
+            )
+        ).alias("c"),
+    )
+    per = ch.groupBy("_id", "c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    agg = per.groupBy("_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.sum(
+            F.floor(
+                F.lit(1e6)
+                * F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double"))
+            ).cast("bigint")
+        ).alias("_s"),
+    )
+    out = docs.select(F.col(id_col)).join(
+        agg, F.col(id_col) == F.col("_id"), "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0).cast("bigint")).alias("n_chars"),
+        F.coalesce("n_distinct_chars", F.lit(0).cast("bigint")).alias(
+            "n_distinct_chars"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_chars > 0 THEN "
+            "floor(1e6 * ln(CAST(n_chars AS DOUBLE)) "
+            "- CAST(_s AS DOUBLE) / CAST(n_chars AS DOUBLE)) "
+            "END AS BIGINT)"
+        ).alias("entropy_micros"),
+    )
