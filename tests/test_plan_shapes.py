@@ -457,3 +457,90 @@ def test_edit_distance_verify_thresholded_and_gated(spark):
     # semantics unchanged by the gates: the 1-edit pair still verifies
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["lev"] == 1
+
+
+def test_line_dedup_and_bpe_encode_no_exchange_no_python(spark):
+    """q155/q156 corpus paths are pure whole-stage codegen: one Project
+    above the scan — no shuffle, no Python worker."""
+    from tribeca_insights_spark.operators.bpe import bpe_encode
+    from tribeca_insights_spark.operators.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(dedup_lines_within_doc(d))
+    assert "Exchange" not in p
+    assert "Python" not in p
+    p = _plan(bpe_encode(d, [("t", "h"), ("th", "e")]))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_roc_points_no_window(spark):
+    """q154's descending-threshold sweep must run as array prefix sums
+    inside one row — a WindowExec here means a single-partition sort of
+    the scored corpus (the q84 failure mode)."""
+    from tribeca_insights_spark.operators.classifier import roc_points
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        (F.col("doc_id") % 100).alias("score_micros"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    p = _plan(roc_points(d))
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_pmi_totals_broadcast_no_corpus_window(spark):
+    """q153: corpus totals ride in as broadcast 1-row scalars; the PMI
+    join keys on vocabulary-sized tables; no window anywhere."""
+    from tribeca_insights_spark.functions.tokenize import with_tokens
+    from tribeca_insights_spark.operators.tf import pmi_collocations
+
+    d = with_tokens(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    p = _plan(pmi_collocations(d, min_count=2, k=10))
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row scalar attach
+    assert "Window" not in p
+    assert "TakeOrderedAndProject" in p  # top-k, never a global sort
+
+
+def test_zipf_window_partitioned_wilson_single_agg(spark):
+    """q158's rank window must be partitioned (vocab table, per-lang);
+    q157 is one partial agg + per-row codegen."""
+    from tribeca_insights_spark.functions.tokenize import with_tokens
+    from tribeca_insights_spark.operators.textstats import (
+        wilson_bounds,
+        zipf_slope,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(zipf_slope(with_tokens(d)))
+    assert "Window" in p
+    assert "No Partition Defined" not in p  # belt: WARN text never in plan
+    # the window's partition spec names the group column
+    assert "partitionBy" not in p or "grp" in p
+    p2 = _plan(wilson_bounds(d.select("source", (F.length("text") >= 200).alias("is_good"))))
+    assert p2.count("Exchange") <= 1
+    assert "Window" not in p2
+
+
+def test_mirror_and_url_templates_single_shuffle(spark):
+    """q160/q161: one map-combined partial agg each — exactly one
+    Exchange, text/url strings only shuffle as agg keys."""
+    from tribeca_insights_spark.functions.urlnorm import url_path_templates
+    from tribeca_insights_spark.operators.dedup import mirror_hosts
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("host"),
+        "text",
+    )
+    assert _plan(mirror_hosts(pages)).count("Exchange") == 1
+    urls = d.select(
+        F.concat(F.lit("https://a.com/docs/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    assert _plan(url_path_templates(urls)).count("Exchange") == 1
