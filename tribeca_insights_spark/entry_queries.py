@@ -7451,6 +7451,164 @@ def q161_mirror_hosts(spark, sf_dir):
     return mirror_hosts(base.unionByName(mirrored))
 
 
+@q(
+    "q162_split_leakage",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         w -> length(w) > 0) AS t
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             list_filter(string_split(text, ' '),
+                         w -> length(w) > 0)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (
+      SELECT doc_id, t,
+             CASE WHEN ('0x' || substr(md5('split'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000000 < 900000 THEN 'train'
+                  WHEN ('0x' || substr(md5('split'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(t[i:i+12], ' ') AS gr
+      FROM (SELECT doc_id, split, t,
+                   unnest(range(1, len(t) - 11)) AS i
+            FROM s WHERE len(t) >= 13)
+    ),
+    tr AS (SELECT DISTINCT doc_id AS train_id, gr FROM g
+           WHERE split = 'train'),
+    ev AS (SELECT doc_id, split, gr FROM g WHERE split <> 'train')
+    SELECT ev.doc_id, ev.split,
+           CAST(count(DISTINCT ev.gr) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
+    FROM ev JOIN tr USING (gr)
+    GROUP BY 1, 2
+    """,
+)
+def q162_split_leakage(spark, sf_dir):
+    """Train→eval leakage audit over the q110 deterministic split
+    (operators/dedup.py:split_leakage): every tenth document gets a
+    verbatim copy under a new id, the corpus is split 90/5/5, and any
+    val/test doc sharing a 13-gram with ANY train doc is flagged with
+    its shared-gram and train-doc counts — the eval-hygiene step that
+    makes held-out numbers trustworthy. Unlike q57's broadcast-bench
+    decontamination, both sides here are corpus fractions: a plain hash
+    equi-join on 8-byte gram-hash prefixes, (id, hash) pairs only."""
+    from .operators.dedup import split_leakage
+    from .operators.mixing import split_assign
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("tokens_str"),
+    )
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "tokens_str"
+    )
+    corpus = d.unionByName(copies)
+    s = split_assign(
+        corpus, key_col="doc_id", salt="split",
+        train_micros=900_000, val_micros=50_000,
+    )
+    return split_leakage(s, n=13)
+
+
+@q(
+    "q163_winnowing",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(text) - 7, 0) + 1),
+               i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))
+                      ::BIGINT) AS hs
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(hs) - 3, 0) + 1),
+               j -> struct_pack(
+                 j := j,
+                 p := list_min(list_transform([0, 1, 2, 3],
+                        o -> hs[j + o] * 4 + (3 - o)))))) AS u
+      FROM g
+    )
+    SELECT DISTINCT doc_id,
+           CAST(u.j + (3 - u.p % 4) AS INT) AS pos,
+           CAST(u.p // 4 AS BIGINT) AS fp
+    FROM s
+    """,
+)
+def q163_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (operators/textstats.py:
+    winnowing_fingerprints; Schleimer-Wilkerson-Aiken SIGMOD'03, the
+    MOSS algorithm): char-8-gram hashes, window-4 minimum selection
+    with the rightmost-on-ties robust rule — every shared substring of
+    length ≥ 11 is guaranteed a shared fingerprint at ~2/5 full-gram
+    density. Selection is engine-exact via the hash·w+(w−1−offset)
+    integer pack (no struct-comparison semantics to align); the whole
+    operator is per-row array codegen, zero shuffle, zero Python. The
+    ORACLE replays pack, min, decode, and distinct verbatim."""
+    from .operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _read(spark, sf_dir, "documents"), k=8, w=4
+    )
+
+
+@q(
+    "q164_host_dup_rate",
+    """
+    WITH pages AS (
+      SELECT 'h' || (doc_id % 5) || '.example.com' AS host, text
+      FROM documents
+      UNION ALL
+      SELECT 'h' || (doc_id % 5) || '.example.com', text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    a AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(count(DISTINCT md5(text)) AS BIGINT)
+               AS n_unique_texts
+      FROM pages GROUP BY host
+    )
+    SELECT host, n_pages, n_unique_texts,
+           (n_pages - n_unique_texts) * 1000000 // n_pages
+             AS dup_rate_micros
+    FROM a
+    """,
+)
+def q164_host_dup_rate(spark, sf_dir):
+    """Per-host duplicate-rate report card (operators/dedup.py:
+    host_dup_rate): every third document is duplicated within its host,
+    and the report prices each host's redundancy — the "cap or drop
+    this 90%-duplicated host" decision made BEFORE spending per-doc
+    dedup effort. Text reduces to md5 in the scan Project; one distinct
+    + one host agg, both map-combined."""
+    from .operators.dedup import host_dup_rate
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com"),
+    )
+    base = d.select(host.alias("host"), "text")
+    dups = d.filter(F.col("doc_id") % 3 == 0).select(
+        host.alias("host"), "text"
+    )
+    return host_dup_rate(base.unionByName(dups))
+
+
 # ---------------------------------------------------------------------------
 
 

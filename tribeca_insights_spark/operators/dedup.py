@@ -1346,3 +1346,97 @@ def mirror_hosts(
         ),
     )
     return agg.filter(F.col("n_hosts") >= 2)
+
+
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_value: str = "train",
+    id_col: str = "doc_id",
+    text_col: str = "tokens_str",
+    n: int = 13,
+) -> DataFrame:
+    """Train→eval LEAKAGE check across an assigned split — the eval-
+    hygiene step after q110's deterministic split: any val/test document
+    sharing a word ``n``-gram (default the public 13-gram rule) with ANY
+    train document is compromised as held-out signal. Output per leaked
+    eval doc: (id, split, n_shared_grams = distinct grams also in train,
+    n_train_docs = distinct train docs sharing ≥1 gram).
+
+    :func:`decontaminate` is the external-benchmark variant and
+    broadcasts its tiny bench side; here the eval side is a corpus
+    FRACTION (~2%) — far past broadcast at 10^12 docs — so this is a
+    plain hash equi-join on 8-byte-prefix gram hashes: both sides
+    shuffle ONLY (id, gram-hash) pairs, never text; distinct-before-
+    join bounds the gram tables by distinct-gram count.
+    """
+    def grams(df, out_id):
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(split_col).alias("_sp"),
+            F.split(F.col(text_col), " ").alias("_t"),
+        ).filter(F.size("_t") >= n)
+        return base.select(
+            out_id,
+            "_sp",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1))
+            ).alias("_i"),
+            "_t",
+        ).select(
+            out_id,
+            "_sp",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+            ).alias("gkey"),
+        ).distinct()
+
+    is_train = F.col("_sp") == train_value
+    ev = grams(docs, "eval_id").filter(~is_train)
+    tr = (
+        grams(docs, "train_id")
+        .filter(is_train)
+        .select("train_id", "gkey")
+    )
+    return (
+        ev.join(tr, "gkey")
+        .groupBy(F.col("eval_id").alias(id_col), F.col("_sp").alias(split_col))
+        .agg(
+            F.countDistinct("gkey").cast("bigint").alias("n_shared_grams"),
+            F.countDistinct("train_id").cast("bigint").alias("n_train_docs"),
+        )
+    )
+
+
+def host_dup_rate(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host duplicate-rate report card: (host, n_pages,
+    n_unique_texts, dup_rate_micros = (n_pages − n_unique)·1e6 div
+    n_pages) — the "this host is 90% duplicated chrome, drop or cap it"
+    curation decision RefinedWeb-style pipelines make at host
+    granularity BEFORE spending per-doc dedup effort on it.
+
+    Scale shape (10^12 docs): text reduces to md5 in the scan Project;
+    ONE (host, hash) distinct + one host agg — both map-combined,
+    partial-agg shuffles keyed far below corpus size. At extreme per-
+    host cardinality swap the exact distinct for HLL
+    (approx_count_distinct) with the same output schema.
+    """
+    h = docs.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("_k")
+    )
+    agg = h.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.countDistinct("_k").cast("bigint").alias("n_unique_texts"),
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_unique_texts",
+        F.expr(
+            "(n_pages - n_unique_texts) * 1000000L div n_pages"
+        ).alias("dup_rate_micros"),
+    )

@@ -867,3 +867,96 @@ def char_entropy(
             "END AS BIGINT)"
         ).alias("entropy_micros"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char ``k``-gram, then
+    in each window of ``w`` consecutive hashes select the minimum
+    (rightmost on ties — the robust-winnowing rule); the distinct
+    selected (position, hash) pairs are the document's fingerprint set.
+    Guarantees every shared substring of length ≥ k+w−1 yields at least
+    one shared fingerprint, at ~2/(w+1) the density of full k-gram
+    sets — the span-level near-dup/plagiarism sketch between q28's
+    rolling hash (no selection) and q97's exact-substring dedup (full
+    gram explode). Output: (id, pos, fp) exploded, pos 1-based.
+
+    Engine-exact selection: each window element packs into ONE BIGINT
+    ``hash·w + (w−1−offset)`` so "min hash, rightmost position" is a
+    plain integer min — no struct comparison semantics to align across
+    engines. Hashes are the md5-8-hex-prefix BIGINTs (< 2^32) of the
+    repo's hashing idiom, so the pack never overflows.
+
+    Scale shape (10^12 docs): pure per-row array codegen (transform /
+    slice / array_min / array_distinct) — zero shuffle, zero Python;
+    per-doc work is O(len·w). For book-length docs move the same loop
+    into mapInPandas; the plan above the scan is unchanged.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    t = F.col(text_col)
+    m = F.length(t) - F.lit(k - 1)  # number of k-grams
+
+    def _seq(n):
+        # sequence(1, 0) DESCENDS in Spark — guard short docs to empty
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    # STAGE the gram-hash array through a real column: referenced
+    # twice (size + every window slice) and non-cheap, CollapseProject
+    # keeps the Projects separate, so the O(len) md5 array evaluates
+    # ONCE per row instead of once per window (measured 115 s → ~2 s
+    # at sf0.01 — the inlined form is O(len·w·len) md5 calls)
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(
+            _seq(m),
+            lambda i: F.conv(
+                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("bigint"),
+        ).alias("_hs"),
+    )
+    hashes = F.col("_hs")
+    nwin = F.size(hashes) - F.lit(w - 1)
+    # per window j: pack each element as hash·w + (w−1−offset) so the
+    # integer min IS "min hash, rightmost on ties"
+    sel = F.transform(
+        _seq(nwin),
+        lambda j: F.array_min(
+            F.transform(
+                F.slice(hashes, j, w),
+                lambda h, o: h * F.lit(w) + (F.lit(w - 1) - o),
+            )
+        ),
+    )
+    # decode: offset = w−1 − packed%w ; fp = packed div w ;
+    # global pos = window start (j0+1) + offset
+    out = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    sel,
+                    lambda p, j0: F.struct(
+                        (
+                            j0
+                            + F.lit(1)
+                            + (F.lit(w - 1) - F.pmod(p, F.lit(w)))
+                        )
+                        .cast("int")
+                        .alias("pos"),
+                        F.floor(p / F.lit(w)).cast("bigint").alias("fp"),
+                    ),
+                )
+            )
+        ).alias("_s"),
+    )
+    return out.select(id_col, F.col("_s.pos").alias("pos"),
+                      F.col("_s.fp").alias("fp"))
