@@ -109,3 +109,23 @@ def test_host_dup_rate(spark):
     assert (out["a"]["n_pages"], out["a"]["n_unique_texts"]) == (3, 2)
     assert out["a"]["dup_rate_micros"] == 333333  # (3-2)·1e6 div 3
     assert out["b"]["dup_rate_micros"] == 0
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    # q165 composition: a hub word adjacent to many distinct words must
+    # out-rank the leaves under the integer PageRank recurrence
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.linkgraph import pagerank_micros
+
+    pairs = [("hub", w) for w in ("aa", "bb", "cc", "dd")] + [("aa", "bb")]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_micros(edges, n_iter=3).collect()
+    }
+    assert out["hub"] == max(out.values())
+    assert out["hub"] > out["cc"]

@@ -7609,6 +7609,100 @@ def q164_host_dup_rate(spark, sf_dir):
     return host_dup_rate(base.unionByName(dups))
 
 
+@q(
+    "q165_textrank",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(
+          string_split(lower(trim(regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+          w -> length(w) >= 2
+               AND NOT (lang = 'en' AND w IN ('the','a','and','of','is','this'))
+               AND NOT (lang = 'es' AND w IN ('y','de','la','que'))
+               AND NOT (lang IN ('pt','pt-br') AND w IN ('e','de','que','o'))
+        ) AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
+            FROM base)
+    ),
+    e AS (SELECT a AS src, b AS dst FROM p
+          UNION ALL SELECT b, a FROM p),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+    c1 AS (SELECT dst, CAST(sum(s // outdeg) AS BIGINT) AS c
+           FROM e JOIN deg USING (src) JOIN r0 ON e.src = r0.node
+           GROUP BY dst),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                    AS s
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+    c2 AS (SELECT dst, CAST(sum(s // outdeg) AS BIGINT) AS c
+           FROM e JOIN deg USING (src) JOIN r1 ON e.src = r1.node
+           GROUP BY dst),
+    r2 AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                    AS s
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+    c3 AS (SELECT dst, CAST(sum(s // outdeg) AS BIGINT) AS c
+           FROM e JOIN deg USING (src) JOIN r2 ON e.src = r2.node
+           GROUP BY dst),
+    r3 AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                    AS s
+           FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+    SELECT node AS word, s AS rank_micros
+    FROM r3 ORDER BY s DESC, word LIMIT 30
+    """,
+)
+def q165_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word-adjacency graph (undirected = both directions,
+    multi-edges weighted by co-occurrence multiplicity), top-30 words —
+    the graph-centrality upgrade of raw-TF keyword reports, composed
+    entirely from shipped machinery: q43's shuffle-free zip_with
+    bigrams feed operators/linkgraph.py:pagerank_micros' integer-exact
+    damped recurrence (floor division each step → bit-stable under any
+    partitioning; the ORACLE unrolls the identical 3 rounds). The graph
+    is VOCABULARY-sized — joins and aggs never touch corpus-row
+    cardinality after the bigram count; top-k plans as
+    TakeOrderedAndProject."""
+    from .operators.linkgraph import pagerank_micros
+
+    toks = _tokens_df(spark, sf_dir).select("tokens")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    F.col("tokens"), 1,
+                    F.greatest(F.size("tokens") - 1, F.lit(0)),
+                ),
+                F.slice(
+                    F.col("tokens"), 2,
+                    F.greatest(F.size("tokens") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank_micros(edges, n_iter=3)
+    return (
+        pr.select(F.col("node").alias("word"), "rank_micros")
+        .orderBy(F.desc("rank_micros"), "word")
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
