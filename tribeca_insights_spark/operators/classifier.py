@@ -298,3 +298,63 @@ def roc_points(
             "auc_micros"
         ),
     )
+
+
+def calibration_bins(docs: DataFrame, label,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_bins: int = 10,
+                     n_buckets: int = 1 << 20) -> DataFrame:
+    """Reliability diagram for the hashed linear classifier: fixed-width
+    score bins × observed positive rate — the calibration check run
+    before a quality classifier's scores become sampling WEIGHTS (an
+    uncalibrated score is fine for ranking but silently skews a
+    score-proportional mixture; DCLM/FineWeb-Edu pipelines bin exactly
+    like this).
+
+    ``label`` is a Column evaluating to 1/0 on ``docs``. Each scored
+    document's mean token weight (micros, in [-1e6, 1e6]) is shifted by
+    +1e6 so every division is on non-negative BIGINTs (Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors — identical only
+    for non-negative operands; the shift makes the floor exact on both
+    engines: floor(x + c) = floor(x) + c for integer c). Bins are FIXED
+    RANGES of the score domain, never quantiles — a quantile binning
+    would be a global sort; fixed edges keep the whole operator one
+    map-combined groupBy over n_bins keys.
+
+    Output: (bin, lo_micros, n_docs, n_pos, pos_rate_micros,
+    mean_score_micros) — empty-token documents are excluded (their
+    score is undefined).
+    """
+    width = 2_000_000 // n_bins
+    scored = hashed_linear_score(
+        docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+    )
+    labeled = docs.select(F.col(id_col), label.cast("long").alias("_y"))
+    j = scored.filter(F.col("n_tokens") > 0).join(labeled, id_col)
+    binned = j.select(
+        "_y",
+        F.expr(
+            "(score_micros + 1000000L * n_tokens) div n_tokens"
+        ).alias("_shifted"),
+    ).select(
+        "_y", "_shifted",
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"_shifted div {width}L"),
+        ).cast("int").alias("bin"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum("_shifted").cast("bigint").alias("_sum_shifted"),
+    )
+    return agg.select(
+        "bin",
+        (F.col("bin").cast("bigint") * width - 1_000_000)
+        .alias("lo_micros"),
+        "n_docs",
+        "n_pos",
+        F.expr("n_pos * 1000000L div n_docs").alias("pos_rate_micros"),
+        (F.expr("_sum_shifted div n_docs") - 1_000_000)
+        .alias("mean_score_micros"),
+    )

@@ -1440,3 +1440,144 @@ def host_dup_rate(
             "(n_pages - n_unique_texts) * 1000000L div n_pages"
         ).alias("dup_rate_micros"),
     )
+
+
+def dedup_agreement(flags_a: DataFrame, flags_b: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cohen's kappa between two per-document duplicate verdicts —
+    chance-corrected agreement of two dedup methods on the SAME corpus
+    (e.g. exact content-hash vs MinHash-LSH candidates). Raw overlap
+    overstates agreement when both methods say "unique" for most docs;
+    kappa subtracts the agreement expected from the marginals alone,
+    the standard way to decide whether a cheaper method can replace an
+    expensive one in the pipeline.
+
+    Inputs: two (id, flag∈{0,1}) tables over the same id set (inner
+    join — ids missing from either side are excluded). Output is ONE
+    row: the 2×2 contingency (n00, n01, n10, n11) and
+
+        kappa_micros = 1e6 · (N·(n00+n11) − (a0·b0 + a1·b1))
+                       ─────────────────────────────────────
+                              N² − (a0·b0 + a1·b1)
+
+    with a/b the marginal totals. Kappa may be NEGATIVE (worse than
+    chance); Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, so the division runs on |numerator| with the sign
+    re-applied — exact and engine-identical. Degenerate marginals
+    (pe = 1, both raters constant) yield NULL.
+
+    Scale shape: one keyed equi-join of two slim flag tables + a single
+    partial-agg contingency count — the whole statistic is four sums.
+    """
+    a = flags_a.select(
+        F.col(id_col).alias("_id"), F.col("flag").alias("_fa")
+    )
+    b = flags_b.select(
+        F.col(id_col).alias("_id"), F.col("flag").alias("_fb")
+    )
+    j = a.join(b, "_id")
+    cont = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            ((F.col("_fa") == 0) & (F.col("_fb") == 0)).cast("long")
+        ).alias("n00"),
+        F.sum(
+            ((F.col("_fa") == 0) & (F.col("_fb") == 1)).cast("long")
+        ).alias("n01"),
+        F.sum(
+            ((F.col("_fa") == 1) & (F.col("_fb") == 0)).cast("long")
+        ).alias("n10"),
+        F.sum(
+            ((F.col("_fa") == 1) & (F.col("_fb") == 1)).cast("long")
+        ).alias("n11"),
+    )
+    return cont.select(
+        "n00", "n01", "n10", "n11",
+        F.expr(
+            "CASE WHEN n * n - ((n00 + n01) * (n00 + n10)"
+            "   + (n10 + n11) * (n01 + n11)) = 0 THEN NULL ELSE"
+            " CASE WHEN n * (n00 + n11) - ((n00 + n01) * (n00 + n10)"
+            "       + (n10 + n11) * (n01 + n11)) >= 0"
+            "  THEN (1000000L * (n * (n00 + n11) - ((n00 + n01)"
+            "        * (n00 + n10) + (n10 + n11) * (n01 + n11))))"
+            "       div (n * n - ((n00 + n01) * (n00 + n10)"
+            "        + (n10 + n11) * (n01 + n11)))"
+            "  ELSE -((1000000L * (((n00 + n01) * (n00 + n10)"
+            "        + (n10 + n11) * (n01 + n11)) - n * (n00 + n11)))"
+            "       div (n * n - ((n00 + n01) * (n00 + n10)"
+            "        + (n10 + n11) * (n01 + n11))))"
+            " END END"
+        ).alias("kappa_micros"),
+    )
+
+
+def minhash_jaccard_eval(shingles: DataFrame, id_col: str = "doc_id",
+                         n_hashes: int = 12,
+                         rows_per_band: int = 3) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature slots) next to
+    the EXACT shingle-set Jaccard — the table that calibrates banding
+    parameters (b, r) against measured false-positive mass before a
+    corpus-scale run (est ≫ exact rows are LSH luck; est ≪ exact rows
+    at the band threshold are recall losses).
+
+    Returns (a_id, b_id, est_micros, exact_micros) with
+    ``est_micros = matching_seeds · 1e6 div n_hashes`` and
+    ``exact_micros = |A∩B| · 1e6 div |A∪B|`` — all BIGINT.
+
+    Shape: signatures/bands/candidates are the proven q17/q18 chain;
+    the estimate joins two SIGNATURE rows per (pair, seed) —
+    candidate-set-sized × n_hashes, never corpus²; the exact side is
+    the shared-shingle equi-join restricted to candidates (the same
+    verifier-only discipline as ngram_jaccard_pairs).
+    """
+    sigs = minhash_signatures(shingles, id_col=id_col,
+                              n_hashes=n_hashes)
+    cand = lsh_candidate_pairs(
+        lsh_bands(sigs, id_col=id_col, rows_per_band=rows_per_band),
+        id_col=id_col,
+    )
+    sa = sigs.select(F.col(id_col).alias("a_id"), "seed",
+                     F.col("minhash").alias("_ma"))
+    sb = sigs.select(F.col(id_col).alias("b_id"), "seed",
+                     F.col("minhash").alias("_mb"))
+    est = (
+        cand.join(sa, "a_id").join(sb, ["b_id", "seed"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum((F.col("_ma") == F.col("_mb")).cast("long"))
+            .cast("bigint").alias("_match")
+        )
+        .select(
+            "a_id", "b_id",
+            F.expr(f"_match * 1000000L div {n_hashes}L")
+            .alias("est_micros"),
+        )
+    )
+    g = shingles.select(F.col(id_col).alias("_id"), "gram").distinct()
+    sizes = g.groupBy("_id").agg(F.count("*").cast("bigint").alias("_n"))
+    ga = g.select(F.col("_id").alias("a_id"), "gram")
+    gb = g.select(F.col("_id").alias("b_id"), "gram")
+    inter = (
+        cand.join(ga, "a_id").join(gb, ["b_id", "gram"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("_inter"))
+    )
+    exact = (
+        inter.join(sizes.withColumnRenamed("_id", "a_id")
+                   .withColumnRenamed("_n", "_na"), "a_id")
+        .join(sizes.withColumnRenamed("_id", "b_id")
+              .withColumnRenamed("_n", "_nb"), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.expr("_inter * 1000000L div (_na + _nb - _inter)")
+            .alias("exact_micros"),
+        )
+    )
+    # a pair CAN share a band with zero shared shingles (hash
+    # coincidence) — keep it with exact 0 rather than dropping it
+    return est.join(exact, ["a_id", "b_id"], "left").select(
+        "a_id", "b_id", "est_micros",
+        F.coalesce("exact_micros", F.lit(0).cast("bigint"))
+        .alias("exact_micros"),
+    )

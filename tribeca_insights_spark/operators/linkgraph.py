@@ -546,3 +546,62 @@ def link_reciprocity(edges: DataFrame, src: str = "src",
         "reciprocity_micros",
         F.expr("n_recip * 1000000L div n_out"),
     )
+
+
+def resource_allocation(edges: DataFrame, src: str = "src",
+                        dst: str = "dst",
+                        max_degree: int | None = None) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009):
+    for every NON-adjacent pair (a, b) with at least one common
+    neighbor, ``ra_micros = Σ_z 1_000_000 div deg(z)`` over common
+    neighbors z — the integer-exact cousin of Adamic–Adar (1/deg
+    instead of 1/log deg, so no float log enters the aggregate and the
+    DuckDB oracle replays it bit-for-bit).
+
+    Crawl-frontier use: predicted-but-missing host links rank "likely
+    related sites" for seed expansion, and abnormally complete
+    neighborhoods (few non-edges with high RA) flag link farms.
+
+    Scale shape: the pair generator is a self-equi-join of the
+    adjacency list ON THE COMMON NEIGHBOR — never an all-pairs cross
+    join. Wedge count is Σ_z deg(z)², so celebrity hubs dominate cost;
+    ``max_degree`` drops hubs from the WEDGE CENTER role only (the
+    standard degree-cap: a z with 10^6 neighbors contributes ≤ 1 micro
+    per pair anyway — its wedges cost O(10^12) and carry no signal).
+    Existing edges are removed by one anti-join on the undirected edge
+    key. All arithmetic BIGINT.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+        )
+        .distinct()
+    )
+    nbrs = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = nbrs.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    center = nbrs.join(deg, "node")
+    if max_degree is not None:
+        center = center.filter(F.col("deg") <= max_degree)
+    left = center.select(
+        F.col("node").alias("z"), F.col("nb").alias("x"), "deg"
+    )
+    right = nbrs.select(
+        F.col("node").alias("z"), F.col("nb").alias("y")
+    )
+    wedges = left.join(right, "z").filter(F.col("x") < F.col("y"))
+    scored = wedges.groupBy(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    ).agg(
+        F.sum(F.expr("1000000L div deg")).cast("bigint")
+        .alias("ra_micros"),
+        F.count("*").cast("bigint").alias("n_common"),
+    )
+    return scored.join(und, ["a", "b"], "left_anti")

@@ -960,3 +960,189 @@ def winnowing_fingerprints(
     )
     return out.select(id_col, F.col("_s.pos").alias("pos"),
                       F.col("_s.fp").alias("fp"))
+
+
+def term_burstiness(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_cf: int = 2) -> DataFrame:
+    """Per-term burstiness (Fisher dispersion index over per-document
+    counts, zeros included): (word, df, cf, burstiness_micros) with
+
+        burstiness_micros = 1e6 · (N·Σc² − (Σc)²) div (N·Σc)
+
+    i.e. the variance-to-mean ratio of the term's count across all N
+    corpus documents, kept entirely in BIGINT (the numerator is N times
+    the raw sum of squared deviations — non-negative by Cauchy–Schwarz,
+    so floor division agrees across engines). A Poisson-scattered term
+    sits near 1e6; topical terms concentrate in few documents and score
+    far above; function words hug the floor. Church & Gale (1995)
+    "Poisson mixtures" — the classic signal separating content-bearing
+    vocabulary from glue, used here as a stopword-free keyword prior
+    and a template-flood detector (boilerplate phrases are maximally
+    bursty at host scope).
+
+    Plan: one (word) map-combined groupBy over exploded tokens carrying
+    Σc and Σc² as partial sums (the per-doc count table never
+    materializes: Σc² over docs = Σ over (doc,word) groups — computed
+    from a first (doc,word) partial agg, both stages HashAggregate);
+    the corpus size N is a broadcast 1-row scalar. Output is
+    vocabulary-sized.
+    """
+    from .dsir import _words
+
+    n_row = docs.select(
+        F.count("*").cast("bigint").alias("_n_docs")
+    )
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per_word = per_doc.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_c2"),
+    )
+    return (
+        per_word.filter(F.col("cf") >= min_cf)
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "word", "df", "cf",
+            F.expr(
+                "(1000000L * (_n_docs * _c2 - cf * cf))"
+                " div (_n_docs * cf)"
+            ).alias("burstiness_micros"),
+        )
+    )
+
+
+def vocab_concentration(docs: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary concentration: (group, n_tokens, n_types,
+    hhi_micros) where ``hhi_micros = 1e6 · Σ_w c_w² div (Σ_w c_w)²``
+    — the Simpson / Herfindahl–Hirschman index of the group's unigram
+    distribution, exact BIGINT throughout.
+
+    HHI is the probability two tokens drawn from the group are the
+    same type: near 1e6/n_types for healthy prose, spiking when a
+    handful of template phrases dominate — the single-number
+    complement of lexical_diversity's TTR (concentration reacts to
+    the HEAD of the distribution, TTR to the tail), used to cap or
+    down-weight template-stamped sources before per-doc dedup spend.
+
+    Plan: one (group, word) map-combined groupBy (vocabulary-sized
+    output), then a group-sized partial-agg rollup — identical shuffle
+    shape to lexical_diversity, no windows, no distinct-on-corpus.
+    """
+    from .dsir import _words
+
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    )
+    wc = words.groupBy("grp", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    agg = wc.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_c2"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.expr("1000000L * _c2 div (n_tokens * n_tokens)")
+        .alias("hhi_micros"),
+    )
+
+
+def rake_keywords(docs: DataFrame, stopwords: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """RAKE keyword scores (Rose et al. 2010): content phrases are the
+    maximal stopword-free token runs; each word scores
+    ``rake_micros = 1e6 · deg(w) div freq(w)`` where deg sums the
+    LENGTH of every phrase containing the occurrence (degree rewards
+    words living in long multi-word terms, freq alone rewards
+    commonness — the ratio surfaces multiword-term heads that raw TF
+    buries). Complements q165's TextRank: RAKE is one pass with no
+    graph iteration, the cheap first-cut keyword pass.
+
+    Shape: phrase segmentation is a running stopword count per
+    document — a window PARTITIONED BY the document (per-doc sized,
+    never global); phrase lengths come from one (doc, phrase) partial
+    agg joined back on the phrase key; the final (word) agg is
+    vocabulary-sized. Returns (word, freq, deg, rake_micros).
+    """
+    from pyspark.sql import Window
+
+    from .dsir import _words
+
+    t = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    ).withColumn(
+        "st", F.col("w").isin(stopwords).cast("int")
+    )
+    win = (
+        Window.partitionBy("_doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = t.withColumn("pid", F.sum("st").over(win)).filter(
+        F.col("st") == 0
+    )
+    plen = p.groupBy("_doc", "pid").agg(
+        F.count("*").cast("bigint").alias("plen")
+    )
+    wr = p.join(plen, ["_doc", "pid"])
+    agg = wr.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    return agg.select(
+        "word", "freq", "deg",
+        F.expr("1000000L * deg div freq").alias("rake_micros"),
+    )
+
+
+def kwic_concordance(docs: DataFrame, probe: str, ctx: int = 3,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of ``probe``
+    with ``ctx`` tokens of context either side — the corpus-linguistics
+    staple for auditing how a term is actually used before writing a
+    filter around it (a "casino" blocklist rule reads very differently
+    against its concordance than against its count).
+
+    Shape: one posexplode above the scan (the tokens array rides along
+    in the row, so context slicing is pure array codegen — no join
+    back, no window, no shuffle at all; output order is data order).
+    Returns (id, pos, left_ctx, right_ctx) with pos the 0-based token
+    index and contexts space-joined (possibly empty at edges).
+    """
+    from .dsir import _words
+
+    base = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_toks")
+    )
+    hits = base.select(
+        id_col, "_toks",
+        F.posexplode("_toks").alias("pos", "_w"),
+    ).filter(F.col("_w") == probe)
+    left = F.slice(
+        F.col("_toks"),
+        F.greatest(F.col("pos") - ctx + 1, F.lit(1)),
+        F.least(F.col("pos"), F.lit(ctx)),
+    )
+    right = F.slice(F.col("_toks"), F.col("pos") + 2, ctx)
+    return hits.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", left).alias("left_ctx"),
+        F.concat_ws(" ", right).alias("right_ctx"),
+    )
