@@ -544,3 +544,85 @@ def test_mirror_and_url_templates_single_shuffle(spark):
         F.concat(F.lit("https://a.com/docs/"), F.col("doc_id").cast("string")).alias("url")
     )
     assert _plan(url_path_templates(urls)).count("Exchange") == 1
+
+
+def test_ra_no_cartesian_burstiness_hash_agg(spark):
+    """q166-q171 wave: resource_allocation's wedge generator must stay
+    an equi-join (never a nested-loop/cartesian), and term_burstiness
+    must keep both aggregate stages on HashAggregate with the corpus
+    size as a broadcast scalar."""
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.linkgraph import (
+        resource_allocation,
+    )
+    from tribeca_insights_spark.operators.textstats import (
+        term_burstiness,
+    )
+
+    e = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+    p = _plan(resource_allocation(e))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p2 = _plan(term_burstiness(d))
+    assert "SortAggregate" not in p2
+    assert "HashAggregate" in p2
+    assert "WindowExec" not in p2
+    # N rides in as a broadcast 1-row scalar, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in p2 or "BroadcastExchange" in p2
+
+
+def test_calibration_and_agreement_no_window_no_python(spark):
+    """calibration_bins: fixed-range bins — no quantile window, no
+    Python row path; dedup_agreement: one equi-join + single
+    aggregate."""
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.classifier import (
+        calibration_bins,
+    )
+    from tribeca_insights_spark.operators.dedup import dedup_agreement
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(
+        calibration_bins(
+            d,
+            label=F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    assert "WindowExec" not in p
+    assert "BatchEvalPython" not in p
+    assert "SortAggregate" not in p
+
+    a = spark.createDataFrame([Row(doc_id=1, flag=1), Row(doc_id=2, flag=0)])
+    p2 = _plan(dedup_agreement(a, a))
+    assert "CartesianProduct" not in p2
+    assert "WindowExec" not in p2
+
+
+def test_rake_window_partitioned_kwic_no_exchange(spark):
+    """q172/q174: RAKE's phrase-id window must stay PARTITIONED BY the
+    document (a global window would single-task the corpus — the q84
+    failure mode); KWIC is pure array codegen above the scan — zero
+    Exchange, zero Python."""
+    from tribeca_insights_spark.operators.textstats import (
+        kwic_concordance,
+        rake_keywords,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(rake_keywords(d, stopwords=["the", "a"]))
+    assert "Window" in p
+    # every Window node carries a partition spec (no global window)
+    for line in p.splitlines():
+        if "Window [" in line or "WindowExec" in line:
+            assert "windowspecdefinition(_doc" in line or \
+                "partitionBy" in line or "_doc" in line
+
+    p2 = _plan(kwic_concordance(d, probe="join"))
+    assert "Exchange" not in p2
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2

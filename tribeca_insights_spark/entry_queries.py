@@ -5437,10 +5437,12 @@ def q122_train_classifier(spark, sf_dir):
     )
 
 
-def _hll_register_cte(p: int = 6) -> str:
+def _hll_register_cte(p: int = 6, where: str = "") -> str:
     """Shared CTEs: token keys → (register, max_rho) — the exact HLL
     sketch replay. bits(rem) is the static sum of power-of-two
-    comparisons, the same expression shape the Spark operator uses."""
+    comparisons, the same expression shape the Spark operator uses.
+    ``where`` optionally restricts the document shard (q166's
+    cross-shard merge proof)."""
     width = 64 - p
     div = 1 << (32 - p)
     bits = " + ".join(
@@ -5450,7 +5452,7 @@ def _hll_register_cte(p: int = 6) -> str:
     k AS (
       SELECT unnest(list_filter(string_split(text, ' '),
                                 w -> length(w) > 0)) AS key
-      FROM documents
+      FROM documents {where}
     ),
     h AS (
       SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT AS hi,
@@ -7701,6 +7703,675 @@ def q165_textrank(spark, sf_dir):
         .orderBy(F.desc("rank_micros"), "word")
         .limit(30)
     )
+
+
+def _hll_shard_oracle(p: int = 6) -> str:
+    """q166 oracle: per-shard HLL sketches (doc_id parity) plus their
+    max-merge, each estimated with the exact q124 arithmetic. The
+    'merged' shard is literally UNION ALL + max over register — the
+    same algebra as operators/sketches.py:hll_merge."""
+    from .operators.sketches import _alpha
+
+    m = 1 << p
+    width = 64 - p
+    div = 1 << (32 - p)
+    bits = " + ".join(
+        f"CAST(rem >= {1 << i} AS INT)" for i in range(width)
+    )
+    num = 1e6 * _alpha(m) * m * m * float(1 << 61)
+    return f"""
+    WITH k AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS shard,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS key
+      FROM documents
+    ),
+    h AS (
+      SELECT shard,
+             ('0x' || substr(md5(key), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(key), 9, 8))::BIGINT AS lo
+      FROM k
+    ),
+    r AS (
+      SELECT shard, CAST(floor(hi / {div}.0) AS BIGINT) AS register,
+             (hi % {div}) * 4294967296 + lo AS rem
+      FROM h
+    ),
+    sk0 AS (
+      SELECT shard, register,
+             CAST(max({width} - ({bits}) + 1) AS BIGINT) AS max_rho
+      FROM r GROUP BY shard, register
+    ),
+    sk AS (
+      SELECT shard, register, max_rho FROM sk0
+      UNION ALL
+      SELECT 'merged', register, max(max_rho)
+      FROM sk0 GROUP BY register
+    ),
+    a AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN max_rho <= 29 THEN
+                        CAST(1 AS BIGINT) << CAST(29 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_hi,
+             CAST(sum(CASE WHEN max_rho >= 30 THEN
+                        CAST(1 AS BIGINT) << CAST(61 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_lo
+      FROM sk GROUP BY shard
+    )
+    SELECT shard, CAST({m} AS BIGINT) AS m, n_hit AS n_registers_hit,
+           CAST(floor({num!r} / (CAST(harmonic_hi AS DOUBLE)
+                       * 4294967296.0
+                     + CAST(harmonic_lo AS DOUBLE)
+                     + CAST({m} - n_hit AS DOUBLE)
+                       * 2305843009213693952.0)) AS BIGINT)
+             AS estimate_micros
+    FROM a
+    """
+
+
+@q("q166_hll_shard_merge", _hll_shard_oracle(p=6))
+def q166_hll_shard_merge(spark, sf_dir):
+    """Cross-shard HLL mergeability, end-to-end: the corpus is split
+    into two shards (doc_id parity), each shard builds its own sketch
+    (operators/sketches.py:hll_registers), and hll_merge unions them by
+    element-wise register max — the exact algebra that makes HLL the
+    production cardinality answer (union across 10^5 parquet shards or
+    across RUNS = one m-row max-groupBy, never a re-scan of old data;
+    composes with plans/state.py's cross-run log the way q106's
+    incremental dedup does). Output: per-shard AND merged raw
+    estimates, all integer-exact until the single final division. The
+    ORACLE replays both shard sketches and states the merge as
+    UNION ALL + max(register) — hash-equality proves merge(sketch_e,
+    sketch_o) ≡ sketch(e ∪ o) on this corpus."""
+    from .operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("key"),
+    )
+    even = hll_registers(toks.filter(F.col("doc_id") % 2 == 0), "key", p=6)
+    odd = hll_registers(toks.filter(F.col("doc_id") % 2 == 1), "key", p=6)
+    merged = hll_merge(even, odd)
+
+    def est(sk, name):
+        return hll_estimate(sk, p=6).select(
+            F.lit(name).alias("shard"), "m", "n_registers_hit",
+            "estimate_micros",
+        )
+
+    return (
+        est(even, "even")
+        .unionByName(est(odd, "odd"))
+        .unionByName(est(merged, "merged"))
+    )
+
+
+@q(
+    "q167_link_prediction_ra",
+    """
+    WITH n AS (SELECT count(*) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS s, (doc_id + 1) % N AS d FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % N FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % N FROM documents, n
+    ),
+    und AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e WHERE s <> d
+    ),
+    nb AS (SELECT a AS node, b AS nbr FROM und
+           UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM nb GROUP BY node),
+    w AS (
+      SELECT l.nbr AS x, r.nbr AS y, d.deg
+      FROM nb l JOIN deg d ON l.node = d.node
+      JOIN nb r ON r.node = l.node
+      WHERE l.nbr < r.nbr
+    ),
+    sc AS (
+      SELECT x AS a, y AS b,
+             CAST(sum(1000000 // deg) AS BIGINT) AS ra_micros,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM w GROUP BY x, y
+    )
+    SELECT a, b, ra_micros, n_common
+    FROM sc
+    WHERE NOT EXISTS (SELECT 1 FROM und u
+                      WHERE u.a = sc.a AND u.b = sc.b)
+    ORDER BY ra_micros DESC, a, b LIMIT 50
+    """,
+)
+def q167_link_prediction_ra(spark, sf_dir):
+    """Resource-Allocation link prediction over q130's synthesized host
+    graph (operators/linkgraph.py:resource_allocation; Zhou-Lü-Zhang
+    2009): for each non-adjacent pair with common neighbors,
+    Σ 1e6 div deg(z) — integer-exact Adamic-Adar (1/deg, no float log),
+    ranking "likely related but unlinked" hosts for frontier seed
+    expansion. The pair generator is the adjacency list self-joined on
+    the WEDGE CENTER (equi-join, never all-pairs; Σ deg² cost bounded
+    by the max_degree hub cap at corpus scale), existing edges removed
+    by one anti-join. Top-50 plans as TakeOrderedAndProject."""
+    from .operators.linkgraph import resource_allocation
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = None
+    for expr in (
+        (F.col("doc_id") + 1) % F.col("N"),
+        (F.col("doc_id") + 2) % F.col("N"),
+        (F.col("doc_id") * 7 + 3) % F.col("N"),
+    ):
+        part = base.select(
+            F.col("doc_id").alias("src"), expr.alias("dst")
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    ra = resource_allocation(edges)
+    return ra.select("a", "b", "ra_micros", "n_common").orderBy(
+        F.desc("ra_micros"), "a", "b"
+    ).limit(50)
+
+
+@q(
+    "q168_term_burstiness",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    pd AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, word
+    ),
+    pw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS cf,
+             CAST(sum(c * c) AS BIGINT) AS c2
+      FROM pd GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+    SELECT word, df, cf,
+           (1000000 * (nd * c2 - cf * cf)) // (nd * cf)
+             AS burstiness_micros
+    FROM pw, n WHERE cf >= 2
+    ORDER BY burstiness_micros DESC, word LIMIT 30
+    """,
+)
+def q168_term_burstiness(spark, sf_dir):
+    """Term burstiness (operators/textstats.py:term_burstiness; Church
+    & Gale 1995 Poisson mixtures): Fisher dispersion of each term's
+    per-document count, zeros included — integer-exact
+    variance-to-mean in micros. Poisson-scattered glue words sit near
+    1e6; topical terms and template-stamped phrases score far above —
+    a stopword-free keyword prior and boilerplate-flood detector. Two
+    map-combined HashAggregates ((doc,word) then (word) carrying Σc and
+    Σc²; the per-doc count table never materializes corpus-wide), N
+    broadcast as a 1-row scalar. Top-30 plans as
+    TakeOrderedAndProject."""
+    from .operators.textstats import term_burstiness
+
+    d = _read(spark, sf_dir, "documents")
+    return term_burstiness(d, min_cf=2).orderBy(
+        F.desc("burstiness_micros"), "word"
+    ).limit(30)
+
+
+@q(
+    "q169_calibration_bins",
+    """
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(l, w ->
+               (((('0x' || substr(md5(w), 1, 8))::BIGINT % 1048576)
+                 * 2654435761) % 2000001) - 1000000)), 0) AS BIGINT)
+               AS score_micros
+      FROM toks WHERE len(l) > 0
+    ),
+    b AS (
+      SELECT y,
+             (score_micros + 1000000 * n_tokens) // n_tokens AS shifted,
+             least(9, ((score_micros + 1000000 * n_tokens) // n_tokens)
+                      // 200000) AS bin
+      FROM sc
+    ),
+    g AS (
+      SELECT CAST(bin AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(shifted) AS BIGINT) AS s
+      FROM b GROUP BY bin
+    )
+    SELECT bin, CAST(bin AS BIGINT) * 200000 - 1000000 AS lo_micros,
+           n_docs, n_pos,
+           (n_pos * 1000000) // n_docs AS pos_rate_micros,
+           (s // n_docs) - 1000000 AS mean_score_micros
+    FROM g
+    """,
+)
+def q169_calibration_bins(spark, sf_dir):
+    """Reliability diagram for the hashed linear quality classifier
+    (operators/classifier.py:calibration_bins): fixed-width mean-score
+    bins × observed positive rate (label = the q122 curation prior,
+    n_chars ≥ 200) — the calibration check run before classifier
+    scores become sampling WEIGHTS in a mixture (uncalibrated scores
+    rank fine but skew score-proportional sampling; DCLM/FineWeb-Edu
+    bin exactly like this). Bins are fixed ranges — never quantiles
+    (that would be a global sort); the +1e6 shift keeps every floor
+    division on non-negative BIGINTs so Spark div ≡ DuckDB //. One
+    map-combined groupBy over ≤10 keys above the zero-Exchange scoring
+    projection."""
+    from .operators.classifier import calibration_bins
+
+    d = _read(spark, sf_dir, "documents")
+    return calibration_bins(
+        d,
+        label=F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+        n_bins=10,
+    )
+
+
+@q(
+    "q170_dedup_agreement",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 < 2 THEN 'duplicate content block'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    fa AS (
+      SELECT doc_id,
+             CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM d
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 12) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
+        FROM d WHERE length(text) >= 12
+      )
+    ),
+    hsh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS ha,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS hb
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed, min((ha + seed * hb) % 4294967296) AS mhv
+      FROM hsh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(lower(lpad(hex(mhv), 8, '0')), ''
+                        ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
+    ),
+    part AS (
+      SELECT DISTINCT x.doc_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_key = y.band_key
+       AND x.doc_id <> y.doc_id
+    ),
+    fb AS (
+      SELECT d.doc_id,
+             CASE WHEN part.doc_id IS NOT NULL THEN 1 ELSE 0 END AS flag
+      FROM d LEFT JOIN part ON d.doc_id = part.doc_id
+    ),
+    j AS (
+      SELECT fa.flag AS x, fb.flag AS y
+      FROM fa JOIN fb ON fa.doc_id = fb.doc_id
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11
+      FROM j
+    )
+    SELECT n00, n01, n10, n11,
+           CASE WHEN n * n - ((n00 + n01) * (n00 + n10)
+                  + (n10 + n11) * (n01 + n11)) = 0 THEN NULL
+                WHEN n * (n00 + n11) - ((n00 + n01) * (n00 + n10)
+                  + (n10 + n11) * (n01 + n11)) >= 0
+                THEN (1000000 * (n * (n00 + n11) - ((n00 + n01)
+                      * (n00 + n10) + (n10 + n11) * (n01 + n11))))
+                     // (n * n - ((n00 + n01) * (n00 + n10)
+                      + (n10 + n11) * (n01 + n11)))
+                ELSE -((1000000 * (((n00 + n01) * (n00 + n10)
+                      + (n10 + n11) * (n01 + n11)) - n * (n00 + n11)))
+                     // (n * n - ((n00 + n01) * (n00 + n10)
+                      + (n10 + n11) * (n01 + n11))))
+           END AS kappa_micros
+    FROM c
+    """,
+)
+def q170_dedup_agreement(spark, sf_dir):
+    """Cohen's kappa between two dedup methods on the same corpus
+    (operators/dedup.py:dedup_agreement): exact content-hash verdicts
+    vs MinHash-LSH candidate membership, over q16's synthesized dup
+    population (doc_id%7<2 share one payload). Chance-corrected
+    agreement is the statistic that decides whether the cheap method
+    can replace the expensive one — raw overlap is inflated by the
+    "both say unique" mass. Contingency + kappa are four sums and one
+    guarded division (|numerator| with the sign re-applied, because
+    kappa can be negative and Spark div truncates while DuckDB //
+    floors); the flag tables are one hash-groupBy and one band
+    equi-join — both corpus-scale-safe shapes already proven by
+    q16/q18."""
+    from .operators.dedup import (
+        char_shingles,
+        dedup_agreement,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 < 2, F.lit("duplicate content block")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    h = d.select("doc_id", F.md5("text").alias("_h"))
+    grp = h.groupBy("_h").agg(F.count("*").alias("_n"))
+    flags_a = h.join(grp, "_h").select(
+        "doc_id",
+        F.when(F.col("_n") > 1, F.lit(1)).otherwise(F.lit(0))
+        .alias("flag"),
+    )
+    grams = char_shingles(d, text_col="text", k=12)
+    cand = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(grams, n_hashes=12),
+                  rows_per_band=3)
+    )
+    part = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    flags_b = d.select("doc_id").join(part, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_in", F.lit(0)).alias("flag"),
+    )
+    return dedup_agreement(flags_a, flags_b)
+
+
+@q(
+    "q171_vocab_concentration",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    ),
+    g AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS c2
+      FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           (1000000 * c2) // (n_tokens * n_tokens) AS hhi_micros
+    FROM g ORDER BY source
+    """,
+)
+def q171_vocab_concentration(spark, sf_dir):
+    """Per-source vocabulary concentration (operators/textstats.py:
+    vocab_concentration): Simpson/Herfindahl index of each source's
+    unigram distribution — the probability two tokens drawn from the
+    source are the same type, exact BIGINT. Concentration reacts to
+    the HEAD of the distribution (template phrases) where
+    lexical_diversity's TTR reacts to the tail — together they price
+    a source's redundancy before per-doc dedup spend. Same two
+    map-combined HashAggregates as q141; output is group-sized."""
+    from .operators.textstats import vocab_concentration
+
+    d = _read(spark, sf_dir, "documents")
+    return vocab_concentration(d, group_col="source").orderBy("source")
+
+
+@q(
+    "q172_rake_keywords",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS toks
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, i AS pos, toks[i] AS w,
+             CASE WHEN toks[i] IN ('the','a','and','of','is','this')
+                  THEN 1 ELSE 0 END AS st
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM base)
+    ),
+    p AS (
+      SELECT doc_id, w, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM t
+    ),
+    ph AS (
+      SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+      FROM p WHERE st = 0 GROUP BY doc_id, pid
+    ),
+    wr AS (
+      SELECT p.w, ph.plen
+      FROM p JOIN ph ON p.doc_id = ph.doc_id AND p.pid = ph.pid
+      WHERE p.st = 0
+    ),
+    agg AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM wr GROUP BY w
+    )
+    SELECT word, freq, deg, (1000000 * deg) // freq AS rake_micros
+    FROM agg ORDER BY rake_micros DESC, word LIMIT 30
+    """,
+)
+def q172_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (operators/textstats.py:rake_keywords;
+    Rose et al. 2010): stopword-delimited phrases, word score =
+    degree/frequency in integer micros — the one-pass, no-iteration
+    cheap sibling of q165's TextRank (same corpus, same tokenizer,
+    different centrality notion: phrase-length degree vs graph rank).
+    Segmentation is a per-document running stopword count — a window
+    PARTITIONED BY doc (never global); phrase lengths join back on the
+    (doc, phrase) key; the final agg is vocabulary-sized. Top-30 plans
+    as TakeOrderedAndProject."""
+    from .operators.textstats import rake_keywords
+
+    d = _read(spark, sf_dir, "documents")
+    return rake_keywords(
+        d, stopwords=["the", "a", "and", "of", "is", "this"]
+    ).orderBy(F.desc("rake_micros"), "word").limit(30)
+
+
+@q(
+    "q173_packing_efficiency",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(trim(
+               regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS BIGINT) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT source, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS off
+      FROM base WHERE n > 0
+    ),
+    s AS (
+      SELECT source, n, off // 256 AS s0, (off + n - 1) // 256 AS s1
+      FROM o
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(max(s1) + 1 AS BIGINT) AS n_seqs,
+             CAST(sum(CASE WHEN s1 > s0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundary_docs
+      FROM s GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens, n_seqs,
+           (total_tokens * 1000000) // (n_seqs * 256) AS fill_micros,
+           n_boundary_docs
+    FROM g ORDER BY source
+    """,
+)
+def q173_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency report (operators/chunking.py:
+    packing_efficiency) over q117's GPT-style sequence packing: per
+    source, ctx-sequence fill rate and boundary-straddling doc count —
+    the numbers that price wasted tail tokens (paid every epoch) and
+    decide whether boundary docs need attention-mask resets. Group-
+    sized aggregate above pack_sequences' single group-keyed Exchange
+    (the cumulative window is partitioned by source, never global)."""
+    from .operators.chunking import packing_efficiency
+
+    d = _read(spark, sf_dir, "documents")
+    return packing_efficiency(d, ctx=256, group_col="source").orderBy(
+        "source"
+    )
+
+
+@q(
+    "q174_kwic",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, toks, i
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM base)
+      WHERE toks[i] = 'join'
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           coalesce(array_to_string(toks[greatest(i - 3, 1):i - 1],
+                                    ' '), '') AS left_ctx,
+           coalesce(array_to_string(toks[i + 1:i + 3], ' '), '')
+             AS right_ctx
+    FROM hits
+    """,
+)
+def q174_kwic(spark, sf_dir):
+    """Keyword-in-context concordance (operators/textstats.py:
+    kwic_concordance): every occurrence of the probe term with ±3
+    tokens of context — the corpus-linguistics audit run before
+    writing a filter around a term (a blocklist rule reads differently
+    against its concordance than against its count). One posexplode
+    above the scan; the tokens array rides along in the row so context
+    slicing is pure array codegen — no join-back, no window, zero
+    shuffle."""
+    from .operators.textstats import kwic_concordance
+
+    d = _read(spark, sf_dir, "documents")
+    return kwic_concordance(d, probe="join", ctx=3)
+
+
+@q(
+    "q175_minhash_vs_exact",
+    _MINHASH_CTES
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.a_id, c.b_id,
+             (CAST(sum(CASE WHEN x.mhv = y.mhv THEN 1 ELSE 0 END)
+                   AS BIGINT) * 1000000) // 12 AS est_micros
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.a_id
+      JOIN mh y ON y.doc_id = c.b_id AND y.seed = x.seed
+      GROUP BY c.a_id, c.b_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS ni
+      FROM cand c
+      JOIN sh ga ON ga.doc_id = c.a_id
+      JOIN sh gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT e.a_id, e.b_id, e.est_micros,
+           coalesce((i.ni * 1000000)
+                    // (sa.n + sb.n - i.ni), 0) AS exact_micros
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.a_id
+    JOIN sizes sb ON sb.doc_id = e.b_id
+    LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+    """,
+)
+def q175_minhash_vs_exact(spark, sf_dir):
+    """Sketch-quality audit (operators/dedup.py:minhash_jaccard_eval):
+    MinHash-estimated vs exact shingle Jaccard for every LSH candidate
+    pair — the calibration table for banding parameters (estimate ≫
+    exact rows are LSH false-positive mass; near-threshold est ≪ exact
+    rows are recall losses), measured BEFORE a corpus-scale dedup run.
+    The estimate joins signature rows (candidate-set × 12 seeds); the
+    exact side is the shared-shingle equi-join restricted to
+    candidates — the same verifier-only discipline as q19. Never
+    corpus²."""
+    from .operators.dedup import char_shingles, minhash_jaccard_eval
+
+    t = _tokstr_df(spark, sf_dir)
+    grams = char_shingles(t, text_col="tok_str", k=12)
+    return minhash_jaccard_eval(grams, n_hashes=12, rows_per_band=3)
 
 
 # ---------------------------------------------------------------------------

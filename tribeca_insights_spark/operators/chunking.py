@@ -151,3 +151,41 @@ def pack_sequences(
         (end_seq - start_seq + 1).alias("n_seqs_spanned"),
         (F.col("stream_offset") % F.lit(ctx)).alias("offset_in_seq"),
     )
+
+
+def packing_efficiency(docs: DataFrame, ctx: int = 256,
+                       group_col: str = "source",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences`: per
+    group, how well the ctx-token training sequences are filled and
+    how many documents straddle a sequence boundary — the numbers that
+    decide ctx length and whether boundary docs need attention-mask
+    resets (wasted tail tokens are paid at every epoch; a 90%-fill
+    corpus trains ~11% cheaper per effective token than an 80% one).
+
+    Returns (group, n_docs, total_tokens, n_seqs, fill_micros,
+    n_boundary_docs) where ``n_seqs = ceil(total_tokens / ctx)``
+    (== max(end_seq)+1 — asserted equal by construction),
+    ``fill_micros = 1e6 · total_tokens div (n_seqs · ctx)`` and
+    boundary docs have n_seqs_spanned > 1. Pure group-sized aggregate
+    above pack_sequences' single group-keyed Exchange.
+    """
+    packed = pack_sequences(
+        docs, ctx=ctx, group_col=group_col, id_col=id_col,
+        text_col=text_col,
+    )
+    agg = packed.groupBy("group").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.max("end_seq") + 1).cast("bigint").alias("n_seqs"),
+        F.sum((F.col("n_seqs_spanned") > 1).cast("long"))
+        .cast("bigint").alias("n_boundary_docs"),
+    )
+    return agg.select(
+        F.col("group").alias(group_col),
+        "n_docs", "total_tokens", "n_seqs",
+        F.expr(f"total_tokens * 1000000L div (n_seqs * {ctx}L)")
+        .alias("fill_micros"),
+        "n_boundary_docs",
+    )
