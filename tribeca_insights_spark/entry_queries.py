@@ -8374,6 +8374,469 @@ def q175_minhash_vs_exact(spark, sf_dir):
     return minhash_jaccard_eval(grams, n_hashes=12, rows_per_band=3)
 
 
+@q(
+    "q176_temperature_rates",
+    """
+    WITH dt AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(lower(trim(
+               regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0))) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT source, n,
+             CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS sq
+      FROM dt
+    ),
+    t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot FROM s)
+    SELECT source, n AS n_tokens, sq AS sqrt_scale,
+           (sq * 1000000) // tot AS rate_micros
+    FROM s, t ORDER BY source
+    """,
+)
+def q176_temperature_rates(spark, sf_dir):
+    """Temperature-scaled mixture rates at α = 1/2 (operators/
+    mixing.py:sqrt_temperature_rates; the mBERT/XLM-R exponent-smooth
+    rebalance): sampling share ∝ √(source token count), so head
+    sources stop drowning the tail. The ONLY float op is one
+    correctly-rounded IEEE sqrt per GROUP (floor(sqrt(n·1e6)) with the
+    argument < 2^53) — everything after is BIGINT, which is what lets
+    the oracle hash-match a "temperature" computation at all. Input is
+    the group-sized token table; total is a broadcast 1-row scalar."""
+    from .operators.mixing import sqrt_temperature_rates
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col("text"),
+                                            "[^A-Za-zÀ-ÿ]+", " "))),
+            " ", -1,
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    dt = d.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    return sqrt_temperature_rates(dt, group_col="source").orderBy(
+        "source"
+    )
+
+
+@q(
+    "q177_cluster_size_histogram",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN doc_id % 2 = 0
+                  THEN 'c' || CAST(doc_id % 50 AS VARCHAR)
+                  ELSE 'u' || CAST(doc_id AS VARCHAR) END AS ck
+      FROM documents
+    ),
+    sizes AS (
+      SELECT ck, CAST(count(*) AS BIGINT) AS sz
+      FROM keyed GROUP BY ck
+    ),
+    b AS (
+      SELECT CAST(length(printf('%b', sz)) - 1 AS INT) AS size_bin, sz
+      FROM sizes
+    )
+    SELECT size_bin,
+           CAST(1 AS BIGINT) << size_bin AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_excess_docs
+    FROM b GROUP BY size_bin
+    """,
+)
+def q177_cluster_size_histogram(spark, sf_dir):
+    """Log2-binned dup-cluster size histogram (operators/dedup.py:
+    cluster_size_histogram): where the duplicate MASS lives — a few
+    giant clusters (cap-per-cluster policy) vs millions of pairs
+    (pairwise LSH spend). Cluster keys synthesized deterministically
+    (even doc_ids fold into 50 clusters, odd stay singletons) so both
+    bins are populated at every SF. floor(log2) is
+    length(bin(size))−1 — integer string ops, no float log; one
+    cluster-count-sized partial agg + a ≤64-key rollup."""
+    from .operators.dedup import cluster_size_histogram
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+        ).alias("ck")
+    )
+    return cluster_size_histogram(d, key_col="ck")
+
+
+@q(
+    "q178_heldout_lm_eval",
+    """
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE
+               WHEN ('0x' || substr(md5('split' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                 < 800000 THEN 'train'
+               WHEN ('0x' || substr(md5('split' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                 < 900000 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split, split = 'train' AS is_t,
+             list_filter(string_split(lower(trim(regexp_replace(
+               text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM sp
+    ),
+    big AS (
+      SELECT doc_id, split, is_t, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, split, is_t, l,
+                   unnest(range(1, len(l))) AS i
+            FROM toks)
+    ),
+    uni AS (SELECT is_t, unnest(l) AS w FROM toks),
+    c1 AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1
+           FROM uni WHERE is_t GROUP BY w),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM big WHERE is_t GROUP BY w1, w2),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz
+          FROM uni WHERE is_t),
+    scored AS (
+      SELECT b.doc_id, b.split, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(CAST(floor(1e6 * (ln(coalesce(c12, 0) + 1)
+                                        - ln(coalesce(c1, 0) + vsz)))
+                           AS BIGINT)) AS BIGINT) AS lp
+      FROM big b
+      LEFT JOIN c12 USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      CROSS JOIN v
+      GROUP BY b.doc_id, b.split
+    ),
+    agg AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp) AS BIGINT) AS lm_logprob_micros
+      FROM scored GROUP BY split
+    )
+    SELECT split, n_docs, n_bigrams, lm_logprob_micros,
+           CASE WHEN lm_logprob_micros >= 0
+                THEN lm_logprob_micros // n_bigrams
+                ELSE -((-lm_logprob_micros) // n_bigrams) END
+             AS mean_bigram_micros
+    FROM agg
+    """,
+)
+def q178_heldout_lm_eval(spark, sf_dir):
+    """Held-out LM evaluation (operators/lm.py:heldout_lm_eval): the
+    Laplace bigram LM fits on the TRAIN split only (salted md5 buckets
+    — q110's engine-portable split) and every split reports total and
+    mean log-probability — eval hygiene for q73 (a model scored on its
+    own training slice overstates quality; the train/val gap is the
+    memorization signal). Count tables are the q73 plan (vocabulary-
+    sized, broadcast V); the rollup is 3 rows; the mean uses
+    sign-split floor division (sums are negative — the q170 div-vs-//
+    hazard)."""
+    from .operators.lm import heldout_lm_eval
+
+    d = _read(spark, sf_dir, "documents")
+    return heldout_lm_eval(d, train_micros=800_000,
+                           val_micros=100_000)
+
+
+@q(
+    "q179_histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT lang,
+             greatest(CAST(length(printf('%b',
+               greatest(CAST(n_chars AS BIGINT), 1))) - 1 AS INT), 0)
+               AS bin
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY lang, bin
+    ),
+    cm AS (
+      SELECT lang, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin)
+                  AS BIGINT) AS cum
+      FROM c
+    ),
+    t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+          FROM c GROUP BY lang),
+    qq AS (SELECT unnest([500000, 900000]) AS q_micros)
+    SELECT cm.lang, CAST(q_micros AS BIGINT) AS q_micros, t.n,
+           CAST(1 AS BIGINT) << min(cm.bin) AS bin_lo
+    FROM cm JOIN t ON cm.lang = t.lang CROSS JOIN qq
+    WHERE cm.cum * 1000000 >= qq.q_micros * t.n
+    GROUP BY cm.lang, qq.q_micros, t.n
+    """,
+)
+def q179_histogram_quantiles(spark, sf_dir):
+    """Mergeable histogram quantiles (operators/textstats.py:
+    histogram_quantiles): per-language p50/p90 ORDER OF MAGNITUDE of
+    document length from a power-of-2 histogram — the shuffle-free,
+    engine-replayable, MERGEABLE alternative to a percentile sort
+    (shard histograms sum, so cross-run quantiles never rescan old
+    data — the same union algebra as q166's HLL merge; Spark's own
+    percentile_approx is an opaque unoracle-able sketch). floor(log2)
+    via length(bin(v))−1; the cumulative window is partitioned BY
+    GROUP over a ≤64-bin table."""
+    from .operators.textstats import histogram_quantiles
+
+    d = _read(spark, sf_dir, "documents")
+    return histogram_quantiles(d, group_col="lang",
+                               value_col="n_chars",
+                               qs_micros=(500_000, 900_000))
+
+
+def _bpe_fertility_oracle() -> str:
+    enc = "regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30), 'g')"
+    for a, b in _BPE_MERGES:
+        pat = (
+            f"chr(31) || '{a}' || chr(30) || chr(31) || '{b}' || chr(30)"
+        )
+        rep = f"chr(31) || '{a}{b}' || chr(30)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return f"""
+    WITH w AS (
+      SELECT lang, unnest(list_filter(str_split(text, ' '),
+                                      x -> length(x) > 0)) AS word
+      FROM documents
+    ),
+    e AS (SELECT lang, word, {enc} AS sym FROM w),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(str_split(substr(sym, 2, length(sym) - 2),
+                                    chr(30) || chr(31)))) AS BIGINT)
+               AS n_bpe,
+             CAST(sum(length(word)) AS BIGINT) AS n_word_chars
+      FROM e GROUP BY lang
+    )
+    SELECT lang, n_words, n_bpe AS n_bpe_tokens, n_word_chars,
+           (n_bpe * 1000000) // n_words AS fertility_micros,
+           (n_word_chars * 1000000) // n_bpe
+             AS chars_per_token_micros
+    FROM g ORDER BY lang
+    """
+
+
+@q("q180_bpe_fertility", _bpe_fertility_oracle())
+def q180_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (operators/bpe.py:
+    bpe_fertility; Rust et al. 2021): tokens-per-word and
+    chars-per-token under the fixed q156 merge list — the two numbers
+    that price a language's context-window and compute cost under a
+    tokenizer, the standard input to vocabulary rebalancing. The
+    encode is q156's zero-shuffle replace-fold Project; stats ride an
+    id-keyed join from the same scan; one group-sized rollup. The
+    ORACLE replays encode + counts symbol-exactly."""
+    from .operators.bpe import bpe_fertility
+
+    d = _read(spark, sf_dir, "documents")
+    return bpe_fertility(d, _BPE_MERGES, group_col="lang").orderBy(
+        "lang"
+    )
+
+
+@q(
+    "q181_host_lang_entropy",
+    """
+    WITH d AS (
+      SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+               AS host, lang
+      FROM documents
+    ),
+    per AS (
+      SELECT host, lang, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY host, lang
+    ),
+    g AS (
+      SELECT host, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_labels,
+             CAST(sum(CAST(floor(1e6 * cnt * ln(cnt)) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM per GROUP BY host
+    )
+    SELECT host, n_docs, n_labels,
+           CAST(floor(1e6 * ln(CAST(n_docs AS DOUBLE))
+                      - CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                AS BIGINT) AS entropy_micros
+    FROM g ORDER BY host
+    """,
+)
+def q181_host_lang_entropy(spark, sf_dir):
+    """Per-host language-mix entropy (operators/textstats.py:
+    group_label_entropy): monolingual hosts score 0 nats; hosts
+    serving machine-translated mirror trees of every language at once
+    (the MT-spam farm shape) approach ln k — the site-level curation
+    signal that per-doc language ID can't see. Same integer-exact
+    entropy decomposition as q159 (per-label terms quantized BEFORE
+    the BIGINT sum; one canonical double finish). One (host, lang)
+    partial agg + a host rollup — site-count-sized."""
+    from .operators.textstats import group_label_entropy
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "lang",
+    )
+    return group_label_entropy(d, group_col="host",
+                               label_col="lang").orderBy("host")
+
+
+@q(
+    "q182_degree_assortativity",
+    """
+    WITH n AS (SELECT count(*) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS s, (doc_id + 1) % N AS d FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % N FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % N FROM documents, n
+    ),
+    und AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e WHERE s <> d
+    ),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY a),
+    p AS (
+      SELECT dx.deg AS x, dy.deg AS y
+      FROM sym JOIN deg dx ON sym.a = dx.node
+      JOIN deg dy ON sym.b = dy.node
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS m_directed,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_x2
+      FROM p
+    )
+    SELECT m_directed, sum_x, sum_xy, sum_x2,
+           CASE WHEN m_directed * sum_x2 - sum_x * sum_x > 0
+                THEN CAST(floor(1e6 *
+                  (CAST(m_directed AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                   - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                  / (CAST(m_directed AS DOUBLE)
+                     * CAST(sum_x2 AS DOUBLE)
+                   - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+                  AS BIGINT)
+           END AS assortativity_micros
+    FROM agg
+    """,
+)
+def q182_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the q130 host graph (operators/
+    linkgraph.py:degree_assortativity; Newman 2002): Pearson
+    correlation of endpoint degrees over the symmetric edge list —
+    organic neighborhoods are mildly disassortative, interlinked
+    link-farm cores strongly assortative; the one-number structural
+    drift check between crawls. Exact BIGINT sufficient statistics
+    (the q138 grouped-OLS discipline), one canonical double finish;
+    degree table = one groupBy, two id-keyed joins, a single-row agg
+    — no windows, no all-pairs."""
+    from .operators.linkgraph import degree_assortativity
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = None
+    for expr in (
+        (F.col("doc_id") + 1) % F.col("N"),
+        (F.col("doc_id") + 2) % F.col("N"),
+        (F.col("doc_id") * 7 + 3) % F.col("N"),
+    ):
+        part = base.select(
+            F.col("doc_id").alias("src"), expr.alias("dst")
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    return degree_assortativity(edges)
+
+
+@q(
+    "q183_dedup_shift",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 < 2 THEN 'duplicate content block'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, md5(text) AS ck,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM d),
+    mx AS (SELECT ck, CAST(max(n_chars) AS BIGINT) AS mc,
+                  CAST(count(*) AS BIGINT) AS sz
+           FROM t GROUP BY ck),
+    keep AS (
+      SELECT t.ck, CAST(min(t.doc_id) AS BIGINT) AS keeper,
+             CAST(min(mx.mc) AS BIGINT) AS n_chars
+      FROM t JOIN mx ON t.ck = mx.ck AND t.n_chars = mx.mc
+      GROUP BY t.ck
+    ),
+    b AS (
+      SELECT 'before' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM t
+      UNION ALL
+      SELECT 'after', CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT)
+      FROM keep
+    )
+    SELECT stage, n_docs, sum_chars,
+           (sum_chars * 1000000) // n_docs AS mean_chars_micros
+    FROM b
+    """,
+)
+def q183_dedup_shift(spark, sf_dir):
+    """Corpus-shift report around keep-best dedup (operators/dedup.py:
+    keep_best): the before/after footprint — doc count, char mass,
+    mean length — that says what retention DID to the corpus (dedup
+    that silently halves mean document length is a training-mix change,
+    not just a size change). Survivor = longest text per exact-hash
+    cluster, lowest id on ties — keep_best's max-then-tiebreak plain
+    aggregates (never max(struct)/window; see its docstring plan
+    notes). Two group-sized aggregates + a 2-row union."""
+    from .operators.dedup import keep_best
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 < 2, F.lit("duplicate content block")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t = d.select(
+        "doc_id", F.md5("text").alias("ck"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    kept = keep_best(t, cluster_col="ck", id_col="doc_id",
+                     score_col="n_chars")
+    before = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(F.lit("before").alias("stage"), "n_docs", "sum_chars")
+    after = kept.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(F.lit("after").alias("stage"), "n_docs", "sum_chars")
+    return before.unionByName(after).select(
+        "stage", "n_docs", "sum_chars",
+        F.expr("sum_chars * 1000000L div n_docs")
+        .alias("mean_chars_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

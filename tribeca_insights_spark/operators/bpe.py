@@ -239,3 +239,50 @@ def bpe_encode(
         symbols.alias("symbols"),
         F.size(symbols).cast("int").alias("n_bpe_tokens"),
     )
+
+
+def bpe_fertility(docs: DataFrame, merges,
+                  group_col: str = "lang",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-group tokenizer fertility report over :func:`bpe_encode`:
+    (group, n_words, n_bpe_tokens, n_word_chars, fertility_micros,
+    chars_per_token_micros) — tokens-per-word and chars-per-token, THE
+    two numbers a tokenizer is judged by per language (high fertility
+    on a language = its text costs more context window and more
+    compute per word; the standard argument for vocabulary rebalancing
+    — Rust et al. 2021).
+
+    fertility = 1e6·Σtokens div Σwords; chars/token =
+    1e6·Σword_chars div Σtokens — exact BIGINT after the codegen
+    encode. Shape: the encode is bpe_encode's zero-shuffle Project;
+    the id-keyed join decorates it with the group + word stats from
+    the same scan; one group-sized rollup.
+    """
+    enc = bpe_encode(docs, merges, id_col=id_col, text_col=text_col)
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("_g"),
+        F.size(words).cast("long").alias("_nw"),
+        F.aggregate(
+            words, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        ).alias("_nc"),
+    )
+    j = base.join(enc.select(id_col, "n_bpe_tokens"), id_col)
+    agg = j.groupBy("_g").agg(
+        F.sum("_nw").cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("_nc").cast("bigint").alias("n_word_chars"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_words", "n_bpe_tokens", "n_word_chars",
+        F.expr("n_bpe_tokens * 1000000L div n_words")
+        .alias("fertility_micros"),
+        F.expr("n_word_chars * 1000000L div n_bpe_tokens")
+        .alias("chars_per_token_micros"),
+    )

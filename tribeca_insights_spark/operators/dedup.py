@@ -1581,3 +1581,39 @@ def minhash_jaccard_eval(shingles: DataFrame, id_col: str = "doc_id",
         F.coalesce("exact_micros", F.lit(0).cast("bigint"))
         .alias("exact_micros"),
     )
+
+
+def cluster_size_histogram(df: DataFrame,
+                           key_col: str = "cluster_key") -> DataFrame:
+    """Log2-binned duplicate-cluster size histogram: how the corpus'
+    duplicate MASS distributes over cluster sizes — the report that
+    picks the dedup policy (a corpus whose excess lives in a few
+    10^6-doc clusters wants cap-per-cluster; one with millions of
+    pairs wants pairwise LSH spend). Sizes are per-``key_col`` counts;
+    ``size_bin = floor(log2(size))`` computed as length(bin(size))−1 —
+    pure integer string ops, engine-identical, no float log.
+
+    Returns (size_bin, bin_lo, n_clusters, n_docs, n_excess_docs)
+    where bin_lo = 2^size_bin and excess = Σ(size−1) (the docs dedup
+    would remove). Shape: one keyed partial agg (cluster-count-sized)
+    + one ≤64-key rollup.
+    """
+    sizes = df.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("_size")
+    )
+    binned = sizes.select(
+        (F.length(F.bin(F.col("_size"))) - 1).cast("int")
+        .alias("size_bin"),
+        "_size",
+    )
+    agg = binned.groupBy("size_bin").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("_size") - 1).cast("bigint")
+        .alias("n_excess_docs"),
+    )
+    return agg.select(
+        "size_bin",
+        F.expr("CAST(1L << size_bin AS BIGINT)").alias("bin_lo"),
+        "n_clusters", "n_docs", "n_excess_docs",
+    )

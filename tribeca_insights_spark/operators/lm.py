@@ -376,3 +376,53 @@ def stupid_backoff_score(docs: DataFrame, target_col,
         F.count("*").alias("n_trigrams"),
         F.sum("_lp").alias("sb_logprob_micros"),
     )
+
+
+def heldout_lm_eval(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", salt: str = "split",
+                    train_micros: int = 800_000,
+                    val_micros: int = 100_000) -> DataFrame:
+    """Held-out LM evaluation: fit the Laplace bigram LM on the TRAIN
+    split only and report per-split total/mean log-probability — the
+    eval-hygiene version of q73 (scoring the training slice with its
+    own counts overstates quality; the train/val gap is the
+    memorization signal, and a val score that tracks train is the
+    green light to use LM scores as curation weights).
+
+    Splits come from :func:`~..mixing.split_assign`'s salted md5
+    buckets, so membership is engine-portable and rerun-stable. Mean
+    per-bigram log-prob uses sign-split floor division (sums are
+    negative; Spark div truncates, DuckDB // floors — identical only
+    on non-negative operands).
+
+    Returns one row per split: (split, n_docs, n_bigrams,
+    lm_logprob_micros, mean_bigram_micros). Shape: the count tables
+    are the q73 plan (vocabulary-sized, broadcast V); the split column
+    is a narrow projection; the final rollup is 3 rows.
+    """
+    from .mixing import split_assign
+
+    tagged = split_assign(docs, key_col=id_col, salt=salt,
+                          train_micros=train_micros,
+                          val_micros=val_micros)
+    scored = bigram_lm_score(
+        tagged, F.col("split") == "train",
+        id_col=id_col, text_col=text_col,
+    )
+    j = scored.join(
+        tagged.select(F.col(id_col), "split"), id_col
+    )
+    agg = j.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.sum("lm_logprob_micros").cast("bigint")
+        .alias("lm_logprob_micros"),
+    )
+    return agg.select(
+        "split", "n_docs", "n_bigrams", "lm_logprob_micros",
+        F.expr(
+            "CASE WHEN lm_logprob_micros >= 0"
+            " THEN lm_logprob_micros div n_bigrams"
+            " ELSE -((-lm_logprob_micros) div n_bigrams) END"
+        ).alias("mean_bigram_micros"),
+    )

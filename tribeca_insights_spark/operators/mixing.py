@@ -260,3 +260,36 @@ def stratified_topk_sample(
         .filter(F.col("_rk") <= k)
         .withColumnRenamed("_rk", "sample_rank")
     )
+
+
+def sqrt_temperature_rates(domain_tokens: DataFrame,
+                           group_col: str = "source",
+                           token_col: str = "n_tokens") -> DataFrame:
+    """Temperature-scaled mixture rates at T = 2 (α = 1/2): each
+    group's sampling share ∝ √(token count) — the standard multilingual
+    rebalance (mBERT/XLM-R exponent-smooth corpus sizes so
+    head languages stop drowning the tail; α = 1/2 is the common
+    default). Integer-exact cross-engine: the only float op is one
+    correctly-rounded IEEE sqrt per GROUP (floor(sqrt(n·1e6)) — the
+    argument stays < 2^53 for corpora to 10^9 tokens per group, and
+    sqrt of an exact integer is bit-identical on any IEEE engine), so
+    ``rate_micros = 1e6 · s_g div Σ s`` is plain BIGINT after that.
+
+    Returns (group, n_tokens, sqrt_scale, rate_micros). Shape: the
+    input is already the group-sized token-count table (one partial
+    agg upstream); the total is a broadcast 1-row scalar — nothing
+    here ever touches corpus rows.
+    """
+    scaled = domain_tokens.select(
+        F.col(group_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.floor(F.sqrt(F.col(token_col).cast("double") * 1e6))
+        .cast("long").alias("sqrt_scale"),
+    )
+    tot = scaled.agg(
+        F.sum("sqrt_scale").cast("long").alias("_tot")
+    )
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        group_col, "n_tokens", "sqrt_scale",
+        F.expr("sqrt_scale * 1000000L div _tot").alias("rate_micros"),
+    )

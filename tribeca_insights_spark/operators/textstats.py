@@ -1146,3 +1146,102 @@ def kwic_concordance(docs: DataFrame, probe: str, ctx: int = 3,
         F.concat_ws(" ", left).alias("left_ctx"),
         F.concat_ws(" ", right).alias("right_ctx"),
     )
+
+
+def histogram_quantiles(df: DataFrame, group_col: str = "lang",
+                        value_col: str = "n_chars",
+                        qs_micros: tuple = (500_000, 900_000)) -> DataFrame:
+    """Mergeable power-of-2-histogram quantiles: per group, the lower
+    bound of the first log2 bin whose cumulative count reaches each
+    requested quantile — the shuffle-free alternative to exact
+    percentiles when the question is "which ORDER OF MAGNITUDE is
+    p50/p90" (length-cap tuning, chunk-size audits). Unlike a sort or
+    percentile_approx's opaque sketch, the histogram is (a) exactly
+    replayable on any engine and (b) MERGEABLE: shard histograms sum,
+    so cross-run / cross-shard quantiles never rescan old data (the
+    same union algebra as q166's HLL merge).
+
+    size_bin = floor(log2(v)) via length(bin(v))−1 (values < 1 clamp
+    to bin 0); the cumulative window is partitioned BY GROUP over the
+    ≤64-bin table. Returns one row per (group, q_micros):
+    (group, q_micros, n, bin_lo) with bin_lo = 2^bin.
+    """
+    from pyspark.sql import Window
+
+    binned = df.select(
+        F.col(group_col).alias("grp"),
+        F.greatest(
+            (F.length(F.bin(F.greatest(F.col(value_col).cast("long"),
+                                       F.lit(1)))) - 1).cast("int"),
+            F.lit(0),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "grp", "bin", "c",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+    )
+    tot = counts.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    out = None
+    for q in qs_micros:
+        hit = (
+            cum.join(tot, "grp")
+            .filter(F.col("cum") * 1_000_000 >= F.lit(q) * F.col("n"))
+            .groupBy("grp", "n")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                F.col("grp").alias(group_col),
+                F.lit(q).cast("long").alias("q_micros"),
+                "n",
+                F.expr("CAST(1L << bin AS BIGINT)").alias("bin_lo"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def group_label_entropy(df: DataFrame, group_col: str = "host",
+                        label_col: str = "lang") -> DataFrame:
+    """Per-group Shannon entropy of a LABEL distribution — here "how
+    language-mixed is this host": monolingual hosts sit at 0 nats;
+    hosts serving machine-translated mirror trees of every language at
+    once (the classic MT-spam farm shape) max out near ln k. The same
+    integer-exact decomposition as :func:`char_entropy` (q159):
+    per-label terms floor(1e6·c·ln c) quantized BEFORE the sum so the
+    BIGINT total is order-free; only the final ln n − S/n runs in
+    double, one canonical expression.
+
+    Returns (group, n_docs, n_labels, entropy_micros). Shape: one
+    (group, label) map-combined partial agg + a group re-agg —
+    site-count-sized output, never corpus-sized state.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(label_col).alias("_l")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    agg = per.groupBy("_g").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_labels"),
+        F.sum(
+            F.floor(
+                F.lit(1e6)
+                * F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double"))
+            ).cast("bigint")
+        ).alias("_s"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_docs", "n_labels",
+        F.expr(
+            "CAST(floor(1e6 * ln(CAST(n_docs AS DOUBLE)) "
+            "- CAST(_s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)"
+        ).alias("entropy_micros"),
+    )
