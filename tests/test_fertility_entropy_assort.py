@@ -78,3 +78,27 @@ def test_assortativity_sufficient_stats(spark):
     assert (r["m_directed"], r["sum_x"], r["sum_xy"], r["sum_x2"]) == \
         (4, 6, 8, 10)
     assert r["assortativity_micros"] == -1_000_000
+
+
+# --- ann_recall_eval -----------------------------------------------------------
+
+
+def test_ann_recall_eval_counts(spark):
+    from tribeca_insights_spark.operators.similarity import (
+        ann_recall_eval,
+    )
+
+    truth = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=n) for n in (10, 11, 12)]
+        + [Row(query_id=2, neighbor_id=n) for n in (20, 21, 22)]
+    )
+    approx = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=n) for n in (10, 11, 99)]
+        + [Row(query_id=2, neighbor_id=n) for n in (98, 97, 96)]
+    )
+    out = {r["query_id"]: r for r in
+           ann_recall_eval(truth, approx, k=3).collect()}
+    assert out[1]["n_hits"] == 2
+    assert out[1]["recall_micros"] == 666_666
+    # zero-overlap query keeps its row
+    assert out[2]["n_hits"] == 0 and out[2]["recall_micros"] == 0

@@ -626,3 +626,47 @@ def test_rake_window_partitioned_kwic_no_exchange(spark):
     p2 = _plan(kwic_concordance(d, probe="join"))
     assert "Exchange" not in p2
     assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+
+
+def test_wave_def_hashagg_no_global_window(spark):
+    """q176-q184 wave: every new statistic is partial-agg shaped — no
+    SortAggregate, no unpartitioned window anywhere."""
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.dedup import (
+        cluster_size_histogram,
+    )
+    from tribeca_insights_spark.operators.linkgraph import (
+        degree_assortativity,
+    )
+    from tribeca_insights_spark.operators.mixing import (
+        sqrt_temperature_rates,
+    )
+    from tribeca_insights_spark.operators.textstats import (
+        group_label_entropy,
+        histogram_quantiles,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dt = d.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    for df in (
+        sqrt_temperature_rates(dt),
+        cluster_size_histogram(
+            d.select(F.col("source").alias("ck")), key_col="ck"
+        ),
+        group_label_entropy(
+            d.select(F.col("source").alias("host"), "lang")
+        ),
+        degree_assortativity(
+            spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+        ),
+    ):
+        p = _plan(df)
+        assert "SortAggregate" not in p
+        assert "WindowExec" not in p and "Window [" not in p
+
+    # histogram_quantiles' one window must be partitioned by the group
+    p = _plan(histogram_quantiles(d))
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "windowspecdefinition(grp" in line or "grp" in line

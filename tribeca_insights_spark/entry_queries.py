@@ -8837,6 +8837,80 @@ def q183_dedup_shift(spark, sf_dir):
     )
 
 
+@q(
+    "q184_ann_recall",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, v AS qv, cell
+           FROM base WHERE vec_id < 10),
+    ts AS (
+      SELECT qs.query_id, b.vec_id AS nid,
+             round(list_cosine_similarity(qs.qv, b.v), 4) AS sim
+      FROM base b, qs WHERE b.vec_id != qs.query_id
+    ),
+    truth AS (
+      SELECT query_id, nid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, nid) AS rk
+        FROM ts) WHERE rk <= 5
+    ),
+    probes AS (
+      SELECT query_id, qv,
+             unnest([cell, xor(cell, 1), xor(cell, 2),
+                     xor(cell, 4), xor(cell, 8)]) AS cell
+      FROM qs
+    ),
+    sc AS (
+      SELECT p.query_id, b.vec_id AS nid,
+             round(list_cosine_similarity(p.qv, b.v), 4) AS sim
+      FROM base b JOIN probes p USING (cell)
+      WHERE b.vec_id != p.query_id
+    ),
+    approx AS (
+      SELECT query_id, nid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, nid) AS rk
+        FROM sc) WHERE rk <= 5
+    )
+    SELECT t.query_id,
+           CAST(count(a.nid) AS BIGINT) AS n_hits,
+           (CAST(count(a.nid) AS BIGINT) * 1000000) // 5
+             AS recall_micros
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.nid = t.nid
+    GROUP BY t.query_id
+    """,
+)
+def q184_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF grid search vs exact brute force
+    (operators/similarity.py:ann_recall_eval): the acceptance gate
+    every ANN deployment runs before trading exactness for scale —
+    ground truth from the bounded brute-force verifier on a SAMPLED
+    query set (recall is per-query, so sampling queries, never corpus
+    rows, is the honest protocol; q149 is the dedup sibling). One
+    (query, neighbor) equi-join over two top-k tables + a query-sized
+    agg. The ORACLE replays truth, multi-probe search, and the
+    intersection count."""
+    from .operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_grid_topk,
+        ann_recall_eval,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    truth = ann_bruteforce_topk(emb, range(10), k=5)
+    approx = ann_ivf_grid_topk(emb, range(10), k=5, bits=4, hamming=1)
+    return ann_recall_eval(truth, approx, k=5)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -312,3 +312,34 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             "a_id", "b_id", F.round("sim_raw", 4).alias("sim")
         ).filter(F.col("sim") >= threshold)
     )
+
+
+def ann_recall_eval(truth: DataFrame, approx: DataFrame, k: int,
+                    query_col: str = "query_id",
+                    neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Recall@k of an approximate neighbor search against exact
+    ground truth: per query, how many of the true top-k the ANN path
+    returned — the acceptance gate every IVF/LSH deployment runs on a
+    labeled slice before trading exactness for scale (the retrieval
+    sibling of q149's dedup-eval harness). Ground truth at corpus
+    scale comes from the bounded brute-force verifier on a SAMPLE of
+    queries — recall is a per-query statistic, so sampling queries
+    (never corpus rows) is the honest protocol.
+
+    Returns (query_id, n_hits, recall_micros) with recall =
+    1e6·|truth ∩ approx| div k; queries with zero overlap keep a row.
+    Shape: one equi-join on (query, neighbor) + a query-sized agg —
+    both inputs are already top-k tables (query-count × k rows).
+    """
+    t = truth.select(F.col(query_col), F.col(neighbor_col))
+    a = approx.select(F.col(query_col), F.col(neighbor_col))
+    hits = t.join(a, [query_col, neighbor_col]).groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    qlist = t.select(query_col).distinct()
+    return qlist.join(hits, query_col, "left").select(
+        query_col,
+        F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+        F.expr(f"coalesce(n_hits, 0L) * 1000000L div {k}L")
+        .alias("recall_micros"),
+    )
