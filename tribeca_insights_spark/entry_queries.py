@@ -8911,6 +8911,118 @@ def q184_ann_recall(spark, sf_dir):
     return ann_recall_eval(truth, approx, k=5)
 
 
+@q(
+    "q185_simhash_calibration",
+    _SIMHASH_CTES
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, j AS band,
+             (simhash // CAST(power(2, j * 8) AS BIGINT)) % 256
+               AS band_val
+      FROM simhashes CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(hamming AS INT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY hamming
+    """,
+)
+def q185_simhash_calibration(spark, sf_dir):
+    """SimHash banding calibration (q175's sibling for the SimHash
+    family): the FULL Hamming-distance histogram of banded candidates
+    — no verify cut — so the mass beyond the dedup threshold is
+    measured, not assumed (pairs at Hamming 20+ are pure
+    band-coincidence cost; a fat far tail says widen the bands, a
+    thin near tail says the pigeonhole guarantee is wasting joins).
+    Same band equi-join as q21; the histogram is a ≤33-key rollup
+    above the distinct candidate set."""
+    from .operators.dedup import simhash32, simhash_near_pairs
+
+    t = _tokens_df(spark, sf_dir)
+    tc = (
+        t.select("doc_id", F.explode("tokens").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = simhash_near_pairs(simhash32(tc), max_hamming=32)
+    return pairs.groupBy(
+        F.col("hamming").cast("int").alias("hamming")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+@q(
+    "q186_histogram_shard_merge",
+    """
+    WITH b AS (
+      SELECT lang, doc_id % 2 AS shard,
+             greatest(CAST(length(printf('%b',
+               greatest(CAST(n_chars AS BIGINT), 1))) - 1 AS INT), 0)
+               AS bin
+      FROM documents
+    ),
+    shard_hist AS (
+      SELECT shard, lang, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY shard, lang, bin
+    ),
+    merged AS (
+      SELECT lang, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM shard_hist GROUP BY lang, bin
+    ),
+    cm AS (
+      SELECT lang, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin)
+                  AS BIGINT) AS cum
+      FROM merged
+    ),
+    t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+          FROM merged GROUP BY lang),
+    qq AS (SELECT unnest([500000, 900000]) AS q_micros)
+    SELECT cm.lang, CAST(q_micros AS BIGINT) AS q_micros, t.n,
+           CAST(1 AS BIGINT) << min(cm.bin) AS bin_lo
+    FROM cm JOIN t ON cm.lang = t.lang CROSS JOIN qq
+    WHERE cm.cum * 1000000 >= qq.q_micros * t.n
+    GROUP BY cm.lang, qq.q_micros, t.n
+    """,
+)
+def q186_histogram_shard_merge(spark, sf_dir):
+    """Cross-shard histogram-sketch merge (operators/textstats.py:
+    histogram_quantiles_from_counts): each doc_id-parity shard builds
+    its own (lang, bin) count table, the tables UNION + SUM (the
+    entire merge — counts are the sketch), and the merged histogram
+    feeds the identical quantile selection as q179 — proving
+    union-then-sum ≡ build-on-the-union by hash equality, the same
+    cross-run algebra as q166's HLL merge but for QUANTILES. At 10^5
+    parquet shards the merge input is (shards × groups × ≤64 bins)
+    rows of three integers."""
+    from .operators.textstats import histogram_quantiles_from_counts
+
+    d = _read(spark, sf_dir, "documents")
+    binned = d.select(
+        F.col("lang").alias("grp"),
+        (F.col("doc_id") % 2).alias("_shard"),
+        F.greatest(
+            (F.length(F.bin(F.greatest(F.col("n_chars").cast("long"),
+                                       F.lit(1)))) - 1).cast("int"),
+            F.lit(0),
+        ).alias("bin"),
+    )
+    shard_hist = binned.groupBy("_shard", "grp", "bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    even = shard_hist.filter(F.col("_shard") == 0).drop("_shard")
+    odd = shard_hist.filter(F.col("_shard") == 1).drop("_shard")
+    return histogram_quantiles_from_counts(
+        even.unionByName(odd), qs_micros=(500_000, 900_000),
+        group_out="lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

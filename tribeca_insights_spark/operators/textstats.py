@@ -1179,6 +1179,25 @@ def histogram_quantiles(df: DataFrame, group_col: str = "lang",
     counts = binned.groupBy("grp", "bin").agg(
         F.count("*").cast("bigint").alias("c")
     )
+    return histogram_quantiles_from_counts(
+        counts, qs_micros=qs_micros, group_out=group_col
+    )
+
+
+def histogram_quantiles_from_counts(counts: DataFrame,
+                                    qs_micros: tuple = (500_000, 900_000),
+                                    group_out: str = "lang") -> DataFrame:
+    """Quantile selection over an ALREADY-BUILT (grp, bin, c) histogram
+    — the second half of :func:`histogram_quantiles`, exposed so
+    MERGED histograms (shard/run count tables summed — see q186) feed
+    the identical selection. Mergeability is the point: the sketch is
+    the count table, and union-then-sum ≡ build-on-the-union.
+    """
+    from pyspark.sql import Window
+
+    counts = counts.groupBy("grp", "bin").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
     w = (
         Window.partitionBy("grp").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1198,7 +1217,7 @@ def histogram_quantiles(df: DataFrame, group_col: str = "lang",
             .groupBy("grp", "n")
             .agg(F.min("bin").alias("bin"))
             .select(
-                F.col("grp").alias(group_col),
+                F.col("grp").alias(group_out),
                 F.lit(q).cast("long").alias("q_micros"),
                 "n",
                 F.expr("CAST(1L << bin AS BIGINT)").alias("bin_lo"),
