@@ -103,3 +103,41 @@ def test_histogram_quantiles_clamps_zero(spark):
     out = histogram_quantiles(docs, group_col="lang",
                               value_col="v").collect()
     assert all(r["bin_lo"] == 1 for r in out)
+
+
+# --- frequency_subsample --------------------------------------------------------
+
+
+def test_frequency_subsample_rare_words_kept(spark):
+    from tribeca_insights_spark.operators.mixing import (
+        frequency_subsample,
+    )
+
+    # "filler" dominates; "rare" appears once → threshold clamps to
+    # 1e6 (always kept — needs t·T ≥ 1, i.e. T ≥ 1000 at t=1e-3);
+    # filler's threshold < 1e6 → some occurrences dropped
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="filler " * 101 + "rare" * (i == 0))
+         for i in range(10)]
+    )
+    out = {r["word"]: r for r in
+           frequency_subsample(docs, t_micros=1000).collect()}
+    assert out["rare"]["threshold_micros"] == 1_000_000
+    assert out["rare"]["n_kept"] == 1
+    f = out["filler"]
+    assert f["threshold_micros"] < 1_000_000
+    assert 0 < f["n_kept"] < f["cf"]
+
+
+def test_frequency_subsample_deterministic(spark):
+    from tribeca_insights_spark.operators.mixing import (
+        frequency_subsample,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a a a b c d e f") for i in range(5)]
+    )
+    r1 = sorted(map(tuple, frequency_subsample(docs).collect()))
+    r2 = sorted(map(tuple,
+                    frequency_subsample(docs.repartition(7)).collect()))
+    assert r1 == r2  # partition-stable coins

@@ -9023,6 +9023,63 @@ def q186_histogram_shard_merge(spark, sf_dir):
     )
 
 
+@q(
+    "q187_frequency_subsample",
+    """
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+                 x -> length(x) > 0) AS l,
+               unnest(range(1, len(list_filter(string_split(lower(trim(
+                 regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))),
+                 ' '), x -> length(x) > 0)) + 1)) AS i
+        FROM documents
+      )
+    ),
+    cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf
+           FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf),
+    th AS (
+      SELECT w, cf,
+             least(CAST(1000000 AS BIGINT),
+                   CAST(floor(sqrt(CAST((1000 * t * 1000000) // cf
+                                        AS DOUBLE))) AS BIGINT))
+               AS threshold_micros
+      FROM cf, tot
+    ),
+    m AS (
+      SELECT th.w, th.cf, th.threshold_micros,
+             CASE WHEN ('0x' || substr(md5(
+                    CAST(toks.doc_id AS VARCHAR) || ':' ||
+                    CAST(toks.pos AS VARCHAR) || ':' || toks.w),
+                    1, 8))::BIGINT % 1000000 < th.threshold_micros
+                  THEN 1 ELSE 0 END AS keep
+      FROM toks JOIN th ON toks.w = th.w
+    )
+    SELECT w AS word, cf, threshold_micros,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+    FROM m GROUP BY w, cf, threshold_micros
+    """,
+)
+def q187_frequency_subsample(spark, sf_dir):
+    """word2vec-style frequent-word subsampling (operators/mixing.py:
+    frequency_subsample; Mikolov 2013): keep probability √(t/f) per
+    occurrence — "the"-class tokens downsampled hard, rare words
+    untouched — with BOTH the threshold (one IEEE sqrt of an exact
+    BIGINT, the q176 discipline) and every per-occurrence coin
+    (md5(doc:pos:word) bucket) fully deterministic, so the sampled
+    corpus is rerun- and partition-stable and the ORACLE replays every
+    single keep decision. One vocab agg + broadcast total + one more
+    token-stream pass against the Heaps-sized vocab dim."""
+    from .operators.mixing import frequency_subsample
+
+    d = _read(spark, sf_dir, "documents")
+    return frequency_subsample(d, t_micros=1000)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -293,3 +293,77 @@ def sqrt_temperature_rates(domain_tokens: DataFrame,
         group_col, "n_tokens", "sqrt_scale",
         F.expr("sqrt_scale * 1000000L div _tot").alias("rate_micros"),
     )
+
+
+def frequency_subsample(docs: DataFrame, t_micros: int = 1000,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """word2vec-style frequent-word subsampling report (Mikolov et al.
+    2013): occurrences of word w are kept with probability
+    √(t / f(w)) where f is corpus frequency — the downsampling that
+    stops "the"-class tokens from dominating embedding/LM training
+    while leaving rare-word occurrences untouched. Fully
+    deterministic: the keep threshold is
+    ``min(1e6, floor(sqrt((t_micros · T · 1e6) div cf)))`` (one
+    correctly-rounded IEEE sqrt of an exact BIGINT — the q176
+    discipline; the argument stays < 2^53 for T·t_micros·1e6 < 9e15,
+    i.e. shard-level totals at the default t — larger corpora rescale
+    the constant or subsample per shard, noted here) and each
+    occurrence draws its uniform from
+    ``md5(doc_id ':' pos ':' word) % 1e6`` — rerun-stable,
+    partition-stable, engine-portable.
+
+    Returns the vocabulary-sized report (word, cf, threshold_micros,
+    n_kept); per-token keep decisions are the same expressions inline
+    where a pipeline wants the filtered stream itself. Shape: one
+    (word) count agg, a broadcast 1-row total, then ONE more pass over
+    the token stream joined to the vocab dim — at web scale the vocab
+    side is Heaps-law sized and the join is the same broadcast shape
+    as the stopword dim.
+    """
+    from .dsir import _words
+
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    cf = toks.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("cf")
+    )
+    tot = cf.agg(F.sum("cf").cast("bigint").alias("_t"))
+    thresh = cf.crossJoin(F.broadcast(tot)).select(
+        "w", "cf",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                F.sqrt(
+                    F.expr(f"({t_micros}L * _t * 1000000L) div cf")
+                    .cast("double")
+                )
+            ).cast("long"),
+        ).alias("threshold_micros"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("_doc").cast("string"),
+                        F.col("pos").cast("string"),
+                        F.col("w"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    marked = toks.join(thresh, "w").select(
+        "w", "cf", "threshold_micros",
+        (u < F.col("threshold_micros")).cast("long").alias("_keep"),
+    )
+    return marked.groupBy("w", "cf", "threshold_micros").agg(
+        F.sum("_keep").cast("bigint").alias("n_kept")
+    ).withColumnRenamed("w", "word")
