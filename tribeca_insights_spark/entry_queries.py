@@ -9080,6 +9080,170 @@ def q187_frequency_subsample(spark, sf_dir):
     return frequency_subsample(d, t_micros=1000)
 
 
+@q(
+    "q188_pii_density",
+    f"""
+    WITH aug AS (
+      SELECT source,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' Contact user' || doc_id
+                    || '@mail.example.com or 10.' || (doc_id % 256)
+                    || '.0.1.'
+             ELSE text END AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+               AS ne,
+             CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT)
+               AS ni,
+             CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+               AS np,
+             CAST(length(t) AS BIGINT) AS ch
+      FROM aug
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_docs_with_pii,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(ni) AS BIGINT) AS n_ips,
+             CAST(sum(np) AS BIGINT) AS n_phones,
+             CAST(sum(ch) AS BIGINT) AS chars
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, n_docs_with_pii, n_emails, n_ips, n_phones,
+           ((n_emails + n_ips + n_phones) * 1000000) // chars
+             AS pii_per_mchar
+    FROM g ORDER BY source
+    """,
+)
+def q188_pii_density(spark, sf_dir):
+    """Per-source PII density audit (operators/redact.py:pii_density):
+    matches per million characters plus per-type totals — the release
+    audit that finds people-directory / paste-site shards needing
+    source-level handling before per-doc masking (deterministic PII is
+    spliced into every third document so densities differ by
+    construction). The counting projection is redact_pii's
+    shuffle-free codegen scan; the rollup is group-sized; all-integer
+    output."""
+    from .operators.redact import pii_density
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" Contact user"), sid,
+                F.lit("@mail.example.com or 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1."),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_density(aug, group_col="source").orderBy("source")
+
+
+_Q189_SNAPSHOT_CTE = """
+    c1{s} AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+              FROM e{s} JOIN r0 ON e{s}.src = r0.node GROUP BY dst),
+    r1{s} AS (SELECT d.doc_id AS node,
+                   CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                     AS s
+              FROM documents d LEFT JOIN c1{s} ON d.doc_id = c1{s}.dst),
+    c2{s} AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+              FROM e{s} JOIN r1{s} ON e{s}.src = r1{s}.node
+              GROUP BY dst),
+    r2{s} AS (SELECT d.doc_id AS node,
+                   CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                     AS s
+              FROM documents d LEFT JOIN c2{s} ON d.doc_id = c2{s}.dst),
+    c3{s} AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+              FROM e{s} JOIN r2{s} ON e{s}.src = r2{s}.node
+              GROUP BY dst),
+    r3{s} AS (SELECT d.doc_id AS node,
+                   CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT)
+                     AS s
+              FROM documents d LEFT JOIN c3{s} ON d.doc_id = c3{s}.dst)
+"""
+
+
+@q(
+    "q189_pagerank_drift",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    ea AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    eb AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 11 + 5) % N FROM documents, nn
+    ),
+    r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS s
+           FROM documents),
+    """
+    + _Q189_SNAPSHOT_CTE.format(s="a")
+    + ","
+    + _Q189_SNAPSHOT_CTE.format(s="b")
+    + """
+    SELECT ra.node, ra.s AS rank_a_micros, rb.s AS rank_b_micros,
+           rb.s - ra.s AS delta_micros
+    FROM r3a ra JOIN r3b rb ON ra.node = rb.node
+    ORDER BY abs(rb.s - ra.s) DESC, ra.node LIMIT 30
+    """,
+)
+def q189_pagerank_drift(spark, sf_dir):
+    """PageRank drift between two crawl snapshots (composes
+    operators/linkgraph.py:pagerank_micros twice): snapshot B swaps
+    one edge family, and the report ranks the biggest rank movers —
+    the per-node complement of q182's one-number structural drift
+    (a spam cluster growing between crawls shows up here FIRST, as
+    correlated upward deltas on its members). Ranks are integer
+    micros with floor division every step, so the DELTA is exact —
+    float PageRank deltas at 1e-6 scale would be noise. Two
+    independent 3-round join+groupBy recurrences + one id-keyed join;
+    top-30 plans as TakeOrderedAndProject."""
+    from .operators.linkgraph import pagerank_micros
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+
+    def graph(k2):
+        return base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+        ).unionByName(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * k2 + 5) % F.col("N")).alias("dst"),
+            )
+        )
+
+    ra = pagerank_micros(graph(13), n_iter=3).select(
+        F.col("node"), F.col("rank_micros").alias("rank_a_micros")
+    )
+    rb = pagerank_micros(graph(11), n_iter=3).select(
+        F.col("node"), F.col("rank_micros").alias("rank_b_micros")
+    )
+    j = ra.join(rb, "node").select(
+        "node", "rank_a_micros", "rank_b_micros",
+        (F.col("rank_b_micros") - F.col("rank_a_micros"))
+        .alias("delta_micros"),
+    )
+    return j.orderBy(
+        F.abs(F.col("delta_micros")).desc(), "node"
+    ).limit(30)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -60,3 +60,39 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)),
         }
     )
+
+
+def pii_density(df: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-group PII density report over :func:`redact_pii`'s counts:
+    (group, n_docs, n_docs_with_pii, n_emails, n_ips, n_phones,
+    pii_per_mchar) — matches per MILLION characters, the unit release
+    audits use (Dolma/ROOTS-style): a source whose density is 100×
+    the corpus median is a people-directory or paste-site shard that
+    wants source-level handling before any per-doc masking runs.
+
+    Shape: the counting projection is redact_pii's shuffle-free
+    codegen scan; the rollup is group-sized. All-integer output
+    (density = 1e6·total_matches div total_chars).
+    """
+    counted = redact_pii(df, text_col=text_col)
+    agg = counted.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            (
+                (F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+                > 0
+            ).cast("long")
+        ).cast("bigint").alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum(F.length(text_col)).cast("bigint").alias("_chars"),
+    )
+    return agg.select(
+        group_col, "n_docs", "n_docs_with_pii",
+        "n_emails", "n_ips", "n_phones",
+        F.expr(
+            "(n_emails + n_ips + n_phones) * 1000000L div _chars"
+        ).alias("pii_per_mchar"),
+    )
