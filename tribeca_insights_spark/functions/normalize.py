@@ -88,3 +88,77 @@ def with_nfc_text(df, text_col: str = "text", out_col: str = "nfc_text"):
     c = F.col(text_col)
     out = df.withColumn(out_col, nfc_udf()(c))
     return out.withColumn("nfc_changed", F.col(out_col) != c)
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (ftfy-style, bounded literal mapping)
+# ---------------------------------------------------------------------------
+
+# UTF-8 bytes decoded as latin-1/cp1252 produce stable digraph/trigraph
+# garbage ("é" -> "Ã©", em-dash -> "â€”"). This
+# table is the closed-form subset an engine can apply deterministically on
+# BOTH sides of an oracle -- LONGEST patterns first so the trigraphs win
+# over the bare "Ãx" digraphs; each left-hand side is essentially
+# impossible in sane text (A-circumflex / a-circumflex followed by a
+# latin-1 punctuation char), so false positives are negligible. General
+# repair (ftfy) needs encode/decode round-trips -- at corpus scale this
+# literal table covers the overwhelming bulk (latin-1 page mislabels)
+# with pure codegen replace chains, no Python.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # right single quote
+    ("â€œ", "“"),  # left double quote
+    ("â€“", "–"),  # en dash
+    ("â€”", "—"),  # em dash
+    ("Ã¡", "á"),  # a acute
+    ("Ã©", "é"),  # e acute
+    ("Ã­", "í"),  # i acute
+    ("Ã³", "ó"),  # o acute
+    ("Ãº", "ú"),  # u acute
+    ("Ã±", "ñ"),  # n tilde
+    ("Ã§", "ç"),  # c cedilla
+    ("Ã£", "ã"),  # a tilde
+    ("Ãµ", "õ"),  # o tilde
+    ("Ã¢", "â"),  # a circumflex
+    ("Ãª", "ê"),  # e circumflex
+    ("Ã´", "ô"),  # o circumflex
+    ("Ã¼", "ü"),  # u umlaut
+    ("Ã¨", "è"),  # e grave
+    ("Â°", "°"),  # degree sign
+    ("Â·", "·"),  # middle dot
+    ("Â ", " "),          # stray NBSP marker -> space
+)
+
+
+def repair_mojibake_col(col) -> Column:
+    """Chained literal ``replace`` repairing the MOJIBAKE_MAP table --
+    pure JVM codegen (StringReplace nodes fold into one whole-stage
+    span), order = table order (trigraphs first). NFC-safe: outputs are
+    precomposed codepoints."""
+    out = col
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def with_repaired_text(df, text_col: str = "text",
+                       out_col: str = "repaired_text"):
+    """Adds ``out_col`` plus ``n_repairs`` = how many table hits were
+    rewritten, computed exactly from length deltas: every mapping
+    shrinks the string by (len(bad) - len(good)) chars, so differencing
+    lengths across each sequential replace step and dividing by that
+    entry's shrink counts hits exactly -- shuffle-free arithmetic, no
+    second scan, no regex count. The optimizer CSEs the shared chain
+    prefixes so this stays one projection."""
+    c = F.col(text_col)
+    repaired = repair_mojibake_col(c)
+    n = F.lit(0)
+    prev = c
+    for bad, good in MOJIBAKE_MAP:
+        step = F.replace(prev, F.lit(bad), F.lit(good))
+        shrink = len(bad) - len(good)
+        if shrink > 0:
+            n = n + (F.length(prev) - F.length(step)) / F.lit(shrink)
+        prev = step
+    return df.withColumn(out_col, repaired).withColumn(
+        "n_repairs", n.cast("long")
+    )

@@ -100,3 +100,58 @@ def filter_blocked(
             "left_anti",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token-level word blocklist (C4 / LDNOOBW discipline)
+# ---------------------------------------------------------------------------
+
+# A small, deterministic stand-in for the published "List of Dirty,
+# Naughty, Obscene and Otherwise Bad Words" (C4, Raffel et al. 2020 §2.2
+# uses the LDNOOBW list): web-spam markers chosen to be printable in any
+# report. Callers pass their own list at production scale; the constant
+# exists so queries and oracles share one literal spec.
+SPAM_WORDS = (
+    "casino", "viagra", "lottery", "jackpot", "betting",
+    "pills", "crypto-giveaway", "xxx",
+)
+
+
+def badword_stats(
+    docs: DataFrame,
+    words: tuple[str, ...] = SPAM_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_bad, bad_per_mtoken, blocked) — C4's word-level
+    blocklist gate: a document is dropped when ANY token (lowercased,
+    whitespace-split) appears on the blocklist; the density column keeps
+    the signal inspectable for threshold tuning instead of a bare flag.
+
+    Scale shape: the token stream never joins a table — the blocklist is
+    a compile-time literal folded into a codegen ``IN`` predicate, so the
+    whole operator is one explode + one partial-aggregated groupBy on the
+    doc key (map-side combine; no second shuffle, no broadcast needed at
+    any corpus size). ``bad_per_mtoken`` is integer micros (exact,
+    engine-portable). For million-entry production lists swap the IN
+    predicate for a broadcast equi-join on the token column — the
+    domain_block_flags shape above.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " ", -1),
+                     lambda w: F.length(w) > 0)
+        ).alias("w"),
+    )
+    agg = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(*words), 1).otherwise(0)).alias("n_bad"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        F.expr("n_bad * 1000000L div n_tokens").alias("bad_per_mtoken"),
+        (F.col("n_bad") > 0).alias("blocked"),
+    )

@@ -1264,3 +1264,42 @@ def group_label_entropy(df: DataFrame, group_col: str = "host",
             "- CAST(_s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)"
         ).alias("entropy_micros"),
     )
+
+
+def soft404_flags(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    text_col: str = "text",
+    thin_words: int = 30,
+) -> DataFrame:
+    """(id, title_404, body_404, thin_content, soft404) — soft-404 /
+    error-page detection: servers that answer HTTP 200 with a "page not
+    found" body poison a crawl corpus with near-identical junk pages
+    (classic web-IR problem — Bar-Yossef et al., WWW'04 "Sic transit
+    gloria telae"). Rules: error phrase in the title, error phrase in
+    the body, or thin content (< ``thin_words`` whitespace words);
+    ``soft404`` = title hit OR (body hit AND thin) — a body mention of
+    "404" alone on a long page is prose, not an error page.
+
+    Scale shape: three codegen predicates on the row — no shuffle, no
+    UDF, no join; composes with curation_verdict as one more gate. The
+    phrase set is a compile-time literal shared with the oracle.
+    """
+    tl = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    bl = F.lower(F.col(text_col))
+    phrase = (
+        "(404 not found|page not found|error 404|no longer available"
+        "|page cannot be found)"
+    )
+    n_words = F.size(_ws_words(F.col(text_col)))
+    return pages.select(
+        F.col(id_col),
+        tl.rlike(phrase).alias("title_404"),
+        bl.rlike(phrase).alias("body_404"),
+        (n_words < thin_words).alias("thin_content"),
+        (
+            tl.rlike(phrase)
+            | (bl.rlike(phrase) & (n_words < thin_words))
+        ).alias("soft404"),
+    )
