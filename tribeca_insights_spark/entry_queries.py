@@ -9253,3 +9253,363 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = documents_as_pages(spark, "/root/testdata/sf0.001")
     ex = extract_pages(docs)
     return tfops.corpus_tf(ex, n_salts=8).limit(1000)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 7: curation gates the FineWeb/C4 recipes still lacked
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE_SPLICE_FULL = ' CafÃ© crÃ¨me â€” Ã±oÃ±o â€œ Ã¼ber Â°'
+
+@q(
+    "q190_badwords_filter",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' casino viagra jackpot'
+             ELSE text END AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(t), ' ')) AS w
+            FROM aug)
+      WHERE length(w) > 0
+    ),
+    g AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN w IN ('casino','viagra','lottery',
+                                      'jackpot','betting','pills',
+                                      'crypto-giveaway','xxx')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_bad,
+           n_bad * 1000000 // n_tokens AS bad_per_mtoken,
+           n_bad > 0 AS blocked
+    FROM g
+    """,
+)
+def q190_badwords_filter(spark, sf_dir):
+    """C4's word-blocklist gate (operators/blocklist.py:badword_stats;
+    Raffel et al. 2020 use the LDNOOBW list at this exact point in the
+    recipe): any blocklisted token drops the page; the density column
+    (integer micros) keeps the threshold tunable. Spam markers are
+    spliced into every 5th document so both verdicts occur by
+    construction. Plan: the blocklist is a folded codegen IN predicate
+    on the exploded token stream -- one partial-agg groupBy on the doc
+    key, no join, no broadcast, no second shuffle at any corpus size."""
+    from .operators.blocklist import badword_stats
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" casino viagra jackpot")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return badword_stats(aug)
+
+
+@q(
+    "q191_soft404",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '404 Not Found - Doc ' || doc_id
+                  ELSE 'Doc ' || doc_id END AS title,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'page not found ' || text
+                  ELSE text END AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             regexp_matches(lower(title),
+               '(404 not found|page not found|error 404|no longer available|page cannot be found)')
+               AS title_404,
+             regexp_matches(lower(t),
+               '(404 not found|page not found|error 404|no longer available|page cannot be found)')
+               AS body_404,
+             (SELECT count(*) FROM unnest(string_split(t, ' ')) AS u(w)
+              WHERE length(w) > 0) < 30 AS thin_content
+      FROM pages
+    )
+    SELECT doc_id, title_404, body_404, thin_content,
+           title_404 OR (body_404 AND thin_content) AS soft404
+    FROM f
+    """,
+)
+def q191_soft404(spark, sf_dir):
+    """Soft-404 detection (operators/textstats.py:soft404_flags): HTTP-200
+    error pages ("page not found" served as a real page -- Bar-Yossef et
+    al. WWW'04) are near-duplicate junk that dedup alone finds too late;
+    the gate is title-phrase OR (body-phrase AND thin), so prose that
+    merely MENTIONS a 404 on a long page survives. Synthesized: every 7th
+    doc gets an error title, every 11th an error body lead-in; thinness
+    falls out of the corpus's own length spread. Plan: three codegen
+    predicates on the row -- no shuffle, no UDF, no join."""
+    from .operators.textstats import soft404_flags
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    pages = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("404 Not Found - Doc "), sid),
+        ).otherwise(F.concat(F.lit("Doc "), sid)).alias("title"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("page not found "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return soft404_flags(pages)
+
+
+@q("q192_mojibake_repair", """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               text || ' CafÃ© crÃ¨me â€” Ã±oÃ±o â€œ Ã¼ber Â°'
+             ELSE text END AS t
+      FROM documents
+    ),
+    chain AS (
+      SELECT doc_id, t,
+             replace(t, 'â€™', '’') AS t0,
+             replace(t0, 'â€œ', '“') AS t1,
+             replace(t1, 'â€“', '–') AS t2,
+             replace(t2, 'â€”', '—') AS t3,
+             replace(t3, 'Ã¡', 'á') AS t4,
+             replace(t4, 'Ã©', 'é') AS t5,
+             replace(t5, 'Ã­', 'í') AS t6,
+             replace(t6, 'Ã³', 'ó') AS t7,
+             replace(t7, 'Ãº', 'ú') AS t8,
+             replace(t8, 'Ã±', 'ñ') AS t9,
+             replace(t9, 'Ã§', 'ç') AS t10,
+             replace(t10, 'Ã£', 'ã') AS t11,
+             replace(t11, 'Ãµ', 'õ') AS t12,
+             replace(t12, 'Ã¢', 'â') AS t13,
+             replace(t13, 'Ãª', 'ê') AS t14,
+             replace(t14, 'Ã´', 'ô') AS t15,
+             replace(t15, 'Ã¼', 'ü') AS t16,
+             replace(t16, 'Ã¨', 'è') AS t17,
+             replace(t17, 'Â°', '°') AS t18,
+             replace(t18, 'Â·', '·') AS t19,
+             replace(t19, 'Â ', ' ') AS t20
+      FROM aug
+    )
+    SELECT doc_id, t20 AS repaired_text,
+           CAST((length(t) - length(t0)) // 2
+               + (length(t0) - length(t1)) // 2
+               + (length(t1) - length(t2)) // 2
+               + (length(t2) - length(t3)) // 2
+               + (length(t3) - length(t4)) // 1
+               + (length(t4) - length(t5)) // 1
+               + (length(t5) - length(t6)) // 1
+               + (length(t6) - length(t7)) // 1
+               + (length(t7) - length(t8)) // 1
+               + (length(t8) - length(t9)) // 1
+               + (length(t9) - length(t10)) // 1
+               + (length(t10) - length(t11)) // 1
+               + (length(t11) - length(t12)) // 1
+               + (length(t12) - length(t13)) // 1
+               + (length(t13) - length(t14)) // 1
+               + (length(t14) - length(t15)) // 1
+               + (length(t15) - length(t16)) // 1
+               + (length(t16) - length(t17)) // 1
+               + (length(t17) - length(t18)) // 1
+               + (length(t18) - length(t19)) // 1
+               + (length(t19) - length(t20)) // 1 AS BIGINT) AS n_repairs
+    FROM chain
+    """)
+def q192_mojibake_repair(spark, sf_dir):
+    """Mojibake repair (functions/normalize.py:with_repaired_text;
+    ftfy's core case as a closed-form table): UTF-8 pages decoded as
+    latin-1 upstream leave "A-tilde-copyright"-class digraphs that
+    poison tokens, dedup shingles, and embeddings alike. The bounded
+    MOJIBAKE_MAP chain repairs the dominant Latin-1 mislabels in pure
+    codegen (21 StringReplace nodes in one whole-stage span), and
+    n_repairs is exact length-delta arithmetic -- no regex count, no
+    second scan, no Python. Mojibake is spliced into every 4th document
+    so repairs occur by construction; the oracle replays the identical
+    replace chain stepwise and recomputes the same deltas."""
+    from .functions.normalize import with_repaired_text
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(_MOJIBAKE_SPLICE_FULL)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return with_repaired_text(aug).select(
+        "doc_id", "repaired_text", "n_repairs"
+    )
+
+
+@q(
+    "q193_shard_assign",
+    """
+    WITH s AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS shard,
+             n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_weight
+      FROM s GROUP BY shard
+    ),
+    tot AS (SELECT sum(n_docs) AS nd, sum(sum_weight) AS sw FROM per)
+    SELECT shard, n_docs, sum_weight,
+           n_docs * 1000000 // nd AS docs_share_micros,
+           sum_weight * 1000000 // sw AS weight_share_micros
+    FROM per, tot
+    """,
+)
+def q193_shard_assign(spark, sf_dir):
+    """Deterministic hash-shard layout report (operators/mixing.py:
+    shard_assign): md5(key) mod N is the writer's shard function —
+    rerun-stable, append-stable across incremental runs — and the report
+    surfaces per-shard doc/byte shares in integer micros so a hot shard
+    (skewed key) is visible BEFORE a write job hits the straggler. One
+    partial-agg groupBy on N groups + a broadcast 1-row total; no
+    window, no sort, corpus-size independent."""
+    from .operators.mixing import shard_assign
+
+    d = _read(spark, sf_dir, "documents")
+    return shard_assign(d, n_shards=16, key_col="doc_id",
+                        weight_col="n_chars")
+
+
+@q(
+    "q194_cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS len
+      FROM documents WHERE length(text) > 0
+    ),
+    pos AS (
+      SELECT doc_id, t, len,
+             unnest(generate_series(2, CAST(len AS INTEGER) - 3)) AS p
+      FROM d
+    ),
+    cuts AS (
+      SELECT doc_id, p FROM pos
+      WHERE ('0x' || substr(md5(substr(t, p, 4)), 1, 8))::BIGINT % 64 = 0
+    ),
+    starts AS (
+      SELECT doc_id, 1 AS start FROM d
+      UNION ALL
+      SELECT doc_id, p AS start FROM cuts
+    ),
+    spans AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+               AS chunk_idx,
+             lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+      FROM starts
+    )
+    SELECT sp.doc_id,
+           CAST(sp.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(sp.start AS BIGINT) AS start,
+           CAST(coalesce(sp.nxt - 1, d.len) - sp.start + 1 AS BIGINT)
+             AS chunk_len,
+           md5(substr(d.t, sp.start,
+                      CAST(coalesce(sp.nxt - 1, d.len) - sp.start + 1
+                           AS INTEGER))) AS chunk_md5
+    FROM spans sp JOIN d ON sp.doc_id = d.doc_id
+    """,
+)
+def q194_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/chunking.py:cdc_chunks; LBFS,
+    Muthitacharoen SOSP'01): chunk boundaries depend only on the local
+    4-gram (md5 mod 64), so an edit shifts only the chunks it touches
+    and chunk-hash dedup still matches everything downstream — the dedup
+    granularity that survives page revisions, where whole-doc hashes
+    (q16) lose the entire document. Cut scan = one Arrow-batched linear
+    pass per doc (zero shuffle); chunk cut-out = JVM array codegen + one
+    posexplode. The oracle replays the identical rule positionally —
+    affordable at test SF only, which is exactly why the operator never
+    uses the positional form."""
+    from .operators.chunking import cdc_chunks
+
+    d = _read(spark, sf_dir, "documents")
+    return cdc_chunks(d, gram=4, mod=64)
+
+
+@q(
+    "q195_zorder_layout",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS BIGINT) AS a,
+             CAST(doc_id % 65536 AS BIGINT) AS b
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, n_chars,
+             CAST((((a >> 0) & 1) << 0)
+               + (((b >> 0) & 1) << 1)
+               + (((a >> 1) & 1) << 2)
+               + (((b >> 1) & 1) << 3)
+               + (((a >> 2) & 1) << 4)
+               + (((b >> 2) & 1) << 5)
+               + (((a >> 3) & 1) << 6)
+               + (((b >> 3) & 1) << 7)
+               + (((a >> 4) & 1) << 8)
+               + (((b >> 4) & 1) << 9)
+               + (((a >> 5) & 1) << 10)
+               + (((b >> 5) & 1) << 11)
+               + (((a >> 6) & 1) << 12)
+               + (((b >> 6) & 1) << 13)
+               + (((a >> 7) & 1) << 14)
+               + (((b >> 7) & 1) << 15)
+               + (((a >> 8) & 1) << 16)
+               + (((b >> 8) & 1) << 17)
+               + (((a >> 9) & 1) << 18)
+               + (((b >> 9) & 1) << 19)
+               + (((a >> 10) & 1) << 20)
+               + (((b >> 10) & 1) << 21)
+               + (((a >> 11) & 1) << 22)
+               + (((b >> 11) & 1) << 23)
+               + (((a >> 12) & 1) << 24)
+               + (((b >> 12) & 1) << 25)
+               + (((a >> 13) & 1) << 26)
+               + (((b >> 13) & 1) << 27)
+               + (((a >> 14) & 1) << 28)
+               + (((b >> 14) & 1) << 29)
+               + (((a >> 15) & 1) << 30)
+               + (((b >> 15) & 1) << 31)
+               AS BIGINT) AS zkey
+      FROM k
+    )
+    SELECT doc_id, n_chars, zkey, zkey // 268435457 AS file_idx
+    FROM z
+    """,
+)
+def q195_zorder_layout(spark, sf_dir):
+    """Z-order clustered layout keys (operators/layout.py: Morton 1966;
+    Delta/Iceberg ZORDER BY): bit-interleave (n_chars, doc_id mod 2^16)
+    so rows close in EITHER dimension stay close in the linear write
+    order and min/max file stats prune scans on both predicates. The key
+    is a folded 32-term shift/mask sum — whole-stage codegen on the scan
+    path, zero shuffle, bit-identical in any engine; file_idx is the
+    closed-form equal-width range slice a clustered writer sorts into
+    (append-stable: no quantile drift between runs)."""
+    from .operators.layout import zorder_layout
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (F.col("doc_id") % 65536).alias("_b"),
+    )
+    out = zorder_layout(d, "n_chars", "_b", bits=16, n_files=16)
+    return out.select("doc_id", "n_chars", "zkey", "file_idx")

@@ -367,3 +367,55 @@ def frequency_subsample(docs: DataFrame, t_micros: int = 1000,
     return marked.groupBy("w", "cf", "threshold_micros").agg(
         F.sum("_keep").cast("bigint").alias("n_kept")
     ).withColumnRenamed("w", "word")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-shard layout report for a deterministic hash-sharded write:
+    (shard, n_docs, sum_weight, docs_share_micros, weight_share_micros).
+
+    The shard of a row is ``md5(key) mod n_shards`` — rerun- and
+    partition-stable (the mixture_sample coin discipline), so a writer
+    that does ``df.repartition(n_shards, shard).write`` produces the
+    SAME file layout on every run and an incremental run appends to the
+    same shards. The report is what an operator dashboard watches: share
+    columns are integer micros of the totals, so a hot shard (skewed
+    key) is visible as share >> 1e6/n_shards BEFORE the write job hits
+    a straggler. One partial-agg groupBy on n_shards groups + a 1-row
+    broadcast total — no window, no sort, corpus-size independent.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    w = (F.col(weight_col) if weight_col
+         else F.lit(1)).cast("long")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    per = df.select(shard.alias("shard"), w.alias("_w")).groupBy(
+        "shard"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_w").alias("sum_weight"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_nd"), F.sum("sum_weight").alias("_sw")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_weight").cast("long").alias("sum_weight"),
+            F.expr("n_docs * 1000000L div _nd").alias("docs_share_micros"),
+            F.expr("sum_weight * 1000000L div _sw").alias(
+                "weight_share_micros"
+            ),
+        )
+    )
