@@ -9613,3 +9613,140 @@ def q195_zorder_layout(spark, sf_dir):
     )
     out = zorder_layout(d, "n_chars", "_b", bits=16, n_files=16)
     return out.select("doc_id", "n_chars", "zkey", "file_idx")
+
+
+_Q196_LINES_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '- bullet point' || chr(10) ||
+                       regexp_replace(text || ' tail end.',
+                                      '(\\S+ \\S+ \\S+ \\S+ \\S+) ',
+                                      '\\1' || chr(10), 'g')
+                  ELSE regexp_replace(text || ' tail end.',
+                                      '(\\S+ \\S+ \\S+ \\S+ \\S+) ',
+                                      '\\1' || chr(10), 'g') END AS t
+      FROM documents
+"""
+
+
+@q(
+    "q196_line_quality",
+    """
+    WITH aug AS (""" + _Q196_LINES_SQL + """),
+    lines AS (
+      SELECT doc_id, l FROM (
+        SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM aug
+      ) WHERE length(l) > 0
+    ),
+    g AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l LIKE '- %' OR l LIKE '* %'
+                             OR l LIKE '• %' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN substr(l, -1, 1) IN ('.', '!', '?', '"')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+             CAST(sum(CASE WHEN length(l) < 30 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ns,
+             CAST(sum(length(l)) AS BIGINT) AS ch
+      FROM lines GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines,
+           nb * 1000000 // n_lines AS bullet_line_micros,
+           ne * 1000000 // n_lines AS end_punct_line_micros,
+           ns * 1000000 // n_lines AS short_line_micros,
+           ch * 1000000 // n_lines AS mean_line_len_micros
+    FROM g
+    """,
+)
+def q196_line_quality(spark, sf_dir):
+    """Line-level quality signals (operators/textstats.py:
+    line_quality_signals; RefinedWeb/FineWeb recipe, Penedo 2023):
+    bullet-line, punctuation-terminated-line, and short-line ratios plus
+    mean line length, integer micros -- the list-page/navigation-junk
+    half of the quality recipe that the word-level Gopher rules can't
+    see. Lines are synthesized deterministically (every 5th space
+    becomes a break, every 3rd doc leads with a bullet, every doc ends
+    sentence-terminated) so all four signals take non-trivial values by
+    construction. Plan: one explode + one partial-agg groupBy on the doc
+    key -- the gopher_quality_flags shape, no join, no window."""
+    from .operators.textstats import line_quality_signals
+
+    d = _read(spark, sf_dir, "documents")
+    base = F.regexp_replace(
+        F.concat(F.col("text"), F.lit(" tail end.")),
+        r"(\S+ \S+ \S+ \S+ \S+) ",
+        "$1\n",
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("- bullet point\n"), base),
+        ).otherwise(base).alias("text"),
+    )
+    return line_quality_signals(aug)
+
+
+@q(
+    "q197_lang_mismatch",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        w -> length(w) > 0)) AS w
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        sum(CASE WHEN w IN ('der','die','und','das','ein','nicht') THEN 1 ELSE 0 END) AS s_de,
+        sum(CASE WHEN w IN ('the','and','of','is','this','that','with') THEN 1 ELSE 0 END) AS s_en,
+        sum(CASE WHEN w IN ('que','la','de','los','las','una') THEN 1 ELSE 0 END) AS s_es,
+        sum(CASE WHEN w IN ('le','la','et','les','des','une') THEN 1 ELSE 0 END) AS s_fr,
+        sum(CASE WHEN w IN ('que','de','não','uma','os','das') THEN 1 ELSE 0 END) AS s_pt
+      FROM words GROUP BY doc_id
+    ), unp AS (
+      SELECT doc_id, 'de' AS lg, s_de AS s FROM scores UNION ALL
+      SELECT doc_id, 'en', s_en FROM scores UNION ALL
+      SELECT doc_id, 'es', s_es FROM scores UNION ALL
+      SELECT doc_id, 'fr', s_fr FROM scores UNION ALL
+      SELECT doc_id, 'pt', s_pt FROM scores
+    ), guess AS (
+      SELECT doc_id, CASE WHEN s > 0 THEN lg ELSE 'none' END AS lang_guess
+      FROM (
+        SELECT doc_id, lg, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lg)
+                 AS rn
+        FROM unp
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT d.source, string_split(d.lang, '-')[1] AS decl, g.lang_guess
+      FROM documents d JOIN guess g ON d.doc_id = g.doc_id
+    ),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lang_guess <> 'none' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_guessed,
+             CAST(sum(CASE WHEN lang_guess <> 'none'
+                             AND lang_guess <> decl THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mismatch
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_guessed, n_mismatch,
+           CASE WHEN n_guessed > 0
+                THEN n_mismatch * 1000000 // n_guessed
+                ELSE 0 END AS mismatch_micros
+    FROM agg
+    """,
+)
+def q197_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language audit (operators/textstats.py:
+    lang_mismatch_audit): Common-Crawl-style metadata lies (server
+    defaults, CMS templates), and per-language curation thresholds
+    applied to a mis-routed shard curate the wrong population -- this
+    report says, per source, how often content-based lang ID disagrees
+    with the declared tag (primary-subtag normalized, abstentions
+    excluded). Plan: the q25 marker aggregation + one group-sized
+    rollup; no window wider than the doc key, no new shuffle shape."""
+    from .operators.textstats import lang_mismatch_audit
+
+    d = _read(spark, sf_dir, "documents")
+    return lang_mismatch_audit(d)

@@ -1303,3 +1303,114 @@ def soft404_flags(
             | (bl.rlike(phrase) & (n_words < thin_words))
         ).alias("soft404"),
     )
+
+
+def line_quality_signals(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         short_chars: int = 30) -> DataFrame:
+    """(id, n_lines, bullet_line_micros, end_punct_line_micros,
+    short_line_micros, mean_line_len_micros) — the line-level half of the
+    RefinedWeb/FineWeb quality recipe (Penedo et al. 2023) that the
+    word-level Gopher rules (gopher_quality_flags) don't see: pages that
+    are mostly bullet fragments, navigation stubs, or lines that never
+    end in punctuation read fine word-by-word and are still list-page
+    junk. All ratios integer micros; a curation caller thresholds them
+    (FineWeb drops >90% bullet lines / <12% punctuation-terminated).
+
+    Plan: one explode over ``\\n``-split lines + one partial-aggregated
+    groupBy on the doc key — the same shape as gopher_quality_flags, no
+    join, no window, no Python.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n", -1),
+                     lambda l: F.length(l) > 0)
+        ).alias("line"),
+    )
+    agg = lines.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(
+                F.col("line").startswith("- ")
+                | F.col("line").startswith("* ")
+                | F.col("line").startswith("• "),
+                1,
+            ).otherwise(0)
+        ).alias("_bullet"),
+        F.sum(
+            F.when(
+                F.substring(F.col("line"), -1, 1).isin(".", "!", "?", '"'),
+                1,
+            ).otherwise(0)
+        ).alias("_endp"),
+        F.sum(
+            F.when(F.length("line") < short_chars, 1).otherwise(0)
+        ).alias("_short"),
+        F.sum(F.length("line")).alias("_chars"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.expr("_bullet * 1000000L div n_lines").alias(
+            "bullet_line_micros"
+        ),
+        F.expr("_endp * 1000000L div n_lines").alias(
+            "end_punct_line_micros"
+        ),
+        F.expr("_short * 1000000L div n_lines").alias("short_line_micros"),
+        F.expr("_chars * 1000000L div n_lines").alias(
+            "mean_line_len_micros"
+        ),
+    )
+
+
+def lang_mismatch_audit(df: DataFrame, id_col: str = "doc_id",
+                        lang_col: str = "lang",
+                        group_col: str = "source") -> DataFrame:
+    """(group, n_docs, n_guessed, n_mismatch, mismatch_micros) — does the
+    corpus's DECLARED language metadata agree with content-based language
+    ID? Common-Crawl-style metadata lies (server-config defaults, CMS
+    templates); a shard whose declared tags disagree with lang_guess
+    needs its routing fixed before per-language curation thresholds
+    (q108's per-lang CCNet buckets, q81's per-lang percentiles) are
+    applied to the wrong population. Declared tags normalize to their
+    primary subtag (``pt-br`` → ``pt``) before comparing; docs the
+    guesser abstains on (``none``) don't count against the shard.
+
+    Plan: lang_guess's token-marker aggregation (one explode + groupBy
+    on the doc key) + one group-sized rollup; no window, no broadcast
+    bigger than the group dimension.
+    """
+    g = lang_guess(df, id_col=id_col).select(
+        F.col(id_col), F.col("lang_guess")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.substring_index(F.col(lang_col), "-", 1).alias("_decl"),
+    )
+    j = base.join(g, id_col)
+    agg = j.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang_guess") != "none", 1).otherwise(0)
+        ).alias("n_guessed"),
+        F.sum(
+            F.when(
+                (F.col("lang_guess") != "none")
+                & (F.col("lang_guess") != F.col("_decl")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_guessed").cast("long").alias("n_guessed"),
+        F.col("n_mismatch").cast("long").alias("n_mismatch"),
+        F.when(
+            F.col("n_guessed") > 0,
+            F.expr("n_mismatch * 1000000L div n_guessed"),
+        ).otherwise(F.lit(0).cast("long")).alias("mismatch_micros"),
+    )
