@@ -670,3 +670,57 @@ def test_wave_def_hashagg_no_global_window(spark):
     for line in p.splitlines():
         if "Window [" in line:
             assert "windowspecdefinition(grp" in line or "grp" in line
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Joining two catalog tables bucketed on the join key must plan
+    with ZERO Exchange (the shuffle was paid at write time) — and the
+    same data read as plain parquet must still shuffle, proving the
+    bucketing metadata (not file layout luck) is what removes it."""
+    from tribeca_insights_spark.operators.joins import (
+        bucketed_colocated_join,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = d.select("doc_id", "n_chars")
+    right = d.select("doc_id", "source")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_colocated_join(
+            spark, left, right, "doc_id", 4, str(tmp_path),
+            names=("ps_bj_l", "ps_bj_r"),
+        )
+        p = _plan(j)
+        assert "Exchange" not in p, p
+        # contrast: plain parquet reads of the SAME files do shuffle
+        pl = spark.read.parquet(str(tmp_path / "ps_bj_l"))
+        pr = spark.read.parquet(str(tmp_path / "ps_bj_r"))
+        p2 = _plan(pl.join(pr, "doc_id"))
+        assert "Exchange" in p2, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS ps_bj_l")
+        spark.sql("DROP TABLE IF EXISTS ps_bj_r")
+
+
+def test_tfidf_cosine_pairs_no_cartesian(spark):
+    """The tf-idf similarity self-join must stay an equi-join on term —
+    never a nested-loop/cartesian over docs."""
+    from tribeca_insights_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(tfidf_cosine_pairs(d))
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins allowed are the broadcast 1-row corpus
+    # scalar (the df-cap filter); the pair generator itself must be a
+    # hash/merge equi-join on term
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+                     r" \[term", p), p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "_n#" in line, line  # 1-row scalar build side only

@@ -9750,3 +9750,232 @@ def q197_lang_mismatch(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return lang_mismatch_audit(d)
+
+
+@q(
+    "q198_tfidf_cosine_pairs",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' topic' || CAST(doc_id % 100 AS VARCHAR)
+                  || ' subtopic' || CAST(doc_id % 40 AS VARCHAR) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id AS id, w AS term FROM (
+        SELECT doc_id, unnest(string_split(lower(t), ' ')) AS w FROM aug
+      ) WHERE length(w) > 0
+    ),
+    tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    kept AS (
+      SELECT tf.id, tf.term, tf.tf * (1000 // dfq.df) AS w
+      FROM tf JOIN dfq ON tf.term = dfq.term, nn
+      WHERE dfq.df * 1000000 <= nn.n * 100000
+        AND tf.tf * (1000 // dfq.df) > 0
+    ),
+    norms AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2
+              FROM kept GROUP BY id),
+    dots AS (
+      SELECT a.id AS a_id, b.id AS b_id,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT d.a_id, d.b_id, d.dot,
+           CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0
+                      / (sqrt(CAST(na.n2 AS DOUBLE))
+                         * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT)
+             AS cos_micros
+    FROM dots d
+    JOIN norms na ON d.a_id = na.id
+    JOIN norms nb ON d.b_id = nb.id
+    WHERE CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT)
+          >= 500000
+    """,
+)
+def q198_tfidf_cosine_pairs(spark, sf_dir):
+    """Exact sparse tf-idf cosine pairs (operators/similarity.py:
+    tfidf_cosine_pairs) -- the LEXICAL near-dup complement to the dense
+    q24/q55 embedding paths: template rewrites whose wording overlaps
+    are caught with no encoder, via the All-Pairs discipline (df-capped
+    term self-join = candidate generation AND exact dot product in one
+    equi-join + partial agg; Bayardo WWW'07). Integer tf*(1000 div df)
+    weights keep dots/norms exact BIGINTs; the cosine divides by two
+    IEEE sqrts (the q176/q187 cross-engine discipline). Rare topic
+    tokens are spliced per doc so the df cap leaves a non-trivial
+    sparse vocabulary by construction."""
+    from .operators.similarity import tfidf_cosine_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" topic"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" subtopic"), (F.col("doc_id") % 40).cast("string"),
+        ).alias("text"),
+    )
+    return tfidf_cosine_pairs(aug)
+
+
+@q(
+    "q199_bucketed_join",
+    """
+    WITH stats AS (
+      SELECT doc_id, n_chars FROM documents
+    ),
+    dim AS (
+      SELECT doc_id, source, lang FROM documents
+    ),
+    j AS (
+      SELECT d.source, s.n_chars
+      FROM stats s JOIN dim d ON s.doc_id = d.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM j GROUP BY source
+    """,
+)
+def q199_bucketed_join(spark, sf_dir):
+    """Shuffle-amortized co-located join (operators/joins.py:
+    bucketed_colocated_join): both sides are written hash-BUCKETED on
+    the join key through the catalog, so the equi-join itself plans
+    with ZERO Exchange -- the shuffle is paid once at write time and
+    amortized over every later join on that key (the 100-TB recipe for
+    a fact table that joins the same dimension daily; the
+    plans/iceberg.py DDL declares the same bucket(64) layout for the
+    real lakehouse path). tests/test_plan_shapes.py pins the
+    no-Exchange join plan AND the contrast (plain parquet reads of the
+    same data DO shuffle). The oracle states the join result itself --
+    layout changes results never."""
+    import tempfile
+
+    from .operators.joins import bucketed_colocated_join
+
+    d = _read(spark, sf_dir, "documents")
+    stats = d.select("doc_id", "n_chars")
+    dim = d.select("doc_id", "source", "lang")
+    with tempfile.TemporaryDirectory() as root:
+        j = bucketed_colocated_join(
+            spark, stats, dim, "doc_id", 8, root,
+            names=("q199_stats", "q199_dim"),
+        )
+        out = j.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        rows = out.collect()  # group-sized; detach before DROP TABLE
+        schema = out.schema
+        spark.sql("DROP TABLE IF EXISTS q199_stats")
+        spark.sql("DROP TABLE IF EXISTS q199_dim")
+        return spark.createDataFrame(rows, schema)
+
+
+@q(
+    "q200_curation_funnel",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0 THEN 'page not found ' || text
+                  WHEN doc_id % 5 = 0 THEN text || ' casino viagra jackpot'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(t), ' ')) AS w FROM aug
+      ) WHERE length(w) > 0
+    ),
+    ta AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(length(w)) AS BIGINT) AS sl,
+             CAST(sum(CASE WHEN w IN ('casino','viagra','lottery',
+                                      'jackpot','betting','pills',
+                                      'crypto-giveaway','xxx')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM toks GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT a.doc_id, a.source, md5(a.t) AS h,
+             CASE
+               WHEN regexp_matches(lower(a.t),
+                 '(404 not found|page not found|error 404|no longer available|page cannot be found)')
+                 AND ta.nw < 30 THEN 'soft404'
+               WHEN ta.nb > 0 THEN 'badwords'
+               WHEN NOT (ta.nw BETWEEN 50 AND 100000
+                         AND ta.sl >= 3 * ta.nw
+                         AND ta.sl <= 10 * ta.nw) THEN 'gopher'
+               ELSE NULL END AS gate
+      FROM aug a JOIN ta ON a.doc_id = ta.doc_id
+    ),
+    canon AS (
+      SELECT h, min(doc_id) AS keep FROM gated
+      WHERE gate IS NULL GROUP BY h
+    ),
+    resolved AS (
+      SELECT g.doc_id, g.source,
+             CASE WHEN g.doc_id = c.keep THEN 'kept'
+                  ELSE 'duplicate' END AS verdict
+      FROM gated g JOIN canon c ON g.h = c.h
+      WHERE g.gate IS NULL
+      UNION ALL
+      SELECT doc_id, source, gate AS verdict FROM gated
+      WHERE gate IS NOT NULL
+    ),
+    roll AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN verdict = 'soft404' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_soft404,
+             CAST(sum(CASE WHEN verdict = 'badwords' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_badwords,
+             CAST(sum(CASE WHEN verdict = 'gopher' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gopher,
+             CAST(sum(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_duplicate,
+             CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+      FROM resolved GROUP BY source
+    )
+    SELECT source, n_docs, n_soft404, n_badwords, n_gopher, n_duplicate,
+           n_kept, n_kept * 1000000 // n_docs AS kept_micros
+    FROM roll
+    """,
+)
+def q200_curation_funnel(spark, sf_dir):
+    """The C4/FineWeb curation recipe end-to-end as ONE declarative plan
+    (operators/textstats.py:curation_funnel): soft-404 -> bad-words ->
+    Gopher length gates -> exact-dup keep-first, with explicit
+    precedence (every doc counted at its FIRST failing gate, dedup only
+    among survivors -- the order real pipelines run, because
+    deduplicating junk wastes the shuffle). Per-source stage counts +
+    final yield micros are the release-review funnel report. Error
+    bodies and spam tokens are spliced deterministically (mod 11 / mod
+    5) so every stage fires by construction. Plan: ONE token explode +
+    doc-key partial agg computes all word gates at once; one
+    groupBy(md5) among survivors; one group-sized rollup -- no corpus
+    window, no collect."""
+    from .operators.textstats import curation_funnel
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("page not found "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" casino viagra jackpot")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation_funnel(aug)

@@ -132,3 +132,46 @@ def salted_skew_join(
         .drop("_hot")
     )
     return b.join(d, [key, salt], how).drop(salt)
+
+
+def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int,
+                   path: str, sort: bool = True) -> None:
+    """Persist ``df`` as a hash-BUCKETED (and bucket-sorted) external
+    table: Spark's native bucketing (``bucketBy`` + ``sortBy`` +
+    ``saveAsTable``) records the layout in the catalog, so every later
+    equi-join or aggregation on ``key`` between same-bucketed tables
+    plans WITHOUT an Exchange — the shuffle is paid once at write time,
+    then amortized over every downstream read. This is the 100-TB
+    recipe for a fact table that joins the same dimension key daily:
+    co-locate once, join shuffle-free forever after (and ``sortBy``
+    drops the per-join Sort too)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).saveAsTable(name)
+
+
+def bucketed_colocated_join(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int,
+    base_dir: str,
+    names: tuple[str, str] = ("bj_left", "bj_right"),
+) -> DataFrame:
+    """Write both sides bucketed on ``key`` into ``base_dir`` and return
+    their equi-join read back THROUGH the catalog (the bucketing
+    metadata lives there, not in the parquet footers — reading the same
+    files with ``spark.read.parquet`` would shuffle again). The caller
+    owns dropping the tables. tests/test_plan_shapes.py pins the no-
+    Exchange plan; the one-time write cost IS the join's shuffle, paid
+    once."""
+    ln, rn = names
+    write_bucketed(left, ln, key, n_buckets, f"{base_dir}/{ln}")
+    write_bucketed(right, rn, key, n_buckets, f"{base_dir}/{rn}")
+    return spark.table(ln).join(spark.table(rn), key)

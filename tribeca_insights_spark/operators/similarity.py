@@ -343,3 +343,88 @@ def ann_recall_eval(truth: DataFrame, approx: DataFrame, k: int,
         F.expr(f"coalesce(n_hits, 0L) * 1000000L div {k}L")
         .alias("recall_micros"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    cos_threshold_micros: int = 500_000,
+    df_cap_ppm: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT sparse tf-idf cosine similarity self-join — (a_id, b_id,
+    dot, cos_micros) for every pair with cosine >= threshold — without
+    embeddings and without an all-pairs product. The lexical complement
+    of embedding_near_dup_pairs_lsh: catches template rewrites and
+    boilerplate families whose wording overlaps even when no dense
+    encoder ran.
+
+    Weights are integer tf·idf: ``w = tf · (1000 div df)`` — idf as a
+    closed-form integer reciprocal, so dot products and norms are EXACT
+    BIGINTs in any engine (no float accumulation order to disagree on).
+    The cosine itself divides by two IEEE sqrts of exact BIGINTs —
+    correctly-rounded ops, bit-identical cross-engine (the q176/q187
+    sqrt discipline).
+
+    Scale shape (the All-Pairs discipline, shared with
+    prefix_jaccard_join): terms with document frequency above
+    ``df_cap_ppm`` of the corpus are dropped BEFORE the term self-join —
+    stopword-class terms would otherwise contribute O(df²) candidate
+    rows for near-zero idf weight. After the cap, candidate generation
+    IS the dot-product aggregation: one equi-join on term + one
+    partial-agg groupBy(a,b); norms are a doc-keyed dim joined in. No
+    window, no collect, never corpus².
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " ", -1),
+                     lambda w: F.length(w) > 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * F.lit(1_000_000) <= F.col("_n") * df_cap_ppm)
+        .select(
+            "_id",
+            "term",
+            F.expr("tf * (1000L div df)").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = kept.groupBy("_id").agg(
+        F.sum(F.expr("w * w")).alias("n2")
+    )
+    a = kept.select(F.col("_id").alias("a_id"), "term",
+                    F.col("w").alias("wa"))
+    b = kept.select(F.col("_id").alias("b_id"), "term",
+                    F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.expr("wa * wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("a_id"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("_id").alias("b_id"), F.col("n2").alias("nb2"))
+    out = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("dot").cast("long").alias("dot"),
+            F.floor(
+                F.col("dot").cast("double") * F.lit(1_000_000.0)
+                / (F.sqrt(F.col("na2").cast("double"))
+                   * F.sqrt(F.col("nb2").cast("double")))
+            ).cast("long").alias("cos_micros"),
+        )
+    )
+    return out.filter(F.col("cos_micros") >= cos_threshold_micros)

@@ -1414,3 +1414,110 @@ def lang_mismatch_audit(df: DataFrame, id_col: str = "doc_id",
             F.expr("n_mismatch * 1000000L div n_guessed"),
         ).otherwise(F.lit(0).cast("long")).alias("mismatch_micros"),
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    thin_words: int = 30,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+) -> DataFrame:
+    """(group, n_docs, n_soft404, n_badwords, n_gopher, n_duplicate,
+    n_kept, kept_micros) — the C4/FineWeb curation recipe as ONE
+    declarative plan with explicit gate PRECEDENCE: each document is
+    counted at its FIRST failing gate (soft-404 → bad-words → Gopher
+    word-count/mean-word-length → exact-dup keep-first → kept), and
+    dedup runs only among gate survivors — the order real pipelines use
+    (deduplicating junk wastes the shuffle). The per-stage counts are
+    the funnel report a release review reads; kept_micros is the final
+    yield.
+
+    Gate details: the mean-word-length window is the exact integer
+    cross-multiplied form (min·n ≤ Σlen ≤ max·n — no float rounding);
+    bad-words is the folded IN predicate (badword_stats); soft-404 here
+    is the body-phrase AND thin rule (no title column at this layer).
+
+    Plan shape: one token explode + partial-agg groupBy(doc) for all
+    word gates at once, one groupBy(md5) min-id among survivors, one
+    group-sized rollup. No window over the corpus, no join wider than
+    the doc key.
+    """
+    from .blocklist import SPAM_WORDS
+
+    phrase = (
+        "(404 not found|page not found|error 404|no longer available"
+        "|page cannot be found)"
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(text_col).alias("_t"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.lower(F.col(text_col)).rlike(phrase).alias("_err"),
+    )
+    toks = base.select(
+        "_id",
+        F.explode(_ws_words(F.lower(F.col("_t")))).alias("w"),
+    )
+    agg = toks.groupBy("_id").agg(
+        F.count("*").alias("_nw"),
+        F.sum(F.length("w")).alias("_sl"),
+        F.sum(
+            F.when(F.col("w").isin(*SPAM_WORDS), 1).otherwise(0)
+        ).alias("_nb"),
+    )
+    gated = base.join(agg, "_id").select(
+        "_id",
+        "_grp",
+        "_h",
+        F.when(
+            F.col("_err") & (F.col("_nw") < thin_words), F.lit("soft404")
+        )
+        .when(F.col("_nb") > 0, F.lit("badwords"))
+        .when(
+            ~(
+                F.col("_nw").between(min_words, max_words)
+                & (F.col("_sl") >= F.lit(min_mwl) * F.col("_nw"))
+                & (F.col("_sl") <= F.lit(max_mwl) * F.col("_nw"))
+            ),
+            F.lit("gopher"),
+        )
+        .alias("_gate"),
+    )
+    survivors = gated.filter(F.col("_gate").isNull())
+    canon = survivors.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    resolved = survivors.join(canon, "_h").select(
+        "_id",
+        "_grp",
+        F.when(F.col("_id") == F.col("_keep"), F.lit("kept"))
+        .otherwise(F.lit("duplicate"))
+        .alias("verdict"),
+    ).unionByName(
+        gated.filter(F.col("_gate").isNotNull()).select(
+            "_id", "_grp", F.col("_gate").alias("verdict")
+        )
+    )
+    out = resolved.groupBy("_grp").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col("verdict") == v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{v}")
+            for v in ("soft404", "badwords", "gopher", "duplicate", "kept")
+        ],
+    )
+    return out.select(
+        F.col("_grp").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_soft404",
+        "n_badwords",
+        "n_gopher",
+        F.col("n_duplicate"),
+        "n_kept",
+        F.expr("n_kept * 1000000L div n_docs").alias("kept_micros"),
+    )
