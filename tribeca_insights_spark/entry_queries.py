@@ -9979,3 +9979,343 @@ def q200_curation_funnel(spark, sf_dir):
         .alias("text"),
     )
     return curation_funnel(aug)
+
+
+def _hll_intersection_oracle(p: int = 6) -> str:
+    """q201 oracle: the q166 per-shard sketch replay, pivoted to one
+    row, with inclusion-exclusion and the EXACT intersection beside it
+    (affordable at test SF only — the whole point of the sketch is that
+    production never computes it)."""
+    from .operators.sketches import _alpha
+
+    m = 1 << p
+    width = 64 - p
+    div = 1 << (32 - p)
+    bits = " + ".join(
+        f"CAST(rem >= {1 << i} AS INT)" for i in range(width)
+    )
+    num = 1e6 * _alpha(m) * m * m * float(1 << 61)
+    return f"""
+    WITH k AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS shard,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS key
+      FROM documents
+    ),
+    h AS (
+      SELECT shard,
+             ('0x' || substr(md5(key), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(key), 9, 8))::BIGINT AS lo
+      FROM k
+    ),
+    r AS (
+      SELECT shard, CAST(floor(hi / {div}.0) AS BIGINT) AS register,
+             (hi % {div}) * 4294967296 + lo AS rem
+      FROM h
+    ),
+    sk0 AS (
+      SELECT shard, register,
+             CAST(max({width} - ({bits}) + 1) AS BIGINT) AS max_rho
+      FROM r GROUP BY shard, register
+    ),
+    sk AS (
+      SELECT shard, register, max_rho FROM sk0
+      UNION ALL
+      SELECT 'merged', register, max(max_rho)
+      FROM sk0 GROUP BY register
+    ),
+    a AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN max_rho <= 29 THEN
+                        CAST(1 AS BIGINT) << CAST(29 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_hi,
+             CAST(sum(CASE WHEN max_rho >= 30 THEN
+                        CAST(1 AS BIGINT) << CAST(61 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_lo
+      FROM sk GROUP BY shard
+    ),
+    est AS (
+      SELECT shard,
+             CAST(floor({num!r} / (CAST(harmonic_hi AS DOUBLE)
+                         * 4294967296.0
+                       + CAST(harmonic_lo AS DOUBLE)
+                       + CAST({m} - n_hit AS DOUBLE)
+                         * 2305843009213693952.0)) AS BIGINT) AS e
+      FROM a
+    ),
+    piv AS (
+      SELECT max(CASE WHEN shard = 'even' THEN e END) AS est_a_micros,
+             max(CASE WHEN shard = 'odd' THEN e END) AS est_b_micros,
+             max(CASE WHEN shard = 'merged' THEN e END)
+               AS est_union_micros
+      FROM est
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT DISTINCT key FROM k WHERE shard = 'even'
+        INTERSECT
+        SELECT DISTINCT key FROM k WHERE shard = 'odd'
+      )
+    )
+    SELECT est_a_micros, est_b_micros, est_union_micros,
+           est_a_micros + est_b_micros - est_union_micros
+             AS est_intersection_micros,
+           exact_intersection
+    FROM piv, ex
+    """
+
+
+@q("q201_hll_intersection", _hll_intersection_oracle(p=6))
+def q201_hll_intersection(spark, sf_dir):
+    """Sketch-only set-overlap estimate (operators/sketches.py:
+    hll_intersection_estimate): |A∩B| by inclusion-exclusion over three
+    raw HLL estimates, the union via register max-merge -- how two crawl
+    snapshots' vocabularies or two runs' URL sets are compared at 10^12
+    keys (three m-row sketches move; no data joins, no rescan of either
+    side; composes with q166's cross-run merge algebra). The EXACT
+    intersection rides along at test SF so the estimate is gradeable --
+    production never computes it, which is the point. Signed estimate
+    by design: sketch noise can push a near-empty overlap negative, and
+    honesty beats clamping."""
+    from .operators.sketches import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("_even"),
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("key"),
+    )
+    ka = toks.filter("_even").select("key")
+    kb = toks.filter("NOT _even").select("key")
+    est = hll_intersection_estimate(
+        hll_registers(ka, "key", p=6), hll_registers(kb, "key", p=6), p=6
+    )
+    exact = ka.distinct().intersect(kb.distinct()).agg(
+        F.count("*").cast("long").alias("exact_intersection")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@q(
+    "q202_semantic_decontam",
+    """
+    WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+    bench AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(v, x -> x * 1.001) AS v
+      FROM train WHERE vec_id < 50
+    ),
+    bt AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM train
+    ),
+    bb AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM bench
+    ),
+    hits AS (
+      SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+             round(list_cosine_similarity(t.v, b.v), 4) AS sim
+      FROM bt t JOIN bb b USING (bucket)
+    ),
+    f AS (SELECT * FROM hits WHERE sim >= 0.99),
+    best AS (
+      SELECT train_id, bench_id, sim,
+             row_number() OVER (PARTITION BY train_id
+                                ORDER BY sim DESC, bench_id DESC) AS rn
+      FROM f
+    )
+    SELECT train_id, bench_id, sim FROM best WHERE rn = 1
+    """,
+)
+def q202_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/similarity.py:
+    semantic_decontaminate): the semantic complement of q57's 13-gram
+    decontamination -- paraphrased or reformatted eval leakage has zero
+    13-gram overlap but cosine ~ 1, so release pipelines run BOTH gates.
+    Benchmark vectors are synthesized as scaled copies of 50 training
+    vectors (same sign pattern -> same LSH bucket -> all found by
+    construction). Plan: bipartite sign-LSH bucket equi-join (never
+    train x bench), exact cosine on candidates only, best match per
+    contaminated doc via max(struct) -- no window over the corpus."""
+    from .operators.similarity import semantic_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"),
+    )
+    bench = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    return semantic_decontaminate(emb, bench, threshold=0.99, bits=8)
+
+
+@q("q203_cdc_snapshot_novelty", """
+    WITH snapa AS (SELECT doc_id, source, text AS t FROM documents),
+    snapb AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 6 = 0 THEN 'UPDATE: ' || text
+                  ELSE text END AS t
+      FROM documents
+    ),
+    da AS (
+      SELECT doc_id, source, t, CAST(length(t) AS BIGINT) AS len
+      FROM snapa WHERE length(t) > 0
+    ),
+    posa AS (
+      SELECT doc_id, t, len,
+             unnest(generate_series(2, CAST(len AS INTEGER) - 3)) AS p
+      FROM da
+    ),
+    cutsa AS (
+      SELECT doc_id, p FROM posa
+      WHERE ('0x' || substr(md5(substr(t, p, 4)), 1, 8))::BIGINT % 64 = 0
+    ),
+    startsa AS (
+      SELECT doc_id, 1 AS start FROM da
+      UNION ALL
+      SELECT doc_id, p AS start FROM cutsa
+    ),
+    spansa AS (
+      SELECT doc_id, start,
+             lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+      FROM startsa
+    ),
+    cha AS (
+      SELECT sp.doc_id, d.source,
+             CAST(coalesce(sp.nxt - 1, d.len) - sp.start + 1 AS BIGINT)
+               AS chunk_len,
+             md5(substr(d.t, sp.start,
+                        CAST(coalesce(sp.nxt - 1, d.len) - sp.start + 1
+                             AS INTEGER))) AS chunk_md5
+      FROM spansa sp JOIN da d ON sp.doc_id = d.doc_id
+    ),
+    db AS (
+      SELECT doc_id, source, t, CAST(length(t) AS BIGINT) AS len
+      FROM snapb WHERE length(t) > 0
+    ),
+    posb AS (
+      SELECT doc_id, t, len,
+             unnest(generate_series(2, CAST(len AS INTEGER) - 3)) AS p
+      FROM db
+    ),
+    cutsb AS (
+      SELECT doc_id, p FROM posb
+      WHERE ('0x' || substr(md5(substr(t, p, 4)), 1, 8))::BIGINT % 64 = 0
+    ),
+    startsb AS (
+      SELECT doc_id, 1 AS start FROM db
+      UNION ALL
+      SELECT doc_id, p AS start FROM cutsb
+    ),
+    spansb AS (
+      SELECT doc_id, start,
+             lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+      FROM startsb
+    ),
+    chb AS (
+      SELECT sp.doc_id, d.source,
+             CAST(coalesce(sp.nxt - 1, d.len) - sp.start + 1 AS BIGINT)
+               AS chunk_len,
+             md5(substr(d.t, sp.start,
+                        CAST(coalesce(sp.nxt - 1, d.len) - sp.start + 1
+                             AS INTEGER))) AS chunk_md5
+      FROM spansb sp JOIN db d ON sp.doc_id = d.doc_id
+    ),
+    seen AS (SELECT DISTINCT chunk_md5 FROM cha),
+    nov AS (
+      SELECT b.source,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(b.chunk_len) AS BIGINT) AS total_bytes,
+             CAST(sum(CASE WHEN s.chunk_md5 IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new_chunks,
+             CAST(sum(CASE WHEN s.chunk_md5 IS NULL THEN b.chunk_len
+                           ELSE 0 END) AS BIGINT) AS new_bytes
+      FROM chb b LEFT JOIN seen s ON b.chunk_md5 = s.chunk_md5
+      GROUP BY b.source
+    )
+    SELECT source, n_chunks, total_bytes, n_new_chunks, new_bytes,
+           new_bytes * 1000000 // total_bytes AS new_bytes_micros
+    FROM nov
+    """)
+def q203_cdc_snapshot_novelty(spark, sf_dir):
+    """Chunk-level novelty between crawl snapshots (composes
+    operators/chunking.py:cdc_chunks with the q82 snapshot-diff
+    discipline): snapshot B re-crawls the corpus with every 6th page
+    edited, and the report prices EXACTLY the bytes a chunk-store
+    (content-addressed, CDC-boundary) would newly persist -- whole-doc
+    hashing would re-store every edited page in full; CDC re-stores
+    only the head chunks the edit touched, which is the entire point of
+    q194's boundaries surviving edits. Plan: two Arrow cut scans (zero
+    shuffle), one distinct on snapshot A's chunk hashes, one hash-key
+    LEFT anti-style join, group-sized rollup. At 10^12 docs snapshot
+    A's chunk index is the persisted table (the q106 incremental
+    pattern); only B's chunks move."""
+    from .operators.chunking import cdc_chunks
+
+    d = _read(spark, sf_dir, "documents")
+    snap_a = d.select("doc_id", "source", F.col("text").alias("text"))
+    snap_b = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("UPDATE: "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    cha = cdc_chunks(snap_a, gram=4, mod=64)
+    chb = cdc_chunks(snap_b, gram=4, mod=64)
+    src = d.select("doc_id", "source")
+    seen = cha.select("chunk_md5").distinct().select(
+        F.col("chunk_md5").alias("_seen")
+    )
+    j = (
+        chb.join(src, "doc_id")
+        .join(seen, chb["chunk_md5"] == F.col("_seen"), "left")
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("total_bytes"),
+        F.sum(
+            F.when(F.col("_seen").isNull(), 1).otherwise(0)
+        ).alias("n_new_chunks"),
+        F.sum(
+            F.when(F.col("_seen").isNull(), F.col("chunk_len"))
+            .otherwise(0)
+        ).alias("new_bytes"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("n_new_chunks").cast("long").alias("n_new_chunks"),
+        F.col("new_bytes").cast("long").alias("new_bytes"),
+        F.expr("new_bytes * 1000000L div total_bytes").alias(
+            "new_bytes_micros"
+        ),
+    )

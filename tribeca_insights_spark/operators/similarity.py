@@ -428,3 +428,56 @@ def tfidf_cosine_pairs(
         )
     )
     return out.filter(F.col("cos_micros") >= cos_threshold_micros)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.99,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(train_id, bench_id, sim): training documents whose embedding is
+    near-identical to a BENCHMARK document — the semantic complement of
+    q57's 13-gram decontamination (paraphrased/reformatted eval leakage
+    has zero 13-gram overlap but cosine ≈ 1; modern release pipelines
+    run both). For each contaminated training doc, the single best
+    benchmark match survives (max over (sim, bench_id) — deterministic
+    under ties).
+
+    Scale shape: bipartite sign-LSH bucket equi-join (the
+    embedding_near_dup_pairs_lsh discipline) — candidates are
+    bucket-collisions between the two sets only, never train×bench;
+    the benchmark side is typically small enough that Catalyst/AQE
+    broadcasts it after bucketing. Exact cosine verification runs on
+    candidates only, rounded to 4 decimals (the engine-parity grain the
+    q24/q55 oracles pin).
+    """
+    tb = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("_vt"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    bb = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("_vb"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    hits = (
+        tb.join(bb, "bucket")
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(cosine_col(F.col("_vt"), F.col("_vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    best = hits.groupBy("train_id").agg(
+        F.max(F.struct("sim", "bench_id")).alias("_b")
+    )
+    return best.select(
+        "train_id",
+        F.col("_b.bench_id").alias("bench_id"),
+        F.col("_b.sim").alias("sim"),
+    )

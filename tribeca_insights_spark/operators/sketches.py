@@ -210,3 +210,40 @@ def _alpha(m: int) -> float:
     if m == 64:
         return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_intersection_estimate(sk_a: DataFrame, sk_b: DataFrame,
+                              p: int = 6) -> DataFrame:
+    """One row (est_a_micros, est_b_micros, est_union_micros,
+    est_intersection_micros): overlap between two key sets by
+    inclusion–exclusion over three raw HLL estimates — |A∩B| ≈
+    est(A) + est(B) − est(A∪B), where the union estimate comes from
+    the register max-merge (hll_merge), NEVER from rescanning either
+    side. This is how two crawl snapshots' vocabularies (or two runs'
+    URL sets) are compared at 10^12 scale: three m-row sketches move,
+    zero data joins. The estimate is signed — sketch noise can push a
+    near-empty intersection below zero, and reporting that honestly
+    beats clamping (the caller sees the error bar hit its floor).
+    """
+    ea = hll_estimate(sk_a, p).select(
+        F.col("estimate_micros").alias("est_a_micros")
+    )
+    eb = hll_estimate(sk_b, p).select(
+        F.col("estimate_micros").alias("est_b_micros")
+    )
+    eu = hll_estimate(hll_merge(sk_a, sk_b), p).select(
+        F.col("estimate_micros").alias("est_union_micros")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a_micros",
+            "est_b_micros",
+            "est_union_micros",
+            (
+                F.col("est_a_micros") + F.col("est_b_micros")
+                - F.col("est_union_micros")
+            ).alias("est_intersection_micros"),
+        )
+    )
