@@ -10319,3 +10319,171 @@ def q203_cdc_snapshot_novelty(spark, sf_dir):
             "new_bytes_micros"
         ),
     )
+
+
+@q("q204_trustrank_spam_mass", """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    sc AS (SELECT N, CAST((SELECT count(*) FROM documents
+                           WHERE doc_id % 10 = 0) AS BIGINT) AS S
+           FROM nn),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    o AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    r0p AS (SELECT d.doc_id AS node, CAST(1000000 AS BIGINT) AS s FROM documents d, sc),
+    c1p AS (SELECT e.dst, CAST(sum(r.s // o.deg) AS BIGINT) AS c
+              FROM e JOIN o ON e.src = o.src JOIN r0p r ON e.src = r.node
+              GROUP BY e.dst),
+    r1p AS (SELECT d.doc_id AS node,
+                   CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+              FROM documents d CROSS JOIN sc LEFT JOIN c1p ON d.doc_id = c1p.dst),
+    c2p AS (SELECT e.dst, CAST(sum(r.s // o.deg) AS BIGINT) AS c
+              FROM e JOIN o ON e.src = o.src JOIN r1p r ON e.src = r.node
+              GROUP BY e.dst),
+    r2p AS (SELECT d.doc_id AS node,
+                   CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+              FROM documents d CROSS JOIN sc LEFT JOIN c2p ON d.doc_id = c2p.dst),
+    c3p AS (SELECT e.dst, CAST(sum(r.s // o.deg) AS BIGINT) AS c
+              FROM e JOIN o ON e.src = o.src JOIN r2p r ON e.src = r.node
+              GROUP BY e.dst),
+    r3p AS (SELECT d.doc_id AS node,
+                   CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+              FROM documents d CROSS JOIN sc LEFT JOIN c3p ON d.doc_id = c3p.dst),
+    r0t AS (SELECT d.doc_id AS node, CAST(CASE WHEN d.doc_id % 10 = 0 THEN 1000000 * sc.N // sc.S ELSE 0 END AS BIGINT) AS s FROM documents d, sc),
+    c1t AS (SELECT e.dst, CAST(sum(r.s // o.deg) AS BIGINT) AS c
+              FROM e JOIN o ON e.src = o.src JOIN r0t r ON e.src = r.node
+              GROUP BY e.dst),
+    r1t AS (SELECT d.doc_id AS node,
+                   CAST(CASE WHEN d.doc_id % 10 = 0 THEN 150000 * sc.N // sc.S ELSE 0 END + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+              FROM documents d CROSS JOIN sc LEFT JOIN c1t ON d.doc_id = c1t.dst),
+    c2t AS (SELECT e.dst, CAST(sum(r.s // o.deg) AS BIGINT) AS c
+              FROM e JOIN o ON e.src = o.src JOIN r1t r ON e.src = r.node
+              GROUP BY e.dst),
+    r2t AS (SELECT d.doc_id AS node,
+                   CAST(CASE WHEN d.doc_id % 10 = 0 THEN 150000 * sc.N // sc.S ELSE 0 END + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+              FROM documents d CROSS JOIN sc LEFT JOIN c2t ON d.doc_id = c2t.dst),
+    c3t AS (SELECT e.dst, CAST(sum(r.s // o.deg) AS BIGINT) AS c
+              FROM e JOIN o ON e.src = o.src JOIN r2t r ON e.src = r.node
+              GROUP BY e.dst),
+    r3t AS (SELECT d.doc_id AS node,
+                   CAST(CASE WHEN d.doc_id % 10 = 0 THEN 150000 * sc.N // sc.S ELSE 0 END + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+              FROM documents d CROSS JOIN sc LEFT JOIN c3t ON d.doc_id = c3t.dst)
+    SELECT p.node, p.s AS pr_micros, t.s AS trust_micros,
+           greatest(0, p.s - t.s) * 1000000 // p.s AS spam_mass_ppm
+    FROM r3p p JOIN r3t t ON p.node = t.node
+    ORDER BY greatest(0, p.s - t.s) * 1000000 // p.s DESC, p.node
+    LIMIT 30
+""")
+def q204_trustrank_spam_mass(spark, sf_dir):
+    """TrustRank spam mass (operators/linkgraph.py:trustrank_micros;
+    Gyongyi VLDB'04): PageRank whose teleport is restricted to a trusted
+    seed set (every 10th doc), so trust flows outward along links and a
+    page's rank DEFICIT vs ordinary PageRank -- spam_mass = (PR-TR)/PR,
+    clamped nonnegative so integer division stays floor==truncate on
+    every engine -- measures how much of its rank comes from outside the
+    trusted web. Both recurrences are fixed 3-round integer unrolls
+    (the q189 discipline: micros ranks make the comparison exact, not
+    float-noise); teleport scalars N and S are two broadcast 1-row
+    counts. Top-30 movers plan as TakeOrderedAndProject."""
+    from .operators.linkgraph import pagerank_micros, trustrank_micros
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    seeds = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    pr = pagerank_micros(edges, n_iter=3).select(
+        "node", F.col("rank_micros").alias("pr_micros")
+    )
+    tr = trustrank_micros(edges, seeds, n_iter=3)
+    j = pr.join(tr, "node").select(
+        "node",
+        "pr_micros",
+        "trust_micros",
+        F.expr(
+            "greatest(0L, pr_micros - trust_micros) * 1000000L"
+            " div pr_micros"
+        ).alias("spam_mass_ppm"),
+    )
+    return j.orderBy(F.desc("spam_mass_ppm"), "node").limit(30)
+
+
+@q("q205_kcore_peeling", """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    eraw AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    e0 AS (
+      SELECT src AS a, dst AS b FROM eraw
+      UNION ALL
+      SELECT dst, src FROM eraw WHERE src <> dst
+    ),
+    d0 AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+             FROM e0 GROUP BY a),
+    k0 AS (SELECT a FROM d0 WHERE degree >= 4),
+    e1 AS (
+      SELECT e.a, e.b FROM e0 e
+      JOIN k0 ka ON e.a = ka.a
+      JOIN k0 kb ON e.b = kb.a
+    ),
+    d1 AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+             FROM e1 GROUP BY a),
+    k1 AS (SELECT a FROM d1 WHERE degree >= 4),
+    e2 AS (
+      SELECT e.a, e.b FROM e1 e
+      JOIN k1 ka ON e.a = ka.a
+      JOIN k1 kb ON e.b = kb.a
+    ),
+    d2 AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+             FROM e2 GROUP BY a),
+    k2 AS (SELECT a FROM d2 WHERE degree >= 4),
+    e3 AS (
+      SELECT e.a, e.b FROM e2 e
+      JOIN k2 ka ON e.a = ka.a
+      JOIN k2 kb ON e.b = kb.a
+    )
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY a
+""")
+def q205_kcore_peeling(spark, sf_dir):
+    """Bounded-round k-core peeling (operators/linkgraph.py:
+    kcore_bounded; Seidman 1983): repeatedly drop nodes of undirected
+    degree < 4 -- after three rounds what survives is where organic
+    community structure lives, while spam constellations and orphan
+    pages shed early (the structural complement of q204's trust-flow
+    signal). Fixed unroll = the q189/q204 oracle discipline; each round
+    is one symmetrized degree groupBy + two semi-joins, and full
+    convergence wraps the same round body in the connected-components
+    loop with a folded convergence probe. Parallel edges count with
+    multiplicity, self-loops once (both replayed by the oracle)."""
+    from .operators.linkgraph import kcore_bounded
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return kcore_bounded(edges, k=4, n_rounds=3)

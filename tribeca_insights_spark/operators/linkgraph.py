@@ -668,3 +668,131 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
             " END AS BIGINT)"
         ).alias("assortativity_micros"),
     )
+
+
+def trustrank_micros(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi et al., VLDB'04) → (node,
+    trust_micros): PageRank whose teleport is restricted to a TRUSTED
+    seed set, so trust flows outward along links and spam farms —
+    heavily linked but unreachable from any trusted page — starve. The
+    operational spam signal is the DEFICIT vs ordinary PageRank
+    ("spam mass", q204 composes both).
+
+    Scale is ``s = rank · 1e6 · N`` (pagerank_micros' units, so the two
+    are directly comparable): teleport adds ``(100-d)·10_000·N div S``
+    to each seed per round (N, S = two group-sized counts, broadcast as
+    1-row scalars — the only aggregates beyond the per-round join+sum).
+    All arithmetic integer floor-division, engine-portable; seeds start
+    at ``1e6·N div S``, non-seeds at 0. Fixed unroll like
+    pagerank_micros; same per-round join shape (src-keyed shuffle
+    reused).
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    scal = nodes.agg(F.count("*").alias("_N")).crossJoin(
+        sd.agg(F.count("*").alias("_S"))
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(outdeg, "src")
+    marked = nodes.join(
+        sd.withColumn("_is_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+    base = (100 - damping_pct) * 10_000
+    ranks = (
+        marked.crossJoin(F.broadcast(scal))
+        .select(
+            "node",
+            "_is_seed",
+            F.expr(f"CAST(_is_seed * (1000000L * _N div _S) AS LONG)")
+            .alias("s"),
+            F.expr(f"CAST(_is_seed * ({base}L * _N div _S) AS LONG)")
+            .alias("_tp"),
+        )
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("src"), "s"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("s div outdeg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.select("node", "_is_seed", "_tp")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                "_is_seed",
+                "_tp",
+                (
+                    F.col("_tp")
+                    + F.expr(
+                        f"{damping_pct}L * coalesce(contrib, 0L) div 100"
+                    )
+                ).cast("long").alias("s"),
+            )
+        )
+    return ranks.select("node", F.col("s").alias("trust_micros"))
+
+
+def kcore_bounded(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling over the UNDIRECTED graph → (node,
+    degree) for nodes surviving ``n_rounds`` of "drop everything with
+    degree < k". The k-core is where organic community structure lives;
+    spam constellations and orphan pages shed in the first rounds
+    (Seidman 1983; bounded unroll = the q189/q204 oracle discipline —
+    full convergence wraps this in the connected-components loop with a
+    fold-in convergence probe, one action per round).
+
+    Each round: symmetrized degree count (one groupBy) + two semi-joins
+    restricting edges to surviving endpoints. Self-loops count once;
+    parallel edges count with multiplicity (stated; the oracle replays
+    both choices).
+    """
+    if k < 1 or n_rounds < 0:
+        raise ValueError("k >= 1, n_rounds >= 0 required")
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = und.unionByName(
+        und.filter(F.col("a") != F.col("b")).select(
+            F.col("b").alias("a"), F.col("a").alias("b")
+        )
+    )
+    cur = sym
+    for _ in range(max(1, n_rounds)):
+        # each round's edge set feeds THREE consumers (degree count +
+        # both semi-joins) and the next round repeats that — without
+        # materialization the lineage recomputes 2^rounds times
+        # (measured 230 s → 3 s at sf0.001). localCheckpoint eagerly
+        # truncates, the connected-components round discipline
+        # (dedup.py:364).
+        cur = cur.localCheckpoint(eager=True)
+        deg = cur.groupBy("a").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+        )
+    final = cur.groupBy("a").agg(F.count("*").alias("degree"))
+    return final.select(
+        F.col("a").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+    )
