@@ -10487,3 +10487,166 @@ def q205_kcore_peeling(spark, sf_dir):
         )
     )
     return kcore_bounded(edges, k=4, n_rounds=3)
+
+
+_Q206_CODE_SPLICE = '\ndef compute_fn(x):\n    total_1 = x + 42;\n    arr_y = [1, 2, 3];\n    return myValue + total_1;'
+
+
+@q("q206_code_detect", """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN text || '' || chr(10) || 'def compute_fn(x):' || chr(10) || '    total_1 = x + 42;' || chr(10) || '    arr_y = [1, 2, 3];' || chr(10) || '    return myValue + total_1;'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    rowside AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS nc,
+             CAST(length(t) - length(translate(t, '{}[]();=<>', ''))
+                  AS BIGINT) AS sym,
+             CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                  AS BIGINT) AS dig
+      FROM aug
+    ),
+    lines AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN l LIKE '    %' OR l LIKE chr(9) || '%'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ind
+      FROM (
+        SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM aug
+      ) WHERE length(l) > 0 GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(CASE WHEN regexp_matches(w, '^[a-z]+[A-Z]')
+                             OR contains(w, '_')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS camel
+      FROM (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM aug
+      ) WHERE length(w) > 0 GROUP BY doc_id
+    ),
+    j AS (
+      SELECT r.doc_id, r.nc, r.sym, r.dig, l.nl, l.ind, tk.nw, tk.camel
+      FROM rowside r JOIN lines l ON r.doc_id = l.doc_id
+      JOIN toks tk ON r.doc_id = tk.doc_id
+    )
+    SELECT doc_id,
+           sym * 1000000 // nc AS symbol_density_micros,
+           ind * 1000000 // nl AS indent_line_micros,
+           dig * 1000000 // nc AS digit_micros,
+           camel * 1000000 // nw AS camel_token_micros,
+           (sym * 1000000 // nc >= 30000)
+             AND ((ind * 1000000 // nl >= 200000)
+                  OR (camel * 1000000 // nw >= 100000))
+             AS looks_like_code
+    FROM j
+""")
+def q206_code_detect(spark, sf_dir):
+    """Prose-vs-code routing signals (operators/textstats.py:
+    code_detect_signals; the split the StarCoder/Stack pipelines make
+    before anything else, because prose quality thresholds gut code and
+    code dedup granularity is wrong for prose): structural-symbol
+    density, indented-line fraction, digit density, camelCase/snake
+    token fraction -- all integer micros, with a documented threshold
+    conjunction as the verdict. A code block is spliced into every 9th
+    document so both verdicts occur. Plan: densities are
+    length-difference arithmetic on the row (translate/regexp_replace,
+    no explode); line and token fractions reuse the one-explode
+    partial-agg shape; one doc-key join ties them."""
+    from .operators.textstats import code_detect_signals
+
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(_Q206_CODE_SPLICE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return code_detect_signals(aug)
+
+
+def _q207_oracle(p: int = 6) -> str:
+    from .operators.sketches import _alpha
+
+    m = 1 << p
+    width = 64 - p
+    div = 1 << (32 - p)
+    bits = " + ".join(
+        f"CAST(rem >= {1 << i} AS INT)" for i in range(width)
+    )
+    num = 1e6 * _alpha(m) * m * m * float(1 << 61)
+    return f"""
+    WITH k AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS key
+      FROM documents
+    ),
+    tc AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM k),
+    h AS (
+      SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(key), 9, 8))::BIGINT AS lo
+      FROM k
+    ),
+    r AS (
+      SELECT CAST(floor(hi / {div}.0) AS BIGINT) AS register,
+             (hi % {div}) * 4294967296 + lo AS rem
+      FROM h
+    ),
+    sk AS (
+      SELECT register,
+             CAST(max({width} - ({bits}) + 1) AS BIGINT) AS max_rho
+      FROM r GROUP BY register
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN max_rho <= 29 THEN
+                        CAST(1 AS BIGINT) << CAST(29 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hhi,
+             CAST(sum(CASE WHEN max_rho >= 30 THEN
+                        CAST(1 AS BIGINT) << CAST(61 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hlo
+      FROM sk
+    ),
+    vocab AS (
+      SELECT CAST(floor({num!r} / (CAST(hhi AS DOUBLE) * 4294967296.0
+                     + CAST(hlo AS DOUBLE)
+                     + CAST({m} - n_hit AS DOUBLE)
+                       * 2305843009213693952.0)) AS BIGINT)
+               AS vocab_estimate_micros
+      FROM est
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT string_split(lang, '-')[1]) AS BIGINT)
+               AS n_langs,
+             CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM documents
+    ),
+    dups AS (
+      SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq
+      FROM documents
+    )
+    SELECT n_docs, n_tokens, n_sources, n_langs, vocab_estimate_micros,
+           (n_docs - uniq) * 1000000 // n_docs AS exact_dup_micros,
+           chars * 1000000 // n_docs AS mean_len_micros
+    FROM base, tc, vocab, dups
+    """
+
+
+@q("q207_release_datasheet", _q207_oracle(p=6))
+def q207_release_datasheet(spark, sf_dir):
+    """The corpus release datasheet in one row (operators/textstats.py:
+    release_datasheet; Gebru 2021's "Datasheets for Datasets", the
+    numbers section): doc/token/source/lang counts, HLL vocabulary
+    estimate (the only feasible distinct-token count at 10^12 docs),
+    exact-dup share, mean length -- the sign-off table a release review
+    reads, every number integer/micro-quantized so the SHEET ITSELF is
+    hash-verifiable (the q188 auditability principle). Plan: one
+    token-stream pass shared by the count and the sketch, group-sized
+    distincts, broadcast 1-row recombination."""
+    from .operators.textstats import release_datasheet
+
+    d = _read(spark, sf_dir, "documents")
+    return release_datasheet(d)

@@ -1521,3 +1521,134 @@ def curation_funnel(
         "n_kept",
         F.expr("n_kept * 1000000L div n_docs").alias("kept_micros"),
     )
+
+
+def code_detect_signals(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, symbol_density_micros, indent_line_micros, digit_micros,
+    camel_token_micros, looks_like_code) — is this page prose or code?
+    Web corpora route the two differently (code → a code pipeline with
+    its own dedup granularity and quality rules; prose thresholds
+    applied to code gut it, and vice versa — the StarCoder/Stack
+    pipelines split exactly here). Signals, all integer micros:
+    structural-symbol density ({}[]();=<>), indented-line fraction,
+    digit density, camelCase/snake_case token fraction. The verdict is
+    a documented threshold conjunction, inspectable like
+    gopher_quality_flags.
+
+    Plan: symbol/digit densities are length-difference arithmetic on
+    the row (translate/regexp_replace — no explode); line and token
+    fractions reuse the one-explode partial-agg shape. One join on the
+    doc key ties them; no window, no Python.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    symbols = n_chars - F.length(F.translate(t, "{}[]();=<>", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    row_side = df.select(
+        F.col(id_col),
+        n_chars.alias("_nc"),
+        symbols.alias("_sym"),
+        digits.alias("_dig"),
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(t, "\n", -1), lambda l: F.length(l) > 0)
+        ).alias("line"),
+    ).groupBy(id_col).agg(
+        F.count("*").alias("_nl"),
+        F.sum(
+            F.when(
+                F.col("line").startswith("    ")
+                | F.col("line").startswith("\t"),
+                1,
+            ).otherwise(0)
+        ).alias("_ind"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_ws_words(t)).alias("w"),
+    ).groupBy(id_col).agg(
+        F.count("*").alias("_nw"),
+        F.sum(
+            F.when(
+                F.col("w").rlike("^[a-z]+[A-Z]") | F.col("w").contains("_"),
+                1,
+            ).otherwise(0)
+        ).alias("_camel"),
+    )
+    j = row_side.join(lines, id_col).join(toks, id_col)
+    return j.select(
+        F.col(id_col),
+        F.expr("_sym * 1000000L div _nc").alias("symbol_density_micros"),
+        F.expr("_ind * 1000000L div _nl").alias("indent_line_micros"),
+        F.expr("_dig * 1000000L div _nc").alias("digit_micros"),
+        F.expr("_camel * 1000000L div _nw").alias("camel_token_micros"),
+        (
+            (F.expr("_sym * 1000000L div _nc") >= 30_000)
+            & (
+                (F.expr("_ind * 1000000L div _nl") >= 200_000)
+                | (F.expr("_camel * 1000000L div _nw") >= 100_000)
+            )
+        ).alias("looks_like_code"),
+    )
+
+
+def release_datasheet(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", lang_col: str = "lang",
+                      group_col: str = "source", p: int = 6) -> DataFrame:
+    """ONE row — the corpus release datasheet (Gebru et al. 2021's
+    "Datasheets for Datasets", the numbers section): n_docs, n_tokens,
+    n_sources, n_langs (primary subtag), vocab_estimate_micros (HLL —
+    the only feasible distinct-token count at 10^12 docs),
+    exact_dup_micros (share of docs whose full text is a repeat),
+    mean_len_micros. The sign-off table a release review reads before
+    anything ships; every number is integer/micro-quantized so the
+    sheet itself is hash-verifiable (an audit you can't replay is not
+    an audit — the q188 principle).
+
+    Plan: one token-stream aggregate (count riding the same explode the
+    HLL sketch hashes), two distinct-aggregates on group-sized columns,
+    one md5 distinct, the m-row sketch estimate — all 1-row outputs
+    recombined by broadcast crossJoins. Nothing wider than the token
+    stream moves, and that only once.
+    """
+    from .sketches import hll_estimate, hll_registers
+
+    toks = df.select(
+        F.explode(_ws_words(F.col(text_col))).alias("key")
+    )
+    tok_count = toks.agg(F.count("*").cast("long").alias("n_tokens"))
+    vocab = hll_estimate(hll_registers(toks, "key", p=p), p=p).select(
+        F.col("estimate_micros").alias("vocab_estimate_micros")
+    )
+    base = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(group_col).cast("long").alias("n_sources"),
+        F.countDistinct(
+            F.substring_index(F.col(lang_col), "-", 1)
+        ).cast("long").alias("n_langs"),
+        F.sum(F.length(text_col)).cast("long").alias("_chars"),
+    )
+    dups = df.agg(
+        F.countDistinct(F.md5(F.col(text_col))).cast("long").alias("_uniq")
+    )
+    return (
+        base.crossJoin(F.broadcast(tok_count))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "n_langs",
+            "vocab_estimate_micros",
+            F.expr("(n_docs - _uniq) * 1000000L div n_docs").alias(
+                "exact_dup_micros"
+            ),
+            F.expr("_chars * 1000000L div n_docs").alias(
+                "mean_len_micros"
+            ),
+        )
+    )
