@@ -10650,3 +10650,83 @@ def q207_release_datasheet(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return release_datasheet(d)
+
+
+_Q208_CIDRS = (
+    "10.3.0.0/16", "10.7.0.0/16", "10.11.0.0/16", "172.16.0.0/12",
+    "10.42.1.0/24",
+)
+
+
+@q(
+    "q208_cidr_blocklist",
+    """
+    WITH ips AS (
+      SELECT doc_id,
+             '10.' || CAST(doc_id % 64 AS VARCHAR) || '.'
+                   || CAST((doc_id // 64) % 256 AS VARCHAR) || '.'
+                   || CAST(doc_id % 254 + 1 AS VARCHAR) AS ip
+      FROM documents
+    ),
+    ipi AS (
+      SELECT doc_id, ip,
+             CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(ip, '.')[4] AS BIGINT) AS n
+      FROM ips
+    ),
+    cid AS (
+      SELECT cidr,
+             CAST(string_split(string_split(cidr, '/')[1], '.')[1]
+                  AS BIGINT) * 16777216
+           + CAST(string_split(string_split(cidr, '/')[1], '.')[2]
+                  AS BIGINT) * 65536
+           + CAST(string_split(string_split(cidr, '/')[1], '.')[3]
+                  AS BIGINT) * 256
+           + CAST(string_split(string_split(cidr, '/')[1], '.')[4]
+                  AS BIGINT) AS base,
+             CAST(string_split(cidr, '/')[2] AS INT) AS plen
+      FROM (VALUES ('10.3.0.0/16'), ('10.7.0.0/16'), ('10.11.0.0/16'),
+                   ('172.16.0.0/12'), ('10.42.1.0/24')) AS t(cidr)
+    ),
+    hits AS (
+      SELECT i.doc_id, min(c.cidr) AS matched_cidr
+      FROM ipi i JOIN cid c
+        ON (i.n >> (32 - c.plen)) = (c.base >> (32 - c.plen))
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id, i.ip,
+           h.matched_cidr IS NOT NULL AS blocked,
+           h.matched_cidr
+    FROM ipi i LEFT JOIN hits h ON i.doc_id = h.doc_id
+    """,
+)
+def q208_cidr_blocklist(spark, sf_dir):
+    """CIDR/IP-range blocklist (operators/blocklist.py:cidr_block_flags):
+    server farms and bulletproof hosters are blocked by NETWORK RANGE,
+    not hostname -- the layer the UT1-style domain list (q86) cannot
+    see. Containment ip in base/p <=> equal top-p bits becomes an
+    EQUI-join by exploding each IP into one (prefix_len, prefix) row
+    per length the blocklist uses (bounded <= 33, here 3) against the
+    broadcast CIDR dim -- the host_suffixes discipline at the network
+    layer; a range predicate at 10^12 x 10^6 would plan as a nested
+    loop. IPs are synthesized from doc_id so /16 and /24 blocks each
+    fire by construction. The oracle states containment as the raw
+    shift-equality over the same VALUES dim (DuckDB plans the tiny dim
+    however it likes; results, not plans, are compared)."""
+    from pyspark.sql import Row
+
+    from .operators.blocklist import cidr_block_flags
+
+    d = _read(spark, sf_dir, "documents")
+    ips = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("10."), (F.col("doc_id") % 64).cast("string"),
+            F.lit("."), (F.expr("doc_id div 64") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 254 + 1).cast("string"),
+        ).alias("ip"),
+    )
+    cidrs = spark.createDataFrame([Row(cidr=c) for c in _Q208_CIDRS])
+    return cidr_block_flags(ips, cidrs, prefix_lens=(12, 16, 24))

@@ -155,3 +155,103 @@ def badword_stats(
         F.expr("n_bad * 1000000L div n_tokens").alias("bad_per_mtoken"),
         (F.col("n_bad") > 0).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IP/CIDR blocklist (the network-layer sibling of the domain suffixes)
+# ---------------------------------------------------------------------------
+
+def ip_to_int(ip_col):
+    """Dotted-quad string → 32-bit integer, pure codegen (split + 4
+    casts) — no UDF, identical arithmetic in any engine."""
+    o = F.split(ip_col, r"\.")
+    return (
+        F.element_at(o, 1).cast("long") * 16_777_216
+        + F.element_at(o, 2).cast("long") * 65_536
+        + F.element_at(o, 3).cast("long") * 256
+        + F.element_at(o, 4).cast("long")
+    )
+
+
+def cidr_block_flags(
+    docs: DataFrame,
+    cidrs: DataFrame,
+    id_col: str = "doc_id",
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+    prefix_lens: tuple[int, ...] = (8, 12, 16, 20, 24, 32),
+) -> DataFrame:
+    """(id, ip, blocked, matched_cidr) — CIDR blocklist matching (server
+    farms and bulletproof hosters are blocked by network range, not
+    hostname; the network-layer sibling of domain_block_flags).
+
+    The containment test ``ip ∈ a.b.c.d/p`` ⟺ ``ip >> (32-p) ==
+    base >> (32-p)`` becomes an EQUI-join: every IP explodes into one
+    (prefix_len, ip_prefix) row per length in ``prefix_lens`` (the
+    lengths the blocklist actually uses — bounded ≤ 33, typically ~6),
+    equi-joined against the broadcast (prefix_len, base_prefix) dim.
+    Same discipline as host_suffixes: a bounded explode buys a hash
+    join; a LIKE/range predicate at 10^12 × 10^6 would be a nested
+    loop. ``matched_cidr`` = lexicographically-first match
+    (deterministic under any join order), NULL when unblocked. CIDRs
+    whose prefix length is absent from ``prefix_lens`` raise — silent
+    non-matching would be a blocklist hole.
+    """
+    c = cidrs.select(
+        F.col(cidr_col).alias("_cidr"),
+        F.split(F.col(cidr_col), "/").alias("_p"),
+    ).select(
+        "_cidr",
+        ip_to_int(F.element_at("_p", 1)).alias("_base"),
+        F.element_at("_p", 2).cast("int").alias("_plen"),
+    )
+    bad = c.filter(~F.col("_plen").isin(*prefix_lens))
+    # per-length prefix of the base, computed once on the tiny dim side
+    cdim = c.select(
+        "_cidr",
+        "_plen",
+        F.expr("shiftright(_base, 32 - _plen)").alias("_pref"),
+    )
+    probes = docs.select(
+        F.col(id_col),
+        F.col(ip_col),
+        ip_to_int(F.col(ip_col)).alias("_ip"),
+    ).select(
+        id_col,
+        ip_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("_plen"),
+                        F.shiftright(F.col("_ip"), 32 - p).alias("_pref"),
+                    )
+                    for p in prefix_lens
+                ]
+            )
+        ).alias("_e"),
+    ).select(id_col, ip_col, "_e._plen", "_e._pref")
+    hits = (
+        probes.join(F.broadcast(cdim), ["_plen", "_pref"])
+        .groupBy(id_col)
+        .agg(F.min("_cidr").alias("matched_cidr"))
+    )
+    out = (
+        docs.select(id_col, ip_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            ip_col,
+            F.col("matched_cidr").isNotNull().alias("blocked"),
+            "matched_cidr",
+        )
+    )
+    # fail loudly on unmatched prefix lengths (a silent hole otherwise);
+    # the dim is broadcast-small so this count is free
+    if bad.limit(1).count() > 0:
+        lens = [r["_plen"] for r in bad.select("_plen").distinct().collect()]
+        raise ValueError(
+            f"cidr prefix lengths {sorted(lens)} not in prefix_lens="
+            f"{prefix_lens}"
+        )
+    return out
