@@ -10730,3 +10730,219 @@ def q208_cidr_blocklist(spark, sf_dir):
     )
     cidrs = spark.createDataFrame([Row(cidr=c) for c in _Q208_CIDRS])
     return cidr_block_flags(ips, cidrs, prefix_lens=(12, 16, 24))
+
+
+def _hyperball_oracle(radius: int = 2, p: int = 4) -> str:
+    """Unrolled HyperBall replay: per-node seed registers from the same
+    md5 bit-math as _hll_register_cte, then ``radius`` rounds of
+    out-neighbor register max-merge, then q124's exact split-BIGINT
+    harmonic recombination PER NODE."""
+    from .operators.sketches import _alpha
+
+    m = 1 << p
+    width = 64 - p
+    div = 1 << (32 - p)
+    bits = " + ".join(
+        f"CAST(rem >= {1 << i} AS INT)" for i in range(width)
+    )
+    num = 1e6 * _alpha(m) * m * m * float(1 << 61)
+    rounds = []
+    prev = "s0"
+    for t in range(1, radius + 1):
+        rounds.append(f"""
+    c{t} AS (
+      SELECT e.src AS node, s.register, CAST(max(s.max_rho) AS BIGINT)
+               AS max_rho
+      FROM e JOIN {prev} s ON e.dst = s.node GROUP BY 1, 2
+    ),
+    s{t} AS (
+      SELECT node, register, CAST(max(max_rho) AS BIGINT) AS max_rho
+      FROM (SELECT * FROM {prev} UNION ALL SELECT * FROM c{t})
+      GROUP BY 1, 2
+    )""")
+        prev = f"s{t}"
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    h AS (
+      SELECT doc_id AS node,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hi,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+               AS lo
+      FROM documents
+    ),
+    s0 AS (
+      SELECT node, CAST(floor(hi / {div}.0) AS BIGINT) AS register,
+             CAST({width} - ({bits}) + 1 AS BIGINT) AS max_rho
+      FROM (SELECT node, hi, (hi % {div}) * 4294967296 + lo AS rem
+            FROM h)
+    ),{",".join(rounds)},
+    a AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_registers_hit,
+             CAST(sum(CASE WHEN max_rho <= 29 THEN
+                        CAST(1 AS BIGINT) << CAST(29 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_hi,
+             CAST(sum(CASE WHEN max_rho >= 30 THEN
+                        CAST(1 AS BIGINT) << CAST(61 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+               AS harmonic_lo
+      FROM {prev} GROUP BY node
+    )
+    SELECT node, n_registers_hit, harmonic_hi, harmonic_lo,
+           CAST(floor({num!r} / (CAST(harmonic_hi AS DOUBLE)
+                       * 4294967296.0
+                     + CAST(harmonic_lo AS DOUBLE)
+                     + CAST({m} - n_registers_hit AS DOUBLE)
+                       * 2305843009213693952.0)) AS BIGINT)
+             AS ball_estimate_micros
+    FROM a
+    """
+
+
+@q("q209_hyperball", _hyperball_oracle(radius=2, p=4))
+def q209_hyperball(spark, sf_dir):
+    """HyperBall (operators/linkgraph.py:hyperball_estimates; Boldi &
+    Vigna WSDM'11) -- per-node estimated size of the distance-<=2
+    out-ball on the synthetic two-out-degree link graph. The state is
+    <= 16 register rows per node (never the ball itself -- balls are
+    corpus-sized at radius 2 on a web graph); each round is ONE
+    dst-keyed equi-join + a map-combined groupBy(node, register) max,
+    localCheckpointed to stop 2^radius lineage growth. All register
+    math is exact integers (the q123 discipline); the single IEEE op
+    is the final alpha*m^2/S division, micro-quantized. The oracle
+    unrolls both rounds and the per-node harmonic recombination."""
+    from .operators.linkgraph import hyperball_estimates
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return hyperball_estimates(edges, nodes, radius=2, p=4)
+
+
+def _neighborhood_oracle(max_radius: int = 2, p: int = 4) -> str:
+    """q209's CTE chain, reduced to a 1-row (n_nodes, Σ floor-estimate)
+    at EVERY radius, then normalized by the last radius' sum."""
+    from .operators.sketches import _alpha
+
+    m = 1 << p
+    width = 64 - p
+    div = 1 << (32 - p)
+    bits = " + ".join(
+        f"CAST(rem >= {1 << i} AS INT)" for i in range(width)
+    )
+    num = 1e6 * _alpha(m) * m * m * float(1 << 61)
+
+    def _est(t: int) -> str:
+        return f"""
+    a{t} AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN max_rho <= 29 THEN
+                        CAST(1 AS BIGINT) << CAST(29 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hhi,
+             CAST(sum(CASE WHEN max_rho >= 30 THEN
+                        CAST(1 AS BIGINT) << CAST(61 - max_rho AS INT)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hlo
+      FROM s{t} GROUP BY node
+    ),
+    l{t} AS (
+      SELECT CAST({t} AS BIGINT) AS radius,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(CAST(floor({num!r} / (CAST(hhi AS DOUBLE)
+                       * 4294967296.0 + CAST(hlo AS DOUBLE)
+                     + CAST({m} - n_hit AS DOUBLE)
+                       * 2305843009213693952.0)) AS BIGINT)) AS BIGINT)
+               AS pairs_estimate_micros
+      FROM a{t}
+    )"""
+
+    rounds = []
+    for t in range(1, max_radius + 1):
+        rounds.append(f"""
+    c{t} AS (
+      SELECT e.src AS node, s.register, CAST(max(s.max_rho) AS BIGINT)
+               AS max_rho
+      FROM e JOIN s{t - 1} s ON e.dst = s.node GROUP BY 1, 2
+    ),
+    s{t} AS (
+      SELECT node, register, CAST(max(max_rho) AS BIGINT) AS max_rho
+      FROM (SELECT * FROM s{t - 1} UNION ALL SELECT * FROM c{t})
+      GROUP BY 1, 2
+    )""")
+    ests = ",".join(_est(t) for t in range(max_radius + 1))
+    union = " UNION ALL ".join(
+        f"SELECT * FROM l{t}" for t in range(max_radius + 1)
+    )
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    h AS (
+      SELECT doc_id AS node,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hi,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+               AS lo
+      FROM documents
+    ),
+    s0 AS (
+      SELECT node, CAST(floor(hi / {div}.0) AS BIGINT) AS register,
+             CAST({width} - ({bits}) + 1 AS BIGINT) AS max_rho
+      FROM (SELECT node, hi, (hi % {div}) * 4294967296 + lo AS rem
+            FROM h)
+    ),{",".join(rounds)},{ests},
+    lv AS ({union}),
+    mx AS (SELECT pairs_estimate_micros AS nmax FROM l{max_radius})
+    SELECT radius, n_nodes, pairs_estimate_micros,
+           pairs_estimate_micros * 1000000 // nmax AS pct_of_max_ppm
+    FROM lv, mx
+    """
+
+
+@q("q210_neighborhood_function", _neighborhood_oracle(max_radius=2, p=4))
+def q210_neighborhood_function(spark, sf_dir):
+    """Neighborhood function N(t) (operators/linkgraph.py:
+    neighborhood_function) -- the distance-distribution curve HyperBall
+    exists to compute: Sum_v |ball(v,t)| for t=0..2, with
+    pct_of_max_ppm giving the effective-diameter read-off (first t
+    where pct >= x). ONE register-merge loop serves every radius (a
+    1-row reduction per level rides the same sketch state -- never a
+    per-t recompute); per-node floor estimates are summed as exact
+    BIGINTs so the curve is engine-identical. Output is max_radius+1
+    rows regardless of corpus size."""
+    from .operators.linkgraph import neighborhood_function
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return neighborhood_function(edges, nodes, max_radius=2, p=4)
