@@ -70,3 +70,68 @@ def test_bloom_decontaminate_matches_exact(spark, sf_dir):
              for r in bloom_decontaminate(docs, bench, n=13).collect()}
     assert exact == bloom
     assert len(exact) > 0  # leaked slice must at least flag itself
+
+
+# ---------------------------------------------------------------------------
+# Row-form bloom shard index (engine-exact data skipping)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_prune_no_false_negatives(spark):
+    """Every indexed key's true shard MUST appear in its prune set —
+    the property that makes a bloom-built scan plan correct."""
+    from pyspark.sql import Row, functions as F
+
+    from tribeca_insights_spark.operators.bloom import (
+        bloom_shard_index,
+        bloom_shard_prune,
+    )
+
+    keys = spark.createDataFrame(
+        [Row(shard=i % 4, key=f"k{i}") for i in range(200)]
+    )
+    idx = bloom_shard_index(keys, "key", "shard", m_bits=2048, k=5)
+    probes = keys.select("key").distinct()
+    hits = {
+        (r["key"], r["shard"])
+        for r in bloom_shard_prune(idx, probes, m_bits=2048, k=5).collect()
+    }
+    for i in range(200):
+        assert (f"k{i}", i % 4) in hits
+
+
+def test_shard_index_merges_by_bit_or(spark):
+    """index(A ∪ B) == bit_or-merge(index(A), index(B)) — the property
+    that makes the index incremental across runs."""
+    from pyspark.sql import Row, functions as F
+
+    from tribeca_insights_spark.operators.bloom import bloom_shard_index
+
+    a = spark.createDataFrame([Row(shard=0, key=f"a{i}") for i in range(50)])
+    b = spark.createDataFrame([Row(shard=0, key=f"b{i}") for i in range(50)])
+    full = {
+        (r["shard"], r["word_idx"], r["word"])
+        for r in bloom_shard_index(
+            a.unionByName(b), "key", "shard", m_bits=640, k=7
+        ).collect()
+    }
+    merged = {
+        (r["shard"], r["word_idx"], r["word"])
+        for r in bloom_shard_index(a, "key", "shard", m_bits=640, k=7)
+        .unionByName(bloom_shard_index(b, "key", "shard", m_bits=640, k=7))
+        .groupBy("shard", "word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    }
+    assert full == merged
+
+
+def test_shard_index_rejects_bad_m_bits(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.bloom import bloom_shard_index
+
+    keys = spark.createDataFrame([Row(shard=0, key="x")])
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_shard_index(keys, "key", "shard", m_bits=100)

@@ -10946,3 +10946,180 @@ def q210_neighborhood_function(spark, sf_dir):
     )
     nodes = d.select(F.col("doc_id").alias("node"))
     return neighborhood_function(edges, nodes, max_radius=2, p=4)
+
+
+@q(
+    "q211_stream_dedup_gate",
+    _Q106_CTES
+    + """
+    , idx AS (SELECT doc_id, band, band_key FROM bands
+              WHERE doc_id % 3 <> 0)
+    , newb AS (SELECT doc_id, band, band_key FROM bands
+               WHERE doc_id % 3 = 0)
+    , hits AS (SELECT n.doc_id, min(i.doc_id) AS matched_old_id
+               FROM newb n
+               JOIN idx i ON i.band = n.band AND i.band_key = n.band_key
+               GROUP BY n.doc_id)
+    SELECT nd.doc_id,
+           h.matched_old_id IS NOT NULL AS is_dup,
+           h.matched_old_id
+    FROM (SELECT DISTINCT doc_id FROM newb) nd
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q211_stream_dedup_gate(spark, sf_dir):
+    """q106's incremental dedup running AT INGEST (streaming/
+    stream_extract.stream_dedup_gate): run 2's docs arrive as a
+    Structured Streaming source and are verdict-ed against run 1's
+    persisted band index by a stream-STATIC left equi-join + ONE
+    streaming aggregation. Streamability comes from
+    operators/dedup.minhash_band_structs -- the whole shingle->
+    MinHash->band pipeline as one row-local expression (zero
+    Exchange), bit-identical to the batch path (pinned in
+    tests/test_stream_dedup_gate.py), so the oracle is EXACTLY q106's:
+    same fixture, same band keys, same verdicts -- batch and streaming
+    answers provably agree."""
+    import tempfile
+    import uuid
+
+    from .operators.dedup import minhash_band_structs
+    from .streaming.stream_extract import stream_dedup_gate
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_Q106_PAYLOAD))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = with_tokens(d).select(
+        "doc_id", F.concat_ws(" ", "tokens").alias("tok_str")
+    )
+    index = (
+        t.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            F.explode(minhash_band_structs("tok_str")).alias("_e"),
+        )
+        .select("doc_id", F.col("_e.band").alias("band"),
+                F.col("_e.band_key").alias("band_key"))
+    )
+    qname = "q211mem_" + uuid.uuid4().hex[:8]
+    with tempfile.TemporaryDirectory() as root:
+        t.filter(F.col("doc_id") % 3 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/src")
+        index.write.mode("overwrite").parquet(f"{root}/idx")
+        stream = (
+            spark.readStream.schema("doc_id bigint, tok_str string")
+            .parquet(f"{root}/src")
+        )
+        gate = stream_dedup_gate(
+            stream, spark.read.parquet(f"{root}/idx")
+        )
+        qry = (
+            gate.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("dedup-gate drain exceeded 300s")
+        out = spark.table(qname).cache()
+        out.count()
+        return out
+
+
+def _bloom_shard_oracle(m_bits: int = 640, k: int = 7) -> str:
+    return f"""
+    WITH keys AS (
+      SELECT doc_id % 8 AS shard, 'url:' || doc_id AS key FROM documents
+    ),
+    kp AS (
+      SELECT shard,
+             (('0x' || substr(md5(key), 1, 8))::BIGINT
+              + i * ('0x' || substr(md5(key), 9, 8))::BIGINT)
+               % {m_bits} AS pos
+      FROM keys, range({k}) r(i)
+    ),
+    idx AS (
+      SELECT shard, pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+      FROM kp GROUP BY 1, 2
+    ),
+    pq AS (
+      SELECT 'url:' || doc_id AS key, doc_id % 8 AS true_shard
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT 'miss:' || doc_id, NULL FROM documents WHERE doc_id % 100 = 0
+    ),
+    pp AS (
+      SELECT key,
+             (('0x' || substr(md5(key), 1, 8))::BIGINT
+              + i * ('0x' || substr(md5(key), 9, 8))::BIGINT)
+               % {m_bits} AS pos
+      FROM (SELECT DISTINCT key FROM pq), range({k}) r(i)
+    ),
+    pb AS (
+      SELECT key, pos // 32 AS word_idx,
+             CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS bit
+      FROM pp
+    ),
+    hits AS (
+      SELECT pb.key, idx.shard
+      FROM pb JOIN idx USING (word_idx)
+      WHERE (idx.word & pb.bit) <> 0
+      GROUP BY 1, 2
+      HAVING count(*) = {k}
+    )
+    SELECT h.key, h.shard,
+           coalesce(h.shard = p.true_shard, FALSE) AS is_true_positive
+    FROM hits h
+    JOIN (SELECT DISTINCT key, true_shard FROM pq) p ON h.key = p.key
+    """
+
+
+@q("q212_bloom_shard_prune", _bloom_shard_oracle())
+def q212_bloom_shard_prune(spark, sf_dir):
+    """Bloom data skipping as an explicit, mergeable table
+    (operators/bloom.py:bloom_shard_index/_prune -- the
+    Parquet/Iceberg bloom pattern): per-shard bitmaps live as
+    (shard, word_idx, word) rows of 32-bit words built by a
+    map-combined bit_or (m/32 rows per shard no matter how many keys;
+    runs merge by bit_or like HLL merges by max), and a point lookup
+    scans ONLY shards where all k=7 md5 double-hash probe bits are set.
+    False positives are part of the answer here (unlike q109, where an
+    exact verify eats them), so the bit math itself is the oracle --
+    32-bit words because DuckDB raises on signed 1<<63.
+    is_true_positive exposes the fpp honestly. At 10^12 rows this
+    replaces reading every file for needle lookups with ~true+fpp of
+    them."""
+    from .operators.bloom import bloom_shard_index, bloom_shard_prune
+
+    d = _read(spark, sf_dir, "documents")
+    keys = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.concat(F.lit("url:"), F.col("doc_id")).alias("key"),
+    )
+    idx = bloom_shard_index(keys, "key", "shard", m_bits=640, k=7)
+    pq = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat(F.lit("url:"), F.col("doc_id")).alias("key"),
+        (F.col("doc_id") % 8).alias("true_shard"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 100 == 0).select(
+            F.concat(F.lit("miss:"), F.col("doc_id")).alias("key"),
+            F.lit(None).cast("long").alias("true_shard"),
+        )
+    )
+    hits = bloom_shard_prune(
+        idx, pq.select("key").distinct(), m_bits=640, k=7
+    )
+    truth = pq.select("key", "true_shard").distinct()
+    return hits.join(truth, "key").select(
+        "key",
+        "shard",
+        F.coalesce(
+            F.col("shard") == F.col("true_shard"), F.lit(False)
+        ).alias("is_true_positive"),
+    )

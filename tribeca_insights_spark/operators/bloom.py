@@ -200,3 +200,104 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
         .groupBy("corpus_id", "benchmark_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-form Bloom shard index — engine-exact data skipping
+# ---------------------------------------------------------------------------
+#
+# A second Bloom form, deliberately different from the bitmap+xxhash64 one
+# above: here the FILTER OUTPUT is the result (which shards must be
+# scanned for a point lookup — Iceberg/Parquet-style data skipping), so
+# false positives are part of the answer and the bit math itself must be
+# engine-replayable. Hashes are the repo's md5 double-hash convention and
+# the bitmap lives as (shard, word_idx, word) rows of 32-BIT words (BIGINT-
+# safe on every engine: DuckDB raises on 1<<63 signed overflow) built with
+# bit_or — plain relational state that merges across runs by bit_or,
+# exactly like HLL registers merge by max.
+
+
+def _md5_probe_cols(key, m_bits: int, k: int):
+    """k bit positions for ``key``: Kirsch–Mitzenmacher (a + i·b) mod m
+    over the md5 32-bit halves — deterministic on any engine."""
+    hx = F.md5(key.cast("string"))
+    a = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return [((a + F.lit(i) * b) % F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_shard_index(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    m_bits: int = 640,
+    k: int = 7,
+) -> DataFrame:
+    """(shard, word_idx, word): per-shard Bloom bitmaps as 32-bit words.
+
+    Build shape: one explode to k (shard, pos) rows per key, then a
+    map-combined groupBy(shard, word_idx) bit_or — state is
+    m_bits/32 rows per shard no matter how many keys the shard holds.
+    Index rows from successive runs merge by the same bit_or.
+    """
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    pos = df.select(
+        F.col(shard_col).alias("shard"),
+        F.explode(
+            F.array(*_md5_probe_cols(F.col(key_col), m_bits, k))
+        ).alias("pos"),
+    )
+    return (
+        pos.select(
+            "shard",
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("shard", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_shard_prune(
+    index: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 640,
+    k: int = 7,
+) -> DataFrame:
+    """(key, shard): the shards a point lookup of ``key`` must scan —
+    every shard whose Bloom bitmap has ALL k probe bits set (true
+    matches plus ~fpp false positives; zero false negatives, so a scan
+    plan built from this is always correct).
+
+    Shape: probes explode to k (key, word_idx, bit) rows, equi-join the
+    index on word_idx (the index is m/32 rows × n_shards — the
+    broadcast side), and a hit needs count(set bits) = k per
+    (key, shard). At 10^12 rows / 10^5 files this replaces reading
+    every file for a needle-in-corpus lookup with reading ~true+fpp
+    of them — the Parquet/Iceberg bloom data-skipping pattern as an
+    explicit, mergeable table.
+    """
+    pr = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*_md5_probe_cols(F.col(key_col), m_bits, k))
+        ).alias("pos"),
+    ).select(
+        "key",
+        F.expr("pos div 32").alias("word_idx"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+        ).alias("bit"),
+    )
+    j = pr.join(F.broadcast(index), "word_idx")
+    hits = (
+        j.filter(F.expr("(word & bit) <> 0"))
+        .groupBy("key", "shard")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == k)
+    )
+    return hits.select("key", "shard")

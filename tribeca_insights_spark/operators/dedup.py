@@ -1617,3 +1617,91 @@ def cluster_size_histogram(df: DataFrame,
         F.expr("CAST(1L << size_bin AS BIGINT)").alias("bin_lo"),
         "n_clusters", "n_docs", "n_excess_docs",
     )
+
+
+def minhash_band_structs(
+    text_col,
+    n_hashes: int = 12,
+    rows_per_band: int = 3,
+    k: int = 12,
+):
+    """``array<struct<band:int, band_key:string>>`` — the ENTIRE
+    shingle → MinHash → LSH-band pipeline as one row-local expression
+    (sequence/transform/array_min codegen), bit-identical to the
+    batch path ``lsh_bands(minhash_signatures(char_shingles(...)))``
+    (pinned in tests/test_stream_dedup_gate.py).
+
+    Why it exists: the batch path's shingle explode + groupBy is a
+    corpus-sized shuffle of the gram stream; this form computes the
+    signature WHERE THE ROW IS — zero Exchange — which (a) removes
+    the dominant shuffle from index builds and (b) is what makes the
+    dedup gate expressible in Structured Streaming, where a
+    pre-aggregation before a stream-static join is not (chained
+    streaming aggregations are unsupported). Same Kirsch–Mitzenmacher
+    double-hash family: one md5 per gram split into 32-bit (a, b),
+    h_s = (a + s·b) mod 2^32; duplicates among the positional grams
+    don't perturb a min, so the batch path's distinct() is not needed.
+
+    Docs shorter than ``k`` yield one gram (the whole string — the
+    char_shingles rule); empty/NULL text yields ONE sentinel struct
+    ``(-1, NULL)`` so gate joins emit a verdict row for every doc while
+    a NULL key can never equi-join.
+    """
+    s = F.col(text_col) if isinstance(text_col, str) else text_col
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.substring(s, i, F.lit(k)), "UTF-8")),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long").alias("a"),
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.substring(s, i, F.lit(k)), "UTF-8")),
+                    9, 8,
+                ), 16, 10,
+            ).cast("long").alias("b"),
+        ),
+    )
+
+    def _hex8(v):
+        return F.lower(F.lpad(F.hex(v), 8, "0"))
+
+    def _min(seed: int):
+        return F.array_min(
+            F.transform(
+                pairs,
+                lambda x: (x["a"] + F.lit(seed) * x["b"])
+                % F.lit(4294967296),
+            )
+        )
+
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat(
+                    *[
+                        _hex8(_min(b * rows_per_band + r))
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sentinel = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("band"),
+            F.lit(None).cast("string").alias("band_key"),
+        )
+    )
+    return F.when(
+        s.isNotNull() & (F.length(s) > 0), bands
+    ).otherwise(sentinel)

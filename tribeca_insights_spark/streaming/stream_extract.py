@@ -188,3 +188,58 @@ def stream_session_windows(spark: SparkSession, src_dir: str,
             "n_pages",
         )
     )
+
+
+def stream_dedup_gate(
+    docs_stream: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "tok_str",
+    n_hashes: int = 12,
+    rows_per_band: int = 3,
+    k: int = 12,
+) -> DataFrame:
+    """Near-dup gate AT INGEST: a streaming docs source is verdict-ed
+    against a PERSISTED MinHash band index from previous runs — the
+    streaming form of operators/dedup.dedup_against_index (q106), i.e.
+    RefinedWeb-style incremental dedup running continuously instead of
+    per-batch.
+
+    The whole signature/band computation is the row-local expression
+    ``minhash_band_structs`` (zero Exchange — and the reason this is
+    streamable at all: Structured Streaming cannot chain the batch
+    path's shingle groupBy before another stateful op). The plan is
+    then exactly two steps: a stream-STATIC left equi-join on
+    (band, band_key) — the static side is the index, broadcastable
+    when it's a run-shard, bucket-joinable when it's the full corpus
+    index — and ONE streaming aggregation min(old_id) per doc.
+    Returns (id, is_dup, matched_old_id); complete/update output mode,
+    drained with Trigger.AvailableNow in tests. Every input doc emits
+    a verdict row — empty docs carry a NULL-key sentinel band that can
+    never match.
+    """
+    from ..operators.dedup import minhash_band_structs
+
+    bands = docs_stream.select(
+        F.col(id_col),
+        F.explode(
+            minhash_band_structs(
+                text_col, n_hashes=n_hashes,
+                rows_per_band=rows_per_band, k=k,
+            )
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.band").alias("band"),
+             F.col("_e.band_key").alias("band_key"))
+    idx = index.select(
+        F.col(id_col).alias("_old_id"), "band", "band_key"
+    )
+    j = bands.join(idx, ["band", "band_key"], "left")
+    return (
+        j.groupBy(id_col)
+        .agg(F.min("_old_id").alias("matched_old_id"))
+        .select(
+            id_col,
+            F.col("matched_old_id").isNotNull().alias("is_dup"),
+            "matched_old_id",
+        )
+    )
