@@ -11123,3 +11123,143 @@ def q212_bloom_shard_prune(spark, sf_dir):
             F.col("shard") == F.col("true_shard"), F.lit(False)
         ).alias("is_true_positive"),
     )
+
+
+_Q213_PAYLOAD = (
+    "shared canonical quotation payload tokens alpha bravo charlie "
+    "delta echo foxtrot golf"
+)
+
+
+@q(
+    "q213_aligned_spans",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' {_Q213_PAYLOAD}' ELSE text END, ' '),
+               w -> length(w) > 0) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(t[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM d WHERE len(t) >= 3)
+    ),
+    p AS (
+      SELECT a.doc_id AS a_id, a.doc_id + 10 AS b_id
+      FROM documents a
+      WHERE a.doc_id % 10 = 0
+        AND EXISTS (SELECT 1 FROM documents b
+                    WHERE b.doc_id = a.doc_id + 10)
+    ),
+    m AS (
+      SELECT p.a_id, p.b_id, ga.pos AS pos_a, gb.pos AS pos_b,
+             ga.pos - gb.pos AS diag
+      FROM p
+      JOIN g ga ON ga.doc_id = p.a_id
+      JOIN g gb ON gb.doc_id = p.b_id AND gb.gram = ga.gram
+    ),
+    isl AS (
+      SELECT a_id, b_id, diag, pos_a, pos_b,
+             pos_a - row_number() OVER
+               (PARTITION BY a_id, b_id, diag ORDER BY pos_a) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT a_id, b_id, diag, min(pos_a) AS start_a,
+             min(pos_b) AS start_b,
+             CAST(count(*) + 2 AS BIGINT) AS run_tokens
+      FROM isl GROUP BY a_id, b_id, diag, grp
+    ),
+    best AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY a_id, b_id
+         ORDER BY run_tokens DESC, diag, start_a) AS rn
+      FROM runs
+    )
+    SELECT a_id, b_id, diag, start_a, start_b, run_tokens
+    FROM best WHERE rn = 1
+    """,
+)
+def q213_aligned_spans(spark, sf_dir):
+    """Aligned shared-span detection (operators/dedup.py:
+    aligned_span_pairs) -- the step AFTER candidate generation: LSH
+    says two docs overlap, this says WHERE and HOW LONG via the
+    classic diagonal method (shared k-gram positions land on one
+    diagonal pos_a - pos_b; gaps-and-islands grouping finds the
+    longest consecutive run). Every window is partitioned by
+    (pair, diagonal) and the gram join is bounded by the candidate
+    pair list -- never corpus x corpus. Fixture: every 10th doc gets a
+    12-token payload appended, pairs = consecutive payload docs, so
+    each pair shares a >= 12-token run whose position differs per doc;
+    the oracle replays grams, diagonals, islands, and the
+    deterministic tie-break."""
+    from .operators.dedup import aligned_span_pairs
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" " + _Q213_PAYLOAD)),
+        ).otherwise(F.col("text")).alias("tok_str"),
+    )
+    ids = _read(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("a_id"),
+                (F.col("doc_id") + 10).alias("b_id"))
+        .join(ids.select(F.col("doc_id").alias("b_id")), "b_id")
+        .select("a_id", "b_id")
+    )
+    return aligned_span_pairs(d, pairs, text_col="tok_str", k=3)
+
+
+@q(
+    "q214_shrunk_host_quality",
+    """
+    WITH d AS (
+      SELECT source || '-h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             source AS domain, n_chars
+      FROM documents
+    ),
+    h AS (
+      SELECT host, domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS s
+      FROM d GROUP BY 1, 2
+    ),
+    dm AS (
+      SELECT domain, sum(s) * 1000000 // sum(n_docs)
+               AS domain_mean_micros
+      FROM h GROUP BY domain
+    )
+    SELECT h.host, h.domain, h.n_docs,
+           h.s * 1000000 // h.n_docs AS mean_micros,
+           dm.domain_mean_micros,
+           (h.s * 1000000 + 20 * dm.domain_mean_micros)
+             // (h.n_docs + 20) AS shrunk_micros
+    FROM h JOIN dm USING (domain)
+    """,
+)
+def q214_shrunk_host_quality(spark, sf_dir):
+    """Empirical-Bayes shrunk host quality (operators/textstats.py:
+    shrunk_group_quality): a thin host's raw mean is noise, so its
+    estimate borrows alpha/(n+alpha) from the registered-domain prior
+    -- the standard hierarchical-smoothing fix for host-level curation
+    decisions at web scale. ONE corpus pass (partial-agg groupBy
+    host); the domain prior is computed FROM host aggregates (never a
+    second corpus pass) and broadcast back. Integer micros with
+    exactly two floors -- engine-exact."""
+    from .operators.textstats import shrunk_group_quality
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("source"), F.lit("-h"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("host"),
+        F.col("source").alias("domain"),
+        "n_chars",
+    )
+    return shrunk_group_quality(d, alpha=20)

@@ -1705,3 +1705,93 @@ def minhash_band_structs(
     return F.when(
         s.isNotNull() & (F.length(s) > 0), bands
     ).otherwise(sentinel)
+
+
+def aligned_span_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "tok_str",
+    k: int = 3,
+) -> DataFrame:
+    """(a_id, b_id, diag, start_a, start_b, run_tokens): the LONGEST
+    aligned shared token run per candidate pair — the alignment step
+    that follows candidate generation (LSH/SimHash tell you two docs
+    overlap; this says WHERE and HOW LONG, the quote-detection /
+    plagiarism-alignment primitive).
+
+    Classic diagonal method: join the two docs' token k-gram POSITIONS
+    on gram value; matches of one contiguous shared run all land on
+    one diagonal ``diag = pos_a − pos_b``; consecutive positions on a
+    diagonal are grouped gaps-and-islands style (``pos_a − row_number``
+    is constant within an island) and the longest island wins
+    (``run_tokens = island_size + k − 1``). Ties break to the smallest
+    (diag, start_a) — deterministic on any engine.
+
+    Scale shape: gram positions are a narrow projection+explode; the
+    gram join is keyed by (pair, gram) so it only ever compares the
+    two docs of a candidate pair (never corpus×corpus — the pair list
+    bounds everything); every window is partitioned by
+    (pair, diag) — island detection never sees more rows than one
+    pair's matches. Pairs whose docs share no k-gram (or are shorter
+    than k tokens) emit no row, stated honestly rather than a 0 run.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+        ).alias("_t"),
+    )
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_t") - (k - 1), F.lit(0)),
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice("_t", i, k)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", F.col("_g.pos").alias("pos"),
+             F.col("_g.gram").alias("gram"))
+
+    p = pairs.select(F.col("a_id"), F.col("b_id"))
+    ga = p.join(grams.withColumnRenamed("_id", "a_id"), "a_id").select(
+        "a_id", "b_id", F.col("pos").alias("pos_a"), "gram"
+    )
+    gb = grams.select(
+        F.col("_id").alias("b_id"),
+        F.col("pos").alias("pos_b"),
+        F.col("gram").alias("gram"),
+    )
+    m = ga.join(gb, ["b_id", "gram"]).select(
+        "a_id", "b_id", "pos_a", "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    )
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pos_a")
+    isl = m.select(
+        "a_id", "b_id", "diag", "pos_a", "pos_b",
+        (F.col("pos_a") - F.row_number().over(w)).alias("_isl"),
+    )
+    runs = isl.groupBy("a_id", "b_id", "diag", "_isl").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count("*") + (k - 1)).alias("run_tokens"),
+    )
+    best = Window.partitionBy("a_id", "b_id").orderBy(
+        F.desc("run_tokens"), "diag", "start_a"
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select("a_id", "b_id", "diag", "start_a", "start_b",
+                F.col("run_tokens").cast("long").alias("run_tokens"))
+    )

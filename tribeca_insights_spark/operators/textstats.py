@@ -1652,3 +1652,55 @@ def release_datasheet(df: DataFrame, id_col: str = "doc_id",
             ),
         )
     )
+
+
+def shrunk_group_quality(
+    df: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    metric_col: str = "n_chars",
+    alpha: int = 20,
+) -> DataFrame:
+    """(host, domain, n_docs, mean_micros, domain_mean_micros,
+    shrunk_micros): per-host quality with EMPIRICAL-BAYES shrinkage
+    toward the registered-domain prior —
+
+        shrunk = (Σ_host metric · 1e6 + α · domain_mean_micros)
+                 div (n_host + α)
+
+    The standard fix for thin-host curation decisions: a 3-page host's
+    raw mean is noise, so it borrows ~α/(n+α) of its estimate from its
+    domain; a 10^5-page host keeps its own mean. All arithmetic is
+    integer micros with floor division (two floors total: the domain
+    mean, then the blend) — aggregation-order independent, engine-
+    exact.
+
+    Plan shape: ONE corpus pass (partial-agg groupBy host: sum+count),
+    then the domain prior is computed FROM the host aggregates (a
+    second groupBy over host-count-many rows, not the corpus) and
+    broadcast back — the hierarchy costs nothing extra at 10^12 docs.
+    At corpus scale swap the BIGINT sums for DECIMAL(38,0) if
+    Σ metric · 1e6 can exceed 2^63 (noted, not needed at test SFs).
+    """
+    host_agg = df.groupBy(
+        F.col(host_col).alias("host"), F.col(domain_col).alias("domain")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(metric_col).cast("long")).alias("_sum"),
+    )
+    dom_agg = host_agg.groupBy("domain").agg(
+        F.expr("sum(_sum) * 1000000L div sum(n_docs)").alias(
+            "domain_mean_micros"
+        )
+    )
+    return host_agg.join(F.broadcast(dom_agg), "domain").select(
+        "host",
+        "domain",
+        "n_docs",
+        F.expr("_sum * 1000000L div n_docs").alias("mean_micros"),
+        "domain_mean_micros",
+        F.expr(
+            f"(_sum * 1000000L + {alpha}L * domain_mean_micros)"
+            f" div (n_docs + {alpha}L)"
+        ).alias("shrunk_micros"),
+    )
