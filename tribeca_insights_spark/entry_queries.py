@@ -11263,3 +11263,158 @@ def q214_shrunk_host_quality(spark, sf_dir):
         "n_chars",
     )
     return shrunk_group_quality(d, alpha=20)
+
+
+def _ipf_oracle(iters: int = 2) -> str:
+    body = ["""
+    WITH c AS (
+      SELECT source AS row_key, lang AS col_key,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+    rt AS (
+      SELECT row_key,
+             CAST(1000000 // (SELECT count(DISTINCT row_key) FROM c)
+                  AS BIGINT) AS tgt
+      FROM (SELECT DISTINCT row_key FROM c)
+    ),
+    ct AS (
+      SELECT col_key,
+             CAST(1000000 // (SELECT count(DISTINCT col_key) FROM c)
+                  AS BIGINT) AS tgt
+      FROM (SELECT DISTINCT col_key FROM c)
+    ),
+    w0 AS (
+      SELECT row_key, col_key, n, n * 1000000 // t AS nm,
+             CAST(1000000 AS BIGINT) AS w
+      FROM c, tot
+    )"""]
+    prev = "w0"
+    step = 0
+    for _ in range(iters):
+        step += 1
+        body.append(f""",
+    rs{step} AS (SELECT row_key, CAST(sum(nm * w) AS BIGINT) AS s
+                 FROM {prev} GROUP BY row_key),
+    wr{step} AS (
+      SELECT p.row_key, p.col_key, p.n, p.nm,
+             CAST(p.w * rt.tgt // greatest(rs{step}.s // 1000000, 1)
+                  AS BIGINT) AS w
+      FROM {prev} p JOIN rs{step} USING (row_key)
+      JOIN rt USING (row_key)
+    ),
+    cs{step} AS (SELECT col_key, CAST(sum(nm * w) AS BIGINT) AS s
+                 FROM wr{step} GROUP BY col_key),
+    wc{step} AS (
+      SELECT p.row_key, p.col_key, p.n, p.nm,
+             CAST(p.w * ct.tgt // greatest(cs{step}.s // 1000000, 1)
+                  AS BIGINT) AS w
+      FROM wr{step} p JOIN cs{step} USING (col_key)
+      JOIN ct USING (col_key)
+    )""")
+        prev = f"wc{step}"
+    body.append(f"""
+    SELECT row_key, col_key, n, w AS weight_micros FROM {prev}
+    """)
+    return "".join(body)
+
+
+@q("q215_ipf_mixture_raking", _ipf_oracle(iters=2))
+def q215_ipf_mixture_raking(spark, sf_dir):
+    """Iterative proportional fitting / raking (operators/mixing.py:
+    ipf_raking; Deming & Stephan 1940) -- per-cell sampling weights
+    that pull the (source x lang) contingency toward uniform source
+    AND uniform lang marginals simultaneously, the corpus-rebalance
+    primitive behind 'match these per-source and per-language token
+    shares'. ONE corpus pass builds the cell counts; both IPF
+    iterations run on the group-sized cell table (free at any corpus
+    size). Counts are normalized to share micros and the update
+    divides mass down before multiplying, so the integer arithmetic
+    cannot overflow and the oracle unrolls it exactly."""
+    from .operators.mixing import ipf_raking
+
+    d = _read(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        F.col("source").alias("row_key"), F.col("lang").alias("col_key")
+    ).agg(F.count("*").alias("n"))
+    rows = counts.select("row_key").distinct()
+    rt = rows.crossJoin(
+        F.broadcast(rows.agg(F.count("*").alias("_c")))
+    ).select("row_key", F.expr("1000000L div _c").alias("target_micros"))
+    cols = counts.select("col_key").distinct()
+    ct = cols.crossJoin(
+        F.broadcast(cols.agg(F.count("*").alias("_c")))
+    ).select("col_key", F.expr("1000000L div _c").alias("target_micros"))
+    return ipf_raking(counts, rt, ct, iters=2)
+
+
+@q(
+    "q216_outlink_spam_ratio",
+    """
+    WITH lk AS (
+      SELECT doc_id,
+             'ext' || CAST((doc_id + j) % 7 AS VARCHAR) ||
+               CASE WHEN (doc_id + j) % 2 = 0
+                    THEN '.example.org' ELSE '.ads.example.net' END
+               AS h
+      FROM documents, unnest(range(0, 1 + doc_id % 4)) t(j)
+    ),
+    bl AS (SELECT unnest(['ext1.example.org', 'ext3.example.org',
+                          'ads.example.net']) AS entry),
+    hosts AS (SELECT DISTINCT h FROM lk),
+    hs AS (
+      SELECT h, array_to_string(parts[i:len(parts)], '.') AS suf
+      FROM (SELECT h, string_split(h, '.') AS parts FROM hosts),
+           unnest(range(1, 8)) r(i)
+      WHERE i <= len(parts)
+    ),
+    bh AS (SELECT DISTINCT hs.h FROM hs JOIN bl ON hs.suf = bl.entry)
+    SELECT lk.doc_id,
+           CAST(count(*) AS BIGINT) AS n_outlinks,
+           CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked,
+           sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000 // count(*) AS blocked_ppm
+    FROM lk LEFT JOIN bh ON lk.h = bh.h
+    GROUP BY lk.doc_id
+    """,
+)
+def q216_outlink_spam_ratio(spark, sf_dir):
+    """Per-page bad-outlink ratio (operators/blocklist.py:
+    outlink_spam_ratio): fraction of a page's external-link targets
+    whose host hits the UT1-style domain blocklist -- the
+    spam-adjacency signal (a page linking mostly at blocked domains is
+    itself suspect). The verdict is computed per DISTINCT host (suffix
+    explode + broadcast semi-join over |hosts|, not |links| -- on a
+    web graph links outnumber hosts ~1000x), links re-join on the
+    host key, and one partial-agg groupBy(doc) finishes. Fixture
+    synthesizes 1-4 outlinks per doc across 14 host variants, two
+    blocked directly and one via the ads.example.net suffix rule (so
+    the subdomain-matching path is exercised, not just exact hits)."""
+    from pyspark.sql import Row
+
+    from .operators.blocklist import outlink_spam_ratio
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    links = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("j"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("ext"),
+            ((F.col("doc_id") + F.col("j")) % 7).cast("string"),
+            F.when(
+                (F.col("doc_id") + F.col("j")) % 2 == 0,
+                F.lit(".example.org"),
+            ).otherwise(F.lit(".ads.example.net")),
+        ).alias("target_host"),
+    )
+    bl = spark.createDataFrame(
+        [Row(entry=e) for e in
+         ("ext1.example.org", "ext3.example.org", "ads.example.net")]
+    )
+    return outlink_spam_ratio(links, bl)

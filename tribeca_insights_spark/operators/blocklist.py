@@ -255,3 +255,52 @@ def cidr_block_flags(
             f"{prefix_lens}"
         )
     return out
+
+
+def outlink_spam_ratio(
+    links: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "target_host",
+    entry_col: str = "entry",
+) -> DataFrame:
+    """(id, n_outlinks, n_blocked, blocked_ppm): per-page fraction of
+    external-link targets whose host hits the domain blocklist — a
+    standard spam/adult-adjacency signal (a clean page linking mostly
+    at blocked domains is itself suspect; SpamRank-family heuristics
+    and UT1-based curation both use it).
+
+    Input is the exploded link inventory (id, target_host), one row
+    per outlink — multiplicity COUNTS (5 links to one casino weigh 5).
+    The verdict is computed per DISTINCT host, not per link: distinct
+    hosts → bounded dot-suffix explode → broadcast semi-join →
+    blocked-host dim, which links re-join on the host key. That is
+    both cheaper (suffix explosion over |hosts|, not |links| — on a
+    web graph links outnumber hosts ~1000×) and deterministic
+    (multi-level suffix matches collapse in the distinct, no per-link
+    identity needed). Then ONE partial-agg groupBy on the page key.
+    """
+    lk = links.select(F.col(id_col), F.col(host_col).alias("_h"))
+    blocked_hosts = (
+        lk.select("_h")
+        .distinct()
+        .select("_h", F.explode(host_suffixes(F.col("_h"))).alias("_suf"))
+        .join(
+            F.broadcast(
+                blocklist.select(F.col(entry_col).alias("_suf")).distinct()
+            ),
+            "_suf",
+            "left_semi",
+        )
+        .select("_h")
+        .distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    per_link = lk.join(blocked_hosts, "_h", "left").select(
+        id_col, F.coalesce("_b", F.lit(0)).alias("_b")
+    )
+    return per_link.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_outlinks"),
+        F.sum("_b").cast("long").alias("n_blocked"),
+        F.expr("sum(_b) * 1000000L div count(*)").alias("blocked_ppm"),
+    )

@@ -419,3 +419,106 @@ def shard_assign(
             ),
         )
     )
+
+
+def ipf_raking(
+    counts: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    iters: int = 2,
+    row_col: str = "row_key",
+    col_col: str = "col_key",
+) -> DataFrame:
+    """(row_key, col_key, n, weight_micros): iterative proportional
+    fitting (raking) of a contingency table toward target marginals —
+    the corpus-rebalance primitive: given observed (source × lang) doc
+    counts and desired per-source / per-lang token shares, IPF yields
+    per-cell sampling weights whose weighted marginals approach both
+    targets simultaneously (Deming & Stephan 1940; what survey
+    statisticians call raking and mixture tuning calls it too).
+
+    Inputs: ``counts`` (row_key, col_key, n); ``row_targets``
+    (row_key, target_micros) and ``col_targets`` (col_key,
+    target_micros), each target set summing to ~1e6. Each iteration is
+    one row pass then one col pass::
+
+        w ← w · row_target · 1e6  div  Σ_col (n·w)      (per row)
+        w ← w · col_target · 1e6  div  Σ_row (n·w)      (per col)
+
+    with w in integer micros and floor division — aggregation-order
+    independent and engine-replayable (the unrolled oracle matches by
+    hash). Two overflow guards shape the arithmetic: cell counts are
+    first normalized to SHARE micros (n·1e6 div Σn — so the math is
+    corpus-size independent and w stays O(1e6) instead of growing
+    with absolute mass), and the update divides the marginal mass
+    down BEFORE multiplying (w·target div max(mass div 1e6, 1) —
+    bounded by w·1e6 ≤ 2^63 for any w ≤ 9.2e12, where the naive
+    w·target·1e6 div mass form overflows at w ≈ 9.2e6). The ≤1e-6
+    relative floor loss from pre-dividing is itself deterministic and
+    replayed by the oracle.
+
+    Scale shape: ONE corpus pass produces ``counts`` (callers do it —
+    a partial-agg groupBy); everything here operates on the CELL table
+    (|sources|×|langs| rows — group-sized), so iterations are free at
+    any corpus size. Marginal sums are groupBys over cells; targets
+    are broadcast dims.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    tot = counts.agg(
+        F.sum(F.col("n").cast("long")).alias("_tot")
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(row_col).alias("row_key"),
+        F.col(col_col).alias("col_key"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("cast(n as bigint) * 1000000L div _tot").alias("n_micros"),
+        F.lit(1_000_000).cast("long").alias("weight_micros"),
+    )
+    rt = F.broadcast(
+        row_targets.select(
+            F.col(row_col).alias("row_key"),
+            F.col("target_micros").cast("long").alias("_rt"),
+        )
+    )
+    ct = F.broadcast(
+        col_targets.select(
+            F.col(col_col).alias("col_key"),
+            F.col("target_micros").cast("long").alias("_ct"),
+        )
+    )
+    for _ in range(iters):
+        rsum = w.groupBy("row_key").agg(
+            F.sum(F.expr("n_micros * weight_micros")).alias("_rsum")
+        )
+        w = (
+            w.join(rsum, "row_key")
+            .join(rt, "row_key")
+            .select(
+                "row_key", "col_key", "n", "n_micros",
+                F.expr(
+                    "weight_micros * _rt"
+                    " div greatest(_rsum div 1000000L, 1L)"
+                ).alias("weight_micros"),
+            )
+        )
+        csum = w.groupBy("col_key").agg(
+            F.sum(F.expr("n_micros * weight_micros")).alias("_csum")
+        )
+        w = (
+            w.join(csum, "col_key")
+            .join(ct, "col_key")
+            .select(
+                "row_key", "col_key", "n", "n_micros",
+                F.expr(
+                    "weight_micros * _ct"
+                    " div greatest(_csum div 1000000L, 1L)"
+                ).alias("weight_micros"),
+            )
+        )
+        # w feeds TWO consumers per half-pass (marginal sum + the
+        # update join), so the unrolled plan doubles per half-pass —
+        # 2^(2·iters) subtrees by iteration 6. Same cure as the k-core
+        # peel (linkgraph.kcore_bounded): truncate lineage per round.
+        w = w.localCheckpoint(eager=False)
+    return w.select("row_key", "col_key", "n", "weight_micros")
