@@ -11418,3 +11418,298 @@ def q216_outlink_spam_ratio(spark, sf_dir):
          ("ext1.example.org", "ext3.example.org", "ads.example.net")]
     )
     return outlink_spam_ratio(links, bl)
+
+
+# --- wave: bitext mining / exact harmonic centrality / embedding moments /
+#           bottom-k KMV sketches (q217-q220) --------------------------------
+
+
+@q(
+    "q217_bitext_candidates",
+    """
+    WITH p AS (
+      SELECT doc_id, lang, n_chars,
+             'https://' || source || '.example.com/' || lang ||
+               '/docs/' || CAST(doc_id % 40 AS VARCHAR) AS url
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_replace(url, '/[a-z]{2}([-_][a-zA-Z]{2})?/',
+                            '/{L}/', 'g') AS tpl
+      FROM p
+    )
+    SELECT a.tpl,
+           a.doc_id AS id_a, a.lang AS lang_a, a.n_chars AS size_a,
+           b.doc_id AS id_b, b.lang AS lang_b, b.n_chars AS size_b
+    FROM t a JOIN t b ON a.tpl = b.tpl
+    WHERE a.lang < b.lang
+      AND a.n_chars * 2 <= b.n_chars * 4
+      AND b.n_chars * 2 <= a.n_chars * 4
+    """,
+)
+def q217_bitext_candidates(spark, sf_dir):
+    """Bitext candidate mining (operators/bitext.py: ParaCrawl/CCMatrix
+    stage 1) -- cross-lingual parallel-page pairs from URL structure:
+    the language path segment is templated out with ONE JVM
+    regexp_replace and pages meet by equi-join on (host, template), so
+    the shuffle partitions by site section and no pair crosses hosts.
+    A 2:1 length-ratio gate (integer form, no division) drops
+    misaligned pairs before any content work. Fixture: each document
+    gets a /{lang}/docs/{doc_id%40} URL on its source's host, so
+    same-source same-slot docs in different languages pair up; sizes
+    come from the real n_chars column so the ratio gate has bite.
+    Reference parity: none (single-site, monolingual crawler) -- pure
+    scale-path addition."""
+    from .operators.bitext import bitext_candidates
+
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/docs/"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("url"),
+    )
+    return bitext_candidates(pages)
+
+
+@q(
+    "q218_harmonic_centrality",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    e0 AS (
+      SELECT doc_id AS node, (doc_id * 7 + 3) % c AS nb FROM documents, n
+      UNION
+      SELECT doc_id, (doc_id * 13 + 5) % c FROM documents, n
+    ),
+    e AS (SELECT DISTINCT node, nb FROM e0 WHERE node != nb),
+    h2 AS (
+      SELECT DISTINCT a.node, b.nb
+      FROM e a JOIN e b ON a.nb = b.node
+      WHERE b.nb != a.node
+        AND NOT EXISTS (SELECT 1 FROM e x
+                        WHERE x.node = a.node AND x.nb = b.nb)
+    ),
+    c1 AS (SELECT node, count(*) AS n1 FROM e GROUP BY node),
+    c2 AS (SELECT node, count(*) AS n2 FROM h2 GROUP BY node)
+    SELECT d.doc_id AS node,
+           coalesce(c1.n1, 0) AS n1,
+           coalesce(c2.n2, 0) AS n2,
+           coalesce(c1.n1, 0) * 1000000 + coalesce(c2.n2, 0) * 500000
+             AS harmonic_micros
+    FROM documents d
+    LEFT JOIN c1 ON c1.node = d.doc_id
+    LEFT JOIN c2 ON c2.node = d.doc_id
+    """,
+)
+def q218_harmonic_centrality(spark, sf_dir):
+    """EXACT radius-2 harmonic centrality (operators/linkgraph.py:
+    harmonic_centrality_r2; Boldi & Vigna 2014) on the same synthetic
+    two-out-degree graph as q209 -- |N1| + |N2|/2 per node via one
+    self-equi-join + distinct + anti-join, all node-keyed, no windows.
+    This is the exact small-radius companion the HyperBall estimators
+    (q209/q210) are validated against; radius >= 3 on a web graph
+    switches to the sketch (the 2-hop frontier blowup is the
+    documented cutover). Oracle restates both hop sets closed-form."""
+    from .operators.linkgraph import harmonic_centrality_r2
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return harmonic_centrality_r2(edges, nodes)
+
+
+@q(
+    "q219_embedding_moments",
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    )
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.xm * b.xm) AS BIGINT) AS sxy,
+           CAST(sum(a.xm) AS BIGINT) AS sxi,
+           CAST(sum(b.xm) AS BIGINT) AS sxj,
+           CAST(floor(
+             CAST(count(*) * sum(a.xm * b.xm) - sum(a.xm) * sum(b.xm)
+                  AS DOUBLE)
+             / CAST(count(*) * count(*) AS DOUBLE)
+           ) AS BIGINT) AS cov_micros
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    """,
+)
+def q219_embedding_moments(spark, sf_dir):
+    """Exact corpus mean + covariance of the embedding matrix
+    (operators/similarity.py: embedding_moments) -- the whitening/PCA
+    sufficient statistics SemDeDup-style pipelines compute before
+    clustering 10^12 vectors. ONE mapInPandas pass emits batch-local
+    integer-milli Gram partials (D(D+1)/2 rows PER BATCH via an int64
+    numpy matmul -- never per doc), then a map-combined groupBy(i,j)
+    sums them: the shuffle is O(partitions * D^2) regardless of corpus
+    size (MLlib's computeGramianMatrix shape, DataFrame-native). The
+    single division per output cell runs once on exact integers; the
+    oracle replays the quantization and the same floor expression.
+    The eigen-solve on the returned 64x64 matrix is driver-side numpy
+    on ~2 KB -- deliberately not a Spark job."""
+    from .operators.similarity import embedding_moments
+
+    return embedding_moments(_read(spark, sf_dir, "embeddings"))
+
+
+def _bottomk_cte(k: int = 16) -> str:
+    """Shared oracle CTEs for the KMV bottom-k sketch: per-source
+    distinct-token hashes, the direct bottom-k, and the two-shard
+    (even/odd doc_id) merge path."""
+    return f"""
+    tok AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS w
+      FROM documents
+    ),
+    hsh AS (
+      SELECT DISTINCT source AS grp, doc_id % 2 AS shard,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+      FROM tok
+    ),
+    direct AS (
+      SELECT grp, h, row_number() OVER (
+        PARTITION BY grp ORDER BY h
+      ) AS rank
+      FROM (SELECT DISTINCT grp, h FROM hsh)
+    ),
+    dk AS (SELECT grp, rank, h FROM direct WHERE rank <= {k}),
+    shardk AS (
+      SELECT grp, shard, h FROM (
+        SELECT grp, shard, h, row_number() OVER (
+          PARTITION BY grp, shard ORDER BY h
+        ) AS rank
+        FROM (SELECT DISTINCT grp, shard, h FROM hsh)
+      ) WHERE rank <= {k}
+    ),
+    merged AS (
+      SELECT grp, rank, h FROM (
+        SELECT grp, h, row_number() OVER (
+          PARTITION BY grp ORDER BY h
+        ) AS rank
+        FROM (SELECT DISTINCT grp, h FROM shardk)
+      ) WHERE rank <= {k}
+    ),
+    exact AS (
+      SELECT grp, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+      FROM hsh GROUP BY grp
+    )"""
+
+
+@q(
+    "q220_bottomk_sketch",
+    "WITH" + _bottomk_cte(k=16) + """
+    SELECT dk.grp,
+           CAST(count(*) AS BIGINT) AS n_in_sketch,
+           CAST(coalesce(max(CASE WHEN dk.rank = 16 THEN dk.h END), 0)
+                AS BIGINT) AS kth_hash,
+           CAST(CASE
+             WHEN max(CASE WHEN dk.rank = 16 THEN dk.h END) IS NULL
+               OR max(CASE WHEN dk.rank = 16 THEN dk.h END) = 0
+             THEN count(*)
+             ELSE 15 * 4294967296 //
+                  max(CASE WHEN dk.rank = 16 THEN dk.h END)
+           END AS BIGINT) AS est_distinct,
+           CAST(max(exact.exact_distinct) AS BIGINT) AS exact_distinct,
+           CAST(sum(CASE WHEN merged.h IS NULL OR merged.h != dk.h
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS merge_mismatches
+    FROM dk
+    JOIN exact ON exact.grp = dk.grp
+    LEFT JOIN merged ON merged.grp = dk.grp AND merged.rank = dk.rank
+    GROUP BY dk.grp
+    """,
+)
+def q220_bottomk_sketch(spark, sf_dir):
+    """Bottom-k (KMV) distinct-value sketch per source
+    (operators/sketches.py: bottomk_sketch; Bar-Yossef 2002, Beyer
+    SIGMOD'07) -- the k smallest md5-hash values of each source's
+    distinct tokens, the sketch family that adds Jaccard/overlap and
+    uniform distinct-sampling on top of what HLL (q123) gives. The
+    query ALSO proves the shard-merge law on-dataflow: sketches built
+    independently on the even/odd doc_id shards, merged by
+    union+re-rank (bottomk_merge), must equal the direct single-pass
+    sketch row-for-row -- merge_mismatches is 0 for every group, and
+    the oracle states the whole equality closed-form. est_distinct is
+    the exact-integer KMV estimator (k-1)*2^32 div kth_hash; groups
+    with < k distinct keys report exactly. Scale shape: map-combined
+    distinct, then a window row_number partitioned BY GROUP (never a
+    global sort); the constant-threshold prune documented in the
+    operator keeps the per-group sorted set ~k-sized at 10^9 distinct
+    keys."""
+    from .operators.sketches import (
+        bottomk_estimate,
+        bottomk_merge,
+        bottomk_sketch,
+    )
+
+    k = 16
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("w"),
+    )
+    direct = bottomk_sketch(toks, "source", "w", k=k)
+    sk_even = bottomk_sketch(
+        toks.filter(F.col("doc_id") % 2 == 0), "source", "w", k=k
+    )
+    sk_odd = bottomk_sketch(
+        toks.filter(F.col("doc_id") % 2 == 1), "source", "w", k=k
+    )
+    merged = bottomk_merge(k, sk_even, sk_odd).select(
+        "grp", "rank", F.col("h").alias("mh")
+    )
+    est = bottomk_estimate(direct, k=k)
+    exact = (
+        toks.select(F.col("source").alias("grp"), "w")
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    mism = (
+        direct.join(merged, ["grp", "rank"], "left")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mh").isNull() | (F.col("mh") != F.col("h")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("merge_mismatches")
+        )
+    )
+    return (
+        est.join(exact, "grp")
+        .join(mism, "grp")
+        .select(
+            "grp", "n_in_sketch", "kth_hash", "est_distinct",
+            "exact_distinct", "merge_mismatches",
+        )
+    )

@@ -1,0 +1,98 @@
+"""Bitext candidate mining — cross-lingual parallel-page pairing by URL
+structure.
+
+Beyond-reference capability (task brief: LLM-data-pipeline operators).
+Web-scale parallel corpora (ParaCrawl, CCMatrix, the WMT web tracks) start
+from exactly this primitive: on multilingual sites the French page usually
+lives at the same path as the English one with only a language segment
+swapped (``/en/docs/3`` vs ``/fr/docs/3``, ``example.com/en/…`` vs
+``example.com/fr/…``). Pairing candidates by that structural key turns an
+impossible all-pairs document alignment into a per-site equi-join; content
+alignment (hunalign / vecalign / LASER margin scoring) then only runs on
+the candidate pairs.
+
+Scale shape: ONE narrow projection derives the language-neutral URL
+template per page (pure JVM ``regexp_replace`` — no Python), then a
+self-equi-join on ``(host, template)``. The join key is site-local, so
+the shuffle partitions by site and no pair ever crosses hosts; skew is
+bounded by the page count of one site section (salt the template key if a
+single site section is degenerate). A length-ratio gate (Fan et al. 2020,
+CCMatrix preprocessing) drops pairs whose document sizes differ more than
+2:1 BEFORE any content work, in the same join projection.
+
+Reference parity note: the reference crawler is single-site and
+monolingual (``site_language`` is one project-level constant,
+tribeca_insights/cli.py); bitext mining has no counterpart there — this
+is a pure scale-path addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# A path segment that IS a language tag: 2-letter ISO 639-1, optionally
+# with a region ("en", "pt-br", "zh_CN"), surrounded by slashes.  Kept
+# RE2-compatible (no lookarounds) so the DuckDB oracle replays it: the
+# slashes are consumed and re-emitted in the replacement, which makes
+# adjacent segments ("/en/fr/") single-match in BOTH engines (the second
+# segment lost its leading slash to the first match).
+_LANG_SEG = r"/[a-z]{2}(?:[-_][a-zA-Z]{2})?/"
+
+
+def url_lang_template(url_col, lang_col):
+    """Language-neutral template of ``url_col``: each slash-delimited
+    path segment that looks like a language tag is replaced with
+    ``/{L}/``.  Pages whose URL carries no language segment template to
+    themselves and simply never meet a partner from another language
+    (they pair only when the declared ``lang`` differs but the URL
+    matches — the subdomain-less ccTLD-less case is out of scope for
+    the structural miner)."""
+    return F.regexp_replace(url_col, _LANG_SEG, "/{L}/")
+
+
+def bitext_candidates(
+    pages: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    max_ratio_x2: int = 4,
+) -> DataFrame:
+    """Candidate parallel-document pairs from URL structure.
+
+    Input: one row per page with ``url``, declared ``lang``, a cheap size
+    proxy (chars or tokens) and an id.  Output: one row per unordered
+    candidate pair (lang_a < lang_b lexicographically) with the shared
+    template and both sizes, gated on ``2*min_size*… `` — the integer
+    form of ``max(size)/min(size) <= max_ratio_x2/2`` (default 2:1).
+
+    Shape: projection → self-equi-join on the template key → filter.
+    The join is site-keyed (the template embeds the host), so at corpus
+    scale it partitions by site section; nothing global, no windows.
+    """
+    t = pages.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.col(size_col).cast("bigint").alias("_size"),
+        url_lang_template(F.col(url_col), F.col(lang_col)).alias("tpl"),
+    )
+    a = t.select(
+        F.col("tpl"),
+        F.col("_id").alias("id_a"),
+        F.col("_lang").alias("lang_a"),
+        F.col("_size").alias("size_a"),
+    )
+    b = t.select(
+        F.col("tpl"),
+        F.col("_id").alias("id_b"),
+        F.col("_lang").alias("lang_b"),
+        F.col("_size").alias("size_b"),
+    )
+    pairs = a.join(b, "tpl").filter(
+        (F.col("lang_a") < F.col("lang_b"))
+        & (F.col("size_a") * 2 <= F.col("size_b") * max_ratio_x2)
+        & (F.col("size_b") * 2 <= F.col("size_a") * max_ratio_x2)
+    )
+    return pairs.select(
+        "tpl", "id_a", "lang_a", "size_a", "id_b", "lang_b", "size_b"
+    )

@@ -999,3 +999,70 @@ def neighborhood_function(
             "pct_of_max_ppm"
         ),
     )
+
+
+def harmonic_centrality_r2(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """EXACT radius-2 out-harmonic centrality per node:
+    ``h = |N1(v)| + |N2(v)|/2`` where N1 is the distinct 1-hop
+    out-neighborhood (minus v) and N2 the distinct 2-hop frontier
+    (minus v and N1).  Harmonic centrality (Boldi & Vigna, "Axioms for
+    centrality", 2014) is the principled centrality for web graphs —
+    well-defined on disconnected digraphs where closeness is not — and
+    its truncated-radius form is the standard crawl-frontier /
+    hub-audit variant: at radius 2 it is computable EXACTLY with
+    equi-joins, no sketches.
+
+    Returns (node, n1, n2, harmonic_micros) for every node in
+    ``nodes`` (isolated nodes get 0/0/0).
+
+    Scale shape: the 1-hop set is the dedup'd edge list itself; the
+    2-hop frontier is ONE dst=src self-equi-join followed by a
+    distinct and an anti-join against the 1-hop set — all partitioned
+    by node key, no windows, no all-pairs.  The intermediate 2-hop
+    row count is Σ_v |N1(v)|·outdeg — the usual frontier blowup, which
+    is why radius ≥ 3 switches to the HyperBall estimate
+    (:func:`hyperball_estimates` / :func:`neighborhood_function`);
+    this operator is the exact small-radius companion the estimators
+    are validated against (tests cross-check it vs q209's sketches).
+    Reference parity: no counterpart (the reference has no link
+    graph); cited as the scale path for SURVEY §2.4 graph analytics.
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("node"), F.col(dst).alias("nb"))
+        .distinct()
+    )
+    hop2 = (
+        e.alias("a")
+        .join(
+            e.select(
+                F.col("node").alias("nb"), F.col("nb").alias("nb2")
+            ).alias("b"),
+            "nb",
+        )
+        .select("a.node", F.col("nb2").alias("nb"))
+        .filter(F.col("node") != F.col("nb"))
+        .distinct()
+        .join(e, ["node", "nb"], "left_anti")
+    )
+    n1 = e.groupBy("node").agg(F.count("*").cast("long").alias("n1"))
+    n2 = hop2.groupBy("node").agg(F.count("*").cast("long").alias("n2"))
+    return (
+        nodes.select("node")
+        .join(n1, "node", "left")
+        .join(n2, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+        )
+        .withColumn(
+            "harmonic_micros",
+            (F.col("n1") * F.lit(1000000) + F.col("n2") * F.lit(500000)),
+        )
+    )

@@ -481,3 +481,95 @@ def semantic_decontaminate(
         F.col("_b.bench_id").alias("bench_id"),
         F.col("_b.sim").alias("sim"),
     )
+
+
+def embedding_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact corpus mean + covariance of the embedding matrix, as one
+    (dim_i, dim_j) row per upper-triangle pair — the sufficient
+    statistics behind embedding whitening / PCA projection that
+    SemDeDup-style pipelines (Abbas et al. 2023) and IVF training run
+    before clustering 10^12 vectors.
+
+    Computed as a Gram-matrix tree-aggregation: ONE ``mapInPandas``
+    pass quantizes each batch to integer millis (``floor(x * quant)``
+    in float64 — exact for float32 inputs since quant·2^24 < 2^53) and
+    emits the batch-local ``Xᵀ X`` (int64 numpy matmul), column sums
+    and row count — D(D+1)/2 partial rows PER BATCH, never per doc.  A
+    map-combined groupBy(i, j) then sums partials: the shuffle moves
+    O(partitions · D²) rows regardless of corpus size, the exact
+    pattern of MLlib's ``RowMatrix.computeGramianMatrix`` re-expressed
+    DataFrame-native with driver-free integer determinism.
+
+    Output: (i, j, n, sxy, sxi, sxj, cov_micros) with i <= j, where
+    sxy = Σ xmᵢ·xmⱼ over quantized values and
+    cov_micros = floor((n·sxy − sxi·sxj) / n²) — covariance in
+    micro-units of the ORIGINAL scale when quant = 1000 (millis² =
+    micros).  Every aggregation is int64 (decimal-free at test scale;
+    swap the sums to decimal(38,0) at 10^12 rows); the single division
+    happens once per output cell on exact integers, so DuckDB replays
+    it bit-for-bit.  The eigen-solve on the returned D×D matrix is a
+    driver-side numpy call on ~2 KB of data — deliberately NOT a Spark
+    job (it is not data-sized).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sxy", T.LongType()),
+            T.StructField("sxi", T.LongType()),
+            T.StructField("sxj", T.LongType()),
+        ]
+    )
+    q = int(quant)
+
+    def _partials(batches):
+        for pdf in batches:
+            vecs = pdf["_v"].tolist()
+            if not vecs:
+                continue
+            x = np.asarray(vecs, dtype=np.float64)
+            xm = np.floor(x * q).astype(np.int64)
+            g = xm.T @ xm
+            s = xm.sum(axis=0)
+            n = np.int64(xm.shape[0])
+            d = xm.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n": np.full(iu.shape, n, dtype=np.int64),
+                    "sxy": g[iu, ju],
+                    "sxi": s[iu],
+                    "sxj": s[ju],
+                }
+            )
+
+    parts = emb.select(F.col(vec_col).alias("_v")).mapInPandas(
+        _partials, schema=schema
+    )
+    tot = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+    )
+    return tot.select(
+        "i", "j", "n", "sxy", "sxi", "sxj",
+        F.floor(
+            (
+                F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj")
+            ).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).cast("long").alias("cov_micros"),
+    )

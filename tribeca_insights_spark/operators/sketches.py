@@ -247,3 +247,102 @@ def hll_intersection_estimate(sk_a: DataFrame, sk_b: DataFrame,
             ).alias("est_intersection_micros"),
         )
     )
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group bottom-k (KMV) distinct-value sketch: the ``k``
+    smallest md5-derived 32-bit hash values of the DISTINCT keys in
+    each group (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07).  KMV
+    is the sketch family HLL does not replace: besides cardinality it
+    supports Jaccard/overlap estimation between groups (compare the
+    bottom-k sets directly) and uniform distinct-sampling (the k
+    surviving keys ARE a uniform sample of the distinct values).
+
+    Output: (group, rank, h) — rank 1..k ascending by hash.  The hash
+    is the hi-32 of md5 (same construction as :func:`hll_registers`,
+    DuckDB-replayable).  Ties are impossible WITHIN a group after the
+    distinct (same key → same hash dedup'd; distinct keys colliding on
+    32 bits is ~n²/2³³ — acceptable for a sketch, and deterministic
+    either way since equal hashes dedup to one row).
+
+    Scale shape: dedup of (group, key) is one map-combined groupBy;
+    the bottom-k is a window row_number PARTITIONED by group (a
+    per-group sort of the group's distinct hashes — never global).
+    For groups with 10^9+ distinct keys, pre-filter with a constant
+    hash threshold (h < k · 2³² / n_lower_bound) before the window so
+    the sorted set is ~k-sized; the threshold prune is a plain filter
+    and keeps the result EXACT as long as it keeps ≥ k rows per group.
+    """
+    hx = F.md5(F.col(key_col).cast("string"))
+    hashed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "h")
+    )
+
+
+def bottomk_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union per-shard bottom-k sketches into the bottom-k of the
+    union: dedup hashes, re-rank, keep k.  This IS the KMV merge
+    property — sketch(A ∪ B) = bottomk(sketch(A) ∪ sketch(B)) — which
+    makes per-shard sketches composable without rescanning shards
+    (the HLL-merge counterpart for the KMV family; q220's oracle
+    states the equality closed-form and a pytest asserts it row-wise
+    against the direct single-pass sketch).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select("grp", "h") for s in sketches],
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "h")
+    )
+
+
+def bottomk_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
+    """(grp, n_in_sketch, kth_hash, est_distinct): KMV cardinality
+    estimate (k−1)/kth-normalized-hash = (k−1)·2³² div kth_hash —
+    exact integer arithmetic, DuckDB-replayable.  Groups with fewer
+    than k distinct keys are EXACT (the sketch holds all hashes;
+    estimate = n_in_sketch).
+    """
+    agg = sketch.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_in_sketch"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("kth_hash"),
+    )
+    return agg.select(
+        "grp",
+        "n_in_sketch",
+        F.coalesce("kth_hash", F.lit(0)).cast("long").alias("kth_hash"),
+        F.when(
+            F.col("kth_hash").isNull() | (F.col("kth_hash") == 0),
+            F.col("n_in_sketch"),
+        )
+        .otherwise(
+            F.expr(f"({k} - 1) * 4294967296L div kth_hash")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
