@@ -11713,3 +11713,352 @@ def q220_bottomk_sketch(spark, sf_dir):
             "exact_distinct", "merge_mismatches",
         )
     )
+
+
+# --- wave: bitext margin scoring / JL projection / phrase search /
+#           MAD outliers / personalized PageRank / signal correlations
+#           (q221-q226) ------------------------------------------------------
+
+
+_BUCKET8_SQL = """
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+"""
+
+
+@q(
+    "q221_bitext_margin",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_BUCKET8_SQL} AS bucket,
+             vec_id % 2 AS side
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT x.vec_id AS id_x, y.vec_id AS id_y,
+             round(list_cosine_similarity(x.v, y.v), 4) AS sim
+      FROM base x JOIN base y USING (bucket)
+      WHERE x.side = 0 AND y.side = 1
+    ),
+    kx AS (
+      SELECT id_x, round(avg(sim), 6) AS avgk_x FROM (
+        SELECT id_x, sim, row_number() OVER (
+          PARTITION BY id_x ORDER BY sim DESC, id_y
+        ) AS r FROM cand
+      ) WHERE r <= 4 GROUP BY id_x
+    ),
+    ky AS (
+      SELECT id_y, round(avg(sim), 6) AS avgk_y FROM (
+        SELECT id_y, sim, row_number() OVER (
+          PARTITION BY id_y ORDER BY sim DESC, id_x
+        ) AS r FROM cand
+      ) WHERE r <= 4 GROUP BY id_y
+    ),
+    sc AS (
+      SELECT c.id_x, c.id_y, c.sim, kx.avgk_x, ky.avgk_y,
+             round(2.0 * c.sim / (kx.avgk_x + ky.avgk_y), 4) AS margin
+      FROM cand c JOIN kx USING (id_x) JOIN ky USING (id_y)
+    )
+    SELECT id_x, id_y, sim, avgk_x, avgk_y, margin FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY id_x ORDER BY margin DESC, id_y
+      ) AS r FROM sc
+    ) WHERE r = 1
+    """,
+)
+def q221_bitext_margin(spark, sf_dir):
+    """Margin-based bitext scoring (operators/bitext.py stage 2 --
+    Artetxe & Schwenk 2019 ratio margin, the CCMatrix mining
+    criterion): candidate cross-lingual pairs come from a sign-LSH
+    bucket equi-join (never all-pairs); each candidate cosine is
+    normalized by the average of both endpoints' top-4 candidate
+    cosines (id-partitioned windows -- key-local, no global sort) and
+    each source vector keeps its best partner by margin. Fixture:
+    even vec_ids play the source-language pool, odd the target pool.
+    Reference parity: none (monolingual crawler) -- scale-path
+    addition composing with q217's structural candidates."""
+    from .operators.bitext import bitext_margin_scores
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "side", (F.col("vec_id") % 2).cast("int")
+    )
+    return bitext_margin_scores(emb, k=4, bits=8)
+
+
+@q(
+    "q222_jl_projection",
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    pj AS (
+      SELECT vec_id, CAST(j AS INTEGER) AS j,
+             CAST(sum(xm * (1 - 2 * ((dim * 31 + j * 17) % 2)))
+                  AS BIGINT) AS pj
+      FROM ex, unnest(range(0, 16)) AS t(j)
+      GROUP BY vec_id, j
+    ),
+    oss AS (
+      SELECT vec_id, CAST(sum(xm * xm) AS BIGINT) AS orig_ss
+      FROM ex GROUP BY vec_id
+    ),
+    pss AS (
+      SELECT vec_id, CAST(sum(pj * pj) AS BIGINT) AS proj_ss
+      FROM pj GROUP BY vec_id
+    )
+    SELECT p.vec_id, p.j, p.pj, o.orig_ss, s.proj_ss,
+           CAST((s.proj_ss * 1000000)
+                // (greatest(o.orig_ss, 1) * 16) AS BIGINT)
+             AS ratio_micros
+    FROM pj p JOIN oss o USING (vec_id) JOIN pss s USING (vec_id)
+    """,
+)
+def q222_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection to 16 dims with a
+    deterministic +-1 sign matrix (operators/similarity.py
+    jl_random_projection -- Achlioptas 2003): ONE mapInPandas int64
+    matmul per Arrow batch, zero shuffle, embarrassingly parallel.
+    Inputs quantize to integer millis so every projected coordinate is
+    an order-free integer dot product the oracle replays exactly; the
+    per-vector ratio_micros column audits norm preservation
+    (E[proj_ss] = 16 * orig_ss for +-1 signs). The pre-ANN shrink step
+    for 10^12-vector indexes. Reference parity: none."""
+    from .operators.similarity import jl_random_projection
+
+    return jl_random_projection(
+        _read(spark, sf_dir, "embeddings"), out_dim=16, quant=1000
+    )
+
+
+@q(
+    "q223_phrase_search",
+    """
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         w -> length(w) > 0) AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, w[i] AS term, i - 1 AS pos
+      FROM ws, unnest(range(1, len(w) + 1)) AS r(i)
+    ),
+    p0 AS (SELECT doc_id, pos AS p FROM toks WHERE term = 'value'),
+    p1 AS (SELECT doc_id, pos - 1 AS p FROM toks WHERE term = 'table'),
+    p2 AS (SELECT doc_id, pos - 2 AS p FROM toks WHERE term = 'part')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(p) AS BIGINT) AS first_pos
+    FROM p0 JOIN p1 USING (doc_id, p) JOIN p2 USING (doc_id, p)
+    GROUP BY doc_id
+    """,
+)
+def q223_phrase_search(spark, sf_dir):
+    """Exact phrase search ("value table part") via positional-posting
+    self-joins (operators/retrieval.py phrase_search -- Manning IR
+    2.4): the i-th term's postings join the anchor term's on
+    (doc_id, pos + i), so only consecutive-position matches survive.
+    Each join side is first cut to ONE term's postings -- at corpus
+    scale with a term-partitioned posting table the joins move only
+    the phrase terms' rows. Extends q119's doc-level inverted index to
+    the positional form search engines actually serve."""
+    from .operators.retrieval import phrase_search
+
+    return phrase_search(
+        _read(spark, sf_dir, "documents"), "value table part"
+    )
+
+
+@q(
+    "q224_robust_outliers",
+    """
+    WITH med AS (
+      SELECT lang AS grp,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      FROM documents GROUP BY lang
+    ),
+    mad AS (
+      SELECT d.lang AS grp,
+             quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5)
+               AS mad
+      FROM documents d JOIN med m ON d.lang = m.grp
+      GROUP BY d.lang
+    )
+    SELECT d.doc_id AS id, d.lang AS grp,
+           CAST(d.n_chars AS DOUBLE) AS x, m.med, a.mad,
+           CASE WHEN a.mad > 0 THEN
+             round(0.6745 * (CAST(d.n_chars AS DOUBLE) - m.med) / a.mad, 4)
+           END AS z,
+           coalesce(
+             CASE WHEN a.mad > 0 THEN
+               abs(round(0.6745 * (CAST(d.n_chars AS DOUBLE) - m.med)
+                         / a.mad, 4)) > 3.5
+             END, false) AS is_outlier
+    FROM documents d
+    JOIN med m ON d.lang = m.grp
+    JOIN mad a ON d.lang = a.grp
+    """,
+)
+def q224_robust_outliers(spark, sf_dir):
+    """Per-language robust length-outlier gate via median/MAD modified
+    z-score (operators/stats.py robust_outliers_mad -- Iglewicz &
+    Hoaglin 1993): mean/stddev are dragged by the very outliers they
+    should catch; median and MAD have a 50% breakdown point. TWO
+    grouped exact percentile aggregations (partial-agg, never a corpus
+    window), per-group 1-row dims broadcast back, z as per-row codegen;
+    swap both calls to percentile_approx unchanged at 10^12 rows
+    (textstats.length_percentiles' documented KLL path)."""
+    from .operators.stats import robust_outliers_mad
+
+    return robust_outliers_mad(
+        _read(spark, sf_dir, "documents"), "n_chars", "lang"
+    )
+
+
+@q(
+    "q225_personalized_pagerank",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    r0 AS (SELECT doc_id AS node,
+                  CAST(CASE WHEN doc_id < 5 THEN 1000000 ELSE 0 END
+                       AS BIGINT) AS s
+           FROM documents),
+    c1 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+    r1 AS (SELECT d.doc_id AS node,
+                  CAST((CASE WHEN d.doc_id < 5 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+           FROM documents d LEFT JOIN c1 ON d.doc_id = c1.dst),
+    c2 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+    r2 AS (SELECT d.doc_id AS node,
+                  CAST((CASE WHEN d.doc_id < 5 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+           FROM documents d LEFT JOIN c2 ON d.doc_id = c2.dst),
+    c3 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r2 ON e.src = r2.node GROUP BY dst),
+    r3 AS (SELECT d.doc_id AS node,
+                  CAST((CASE WHEN d.doc_id < 5 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS s
+           FROM documents d LEFT JOIN c3 ON d.doc_id = c3.dst)
+    SELECT node, s AS rank_micros FROM r3
+    """,
+)
+def q225_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank / random walk with restart to a 5-node
+    seed set (operators/linkgraph.py personalized_pagerank_micros) --
+    the seed-expansion primitive behind TrustRank propagation and
+    topic-conditioned crawl prioritization: teleport mass goes ONLY to
+    seeds, so rank concentrates in their neighborhoods. Same
+    synthesized 2-out graph and integer-micros floor-division
+    discipline as q83 (partial-sum order cannot perturb results; the
+    oracle unrolls the identical recurrence); joins + partial-agg
+    groupBy per round, seeds broadcast, no actions in the loop."""
+    from .operators.linkgraph import personalized_pagerank_micros
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    seeds = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("node")
+    )
+    return personalized_pagerank_micros(edges, seeds, n_iter=3)
+
+
+@q(
+    "q226_signal_correlations",
+    """
+    WITH sig AS (
+      SELECT source AS grp,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w = 'the')) AS BIGINT) AS n_the
+      FROM documents
+    ),
+    st AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(n_chars) AS sa, sum(n_chars * n_chars) AS saa,
+             sum(n_tokens) AS sb, sum(n_tokens * n_tokens) AS sbb,
+             sum(n_the) AS sc, sum(n_the * n_the) AS scc,
+             sum(n_chars * n_tokens) AS sab,
+             sum(n_chars * n_the) AS sac,
+             sum(n_tokens * n_the) AS sbc
+      FROM sig GROUP BY grp
+    )
+    SELECT grp, 'n_chars' AS sig_i, 'n_tokens' AS sig_j, n,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+           THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                       * CAST(n * sbb - sb * sb AS DOUBLE)), 4)
+           END AS r
+    FROM st
+    UNION ALL
+    SELECT grp, 'n_chars', 'n_the', n,
+           CASE WHEN n * saa - sa * sa > 0 AND n * scc - sc * sc > 0
+           THEN round(CAST(n * sac - sa * sc AS DOUBLE)
+                / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                       * CAST(n * scc - sc * sc AS DOUBLE)), 4)
+           END
+    FROM st
+    UNION ALL
+    SELECT grp, 'n_tokens', 'n_the', n,
+           CASE WHEN n * sbb - sb * sb > 0 AND n * scc - sc * sc > 0
+           THEN round(CAST(n * sbc - sb * sc AS DOUBLE)
+                / sqrt(CAST(n * sbb - sb * sb AS DOUBLE)
+                       * CAST(n * scc - sc * sc AS DOUBLE)), 4)
+           END
+    FROM st
+    """,
+)
+def q226_signal_correlations(spark, sf_dir):
+    """Per-source Pearson correlation of every quality-signal pair
+    (operators/stats.py signal_correlations) -- the redundancy audit
+    before combining curation signals into a composite score: two
+    signals at r > 0.9 double-count one phenomenon. EXACT integer
+    sufficient statistics for all pairs ride ONE partial-agg groupBy
+    (order-free bigint sums -- the repo determinism discipline,
+    stats.py:1-19); the only float op is the final r expression,
+    replayed identically by the oracle. Signals: n_chars, whitespace
+    token count, 'the'-count."""
+    from .operators.stats import signal_correlations
+
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("source").alias("src_grp"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w == F.lit("the"))
+        ).cast("bigint").alias("n_the"),
+    )
+    return signal_correlations(
+        d, ["n_chars", "n_tokens", "n_the"], "src_grp"
+    )

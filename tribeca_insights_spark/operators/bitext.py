@@ -28,7 +28,7 @@ is a pure scale-path addition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # A path segment that IS a language tag: 2-letter ISO 639-1, optionally
 # with a region ("en", "pt-br", "zh_CN"), surrounded by slashes.  Kept
@@ -95,4 +95,98 @@ def bitext_candidates(
     )
     return pairs.select(
         "tpl", "id_a", "lang_a", "size_a", "id_b", "lang_b", "size_b"
+    )
+
+def bitext_margin_scores(
+    emb: DataFrame,
+    k: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    side_col: str = "side",
+) -> DataFrame:
+    """Margin-based bitext pair scoring (stage 2 — Artetxe & Schwenk
+    2019's ratio margin, the CCMatrix / LASER mining criterion):
+    a raw cosine is meaningless across languages because hubness makes
+    some vectors near EVERYTHING; the margin normalizes each candidate
+    cosine by the average cosine of both endpoints' k nearest
+    candidates, so only pairs that stand OUT from their neighborhoods
+    survive::
+
+        margin(x, y) = 2·cos(x, y) / (avgk(x) + avgk(y))
+
+    Scale shape: candidates come from a sign-LSH bucket equi-join
+    (``bits``-bit blocking key — the same primitive as ann_signlsh),
+    never an all-pairs cross; the two k-NN averages are windows
+    PARTITIONED BY the endpoint id (key-local top-k, no global sort);
+    the final best-partner pick is another id-partitioned window. At
+    10^12 vectors every stage is a bucket- or id-keyed shuffle.
+
+    Input: one row per vector with ``side`` ∈ {0, 1} (source vs target
+    language pool). Output: one row per source vector x that met ≥ 1
+    candidate — its best partner by margin, with ``sim``/``avgk_x``/
+    ``margin`` rounded to 4 decimals (the repo-wide cross-engine
+    float-parity contract, similarity.py:9-12); the k-NN averages are
+    rounded to 6 — an average of k<=10 4-decimal sims is EXACT at 6
+    decimals (a grid point, maximally far from any rounding boundary),
+    so both engines feed bit-identical inputs into the margin division
+    (round-4 there was tie-PRONE: sum/4 of 4dp values lands exactly on
+    .xxxx5 midpoints).
+
+    Reference parity: none (single-site monolingual crawler) — pure
+    scale-path addition like :func:`bitext_candidates`, whose output
+    pairs can replace the LSH blocking here 1:1.
+    """
+    from .similarity import _dbl, cosine_col, sign_lsh_bucket
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _dbl(F.col(vec_col)).alias("_v"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.col(side_col).cast("int").alias("_side"),
+    )
+    x = base.filter(F.col("_side") == 0).select(
+        "bucket", F.col("_id").alias("id_x"), F.col("_v").alias("_vx")
+    )
+    y = base.filter(F.col("_side") == 1).select(
+        "bucket", F.col("_id").alias("id_y"), F.col("_v").alias("_vy")
+    )
+    cand = (
+        x.join(y, "bucket")
+        .withColumn("sim", F.round(cosine_col(F.col("_vx"), F.col("_vy")), 4))
+        .select("bucket", "id_x", "id_y", "sim")
+    )
+    wx = Window.partitionBy("id_x").orderBy(F.desc("sim"), F.asc("id_y"))
+    wy = Window.partitionBy("id_y").orderBy(F.desc("sim"), F.asc("id_x"))
+    knn_x = (
+        cand.withColumn("_r", F.row_number().over(wx))
+        .filter(F.col("_r") <= k)
+        .groupBy("id_x")
+        .agg(F.round(F.avg("sim"), 6).alias("avgk_x"))
+    )
+    knn_y = (
+        cand.withColumn("_r", F.row_number().over(wy))
+        .filter(F.col("_r") <= k)
+        .groupBy("id_y")
+        .agg(F.round(F.avg("sim"), 6).alias("avgk_y"))
+    )
+    scored = (
+        cand.join(knn_x, "id_x")
+        .join(knn_y, "id_y")
+        .withColumn(
+            "margin",
+            F.round(
+                F.lit(2.0) * F.col("sim")
+                / (F.col("avgk_x") + F.col("avgk_y")),
+                4,
+            ),
+        )
+    )
+    best = Window.partitionBy("id_x").orderBy(
+        F.desc("margin"), F.asc("id_y")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(best))
+        .filter(F.col("_r") == 1)
+        .select("id_x", "id_y", "sim", "avgk_x", "avgk_y", "margin")
     )

@@ -169,3 +169,62 @@ def inverted_index(
         "postings",
         gaps.alias("gaps"),
     )
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_id, pos) positional posting rows — the index form
+    phrase and proximity queries need (inverted_index's doc-level
+    postings can only answer bag-of-words queries).
+
+    One ``posexplode`` over the whitespace token array: embarrassingly
+    parallel, zero shuffle — materialize it partitioned/bucketed by
+    ``term`` and every downstream phrase join is co-located.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via positional-posting self-joins — the
+    classic search-engine phrase plan (Manning IR §2.4): the i-th
+    phrase term's postings join the first term's on
+    ``(doc_id, pos + i)``, so only documents containing EVERY term at
+    CONSECUTIVE positions survive. Output: (doc_id, n_hits, first_pos)
+    per matching document.
+
+    Scale shape: the n-term phrase is (n−1) equi-joins on
+    (term-filtered!) posting slices — each side is first cut to ONE
+    term's postings (predicate pushdown reaches the scan when the
+    posting table is term-partitioned), so the joins move only the
+    phrase terms' rows, never the corpus. Rarest-term-first ordering
+    and bigram indexes are the classic refinements; both compose here
+    without changing the contract. No windows, no driver loops —
+    n_hits/first_pos are one partial-agg groupBy.
+    """
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    post = positional_postings(docs, id_col, text_col)
+    hits = post.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        hits = hits.join(nxt, ["doc_id", "p0"])
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.min("p0").cast("bigint").alias("first_pos"),
+    )

@@ -175,3 +175,141 @@ def skew_report(
         F.expr("s.n * 1000000L div _tot").alias("share_micros"),
         F.expr("s.cum * 1000000L div _tot").alias("cum_share_micros"),
     )
+
+def robust_outliers_mad(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier detection via the median / MAD z-score
+    (Iglewicz & Hoaglin 1993's modified z) — the length-outlier gate a
+    curation pipeline runs per language: mean/stddev are themselves
+    dragged by the outliers they should catch; median and median-
+    absolute-deviation have a 50% breakdown point, so one pathological
+    host can't move the gate.
+
+        z = 0.6745 · (x − median) / MAD,   outlier ⇔ |z| > threshold
+
+    Shape: TWO grouped exact ``percentile`` aggregations (median, then
+    median of |x − median|), each a partial-agg groupBy over the value
+    column only — never a window over the corpus; the per-group 1-row
+    dims broadcast back onto the row path and the z is per-row codegen.
+    Exact percentile is fine while groups number in the thousands
+    (languages/sources); at 10^12 rows per group swap BOTH calls to
+    ``percentile_approx`` unchanged (same interpolation contract as
+    textstats.length_percentiles' documented KLL path). Degenerate
+    groups (MAD = 0 — over half the values identical) yield NULL z and
+    outlier=false rather than dividing by zero.
+
+    Output: (id, group, x, med, mad, z, is_outlier); z rounded to 4
+    decimals (repo float-parity contract), med/mad exact interpolated
+    doubles identical across engines (both compute (a+b)/2 in IEEE
+    float64).
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = (
+        df.select(
+            F.col(group_col).alias("grp"), v.alias("_x")
+        )
+        .join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("_x") - F.col("med")).alias("_ad"))
+        .groupBy("grp")
+        .agg(F.expr("percentile(_ad, 0.5)").alias("mad"))
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"), 4
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            v.alias("x"),
+        )
+        .join(F.broadcast(med), "grp")
+        .join(F.broadcast(dev), "grp")
+        .select(
+            "id",
+            "grp",
+            "x",
+            "med",
+            "mad",
+            z.alias("z"),
+            F.coalesce(
+                F.abs(z) > F.lit(z_threshold), F.lit(False)
+            ).alias("is_outlier"),
+        )
+    )
+
+
+def signal_correlations(
+    df: DataFrame,
+    signal_cols: list,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation of every quality-signal pair —
+    the redundancy audit run before combining curation signals into a
+    composite score (two signals at r > 0.9 double-count one
+    phenomenon; a filter chain keyed on both is really one gate).
+
+    EXACT integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) for
+    all p(p+1)/2 column pairs in ONE partial-agg groupBy — inputs are
+    cast to bigint (counts/lengths already are; pre-quantize real-
+    valued signals to micros first), so the sums are order-free and
+    the single float op per output cell (the final r = cov/√(vx·vy))
+    is one deterministic IEEE expression replayed identically by any
+    engine. Never a corpus window, never per-pair passes: p² stats
+    ride one shuffle of group-count rows.
+
+    Output: (group, sig_i, sig_j, n, r) for i < j, r rounded to 4
+    decimals, NULL when either variance is 0.
+    """
+    if len(signal_cols) < 2:
+        raise ValueError("need at least two signal columns")
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in signal_cols:
+        aggs.append(F.sum(F.col(c).cast("bigint")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(
+                (F.col(c).cast("bigint") * F.col(c).cast("bigint"))
+            ).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(signal_cols):
+        for b in signal_cols[i + 1:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("bigint") * F.col(b).cast("bigint")
+                ).alias(f"sp_{a}_{b}")
+            )
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    out = None
+    for i, a in enumerate(signal_cols):
+        for b in signal_cols[i + 1:]:
+            n = F.col("n")
+            cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            vx = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            vy = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            r = F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    cov.cast("double")
+                    / F.sqrt(vx.cast("double") * vy.cast("double")),
+                    4,
+                ),
+            )
+            row = stats.select(
+                "grp",
+                F.lit(a).alias("sig_i"),
+                F.lit(b).alias("sig_j"),
+                n.alias("n"),
+                r.alias("r"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
