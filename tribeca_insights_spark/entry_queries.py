@@ -12062,3 +12062,289 @@ def q226_signal_correlations(spark, sf_dir):
     return signal_correlations(
         d, ["n_chars", "n_tokens", "n_the"], "src_grp"
     )
+
+
+# --- wave: KMV pairwise Jaccard / shard-mix KL / banded sentence alignment /
+#           categorical NMI (q227-q230) --------------------------------------
+
+
+@q(
+    "q227_kmv_jaccard",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS w
+      FROM documents
+    ),
+    hsh AS (
+      SELECT DISTINCT source AS grp,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+      FROM tok
+    ),
+    sk AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (
+          PARTITION BY grp ORDER BY h
+        ) AS r FROM hsh
+      ) WHERE r <= 16
+    ),
+    g AS (SELECT DISTINCT grp FROM sk),
+    pairs AS (
+      SELECT a.grp AS ga, b.grp AS gb
+      FROM g a JOIN g b ON a.grp < b.grp
+    ),
+    u AS (
+      SELECT DISTINCT ga, gb, h FROM (
+        SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.grp = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.grp = p.gb
+      )
+    ),
+    uk AS (
+      SELECT ga, gb, h FROM (
+        SELECT ga, gb, h, row_number() OVER (
+          PARTITION BY ga, gb ORDER BY h
+        ) AS r FROM u
+      ) WHERE r <= 16
+    ),
+    tot AS (
+      SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used
+      FROM uk GROUP BY ga, gb
+    ),
+    inter AS (
+      SELECT uk.ga, uk.gb, CAST(count(*) AS BIGINT) AS inter_k
+      FROM uk
+      JOIN sk sa ON sa.grp = uk.ga AND sa.h = uk.h
+      JOIN sk sb ON sb.grp = uk.gb AND sb.h = uk.h
+      GROUP BY uk.ga, uk.gb
+    )
+    SELECT t.ga AS grp_a, t.gb AS grp_b, t.k_used,
+           coalesce(i.inter_k, 0) AS inter_k,
+           coalesce(i.inter_k, 0) * 1000000 // t.k_used
+             AS jaccard_micros
+    FROM tot t LEFT JOIN inter i ON t.ga = i.ga AND t.gb = i.gb
+    """,
+)
+def q227_kmv_jaccard(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard from bottom-k KMV sketches
+    (operators/sketches.py bottomk_jaccard -- Beyer SIGMOD'07 S5 /
+    Broder min-wise): |union-bottom-k ∩ skA ∩ skB| / k_used, computed
+    ONLY from q220's sketches -- the raw corpus is never re-read, which
+    is the whole point at 10^5 shards: the overlap matrix of every
+    shard pair moves k·groups sketch rows. Exact integer arithmetic
+    end-to-end (hash randomness, not float math); group-pair expansion
+    is sketch-sized; union bottom-k is a PAIR-partitioned window."""
+    from .operators.sketches import bottomk_jaccard, bottomk_sketch
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("w"),
+    )
+    return bottomk_jaccard(bottomk_sketch(toks, "source", "w", k=16), k=16)
+
+
+@q(
+    "q228_shard_mix_kl",
+    """
+    WITH pair AS (
+      SELECT doc_id % 8 AS shard, source AS cls,
+             CAST(count(*) AS BIGINT) AS n_sc
+      FROM documents GROUP BY doc_id % 8, source
+    ),
+    st AS (SELECT shard, sum(n_sc) AS n_s FROM pair GROUP BY shard),
+    ct AS (SELECT cls, sum(n_sc) AS n_c FROM pair GROUP BY cls),
+    nn AS (SELECT sum(n_sc) AS n FROM pair),
+    kl AS (
+      SELECT p.shard, max(s.n_s) AS n_docs,
+             CAST(floor(1e6 * sum(
+               (CAST(p.n_sc AS DOUBLE) / s.n_s)
+               * ln(CAST(p.n_sc AS DOUBLE) * nn.n
+                    / (CAST(s.n_s AS DOUBLE) * c.n_c))
+             )) AS BIGINT) AS kl_micros
+      FROM pair p JOIN st s USING (shard) JOIN ct c USING (cls)
+           CROSS JOIN nn
+      GROUP BY p.shard
+    ),
+    dom AS (
+      SELECT shard, cls AS max_class,
+             n_sc * 1000000 // n_s AS max_class_frac_micros
+      FROM (
+        SELECT p.shard, p.cls, p.n_sc, s.n_s, row_number() OVER (
+          PARTITION BY p.shard ORDER BY p.n_sc DESC, p.cls
+        ) AS r
+        FROM pair p JOIN st s USING (shard)
+      ) WHERE r = 1
+    )
+    SELECT k.shard, k.n_docs, k.kl_micros, d.max_class,
+           CAST(d.max_class_frac_micros AS BIGINT)
+             AS max_class_frac_micros
+    FROM kl k JOIN dom d USING (shard)
+    """,
+)
+def q228_shard_mix_kl(spark, sf_dir):
+    """Per-shard composition audit (operators/mixing.py shard_mix_kl):
+    KL divergence of each training shard's source mix from the global
+    mix + the dominant class -- the shuffle-quality gate RefinedWeb/
+    FineWeb shard specs pin to ~0 (sequentially-streamed shards with
+    large KLs = non-stationary training data). Counts ride ONE raw-row
+    shuffle (pair groupBy; marginals re-aggregate from pair counts,
+    dims broadcast); ln floored to micros per q146's proven
+    cross-engine discipline. Shards here: doc_id % 8."""
+    from .operators.mixing import shard_mix_kl
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "shard", F.col("doc_id") % 8
+    )
+    return shard_mix_kl(d, "shard", "source")
+
+
+@q(
+    "q229_sentence_align",
+    """
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         w -> length(w) > 0) AS w
+      FROM documents
+    ),
+    sents AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             CAST((len(w) + 9) // 10 AS BIGINT) AS n_sents,
+             w[(i * 10 + 1):(i * 10 + 10)] AS toks
+      FROM ws, unnest(range(0, (len(w) + 9) // 10)) AS r(i)
+    ),
+    a AS (
+      SELECT doc_id AS pair_id, idx AS i, n_sents AS na,
+             list_distinct(toks) AS ta
+      FROM sents WHERE doc_id < 250
+    ),
+    b AS (
+      SELECT doc_id - 250 AS pair_id, idx AS j, n_sents AS nb,
+             list_distinct(toks) AS tb
+      FROM sents WHERE doc_id >= 250
+    ),
+    cand AS (
+      SELECT a.pair_id, a.i, b.j,
+             CASE WHEN len(list_distinct(list_concat(ta, tb))) > 0
+             THEN CAST(len(list_intersect(ta, tb)) AS BIGINT)
+                  * 1000000
+                  // len(list_distinct(list_concat(ta, tb)))
+             ELSE 0 END AS jacc_micros
+      FROM a JOIN b USING (pair_id)
+      WHERE abs(b.j * a.na - a.i * b.nb) <= 2 * a.na
+    )
+    SELECT pair_id, i, j, CAST(jacc_micros AS BIGINT) AS jacc_micros
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY pair_id, i ORDER BY jacc_micros DESC, j
+      ) AS r FROM cand
+    ) WHERE r = 1
+    """,
+)
+def q229_sentence_align(spark, sf_dir):
+    """Banded diagonal sentence alignment inside candidate document
+    pairs (operators/bitext.py align_sentences_banded -- hunalign /
+    Gale-Church's diagonal-corridor insight made relational): sentence
+    i of the source may only pair inside |j*na - i*nb| <= band*na (the
+    integer cross-multiplied corridor -- no division), scored by exact
+    token-set Jaccard in micros. ONE pair-keyed equi-join (shuffle
+    partitions by document pair, nothing global) + a (pair, i)-
+    partitioned window. Fixture: doc d < 250 pairs with doc d+250;
+    sentences are 10-token slices."""
+    from .operators.bitext import align_sentences_banded
+
+    d = _read(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        .alias("w"),
+    )
+    sents = ws.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.size("w") + 9) / 10).cast("long") - 1,
+            )
+        ).alias("idx"),
+        ((F.size("w") + 9) / 10).cast("long").alias("n_sents"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "idx",
+        "n_sents",
+        F.slice(
+            "w", (F.col("idx") * 10 + 1).cast("int"), 10
+        ).alias("tokens"),
+    )
+    sent_a = sents.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("pair_id"), "idx", "n_sents", "tokens"
+    )
+    sent_b = sents.filter(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("pair_id"),
+        "idx",
+        "n_sents",
+        "tokens",
+    )
+    return align_sentences_banded(sent_a, sent_b, band=2)
+
+
+@q(
+    "q230_categorical_nmi",
+    """
+    WITH pair AS (
+      SELECT lang AS c, source AS t, CAST(count(*) AS BIGINT) AS n_ct
+      FROM documents GROUP BY lang, source
+    ),
+    pc AS (SELECT c, sum(n_ct) AS n_c FROM pair GROUP BY c),
+    pt AS (SELECT t, sum(n_ct) AS n_t FROM pair GROUP BY t),
+    nn AS (SELECT sum(n_ct) AS n FROM pair),
+    mi AS (
+      SELECT max(nn.n) AS n,
+             CAST(floor(1e6 * sum(
+               (CAST(p.n_ct AS DOUBLE) / nn.n)
+               * ln(CAST(p.n_ct AS DOUBLE) * nn.n
+                    / (CAST(pc.n_c AS DOUBLE) * pt.n_t))
+             )) AS BIGINT) AS mi_micros
+      FROM pair p JOIN pc USING (c) JOIN pt USING (t) CROSS JOIN nn
+    ),
+    hc AS (
+      SELECT CAST(floor(-1e6 * sum(
+               (CAST(n_c AS DOUBLE) / nn.n)
+               * ln(CAST(n_c AS DOUBLE) / nn.n)
+             )) AS BIGINT) AS h_pred_micros
+      FROM pc CROSS JOIN nn
+    ),
+    ht AS (
+      SELECT CAST(floor(-1e6 * sum(
+               (CAST(n_t AS DOUBLE) / nn.n)
+               * ln(CAST(n_t AS DOUBLE) / nn.n)
+             )) AS BIGINT) AS h_truth_micros
+      FROM pt CROSS JOIN nn
+    )
+    SELECT CAST(mi.n AS BIGINT) AS n, hc.h_pred_micros,
+           ht.h_truth_micros, mi.mi_micros,
+           CASE WHEN hc.h_pred_micros + ht.h_truth_micros > 0
+           THEN 2 * mi.mi_micros * 1000000
+                // (hc.h_pred_micros + ht.h_truth_micros)
+           END AS nmi_micros
+    FROM mi CROSS JOIN hc CROSS JOIN ht
+    """,
+)
+def q230_categorical_nmi(spark, sf_dir):
+    """Normalized mutual information between two categorical labelings
+    (operators/stats.py categorical_nmi) -- the permutation-invariant
+    extrinsic score for cluster assignments (dedup clusters vs known
+    dup groups; here lang vs source as the on-corpus demo). Exact
+    count ratios from ONE pair groupBy (marginals re-aggregate from
+    pair counts); entropies/MI floored to micros (q146 ln discipline);
+    single-row output, 1-row dims broadcast-crossed."""
+    from .operators.stats import categorical_nmi
+
+    return categorical_nmi(
+        _read(spark, sf_dir, "documents"), "lang", "source"
+    )

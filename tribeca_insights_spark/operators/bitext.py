@@ -190,3 +190,72 @@ def bitext_margin_scores(
         .filter(F.col("_r") == 1)
         .select("id_x", "id_y", "sim", "avgk_x", "avgk_y", "margin")
     )
+
+
+def align_sentences_banded(
+    sent_a: DataFrame,
+    sent_b: DataFrame,
+    band: int = 2,
+) -> DataFrame:
+    """Banded diagonal sentence alignment inside candidate document
+    pairs — hunalign/Gale-Church's core insight made relational:
+    parallel documents align near the DIAGONAL (sentence i of the
+    source sits near position i·nb/na of the target), so restricting
+    candidates to a ±``band`` corridor around it turns the quadratic
+    alignment matrix into a linear one; lexical overlap (exact Jaccard
+    of token sets — cognates/numbers/names survive translation) then
+    picks each source sentence's best partner.
+
+    Inputs: per-side sentence tables (pair_id, idx, n_sents, tokens:
+    array<string>). The corridor condition is stated in INTEGER cross-
+    multiplied form ``|j·na − i·nb| ≤ band·na`` (no division, no
+    floats); similarity is ``jacc_micros = |A∩B|·1e6 div |A∪B|`` on
+    DISTINCT tokens — exact integers end-to-end, strict-oracle-safe.
+
+    Shape: ONE pair_id equi-join (pair-local — the shuffle partitions
+    by document pair, nothing global) with the corridor as a post-join
+    codegen filter; best-partner is a window partitioned by
+    (pair_id, i). At corpus scale pairs are independent: skew is
+    bounded by the longest single document. Output: one row per source
+    sentence with a corridor partner — (pair_id, i, j, jacc_micros).
+    """
+    a = sent_a.select(
+        F.col("pair_id").alias("pid"),
+        F.col("idx").alias("i"),
+        F.col("n_sents").alias("na"),
+        F.array_distinct("tokens").alias("ta"),
+    )
+    b = sent_b.select(
+        F.col("pair_id").alias("pid"),
+        F.col("idx").alias("j"),
+        F.col("n_sents").alias("nb"),
+        F.array_distinct("tokens").alias("tb"),
+    )
+    cand = a.join(b, "pid").filter(
+        F.abs(F.col("j") * F.col("na") - F.col("i") * F.col("nb"))
+        <= F.lit(band) * F.col("na")
+    )
+    scored = cand.select(
+        F.col("pid").alias("pair_id"),
+        "i",
+        "j",
+        F.size(F.array_intersect("ta", "tb"))
+        .cast("bigint")
+        .alias("_i"),
+        F.size(F.array_union("ta", "tb")).cast("bigint").alias("_u"),
+    ).select(
+        "pair_id",
+        "i",
+        "j",
+        F.expr(
+            "CASE WHEN _u > 0 THEN _i * 1000000L div _u ELSE 0L END"
+        ).alias("jacc_micros"),
+    )
+    best = Window.partitionBy("pair_id", "i").orderBy(
+        F.desc("jacc_micros"), F.asc("j")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(best))
+        .filter(F.col("_r") == 1)
+        .select("pair_id", "i", "j", "jacc_micros")
+    )

@@ -522,3 +522,77 @@ def ipf_raking(
         # peel (linkgraph.kcore_bounded): truncate lineage per round.
         w = w.localCheckpoint(eager=False)
     return w.select("row_key", "col_key", "n", "weight_micros")
+
+def shard_mix_kl(
+    df: DataFrame,
+    shard_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Per-shard composition audit: KL divergence of each shard's
+    class mix (language / source / domain) from the global mix —
+    the shuffle-quality check run after shard assignment: a training
+    run that streams shards sequentially sees non-stationary data
+    exactly when these KLs are large (RefinedWeb/FineWeb shard specs
+    pin this to ~0).
+
+        KL(shard ‖ global) = Σ_c (n_sc/n_s) · ln((n_sc·N)/(n_s·N_c))
+
+    Integer counts come from TWO partial-agg groupBys ((shard, class)
+    and the two marginals — the class dim broadcasts, the shard
+    marginal re-aggregates from the pair counts, so raw rows shuffle
+    ONCE); the log expression is per-(shard, class) codegen floored to
+    micros (q146's G² discipline — ln parity at micro precision is
+    oracle-proven). Output: (shard, n_docs, kl_micros, max_class,
+    max_class_frac_micros) — the divergence plus the dominant class
+    for triage.
+    """
+    pair = df.groupBy(
+        F.col(shard_col).alias("shard"), F.col(class_col).alias("cls")
+    ).agg(F.count("*").cast("bigint").alias("n_sc"))
+    shard_tot = pair.groupBy("shard").agg(
+        F.sum("n_sc").alias("n_s")
+    )
+    cls_tot = pair.groupBy("cls").agg(F.sum("n_sc").alias("n_c"))
+    n_tot = pair.agg(F.sum("n_sc").alias("n")).withColumn(
+        "_one", F.lit(1)
+    )
+    terms = (
+        pair.join(shard_tot, "shard")
+        .join(F.broadcast(cls_tot), "cls")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n_tot), "_one")
+        .withColumn(
+            "_term",
+            (F.col("n_sc").cast("double") / F.col("n_s"))
+            * F.log(
+                (F.col("n_sc").cast("double") * F.col("n"))
+                / (F.col("n_s").cast("double") * F.col("n_c"))
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_sc"), F.asc("cls")
+    )
+    dominant = (
+        terms.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "shard",
+            F.col("cls").alias("max_class"),
+            F.expr("n_sc * 1000000L div n_s").alias(
+                "max_class_frac_micros"
+            ),
+        )
+    )
+    kl = terms.groupBy("shard").agg(
+        F.max("n_s").alias("n_docs"),
+        F.floor(F.lit(1e6) * F.sum("_term")).cast("bigint").alias(
+            "kl_micros"
+        ),
+    )
+    return kl.join(dominant, "shard").select(
+        "shard", "n_docs", "kl_micros", "max_class",
+        "max_class_frac_micros",
+    )

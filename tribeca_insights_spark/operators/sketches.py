@@ -346,3 +346,76 @@ def bottomk_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
         .cast("long")
         .alias("est_distinct"),
     )
+
+def bottomk_jaccard(sketch: DataFrame, k: int = 32) -> DataFrame:
+    """Pairwise Jaccard similarity between ALL groups, estimated from
+    their bottom-k (KMV) sketches — the reason to keep KMV around next
+    to HLL: with S = the k smallest hashes of A ∪ B (computable from
+    the two sketches alone), ``|S ∩ skA ∩ skB| / |S|`` is an unbiased
+    Jaccard estimator (Beyer et al. SIGMOD'07 §5; Broder's original
+    min-wise argument). Cross-source overlap matrices at 10^5 shards
+    never touch the raw data — only k·groups sketch rows move.
+
+    Input: :func:`bottomk_sketch` output (grp, rank, h). Output one
+    row per unordered group pair: (grp_a, grp_b, k_used, inter_k,
+    jaccard_micros = inter_k · 1e6 div k_used). Exact integer
+    arithmetic end-to-end (the estimator's randomness lives in the
+    hash, not the math), so the oracle replays it bit-for-bit.
+
+    Shape: the group-pair expansion is sketch-sized (p² pairs × ≤ 2k
+    rows) — broadcast territory by construction; the union bottom-k is
+    a window partitioned by PAIR (never global). No raw-data access.
+    """
+    s = sketch.select("grp", "h")
+    g = s.select("grp").distinct()
+    pairs = (
+        g.select(F.col("grp").alias("ga"))
+        .join(g.select(F.col("grp").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    ua = pairs.join(s.withColumnRenamed("grp", "ga"), "ga").select(
+        "ga", "gb", "h"
+    )
+    ub = pairs.join(s.withColumnRenamed("grp", "gb"), "gb").select(
+        "ga", "gb", "h"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    union_k = (
+        ua.unionByName(ub)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    in_a = s.select(F.col("grp").alias("_ga"), F.col("h").alias("_ha"))
+    in_b = s.select(F.col("grp").alias("_gb"), F.col("h").alias("_hb"))
+    flagged = (
+        union_k.join(
+            in_a,
+            (F.col("ga") == F.col("_ga")) & (F.col("h") == F.col("_ha")),
+            "left_semi",
+        )
+        .join(
+            in_b,
+            (F.col("gb") == F.col("_gb")) & (F.col("h") == F.col("_hb")),
+            "left_semi",
+        )
+        .groupBy("ga", "gb")
+        .agg(F.count("*").cast("bigint").alias("inter_k"))
+    )
+    totals = union_k.groupBy("ga", "gb").agg(
+        F.count("*").cast("bigint").alias("k_used")
+    )
+    return (
+        totals.join(flagged, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("grp_a"),
+            F.col("gb").alias("grp_b"),
+            "k_used",
+            F.coalesce(F.col("inter_k"), F.lit(0)).alias("inter_k"),
+            F.expr(
+                "coalesce(inter_k, 0L) * 1000000L div k_used"
+            ).alias("jaccard_micros"),
+        )
+    )

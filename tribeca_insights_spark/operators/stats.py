@@ -313,3 +313,94 @@ def signal_correlations(
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+def categorical_nmi(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """Normalized mutual information between two categorical labelings
+    — the standard extrinsic quality score for cluster assignments
+    (dedup clusters vs known duplicate groups, topic clusters vs
+    source labels): NMI = 2·I(C;T) / (H(C) + H(T)) ∈ [0, 1], invariant
+    to label permutation, so it scores the PARTITION, not the names.
+
+    All probabilities are exact count ratios from ONE pair groupBy
+    (marginals re-aggregate from the pair counts — raw rows shuffle
+    once); entropies and MI are Σ p·ln(…) floored to micros (q146's
+    cross-engine ln discipline). Output: ONE row
+    (n, h_pred_micros, h_truth_micros, mi_micros, nmi_micros).
+    Degenerate single-class labelings (H = 0 both sides) yield
+    nmi_micros NULL rather than 0/0.
+    """
+    pair = df.groupBy(
+        F.col(pred_col).alias("c"), F.col(truth_col).alias("t")
+    ).agg(F.count("*").cast("bigint").alias("n_ct"))
+    pc = pair.groupBy("c").agg(F.sum("n_ct").alias("n_c"))
+    pt = pair.groupBy("t").agg(F.sum("n_ct").alias("n_t"))
+    n = pair.agg(F.sum("n_ct").alias("n")).withColumn("_one", F.lit(1))
+    joined = (
+        pair.join(F.broadcast(pc), "c")
+        .join(F.broadcast(pt), "t")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(n), "_one")
+    )
+    mi = joined.agg(
+        F.max("n").alias("n"),
+        F.floor(
+            F.lit(1e6)
+            * F.sum(
+                (F.col("n_ct").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("n_ct").cast("double") * F.col("n"))
+                    / (F.col("n_c").cast("double") * F.col("n_t"))
+                )
+            )
+        ).cast("bigint").alias("mi_micros"),
+    ).withColumn("_one", F.lit(1))
+    hc = (
+        pc.withColumn("_one", F.lit(1))
+        .join(F.broadcast(n.select("_one", "n")), "_one")
+        .agg(
+            F.floor(
+                F.lit(-1e6)
+                * F.sum(
+                    (F.col("n_c").cast("double") / F.col("n"))
+                    * F.log(F.col("n_c").cast("double") / F.col("n"))
+                )
+            ).cast("bigint").alias("h_pred_micros")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    ht = (
+        pt.withColumn("_one", F.lit(1))
+        .join(F.broadcast(n.select("_one", "n")), "_one")
+        .agg(
+            F.floor(
+                F.lit(-1e6)
+                * F.sum(
+                    (F.col("n_t").cast("double") / F.col("n"))
+                    * F.log(F.col("n_t").cast("double") / F.col("n"))
+                )
+            ).cast("bigint").alias("h_truth_micros")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        mi.join(hc, "_one")
+        .join(ht, "_one")
+        .select(
+            "n",
+            "h_pred_micros",
+            "h_truth_micros",
+            "mi_micros",
+            F.when(
+                F.col("h_pred_micros") + F.col("h_truth_micros") > 0,
+                F.expr(
+                    "2 * mi_micros * 1000000L div "
+                    "(h_pred_micros + h_truth_micros)"
+                ),
+            ).alias("nmi_micros"),
+        )
+    )
