@@ -12348,3 +12348,102 @@ def q230_categorical_nmi(spark, sf_dir):
     return categorical_nmi(
         _read(spark, sf_dir, "documents"), "lang", "source"
     )
+
+
+# --- wave: contiguous global ids / greedy k-center coreset (q231-q232) -------
+
+
+@q(
+    "q231_contiguous_ids",
+    """
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                      CAST(doc_id AS VARCHAR)
+           ) - 1 AS BIGINT) AS gid
+    FROM documents
+    """,
+)
+def q231_contiguous_ids(spark, sf_dir):
+    """Dense contiguous 0..N-1 id assignment WITHOUT a global sort
+    (operators/layout.py contiguous_ids): the scale-correct
+    replacement for monotonically_increasing_id (not contiguous,
+    layout-dependent) and a global row_number window (single-partition
+    WindowExec -- this repo's banned scale-killer). Bucket = md5 hex
+    nibble; within-bucket ranks from a bucket-PARTITIONED window;
+    bucket offsets = a window-free prefix sum over the 16-row count
+    table, broadcast back. Result provably equals row_number over
+    (md5, key) -- which is exactly what the oracle states -- but the
+    biggest sort anywhere is 1/16 of the corpus (3 nibbles = 1/4096 at
+    10^12 rows)."""
+    from .operators.layout import contiguous_ids
+
+    d = _read(spark, sf_dir, "documents")
+    out = contiguous_ids(d, "doc_id", buckets=16)
+    return out.select("doc_id", "text", "lang", "source", "n_chars",
+                      "gid")
+
+
+@q(
+    "q232_kcenter_coreset",
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    d1 AS (
+      SELECT a.vec_id,
+             CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d
+      FROM ex a JOIN ex b ON a.dim = b.dim AND b.vec_id = 0
+      GROUP BY a.vec_id
+    ),
+    s1 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT a.vec_id,
+             CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d
+      FROM ex a JOIN ex b
+        ON a.dim = b.dim AND b.vec_id = (SELECT vec_id FROM s1)
+      GROUP BY a.vec_id
+    ),
+    m2 AS (SELECT d1.vec_id, least(d1.d, d2.d) AS d
+           FROM d1 JOIN d2 USING (vec_id)),
+    s2 AS (SELECT vec_id, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT a.vec_id,
+             CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d
+      FROM ex a JOIN ex b
+        ON a.dim = b.dim AND b.vec_id = (SELECT vec_id FROM s2)
+      GROUP BY a.vec_id
+    ),
+    m3 AS (SELECT m2.vec_id, least(m2.d, d3.d) AS d
+           FROM m2 JOIN d3 USING (vec_id)),
+    s3 AS (SELECT vec_id, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT CAST(0 AS INTEGER) AS sel_round,
+           CAST(0 AS BIGINT) AS center_id,
+           CAST(NULL AS BIGINT) AS radius_sq_micros2
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), vec_id, d FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), vec_id, d FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), vec_id, d FROM s3
+    """,
+)
+def q232_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/kmeans.py
+    kcenter_greedy -- Gonzalez 1985 farthest-point traversal, the
+    2-approximation): k=4 centers from vec_id 0, each round adding the
+    point FARTHEST from the chosen set. The COVERAGE-guaranteeing
+    diversity-sampling primitive (Sener & Savarese 2018) next to
+    k-means' density clustering (q112). Integer-micros quantization +
+    exact BIGINT squared L2; per round ONE partial-agg
+    max(struct(min_dist2, -id)) -- no window, no sort; k bounded
+    driver actions (the q50 loop discipline). radius_sq_micros2 is
+    the coverage radius-squared at selection time."""
+    from .operators.kmeans import kcenter_greedy
+
+    return kcenter_greedy(
+        _read(spark, sf_dir, "embeddings"), k=4, start_id=0
+    )

@@ -335,3 +335,81 @@ def embedding_outliers(
                 F.col("dist2").cast("bigint").alias("dist2"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 4,
+    start_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation): repeatedly add the point FARTHEST
+    from the chosen set. The diversity-sampling primitive behind
+    coreset-based data selection (Sener & Savarese 2018 active
+    learning; diverse prompt/document subset picks): k-means picks
+    DENSE regions, k-center guarantees COVERAGE — every point ends
+    within the returned radius of some center.
+
+    Determinism: integer-micros quantization (:func:`to_micros`) and
+    exact BIGINT squared L2 (:func:`_dist2`), argmax ties broken by
+    smaller id — the oracle replays each round bit-for-bit.
+
+    Shape per round: ONE narrow aggregation over the corpus —
+    ``max(struct(min_dist2, -id))`` (partial-agg combinable, no window,
+    no sort); the running min-distance column updates by comparison
+    against the newly selected center (broadcast as literals — centers
+    are k rows by construction). k bounded driver actions total, the
+    q50 loop discipline; at 10^12 rows each round is one scan+agg, and
+    the standard refinement (localCheckpoint the min-dist column every
+    few rounds) composes. Output: (sel_round, center_id,
+    radius_sq_micros2) — the selected centers with the coverage radius²
+    AT selection time (round 0's radius is NULL: nothing selected yet).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        to_micros(F.col(vec_col)).alias("_v"),
+    )
+    first = pts.filter(F.col("_id") == start_id).select("_v").head()
+    if first is None:
+        raise ValueError(f"start_id {start_id} not found")
+    centers = [(0, int(start_id), None)]
+    center_vec = [int(x) for x in first["_v"]]
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+    cur = pts.select(
+        "_id", "_v", _dist2(F.col("_v"), lit_vec(center_vec)).alias("_d")
+    )
+    for rnd in range(1, k):
+        far = cur.agg(
+            F.max(F.struct(F.col("_d"), (-F.col("_id")).alias("_n")))
+            .alias("m")
+        ).head()["m"]
+        next_id = -far["_n"]
+        radius = far["_d"]
+        centers.append((rnd, int(next_id), int(radius)))
+        nxt = pts.filter(F.col("_id") == next_id).select("_v").head()
+        nxt_vec = [int(x) for x in nxt["_v"]]
+        cur = cur.select(
+            "_id",
+            "_v",
+            F.least(
+                F.col("_d"), _dist2(F.col("_v"), lit_vec(nxt_vec))
+            ).alias("_d"),
+        )
+    spark = emb.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_round", T.IntegerType(), False),
+            T.StructField("center_id", T.LongType(), False),
+            T.StructField("radius_sq_micros2", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(centers, schema)

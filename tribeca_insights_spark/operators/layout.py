@@ -67,3 +67,73 @@ def zorder_layout(
     return df.select("*", z.alias("zkey")).select(
         "*", F.expr(f"zkey div {width}L").alias("file_idx")
     )
+
+
+def contiguous_ids(
+    df: DataFrame,
+    key_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Dense contiguous 0..N−1 id assignment WITHOUT a global sort —
+    the scale-correct replacement for both ``monotonically_increasing_
+    id`` (not contiguous, partition-layout-dependent) and a global
+    ``row_number()`` window (single-partition WindowExec, the
+    scale-killer this repo bans). Training pipelines need exactly this
+    when materializing doc/sample ids for sharded tensors.
+
+    Two-stage bucketed ranking, all deterministic in VALUES (never in
+    partition layout): bucket = first hex nibble(s) of md5(key); ranks
+    within a bucket come from a bucket-PARTITIONED window ordered by
+    (md5, key); bucket offsets are an exclusive prefix sum over the
+    (≤ ``buckets``-row) count table, computed window-free by the
+    sorted-array/aggregate trick (skew_report's pattern) and broadcast
+    back. Global id = bucket offset + within-bucket rank − 1; the
+    result is EXACTLY row_number over (md5(key), key) order — which is
+    what the oracle states — but the biggest sort anywhere is one
+    bucket (1/``buckets`` of the corpus; raise ``buckets`` with corpus
+    size, e.g. 4096 via 3 nibbles at 10^12 rows).
+
+    ``key_col`` should be unique (url, content hash); duplicate keys
+    get distinct ids deterministically (md5 ties break by key, then
+    arbitrary-but-stable? no — equal keys are equal in both orderings,
+    so their relative ids are NOT pinned; dedup first if that
+    matters). Output: original columns + ``gid``.
+    """
+    if buckets not in (16, 256, 4096):
+        raise ValueError("buckets must be 16, 256, or 4096 (hex nibbles)")
+    nibbles = {16: 1, 256: 2, 4096: 3}[buckets]
+    h = F.md5(F.col(key_col).cast("string"))
+    d = df.withColumn("_h", h).withColumn(
+        "_b", F.substring("_h", 1, nibbles)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_b").orderBy("_h", key_col)
+    ranked = d.withColumn("_r", F.row_number().over(w))
+    counts = d.groupBy("_b").agg(F.count("*").alias("_n"))
+    # exclusive prefix sum over <= `buckets` rows, window-free
+    arr = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_b"), F.col("_n")))
+        ).alias("a")
+    )
+    offsets = arr.select(
+        F.posexplode(
+            F.transform(
+                "a",
+                lambda s, i: F.struct(
+                    s["_b"].alias("_b"),
+                    F.aggregate(
+                        F.slice("a", F.lit(1), i),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x["_n"],
+                    ).alias("_off"),
+                ),
+            )
+        ).alias("_pos", "s")
+    ).select(F.col("s._b").alias("_b"), F.col("s._off").alias("_off"))
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn("gid", F.col("_off") + F.col("_r") - 1)
+        .drop("_h", "_b", "_r", "_off")
+    )
