@@ -12447,3 +12447,164 @@ def q232_kcenter_coreset(spark, sf_dir):
     return kcenter_greedy(
         _read(spark, sf_dir, "embeddings"), k=4, start_id=0
     )
+
+
+# --- wave: deterministic graph walks / OOV vocab curve / Borda rank fusion
+#           (q233-q235) -------------------------------------------------------
+
+
+@q(
+    "q233_graph_walks",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    s1 AS (
+      SELECT start, nb AS v1 FROM (
+        SELECT n.node AS start, e.dst AS nb, row_number() OVER (
+          PARTITION BY n.node
+          ORDER BY md5(CAST(n.node AS VARCHAR) || '-1-'
+                       || CAST(e.dst AS VARCHAR)), e.dst
+        ) AS r
+        FROM nodes n JOIN e ON e.src = n.node
+      ) WHERE r = 1
+    ),
+    s2 AS (
+      SELECT start, nb AS v2 FROM (
+        SELECT s1.start, e.dst AS nb, row_number() OVER (
+          PARTITION BY s1.start
+          ORDER BY md5(CAST(s1.v1 AS VARCHAR) || '-2-'
+                       || CAST(e.dst AS VARCHAR)), e.dst
+        ) AS r
+        FROM s1 JOIN e ON e.src = s1.v1
+      ) WHERE r = 1
+    )
+    SELECT n.node AS start, s1.v1, s2.v2
+    FROM nodes n
+    LEFT JOIN s1 ON s1.start = n.node
+    LEFT JOIN s2 ON s2.start = n.node
+    """,
+)
+def q233_graph_walks(spark, sf_dir):
+    """Hash-seeded deterministic random walks (operators/linkgraph.py
+    deterministic_walks) -- the DeepWalk/node2vec positive-sample
+    generator made REPRODUCIBLE: at step t the walker at v moves to
+    the out-neighbor minimizing md5(v-t-nb), so two runs (or engine vs
+    oracle) emit identical walks while choices stay hash-random across
+    nodes/steps. Per step ONE src-keyed join + a partial-agg
+    min(struct(hash, nb)) -- the arg-min rides the aggregation, no
+    window, no driver action in the loop. Same synthesized 2-out graph
+    as q83; 2 steps."""
+    from .operators.linkgraph import deterministic_walks
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return deterministic_walks(edges, steps=2)
+
+
+@q(
+    "q234_oov_rate",
+    """
+    WITH tok AS (
+      SELECT lang AS grp,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS w
+      FROM documents
+    ),
+    tc AS (
+      SELECT grp, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY grp, w
+    ),
+    rk AS (
+      SELECT grp, w, c, row_number() OVER (
+        PARTITION BY grp ORDER BY c DESC, w
+      ) AS r FROM tc
+    )
+    SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN r <= 100 THEN c ELSE 0 END) AS BIGINT)
+             AS top_v_tokens,
+           (sum(c) - sum(CASE WHEN r <= 100 THEN c ELSE 0 END))
+             * 1000000 // sum(c) AS oov_micros
+    FROM rk GROUP BY grp
+    """,
+)
+def q234_oov_rate(spark, sf_dir):
+    """Per-language out-of-vocabulary rate at a top-100 frequency
+    vocabulary (operators/textstats.py oov_rate) -- the tokenizer-
+    design truncation-cost number next to q171's HHI concentration
+    and q180's BPE fertility. Term counts ride ONE map-combined
+    groupBy; the vocab cut is a window over the TERM table partitioned
+    by language (never the corpus); boundary ties rank (count DESC,
+    term ASC) so the oracle replays the exact cut. Exact integer
+    micros."""
+    from .operators.textstats import oov_rate
+
+    return oov_rate(
+        _read(spark, sf_dir, "documents"), vocab_size=100
+    )
+
+
+@q(
+    "q235_borda_fusion",
+    """
+    WITH sig AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                  AS BIGINT) AS rank_n_chars,
+             CAST(row_number() OVER (ORDER BY n_tokens, doc_id)
+                  AS BIGINT) AS rank_n_tokens
+      FROM sig
+    )
+    SELECT doc_id, rank_n_chars, rank_n_tokens,
+           rank_n_chars + rank_n_tokens AS borda
+    FROM rk
+    """,
+)
+def q235_borda_fusion(spark, sf_dir):
+    """Borda-count rank fusion of quality signals (operators/layout.py
+    borda_fusion over global_rank): signals on incomparable scales
+    (chars, tokens, perplexity...) ensemble by summing their GLOBAL
+    ranks -- calibration-free and outlier-immune. The oracle states
+    two global row_number windows; the operator produces the identical
+    ranks via contiguous_ids' bucketed two-stage trick generalized to
+    range buckets (score div width) -- the biggest sort anywhere is
+    one bucket, never the corpus (the single-partition WindowExec this
+    repo bans)."""
+    from .operators.layout import borda_fusion
+
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return borda_fusion(
+        d, ["n_chars", "n_tokens"], "doc_id", [64, 16]
+    )

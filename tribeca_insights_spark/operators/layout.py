@@ -137,3 +137,97 @@ def contiguous_ids(
         .withColumn("gid", F.col("_off") + F.col("_r") - 1)
         .drop("_h", "_b", "_r", "_off")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    bucket_width: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Global ascending dense 1..N rank of ``score_col`` WITHOUT a
+    global sort — :func:`contiguous_ids`' two-stage trick generalized
+    to an arbitrary integer sort key: bucket = ``score div
+    bucket_width`` (value-determined range buckets), rank within a
+    bucket from a bucket-PARTITIONED window ordered by (score, id),
+    bucket offsets from a window-free prefix sum over the bucket-count
+    table (sorted-array/aggregate codegen, broadcast back). Result ≡
+    ``row_number() OVER (ORDER BY score, id)`` — what the oracle
+    states — with the biggest sort anywhere being one bucket.
+
+    Pick ``bucket_width`` so the bucket COUNT stays in the thousands
+    (the prefix-sum array is O(buckets²) in codegen) and no single
+    bucket dwarfs the rest (for Zipf-ish scores, width the buckets in
+    the log domain upstream). Ties rank deterministically by id.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    s = F.col(score_col).cast("bigint")
+    d = df.withColumn("_b", F.expr(
+        f"CAST({score_col} AS BIGINT) div {bucket_width}"
+    ))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_b").orderBy(s.asc(), F.col(id_col).asc())
+    ranked = d.withColumn("_r", F.row_number().over(w))
+    counts = d.groupBy("_b").agg(F.count("*").alias("_n"))
+    arr = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_b"), F.col("_n")))
+        ).alias("a")
+    )
+    offsets = arr.select(
+        F.posexplode(
+            F.transform(
+                "a",
+                lambda st, i: F.struct(
+                    st["_b"].alias("_b"),
+                    F.aggregate(
+                        F.slice("a", F.lit(1), i),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x["_n"],
+                    ).alias("_off"),
+                ),
+            )
+        ).alias("_pos", "s")
+    ).select(F.col("s._b").alias("_b"), F.col("s._off").alias("_off"))
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn(rank_name, F.col("_off") + F.col("_r"))
+        .drop("_b", "_r", "_off")
+    )
+
+
+def borda_fusion(
+    df: DataFrame,
+    signal_cols: list,
+    id_col: str,
+    bucket_widths: list,
+) -> DataFrame:
+    """Borda-count rank fusion of multiple quality signals — the
+    scale-robust ensemble when signals live on incomparable scales
+    (chars vs perplexity vs link count): convert each signal to its
+    global rank, sum the ranks. Rank fusion needs no calibration, is
+    outlier-immune, and is the standard first ensemble in retrieval
+    and data-selection stacks (cf. reciprocal-rank fusion).
+
+    Each signal's rank comes from :func:`global_rank` (bucketed
+    two-stage — NEVER a global window); higher signal = better, so
+    ranks ascend with the signal and ``borda`` sums them (max = best).
+    Output: (id, rank_<sig>…, borda). All integers, oracle-exact.
+    """
+    if len(signal_cols) != len(bucket_widths):
+        raise ValueError("one bucket_width per signal required")
+    out = df
+    for c, wdt in zip(signal_cols, bucket_widths):
+        out = global_rank(out, c, id_col, wdt, rank_name=f"rank_{c}")
+    borda = None
+    for c in signal_cols:
+        r = F.col(f"rank_{c}")
+        borda = r if borda is None else borda + r
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"rank_{c}") for c in signal_cols],
+        borda.cast("bigint").alias("borda"),
+    )

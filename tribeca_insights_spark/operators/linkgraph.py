@@ -1140,3 +1140,59 @@ def personalized_pagerank_micros(
             ).alias("s"),
         )
     return ranks.select("node", F.col("s").alias("rank_micros"))
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    steps: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hash-seeded deterministic random walks — one walk of length
+    ``steps`` from EVERY node: at step t the walker at v moves to the
+    out-neighbor minimizing ``md5(v || '-' || t || '-' || nb)``. The
+    positive-sample generator for DeepWalk/node2vec-style graph
+    embedding training data, made REPRODUCIBLE: the "randomness" is a
+    hash of (position, step, candidate), so two runs — or an engine
+    and its oracle — emit identical walks, while across nodes/steps
+    the choices are as good as random (md5 avalanche).
+
+    Shape per step: ONE src-keyed equi-join (frontier × out-edges)
+    then a partial-agg ``min(struct(hash, nb))`` groupBy(start) — the
+    arg-min rides the aggregation, no window, no sort, no driver
+    action in the loop. ``steps`` is a fixed unroll like
+    pagerank_micros' rounds. Walkers at sinks (no out-edges) stop —
+    inner join drops them; their walk columns are NULL in the final
+    left-join assembly. Output: (start, v1 … v<steps>).
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    out = nodes.select(F.col("node").alias("start"))
+    cur = out.withColumn("_v", F.col("start"))
+    for t in range(1, steps + 1):
+        h = F.md5(
+            F.concat_ws(
+                "-",
+                F.col("_v").cast("string"),
+                F.lit(str(t)),
+                F.col("_d").cast("string"),
+            )
+        )
+        step = (
+            cur.join(e, cur["_v"] == e["_s"])
+            .select("start", h.alias("_h"), F.col("_d").alias("_nb"))
+            .groupBy("start")
+            .agg(F.min(F.struct("_h", "_nb")).alias("_m"))
+            .select("start", F.col("_m._nb").alias(f"v{t}"))
+        )
+        out = out.join(step, "start", "left")
+        cur = step.select("start", F.col(f"v{t}").alias("_v")).filter(
+            F.col("_v").isNotNull()
+        )
+    return out

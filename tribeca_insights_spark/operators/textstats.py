@@ -1704,3 +1704,54 @@ def shrunk_group_quality(
             f" div (n_docs + {alpha}L)"
         ).alias("shrunk_micros"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate at a top-``vocab_size``
+    frequency vocabulary — the tokenizer-design number: what fraction
+    of running tokens falls outside the V most frequent types if the
+    vocab is trained per language. Complements vocab_concentration's
+    HHI (q171) with the actual truncation cost curve point.
+
+    Shape: term counts = ONE map-combined groupBy (term-count-sized);
+    the top-V pick is a window PARTITIONED BY group over the term
+    table (never the corpus; term counts per language are bounded);
+    totals re-aggregate from the same term table. Exact integers:
+    ``oov_micros = (n_tokens − top_v_tokens) · 1e6 div n_tokens``.
+    Ties at the vocab boundary rank by (count DESC, term ASC) — the
+    deterministic cut the oracle replays.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "),
+                     lambda w: F.length(w) > 0)
+        ).alias("w"),
+    )
+    tc = toks.groupBy("grp", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("w"))
+    ranked = tc.withColumn("_r", F.row_number().over(win))
+    per_grp = ranked.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("_r") <= vocab_size, F.col("c"))
+              .otherwise(F.lit(0))).alias("top_v_tokens"),
+    )
+    return per_grp.select(
+        "grp",
+        "n_tokens",
+        "n_types",
+        "top_v_tokens",
+        F.expr(
+            "(n_tokens - top_v_tokens) * 1000000L div n_tokens"
+        ).alias("oov_micros"),
+    )
