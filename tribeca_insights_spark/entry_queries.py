@@ -12608,3 +12608,226 @@ def q235_borda_fusion(spark, sf_dir):
     return borda_fusion(
         d, ["n_chars", "n_tokens"], "doc_id", [64, 16]
     )
+
+
+# --- wave: embedding drift / gate agreement kappa / dedup transitivity
+#           (q236-q238) -------------------------------------------------------
+
+
+@q(
+    "q236_embedding_drift",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(vec_id % 2 AS VARCHAR) AS batch, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    s AS (
+      SELECT batch, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xm) AS BIGINT) AS sx
+      FROM ex GROUP BY batch, dim
+    ),
+    pair AS (
+      SELECT a.batch AS batch_a, b.batch AS batch_b, a.dim,
+             a.n AS n_a, b.n AS n_b,
+             (a.sx * 1000) // a.n - (b.sx * 1000) // b.n AS diff
+      FROM s a JOIN s b ON a.dim = b.dim AND a.batch < b.batch
+    )
+    SELECT batch_a, batch_b, max(n_a) AS n_a, max(n_b) AS n_b,
+           CAST(sum(diff * diff) AS BIGINT) AS dist_sq_milli2,
+           array_to_string(
+             (list(dim ORDER BY abs(diff) DESC, dim))[1:5], ','
+           ) AS top_dims_str
+    FROM pair GROUP BY batch_a, batch_b
+    """,
+)
+def q236_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between corpus batches (operators/
+    similarity.py embedding_drift): exact integer-milli mean vectors
+    per batch (ONE map-combined groupBy -- D rows per batch move),
+    then squared L2 distance between means + the 5 highest-drift
+    dimensions per batch pair -- the covariate-shift monitor run
+    before mixing a new crawl into an index (q219's moments are the
+    second-moment companion). Floor division uses the grouped_ols
+    numerator-adjust idiom so NEGATIVE sums floor identically in both
+    engines. Batches here: vec_id % 2."""
+    from .operators.similarity import embedding_drift
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "_batch", (F.col("vec_id") % 2).cast("string")
+    )
+    out = embedding_drift(emb, "_batch", quant=1000, top_dims=5)
+    return out.select(
+        "batch_a",
+        "batch_b",
+        "n_a",
+        "n_b",
+        "dist_sq_milli2",
+        F.array_join(
+            F.transform(
+                "top_drift_dims", lambda d: d.cast("string")
+            ),
+            ",",
+        ).alias("top_dims_str"),
+    )
+
+
+@q(
+    "q237_gate_agreement",
+    """
+    WITH g AS (
+      SELECT CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS g_long,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> length(w) > 0)) > 80
+                  THEN 1 ELSE 0 END AS g_many_tokens,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> w = 'the')) >= 5
+                  THEN 1 ELSE 0 END AS g_the_heavy
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g_long) AS BIGINT) AS pa,
+             CAST(sum(g_many_tokens) AS BIGINT) AS pb,
+             CAST(sum(g_the_heavy) AS BIGINT) AS pc,
+             CAST(sum(g_long * g_many_tokens) AS BIGINT) AS nab,
+             CAST(sum(g_long * g_the_heavy) AS BIGINT) AS nac,
+             CAST(sum(g_many_tokens * g_the_heavy) AS BIGINT) AS nbc
+      FROM g
+    )
+    SELECT 'g_long' AS gate_a, 'g_many_tokens' AS gate_b, n,
+           nab AS n11, pa - nab AS n10, pb - nab AS n01,
+           n - pa - pb + nab AS n00,
+           CASE WHEN nab + (pa - nab) + (pb - nab) > 0
+           THEN nab * 1000000 // (nab + (pa - nab) + (pb - nab)) END
+             AS jaccard_micros,
+           CASE WHEN n * n - (pa * pb + (n - pa) * (n - pb)) > 0
+           THEN CAST((1000000 * (n * (nab + n - pa - pb + nab)
+                      - (pa * pb + (n - pa) * (n - pb))))
+                // (n * n - (pa * pb + (n - pa) * (n - pb)))
+                AS BIGINT) END AS kappa_micros
+    FROM st
+    UNION ALL
+    SELECT 'g_long', 'g_the_heavy', n,
+           nac, pa - nac, pc - nac, n - pa - pc + nac,
+           CASE WHEN nac + (pa - nac) + (pc - nac) > 0
+           THEN nac * 1000000 // (nac + (pa - nac) + (pc - nac)) END,
+           CASE WHEN n * n - (pa * pc + (n - pa) * (n - pc)) > 0
+           THEN CAST((1000000 * (n * (nac + n - pa - pc + nac)
+                      - (pa * pc + (n - pa) * (n - pc))))
+                // (n * n - (pa * pc + (n - pa) * (n - pc)))
+                AS BIGINT) END
+    FROM st
+    UNION ALL
+    SELECT 'g_many_tokens', 'g_the_heavy', n,
+           nbc, pb - nbc, pc - nbc, n - pb - pc + nbc,
+           CASE WHEN nbc + (pb - nbc) + (pc - nbc) > 0
+           THEN nbc * 1000000 // (nbc + (pb - nbc) + (pc - nbc)) END,
+           CASE WHEN n * n - (pb * pc + (n - pb) * (n - pc)) > 0
+           THEN CAST((1000000 * (n * (nbc + n - pb - pc + nbc)
+                      - (pb * pc + (n - pb) * (n - pc))))
+                // (n * n - (pb * pc + (n - pb) * (n - pc)))
+                AS BIGINT) END
+    FROM st
+    """,
+)
+def q237_gate_agreement(spark, sf_dir):
+    """Pairwise agreement audit of boolean curation gates
+    (operators/stats.py boolean_gate_agreement): 2x2 confusion counts,
+    positive-set Jaccard and Cohen's kappa for every gate pair -- the
+    filter-redundancy numbers (kappa ~ 1 = duplicate gates) read
+    before chaining filters. Kappa's float form is restated as an
+    exact integer rational with floor-safe division (grouped_ols
+    idiom); ALL pairs ride ONE partial aggregation. Gates here:
+    n_chars > 400, tokens > 80, >= 5 'the'."""
+    from .operators.stats import boolean_gate_agreement
+
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") > 400).alias("g_long"),
+        (F.size(toks) > 80).alias("g_many_tokens"),
+        (
+            F.size(
+                F.filter(
+                    F.split("text", " "), lambda w: w == F.lit("the")
+                )
+            )
+            >= 5
+        ).alias("g_the_heavy"),
+    )
+    return boolean_gate_agreement(
+        d, ["g_long", "g_many_tokens", "g_the_heavy"]
+    )
+
+
+@q(
+    "q238_dedup_transitivity",
+    """
+    WITH p0 AS (
+      SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+      WHERE doc_id % 4 IN (0, 1)
+        AND doc_id + 1 < (SELECT count(*) FROM documents)
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents
+      WHERE doc_id % 8 = 0
+        AND doc_id + 2 < (SELECT count(*) FROM documents)
+    ),
+    canon AS (
+      SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM p0
+    ),
+    sym AS (
+      SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon
+    ),
+    wedges AS (
+      SELECT e1.u AS x, e2.v AS z
+      FROM sym e1 JOIN sym e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+    ),
+    closed AS (
+      SELECT w.x, w.z FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM canon c
+                    WHERE c.u = w.x AND c.v = w.z)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_closed,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges)
+             - (SELECT CAST(count(*) AS BIGINT) FROM closed)
+             AS n_open,
+           CASE WHEN (SELECT count(*) FROM wedges) > 0
+           THEN (SELECT CAST(count(*) AS BIGINT) FROM closed)
+                * 1000000 // (SELECT count(*) FROM wedges)
+           END AS closure_micros
+    """,
+)
+def q238_dedup_transitivity(spark, sf_dir):
+    """Transitivity audit of a near-duplicate pair relation
+    (operators/dedup.py pair_transitivity_audit): connected-components
+    dedup (q50) merges x and z whenever (x,y),(y,z) are pairs --
+    closure_micros says how often the detector itself backs that leap
+    (low closure = threshold chaining, the known LSH failure mode;
+    Spacerini/SlimPajama-style audits report exactly this). Wedge
+    enumeration = ONE middle-node equi-join of the symmetrized pair
+    list (q130 triangle shape, skew bounded by max degree), closure =
+    left-semi against canonical pairs. Fixture: chain pairs (d,d+1)
+    for d%4 in {0,1} + closing pairs (d,d+2) at d%8=0 -> closure 50%
+    by construction."""
+    from .operators.dedup import pair_transitivity_audit
+
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    chains = d.filter(
+        (F.col("doc_id") % 4 < 2) & (F.col("doc_id") + 1 < n)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    closers = d.filter(
+        (F.col("doc_id") % 8 == 0) & (F.col("doc_id") + 2 < n)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2).alias("id_b"),
+    )
+    return pair_transitivity_audit(chains.unionByName(closers))

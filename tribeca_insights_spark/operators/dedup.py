@@ -1795,3 +1795,61 @@ def aligned_span_pairs(
         .select("a_id", "b_id", "diag", "start_a", "start_b",
                 F.col("run_tokens").cast("long").alias("run_tokens"))
     )
+
+
+def pair_transitivity_audit(pairs: DataFrame,
+                            a_col: str = "id_a",
+                            b_col: str = "id_b") -> DataFrame:
+    """Transitivity audit of a near-duplicate PAIR relation — the
+    dedup-quality number cluster-based dedup silently assumes: when
+    (x,y) and (y,z) are called duplicates, connected-components (q50)
+    will merge x and z whether or not the detector agrees. The closure
+    rate says how often that leap is detector-backed (low closure =
+    aggressive threshold + chaining risk, the known LSH failure mode).
+
+    Counts open/closed wedges with THREE keyed equi-joins — wedge
+    enumeration joins the symmetrized edge list on the middle node
+    (the q130 triangle-counting shape; skew bounded by max degree,
+    salt the middle key if a hub dominates), closure checks by
+    left-semi/anti against the canonical pair set. No windows, no
+    driver loops. Output: one row (n_pairs, n_wedges, n_closed,
+    n_open, closure_micros = n_closed·1e6 div n_wedges; NULL when
+    wedge-free).
+    """
+    canon = pairs.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("u"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+    ).distinct()
+    sym = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    e1 = sym.select(F.col("u").alias("x"), F.col("v").alias("m"))
+    e2 = sym.select(F.col("u").alias("m"), F.col("v").alias("z"))
+    wedges = (
+        e1.join(e2, "m")
+        .filter(F.col("x") < F.col("z"))
+        .select("x", "z")
+    )
+    closed = wedges.join(
+        canon,
+        (F.col("x") == F.col("u")) & (F.col("z") == F.col("v")),
+        "left_semi",
+    )
+    n_pairs = canon.agg(F.count("*").cast("bigint").alias("n_pairs"))
+    n_w = wedges.agg(F.count("*").cast("bigint").alias("n_wedges"))
+    n_c = closed.agg(F.count("*").cast("bigint").alias("n_closed"))
+    return (
+        n_pairs.withColumn("_one", F.lit(1))
+        .join(n_w.withColumn("_one", F.lit(1)), "_one")
+        .join(n_c.withColumn("_one", F.lit(1)), "_one")
+        .select(
+            "n_pairs",
+            "n_wedges",
+            "n_closed",
+            (F.col("n_wedges") - F.col("n_closed")).alias("n_open"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("n_closed * 1000000L div n_wedges"),
+            ).alias("closure_micros"),
+        )
+    )

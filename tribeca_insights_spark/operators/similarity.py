@@ -665,3 +665,117 @@ def jl_random_projection(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
     ).mapInPandas(_project, schema=schema)
+
+def embedding_drift(
+    emb: DataFrame,
+    batch_col: str,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    top_dims: int = 5,
+) -> DataFrame:
+    """Embedding-space drift between corpus batches (crawl snapshots,
+    training runs): per batch the exact integer-milli mean vector, and
+    per BATCH PAIR the squared L2 distance between means plus the
+    ``top_dims`` highest-drift dimensions — the distribution-shift
+    monitor run before mixing a new crawl into an embedding index or
+    retraining a quality classifier on it (mean shift is the first
+    moment of covariate shift; q219's moments give the second).
+
+    All sums are exact int64 over quantized values (one map-combined
+    groupBy — D rows per batch out), so means are exact rationals
+    ``(sum, n)`` and every pairwise statistic is integer arithmetic on
+    a batches×D table: mean_diff_milli(d) = sx_a·1e3 div n_a −
+    sx_b·1e3 div n_b (milli-units of the original scale);
+    dist_sq = Σ_d diff². Batch pairs are group-count-sized — broadcast
+    territory. Output: (batch_a, batch_b, n_a, n_b, dist_sq_milli2,
+    top_drift_dims array<int>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("batch", T.StringType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sx", T.LongType()),
+        ]
+    )
+    q = int(quant)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for b, grp in pdf.groupby("_b"):
+                x = np.asarray(grp["_v"].tolist(), dtype=np.float64)
+                xm = np.floor(x * q).astype(np.int64)
+                s = xm.sum(axis=0)
+                d = xm.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "batch": [str(b)] * d,
+                        "dim": np.arange(d, dtype=np.int32),
+                        "n": np.full(d, xm.shape[0], dtype=np.int64),
+                        "sx": s,
+                    }
+                )
+
+    parts = emb.select(
+        F.col(batch_col).cast("string").alias("_b"),
+        F.col(vec_col).alias("_v"),
+    ).mapInPandas(_partials, schema=schema)
+    sums = parts.groupBy("batch", "dim").agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx")
+    )
+    a = sums.select(
+        F.col("batch").alias("batch_a"),
+        "dim",
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+    )
+    b = sums.select(
+        F.col("batch").alias("batch_b"),
+        "dim",
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+    )
+    pair = a.join(b, "dim").filter(F.col("batch_a") < F.col("batch_b"))
+    # floor division that agrees across engines for NEGATIVE sums
+    # (Spark div truncates, DuckDB // floors): adjust the numerator to
+    # exact divisibility first — the grouped_ols idiom (stats.py).
+    fd_a = "(sx_a * 1000 - ((sx_a * 1000 % n_a + n_a) % n_a)) div n_a"
+    fd_b = "(sx_b * 1000 - ((sx_b * 1000 % n_b + n_b) % n_b)) div n_b"
+    with_diff = pair.withColumn("_diff", F.expr(f"{fd_a} - {fd_b}"))
+    agg = with_diff.groupBy("batch_a", "batch_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("_diff") * F.col("_diff")).alias("dist_sq_milli2"),
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.abs(F.col("_diff")).alias("a"),
+                            (-F.col("dim")).alias("nd"),
+                            F.col("dim").alias("d"),
+                        )
+                    )
+                )
+            ),
+            1,
+            top_dims,
+        ).alias("_top"),
+    )
+    return agg.select(
+        "batch_a",
+        "batch_b",
+        "n_a",
+        "n_b",
+        "dist_sq_milli2",
+        F.transform(F.col("_top"), lambda s: s["d"]).alias(
+            "top_drift_dims"
+        ),
+    )

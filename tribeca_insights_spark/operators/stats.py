@@ -404,3 +404,69 @@ def categorical_nmi(
             ).alias("nmi_micros"),
         )
     )
+
+
+def boolean_gate_agreement(
+    df: DataFrame,
+    gate_cols: list,
+) -> DataFrame:
+    """Pairwise agreement audit of boolean curation gates (Gopher
+    flags, badwords, soft-404, quality verdicts…): for every gate pair
+    the 2×2 confusion counts, positive-set Jaccard, and Cohen's κ —
+    the filter-redundancy numbers (two gates at κ ≈ 1 are one gate;
+    a gate pair at κ < 0 is actively contradictory) read before
+    chaining filters into a pipeline.
+
+    EXACT integer arithmetic throughout: κ's usual float form
+    ``(pₒ − pₑ)/(1 − pₑ)`` is the integer rational
+    ``(n·(n11+n00) − (a1·b1 + a0·b0)) · 1e6 div (n² − (a1·b1+a0·b0))``
+    (numerator may be negative — floor-safe division via the
+    grouped_ols numerator-adjust idiom). ALL pairs' counts ride ONE
+    partial-agg aggregation (sums of 0/1 products); output is
+    pair-count-sized. Degenerate pairs (pₑ = 1: both gates constant)
+    yield NULL κ; empty positive unions yield NULL Jaccard.
+    """
+    if len(gate_cols) < 2:
+        raise ValueError("need at least two gate columns")
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    ints = {c: F.col(c).cast("int").cast("bigint") for c in gate_cols}
+    for c in gate_cols:
+        aggs.append(F.sum(ints[c]).alias(f"p_{c}"))
+    for i, a in enumerate(gate_cols):
+        for b in gate_cols[i + 1:]:
+            aggs.append(F.sum(ints[a] * ints[b]).alias(f"n11_{a}_{b}"))
+    stats = df.agg(*aggs)
+    out = None
+    for i, a in enumerate(gate_cols):
+        for b in gate_cols[i + 1:]:
+            n11 = f"n11_{a}_{b}"
+            expr = {
+                "n10": f"(p_{a} - {n11})",
+                "n01": f"(p_{b} - {n11})",
+                "n00": f"(n - p_{a} - p_{b} + {n11})",
+            }
+            pe_num = (
+                f"(p_{a} * p_{b} + (n - p_{a}) * (n - p_{b}))"
+            )
+            knum = f"(n * ({n11} + {expr['n00']}) - {pe_num})"
+            kden = f"(n * n - {pe_num})"
+            kappa = (
+                f"CASE WHEN {kden} > 0 THEN "
+                f"(1000000 * {knum} - ((1000000 * {knum} % {kden} "
+                f"+ {kden}) % {kden})) div {kden} END"
+            )
+            juni = f"({n11} + {expr['n10']} + {expr['n01']})"
+            row = stats.selectExpr(
+                f"'{a}' AS gate_a",
+                f"'{b}' AS gate_b",
+                "n",
+                f"{n11} AS n11",
+                f"CAST({expr['n10']} AS BIGINT) AS n10",
+                f"CAST({expr['n01']} AS BIGINT) AS n01",
+                f"CAST({expr['n00']} AS BIGINT) AS n00",
+                f"CASE WHEN {juni} > 0 THEN {n11} * 1000000 div {juni} "
+                f"END AS jaccard_micros",
+                f"CAST({kappa} AS BIGINT) AS kappa_micros",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
