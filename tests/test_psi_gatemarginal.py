@@ -1,0 +1,120 @@
+"""q239-q240 wave: PSI feature drift, gate marginal attribution."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from tribeca_insights_spark.operators.stats import psi_drift
+from tribeca_insights_spark.operators.textstats import (
+    gate_marginal_attribution,
+)
+
+
+# --- PSI ---------------------------------------------------------------------
+
+
+def test_psi_identical_batches_zero(spark):
+    rows = [
+        Row(b=str(i % 2), v=(i // 2) * 10 % 300) for i in range(200)
+    ]
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "b", bin_width=100
+    ).collect()[0]
+    assert out["psi_micros"] == 0
+    assert out["n_a"] == out["n_b"] == 100
+
+
+def test_psi_shifted_batch_positive(spark):
+    rows = [Row(b="0", v=50) for _ in range(50)] + [
+        Row(b="1", v=250) for _ in range(50)
+    ]
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "b", bin_width=100
+    ).collect()[0]
+    # fully disjoint bins: large PSI
+    assert out["psi_micros"] > 1_000_000
+    assert out["n_bins"] == 2
+
+
+def test_psi_matches_hand_formula_with_epsilon(spark):
+    # batch 0: 30 in bin0, 10 in bin1; batch 1: 10 in bin0, 30 in bin1
+    rows = (
+        [Row(b="0", v=10) for _ in range(30)]
+        + [Row(b="0", v=110) for _ in range(10)]
+        + [Row(b="1", v=10) for _ in range(10)]
+        + [Row(b="1", v=110) for _ in range(30)]
+    )
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "b", bin_width=100
+    ).collect()[0]
+    n_bins = 2
+    na1, nb1 = 40 + n_bins, 40 + n_bins
+    psi = 0.0
+    for ca, cb in ((31, 11), (11, 31)):
+        p, q = ca / na1, cb / nb1
+        psi += (p - q) * math.log(p / q)
+    assert out["psi_micros"] == math.floor(1e6 * psi)
+
+
+def test_psi_bad_width(spark):
+    df = spark.createDataFrame([Row(b="0", v=1)])
+    with pytest.raises(ValueError):
+        psi_drift(df, "v", "b", bin_width=0)
+
+
+# --- gate marginal -----------------------------------------------------------
+
+
+def test_marginal_unique_vs_shared_kills(spark):
+    rows = [
+        Row(a=True, b=False),   # unique to a
+        Row(a=True, b=True),    # shared
+        Row(a=False, b=True),   # unique to b
+        Row(a=False, b=False),  # survivor
+        Row(a=True, b=False),   # unique to a
+    ]
+    out = {
+        r["gate"]: r
+        for r in gate_marginal_attribution(
+            spark.createDataFrame(rows), ["a", "b"]
+        ).collect()
+    }
+    assert out["a"]["n_docs"] == 5
+    assert out["a"]["n_killed_total"] == 4
+    assert out["a"]["n_kills"] == 3
+    assert out["a"]["n_unique_kills"] == 2
+    assert out["a"]["unique_share_micros"] == 2 * 1_000_000 // 3
+    assert out["b"]["n_kills"] == 2
+    assert out["b"]["n_unique_kills"] == 1
+
+
+def test_marginal_redundant_gate_zero_unique(spark):
+    rows = [Row(a=bool(i % 2), b=bool(i % 2)) for i in range(10)]
+    out = {
+        r["gate"]: r
+        for r in gate_marginal_attribution(
+            spark.createDataFrame(rows), ["a", "b"]
+        ).collect()
+    }
+    # perfectly redundant pair: nothing is unique to either
+    assert out["a"]["n_unique_kills"] == 0
+    assert out["b"]["n_unique_kills"] == 0
+
+
+def test_marginal_never_firing_gate_null_share(spark):
+    rows = [Row(a=False, b=True) for _ in range(3)]
+    out = {
+        r["gate"]: r
+        for r in gate_marginal_attribution(
+            spark.createDataFrame(rows), ["a", "b"]
+        ).collect()
+    }
+    assert out["a"]["n_kills"] == 0
+    assert out["a"]["unique_share_micros"] is None
+
+
+def test_marginal_empty_gates_raise(spark):
+    df = spark.createDataFrame([Row(a=True)])
+    with pytest.raises(ValueError):
+        gate_marginal_attribution(df, [])

@@ -12831,3 +12831,139 @@ def q238_dedup_transitivity(spark, sf_dir):
         (F.col("doc_id") + 2).alias("id_b"),
     )
     return pair_transitivity_audit(chains.unionByName(closers))
+
+
+# --- wave: PSI feature drift / gate marginal attribution (q239-q240) ---------
+
+
+@q(
+    "q239_psi_drift",
+    """
+    WITH binned AS (
+      SELECT CAST(doc_id % 2 AS VARCHAR) AS b,
+             n_chars // 100 AS bin
+      FROM documents
+    ),
+    counts AS (
+      SELECT b, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY b, bin
+    ),
+    tot AS (SELECT b, sum(c) AS n FROM counts GROUP BY b),
+    bins AS (SELECT DISTINCT bin FROM counts),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+    pairs AS (
+      SELECT a.b AS batch_a, a.n AS n_a, y.b AS batch_b, y.n AS n_b
+      FROM tot a JOIN tot y ON a.b < y.b
+    ),
+    cells AS (
+      SELECT p.batch_a, p.batch_b, p.n_a, p.n_b, bins.bin,
+             coalesce(ca.c, 0) + 1 AS ca1,
+             coalesce(cb.c, 0) + 1 AS cb1,
+             nb.n_bins
+      FROM pairs p CROSS JOIN bins CROSS JOIN nb
+      LEFT JOIN counts ca ON ca.b = p.batch_a AND ca.bin = bins.bin
+      LEFT JOIN counts cb ON cb.b = p.batch_b AND cb.bin = bins.bin
+    )
+    SELECT batch_a, batch_b, max(n_a) AS n_a, max(n_b) AS n_b,
+           max(n_bins) AS n_bins,
+           CAST(floor(1e6 * sum(
+             (CAST(ca1 AS DOUBLE) / (n_a + n_bins)
+              - CAST(cb1 AS DOUBLE) / (n_b + n_bins))
+             * ln((CAST(ca1 AS DOUBLE) * (n_b + n_bins))
+                  / (CAST(cb1 AS DOUBLE) * (n_a + n_bins)))
+           )) AS BIGINT) AS psi_micros
+    FROM cells GROUP BY batch_a, batch_b
+    """,
+)
+def q239_psi_drift(spark, sf_dir):
+    """Population Stability Index of doc length between corpus batches
+    (operators/stats.py psi_drift) -- the binned scalar-drift release
+    gate (PSI < 0.1 stable / > 0.25 shift) next to q228's shard KL and
+    q236's embedding mean drift. Fixed-width VALUE bins (n_chars div
+    100 -- reproducible across engines and runs, unlike quantile
+    bins); symmetric eps=1 pseudo-counts handle one-sided-empty bins;
+    counts ride ONE (batch, bin) partial agg; ln floored to micros
+    (q146 discipline). Batches: doc_id % 2."""
+    from .operators.stats import psi_drift
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "_batch", (F.col("doc_id") % 2).cast("string")
+    )
+    return psi_drift(d, "n_chars", "_batch", bin_width=100)
+
+
+@q(
+    "q240_gate_marginal",
+    """
+    WITH g AS (
+      SELECT CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS g_long,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> length(w) > 0)) > 80
+                  THEN 1 ELSE 0 END AS g_many_tokens,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> w = 'the')) >= 5
+                  THEN 1 ELSE 0 END AS g_the_heavy
+      FROM documents
+    ),
+    f AS (
+      SELECT g_long, g_many_tokens, g_the_heavy,
+             g_long + g_many_tokens + g_the_heavy AS n_failing
+      FROM g
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_failing > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_killed_total,
+             CAST(sum(g_long) AS BIGINT) AS k_a,
+             CAST(sum(CASE WHEN g_long = 1 AND n_failing = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS u_a,
+             CAST(sum(g_many_tokens) AS BIGINT) AS k_b,
+             CAST(sum(CASE WHEN g_many_tokens = 1 AND n_failing = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS u_b,
+             CAST(sum(g_the_heavy) AS BIGINT) AS k_c,
+             CAST(sum(CASE WHEN g_the_heavy = 1 AND n_failing = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS u_c
+      FROM f
+    )
+    SELECT 'g_long' AS gate, n_docs, n_killed_total, k_a AS n_kills,
+           u_a AS n_unique_kills,
+           CASE WHEN k_a > 0 THEN u_a * 1000000 // k_a END
+             AS unique_share_micros
+    FROM st
+    UNION ALL
+    SELECT 'g_many_tokens', n_docs, n_killed_total, k_b, u_b,
+           CASE WHEN k_b > 0 THEN u_b * 1000000 // k_b END
+    FROM st
+    UNION ALL
+    SELECT 'g_the_heavy', n_docs, n_killed_total, k_c, u_c,
+           CASE WHEN k_c > 0 THEN u_c * 1000000 // k_c END
+    FROM st
+    """,
+)
+def q240_gate_marginal(spark, sf_dir):
+    """Marginal kill attribution per curation gate (operators/
+    textstats.py gate_marginal_attribution): n_kills vs n_unique_kills
+    (docs that come BACK if the gate is dropped) -- the ablation
+    bookkeeping next to q200's order-dependent funnel and q237's
+    pairwise kappa: a gate with many kills but zero unique kills is
+    free to delete. ONE aggregation (per-row n_failing is codegen;
+    every gate's counters ride the same partial agg). Same three
+    fixture gates as q237."""
+    from .operators.textstats import gate_marginal_attribution
+
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") > 400).alias("g_long"),
+        (F.size(toks) > 80).alias("g_many_tokens"),
+        (
+            F.size(
+                F.filter(
+                    F.split("text", " "), lambda w: w == F.lit("the")
+                )
+            )
+            >= 5
+        ).alias("g_the_heavy"),
+    )
+    return gate_marginal_attribution(
+        d, ["g_long", "g_many_tokens", "g_the_heavy"]
+    )

@@ -1755,3 +1755,59 @@ def oov_rate(
             "(n_tokens - top_v_tokens) * 1000000L div n_tokens"
         ).alias("oov_micros"),
     )
+
+
+def gate_marginal_attribution(
+    df: DataFrame,
+    gate_cols: list,
+) -> DataFrame:
+    """Marginal kill attribution per curation gate: for each boolean
+    gate (True = remove the doc), how many docs it kills at all
+    (``n_kills``) and how many ONLY it kills (``n_unique_kills`` — the
+    docs that come BACK if the gate is dropped). The ablation
+    bookkeeping read next to the funnel (q200: first-failing-gate
+    counts) and the pairwise κ audit (q237): funnel counts depend on
+    gate ORDER, κ says gates overlap, marginal attribution says what
+    each gate is worth — a gate with large n_kills but zero
+    n_unique_kills is free to delete.
+
+    ONE aggregation over the corpus: per-row ``n_failing = Σ gates``
+    is codegen, every gate's two counters are conditional sums riding
+    the same partial agg; the per-gate projection unions 1-row
+    selects. Output: (gate, n_docs, n_killed_total, n_kills,
+    n_unique_kills, unique_share_micros = n_unique·1e6 div n_kills,
+    NULL when the gate never fires).
+    """
+    if not gate_cols:
+        raise ValueError("need at least one gate column")
+    ints = {c: F.col(c).cast("int") for c in gate_cols}
+    n_failing = None
+    for c in gate_cols:
+        n_failing = ints[c] if n_failing is None else n_failing + ints[c]
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((n_failing > 0).cast("int")).cast("bigint").alias(
+            "n_killed_total"
+        ),
+    ]
+    for c in gate_cols:
+        aggs.append(F.sum(ints[c]).cast("bigint").alias(f"k_{c}"))
+        aggs.append(
+            F.sum(
+                (ints[c] * (n_failing == 1).cast("int"))
+            ).cast("bigint").alias(f"u_{c}")
+        )
+    stats = df.agg(*aggs)
+    out = None
+    for c in gate_cols:
+        row = stats.selectExpr(
+            f"'{c}' AS gate",
+            "n_docs",
+            "n_killed_total",
+            f"k_{c} AS n_kills",
+            f"u_{c} AS n_unique_kills",
+            f"CASE WHEN k_{c} > 0 THEN u_{c} * 1000000 div k_{c} END "
+            "AS unique_share_micros",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
