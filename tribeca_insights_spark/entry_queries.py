@@ -12967,3 +12967,206 @@ def q240_gate_marginal(spark, sf_dir):
     return gate_marginal_attribution(
         d, ["g_long", "g_many_tokens", "g_the_heavy"]
     )
+
+
+# --- wave: token-budget shard manifest / ranking metrics / table profile
+#           (q241-q243) -------------------------------------------------------
+
+
+@q(
+    "q241_shard_manifest",
+    """
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT)
+               AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, h, tok,
+             CAST(coalesce(sum(tok) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum
+      FROM t
+    ),
+    s AS (SELECT doc_id, h, tok, cum // 2000 AS shard_id FROM c)
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           arg_min(doc_id, h) AS first_id,
+           arg_max(doc_id, h) AS last_id
+    FROM s GROUP BY shard_id
+    """,
+)
+def q241_shard_manifest(spark, sf_dir):
+    """Token-budget training-shard manifest (operators/layout.py
+    token_shard_manifest over global_cumsum): docs stream in md5
+    order, each shard fills a 2000-token budget, shard_id = exclusive
+    token cumsum div budget. The oracle states the global running sum
+    the operator NEVER runs: global_cumsum extends q231/q235's
+    bucketed two-stage trick from ranks to SUMS (per-bucket totals
+    prefix-summed window-free + a bucket-partitioned running-sum
+    window), so the biggest running sum anywhere is one md5-nibble
+    bucket. Manifest = one partial-agg groupBy(shard_id)."""
+    from .operators.layout import token_shard_manifest
+
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    return token_shard_manifest(d, "n_tokens", "doc_id", budget=2000)
+
+
+@q(
+    "q242_ranking_metrics",
+    """
+    WITH ranked AS (
+      SELECT q, doc_id, rank,
+             CASE WHEN doc_id % 7 = q % 7 THEN 1 ELSE 0 END AS rel
+      FROM (
+        SELECT qs.q, d.doc_id, row_number() OVER (
+          PARTITION BY qs.q
+          ORDER BY md5(CAST(qs.q AS VARCHAR) || '-'
+                       || CAST(d.doc_id AS VARCHAR)), d.doc_id
+        ) AS rank
+        FROM documents d
+        CROSS JOIN (SELECT DISTINCT doc_id AS q FROM documents
+                    WHERE doc_id < 8) qs
+      ) WHERE rank <= 10
+    ),
+    base AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n_ranked,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+             CAST(sum(CASE WHEN rank <= 5 AND rel > 0 THEN 1 ELSE 0
+                      END) AS BIGINT) AS hits_k,
+             CAST(floor(1e6 * sum(
+               CASE WHEN rank <= 5
+               THEN CAST(rel AS DOUBLE) / ln(rank + 1)
+               ELSE 0 END)) AS BIGINT) AS dcg_micros
+      FROM ranked GROUP BY q
+    ),
+    ideal AS (
+      SELECT q, CAST(floor(1e6 * sum(
+               CAST(rel AS DOUBLE) / ln(ir + 1))) AS BIGINT)
+               AS idcg_micros
+      FROM (
+        SELECT q, rel, row_number() OVER (
+          PARTITION BY q ORDER BY rel DESC, rank
+        ) AS ir FROM ranked
+      ) WHERE ir <= 5 GROUP BY q
+    )
+    SELECT b.q AS query_id, b.n_ranked, b.n_rel,
+           CASE WHEN b.first_rel IS NOT NULL
+           THEN CAST(1000000 // b.first_rel AS BIGINT) END
+             AS mrr_micros,
+           b.hits_k * 1000000 // 5 AS p_at_k_micros,
+           b.dcg_micros, i.idcg_micros,
+           CASE WHEN i.idcg_micros > 0
+           THEN b.dcg_micros * 1000000 // i.idcg_micros END
+             AS ndcg_micros
+    FROM base b JOIN ideal i ON b.q = i.q
+    """,
+)
+def q242_ranking_metrics(spark, sf_dir):
+    """Per-query ranking quality -- MRR, precision@5, nDCG@5
+    (operators/retrieval.py ranking_metrics): the offline order-
+    quality eval next to q154's ROC-AUC and q184's ANN recall. DCG in
+    NATURAL-log units (nDCG's ratio cancels the base, so it equals
+    the textbook log2 value while keeping q146's proven ln parity);
+    everything floors to micros; zero-relevant queries yield NULL.
+    Fixture: 8 queries rank docs by md5 (deterministic pseudo-BM25),
+    rel = doc_id % 7 == q % 7, top-10 kept."""
+    from .operators.retrieval import ranking_metrics
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    qs = d.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("q").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.col("doc_id"),
+    )
+    ranked = (
+        d.crossJoin(F.broadcast(qs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("q").alias("query_id"),
+            "rank",
+            F.when(
+                F.col("doc_id") % 7 == F.col("q") % 7, F.lit(1)
+            ).otherwise(F.lit(0)).alias("rel"),
+        )
+    )
+    return ranking_metrics(ranked, k=5)
+
+
+@q(
+    "q243_table_profile",
+    """
+    WITH lc AS (
+      SELECT CAST(lang AS VARCHAR) AS v, count(*) AS c
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    sc AS (
+      SELECT CAST(source AS VARCHAR) AS v, count(*) AS c
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    ),
+    nc AS (
+      SELECT CAST(n_chars AS VARCHAR) AS v, count(*) AS c
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    )
+    SELECT 'lang' AS col_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+           (SELECT CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM documents) AS n_null,
+           (SELECT CAST(count(*) AS BIGINT) FROM lc) AS n_distinct,
+           (SELECT v FROM lc ORDER BY c DESC, v DESC LIMIT 1)
+             AS top_value,
+           (SELECT CAST(c AS BIGINT) FROM lc
+            ORDER BY c DESC, v DESC LIMIT 1) AS top_count
+    UNION ALL
+    SELECT 'source',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           (SELECT CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) FROM documents),
+           (SELECT CAST(count(*) AS BIGINT) FROM sc),
+           (SELECT v FROM sc ORDER BY c DESC, v DESC LIMIT 1),
+           (SELECT CAST(c AS BIGINT) FROM sc
+            ORDER BY c DESC, v DESC LIMIT 1)
+    UNION ALL
+    SELECT 'n_chars',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           (SELECT CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) FROM documents),
+           (SELECT CAST(count(*) AS BIGINT) FROM nc),
+           (SELECT v FROM nc ORDER BY c DESC, v DESC LIMIT 1),
+           (SELECT CAST(c AS BIGINT) FROM nc
+            ORDER BY c DESC, v DESC LIMIT 1)
+    """,
+)
+def q243_table_profile(spark, sf_dir):
+    """Per-column data-quality profile (operators/stats.py
+    table_profile -- the dbt-test/Deequ release audit): null rate,
+    exact distinct count, dominant value per column; constant or
+    fallback pollution ('', 'unknown') shows up as a top_value with an
+    outsized top_count. Per column ONE map-combined value-count
+    groupBy + ONE max(struct) argmax (ties documented: largest value);
+    approx_count_distinct swap documented for 10^12 rows. Profiled:
+    lang, source, n_chars."""
+    from .operators.stats import table_profile
+
+    return table_profile(
+        _read(spark, sf_dir, "documents"), ["lang", "source", "n_chars"]
+    )

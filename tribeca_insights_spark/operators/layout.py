@@ -231,3 +231,111 @@ def borda_fusion(
         *[F.col(f"rank_{c}") for c in signal_cols],
         borda.cast("bigint").alias("borda"),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_hash_col: str,
+    id_col: str,
+    cum_name: str = "cum",
+) -> DataFrame:
+    """Global EXCLUSIVE running sum of ``value_col`` in
+    (``order_hash_col``, ``id_col``) order — :func:`global_rank`'s
+    bucketed two-stage trick extended from ranks to SUMS, because a
+    global cumulative sum is otherwise a single-partition WindowExec
+    (the banned scale-killer) and ``monotonically_increasing_id`` +
+    driver arithmetic is layout-dependent. The primitive behind
+    token-budget shard boundaries, byte-offset assignment in packed
+    files, and quota waterlines.
+
+    ``order_hash_col`` must be a hex-string ordering key (md5-style —
+    contiguous_ids' convention); buckets are its first nibble, so the
+    biggest sort AND the biggest running sum anywhere is one bucket.
+    Per-bucket value totals prefix-sum window-free (sorted-array
+    aggregate codegen, ≤16 rows) and broadcast back; the within-bucket
+    running sum is a bucket-partitioned window. Result ≡
+    ``sum(value) OVER (ORDER BY hash, id ROWS UNBOUNDED PRECEDING) −
+    value`` — what the oracle states.
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("_b", F.substring(F.col(order_hash_col), 1, 1))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(order_hash_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("bigint")
+    ranked = d.withColumn("_run", F.sum(v).over(w) - v)
+    sums = d.groupBy("_b").agg(F.sum(v).alias("_n"))
+    arr = sums.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_b"), F.col("_n")))
+        ).alias("a")
+    )
+    offsets = arr.select(
+        F.posexplode(
+            F.transform(
+                "a",
+                lambda st, i: F.struct(
+                    st["_b"].alias("_b"),
+                    F.aggregate(
+                        F.slice("a", F.lit(1), i),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x["_n"],
+                    ).alias("_off"),
+                ),
+            )
+        ).alias("_pos", "s")
+    ).select(F.col("s._b").alias("_b"), F.col("s._off").alias("_off"))
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn(cum_name, F.col("_off") + F.col("_run"))
+        .drop("_b", "_run", "_off")
+    )
+
+
+def token_shard_manifest(
+    docs: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget training-shard manifest: documents stream in a
+    deterministic md5 order; each shard takes consecutive documents
+    until its token budget fills; the manifest (one row per shard:
+    id range, doc count, token count) is the release artifact next to
+    the datasheet (q207). A doc's shard is a pure function of the
+    EXCLUSIVE global token cumsum: ``shard_id = cum_before div
+    budget`` — the standard offset-bucketing rule (a doc straddling a
+    boundary belongs to the shard it started in; shards may overfill
+    by at most one document, never underfill).
+
+    The cumsum comes from :func:`global_cumsum` (bucketed two-stage —
+    no global window anywhere); the manifest is one partial-agg
+    groupBy(shard_id). Output: (shard_id, n_docs, n_tokens, first_id,
+    last_id) where first/last are in stream order (min/max of the md5
+    hash mapped back to ids via min/max struct).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    d = docs.withColumn(
+        "_h", F.md5(F.col(id_col).cast("string"))
+    )
+    c = global_cumsum(d, tokens_col, "_h", id_col, cum_name="_cum")
+    shards = c.withColumn(
+        "shard_id", F.expr("_cum div " + str(int(budget)))
+    )
+    return (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("bigint")).alias("n_tokens"),
+            F.min(F.struct("_h", F.col(id_col).alias("_i")))["_i"]
+            .alias("first_id"),
+            F.max(F.struct("_h", F.col(id_col).alias("_i")))["_i"]
+            .alias("last_id"),
+        )
+        .select("shard_id", "n_docs", "n_tokens", "first_id", "last_id")
+    )

@@ -228,3 +228,96 @@ def phrase_search(
         F.count("*").cast("bigint").alias("n_hits"),
         F.min("p0").cast("bigint").alias("first_pos"),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking quality — MRR, precision@k, nDCG@k — over any
+    (query, rank, relevance) table (BM25 q114, hybrid rerank, ANN
+    q184's recall companion). The offline-eval primitive next to
+    q154's ROC-AUC (classification) and q184's ANN recall
+    (candidate-set quality): this one scores the ORDER.
+
+        DCG@k  = Σ_{i≤k} rel_i / ln(i + 1)
+        nDCG@k = DCG@k / IDCG@k   (ideal = rels sorted desc)
+
+    DCG uses the NATURAL log (nats-scaled DCG): nDCG is a ratio, so
+    the base cancels and matches the textbook log2 value exactly,
+    while ln keeps the q146-proven cross-engine float-parity
+    discipline (log2 is one more libm call to disagree on).
+
+    Shape: every statistic is a query-partitioned aggregation or
+    window over the RANKED table (≤ k·queries rows when the input is
+    already top-k — bounded, never corpus-sized). The ln terms floor
+    to micros (q146 discipline). Zero-relevant queries
+    yield NULL mrr/ndcg rather than 0/0. Output: (query_id, n_ranked,
+    n_rel, mrr_micros, p_at_k_micros, dcg_micros, idcg_micros,
+    ndcg_micros).
+    """
+    from pyspark.sql import Window
+
+    r = ranked.select(
+        F.col(query_col).alias("q"),
+        F.col(rank_col).cast("int").alias("rank"),
+        F.col(rel_col).cast("bigint").alias("rel"),
+    )
+    gain = F.col("rel").cast("double") / F.log(F.col("rank") + 1)
+    base = r.groupBy("q").agg(
+        F.count("*").cast("bigint").alias("n_ranked"),
+        F.sum((F.col("rel") > 0).cast("bigint")).alias("n_rel"),
+        F.min(
+            F.when(F.col("rel") > 0, F.col("rank"))
+        ).alias("_first_rel"),
+        F.sum(
+            F.when(
+                (F.col("rank") <= k) & (F.col("rel") > 0), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("_hits_k"),
+        F.floor(
+            F.lit(1e6)
+            * F.sum(F.when(F.col("rank") <= k, gain).otherwise(F.lit(0.0)))
+        ).cast("bigint").alias("dcg_micros"),
+    )
+    iw = Window.partitionBy("q").orderBy(
+        F.desc("rel"), F.asc("rank")
+    )
+    ideal = (
+        r.withColumn("_ir", F.row_number().over(iw))
+        .filter(F.col("_ir") <= k)
+        .groupBy("q")
+        .agg(
+            F.floor(
+                F.lit(1e6)
+                * F.sum(
+                    F.col("rel").cast("double")
+                    / F.log(F.col("_ir") + 1)
+                )
+            ).cast("bigint").alias("idcg_micros")
+        )
+    )
+    return (
+        base.join(ideal, "q")
+        .select(
+            F.col("q").alias("query_id"),
+            "n_ranked",
+            "n_rel",
+            F.when(
+                F.col("_first_rel").isNotNull(),
+                F.expr("1000000 div _first_rel").cast("bigint"),
+            ).alias("mrr_micros"),
+            F.expr(f"_hits_k * 1000000L div {int(k)}").alias(
+                "p_at_k_micros"
+            ),
+            "dcg_micros",
+            "idcg_micros",
+            F.when(
+                F.col("idcg_micros") > 0,
+                F.expr("dcg_micros * 1000000L div idcg_micros"),
+            ).alias("ndcg_micros"),
+        )
+    )

@@ -578,3 +578,55 @@ def psi_drift(
             "psi_micros"
         ),
     )
+
+
+def table_profile(
+    df: DataFrame,
+    cols: list,
+) -> DataFrame:
+    """Per-column data-quality profile — (col_name, n, n_null,
+    n_distinct, top_value, top_count) — the dbt-test/Deequ-style
+    release audit run on every published table: null rates catch
+    broken extraction, distinct counts catch key collapse, the top
+    value catches constant/fallback pollution ("", "unknown", 0).
+
+    Per column: value counts are a map-combined groupBy (value-
+    cardinality-sized), the argmax rides ONE ``max(struct(cnt,
+    value))`` aggregation — ties break by lexicographically LARGEST
+    value (the struct ordering; documented contract, deterministic in
+    both engines). n_distinct is exact here; at 10^12 rows swap the
+    distinct counts to ``approx_count_distinct`` and the groupBys
+    stay (they are the same shape HLL feeds on). NULLs are excluded
+    from value counts (profiled separately as n_null).
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    out = None
+    for c in cols:
+        s = F.col(c).cast("string")
+        counts = (
+            df.select(s.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .groupBy("_v")
+            .agg(F.count("*").cast("bigint").alias("_c"))
+        )
+        top = counts.agg(
+            F.max(F.struct(F.col("_c"), F.col("_v"))).alias("_m"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+        )
+        base = df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(s.isNull().cast("int")).cast("bigint").alias(
+                "n_null"
+            ),
+        )
+        row = base.crossJoin(F.broadcast(top)).select(
+            F.lit(c).alias("col_name"),
+            "n",
+            "n_null",
+            "n_distinct",
+            F.col("_m._v").alias("top_value"),
+            F.col("_m._c").alias("top_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
