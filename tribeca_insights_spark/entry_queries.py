@@ -13170,3 +13170,161 @@ def q243_table_profile(spark, sf_dir):
     return table_profile(
         _read(spark, sf_dir, "documents"), ["lang", "source", "n_chars"]
     )
+
+
+# --- wave: RSS/Atom feed source / frontier tick composition (q244-q245) ------
+
+
+@q(
+    "q244_feed_seed",
+    """
+    -- fixture: one feed per doc — RSS for even doc_id (one <item> with a
+    -- text <link> + one decoy item with NO link, dropped), Atom for odd
+    -- (one <entry> with href link). Visited = doc_id % 4 = 0, so the
+    -- seed set is every unvisited doc's feed url.
+    SELECT 'https://' || source || '.example.com/feed-docs/'
+             || CAST(doc_id AS VARCHAR) AS URL,
+           2 AS Status, '' AS Data,
+           '' AS "MD File", '' AS "JSON File"
+    FROM documents
+    WHERE doc_id % 4 != 0
+    """,
+)
+def q244_feed_seed(spark, sf_dir):
+    """RSS/Atom feed source -> frontier seeding (sources/feeds.py
+    feed_entries + seed_from_feeds): the freshness channel of the URL
+    universe next to the sitemap source (q39; reference
+    storage.py:85-117 analog). Both dialects parse in ONE JVM regexp
+    pass (blocks first, fields inside blocks -- a missing <title>
+    cannot steal the next item's), zero Python, zero shuffle until the
+    same left-anti state join sitemap seeding uses, so the two sources
+    compose into one frontier union. Fixture: RSS feeds (with a
+    link-less decoy item) for even doc_ids, Atom for odd; visited =
+    doc_id % 4 = 0."""
+    from .sources.feeds import feed_entries, seed_from_feeds
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.com/feed-docs/"), sid,
+    )
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>Doc "), sid,
+        F.lit("</title><link>"), url,
+        F.lit("</link><pubDate>Mon, 01 Jan 2024</pubDate></item>"),
+        F.lit("<item><title>decoy no link</title></item>"),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.lit("<entry><title>Doc "), sid,
+        F.lit('</title><link rel="alternate" href="'), url,
+        F.lit('"/><updated>2024-01-01</updated></entry></feed>'),
+    )
+    feeds = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+        .alias("feed_xml"),
+    )
+    entries = feed_entries(feeds, keep_cols=("doc_id",))
+    visited = d.filter(F.col("doc_id") % 4 == 0).select(
+        url.alias("URL")
+    )
+    return seed_from_feeds(entries, visited)
+
+
+@q(
+    "q245_frontier_tick",
+    """
+    -- one full frontier tick: candidates minus visited (doc_id % 4 = 0),
+    -- minus robots-disallowed (q69's rules: /private/ paths -- i.e.
+    -- doc_id % 3 = 0 -- blocked on odd-length-source domains), politely
+    -- scheduled per domain (delay = length(source) % 3 seconds, rank by
+    -- url) and capped at 5 fetches per domain this tick.
+    WITH cand AS (
+      SELECT doc_id, source,
+             source || '.example.com' AS domain,
+             'https://' || source || '.example.com'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/private/' || CAST(doc_id AS VARCHAR)
+                       ELSE '/docs/' || CAST(doc_id AS VARCHAR) END
+               AS url
+      FROM documents
+    ),
+    surv AS (
+      SELECT * FROM cand
+      WHERE doc_id % 4 != 0
+        AND NOT (doc_id % 3 = 0 AND length(source) % 2 = 1)
+    ),
+    r AS (
+      SELECT domain, url, source, row_number() OVER (
+        PARTITION BY domain ORDER BY url
+      ) AS fetch_rank
+      FROM surv
+    )
+    SELECT domain, url, CAST(fetch_rank AS INTEGER) AS fetch_rank,
+           CAST((fetch_rank - 1) * (length(source) % 3) AS DOUBLE)
+             AS scheduled_offset_sec
+    FROM r WHERE fetch_rank <= 5
+    """,
+)
+def q245_frontier_tick(spark, sf_dir):
+    """ONE declarative frontier tick -- the reference's crawl loop
+    (crawler.py queue management) as a single composed plan: sitemap/
+    feed candidates -> left-anti visited state (plans/state.py shape)
+    -> robots Disallow filter (sources/robots.disallow_rules, q69's
+    semantics) -> per-domain politeness schedule (plans/frontier.py
+    schedule_fetches) -> 5-per-domain tick cap. Every stage is an
+    anti-join, broadcast dim join, or domain-partitioned window; at
+    10^12 urls the state/frontier join buckets by url and everything
+    else is domain-keyed. Fixture mirrors q69's robots and adds
+    visited = doc_id % 4 = 0, delay = length(source) % 3 s."""
+    from .plans.frontier import schedule_fetches
+    from .sources.robots import disallow_rules
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    domain = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("/private/"), sid)
+    ).otherwise(F.concat(F.lit("/docs/"), sid))
+    cand = d.select(
+        "doc_id",
+        "source",
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, path).alias("url"),
+        path.alias("path"),
+    )
+    visited = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("https://"), domain, path).alias("url")
+    )
+    unvisited = cand.join(visited, "url", "left_anti")
+    txt = F.concat(
+        F.when(
+            F.length("source") % 2 == 0,
+            F.lit("User-agent: tribeca\nDisallow: /secret/\n\n"),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /private/\n"),
+    )
+    robots = d.select(
+        domain.alias("domain"), txt.alias("robots_txt")
+    ).dropDuplicates(["domain"])
+    rules = disallow_rules(robots, user_agent="tribeca")
+    blocked = (
+        unvisited.join(F.broadcast(rules), "domain")
+        .filter(F.col("path").startswith(F.col("path_prefix")))
+        .select("url")
+        .distinct()
+    )
+    frontier = unvisited.join(blocked, "url", "left_anti").select(
+        "source", "url"
+    )
+    delays = d.select(
+        domain.alias("domain"),
+        (F.length("source") % 3).cast("double").alias("crawl_delay"),
+    ).dropDuplicates(["domain"])
+    sched = schedule_fetches(frontier, delays)
+    return sched.filter(F.col("fetch_rank") <= 5).select(
+        "domain", "url", "fetch_rank", "scheduled_offset_sec"
+    )
