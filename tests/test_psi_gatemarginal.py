@@ -118,3 +118,37 @@ def test_marginal_empty_gates_raise(spark):
     df = spark.createDataFrame([Row(a=True)])
     with pytest.raises(ValueError):
         gate_marginal_attribution(df, [])
+
+
+# --- RRF fusion (q246 wave) ----------------------------------------------------
+
+
+def test_rrf_top_weighted_vs_borda():
+    # pure-python sanity of the weighting intuition the operator encodes
+    import math
+    n = 100
+    # doc X: rank 1 on signal A, rank 50 on B; doc Y: rank 20 on both
+    rrf = lambda rt: 1_000_000 // (60 + rt)
+    x = rrf(1) + rrf(50)
+    y = rrf(20) + rrf(20)
+    assert x > y  # RRF rewards the confident head
+
+
+def test_rrf_fusion_exact(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.layout import rrf_fusion
+
+    rows = [Row(id=i, a=i, b=10 - i) for i in range(1, 6)]
+    out = {
+        r["id"]: r
+        for r in rrf_fusion(
+            spark.createDataFrame(rows), ["a", "b"], "id", [4, 4]
+        ).collect()
+    }
+    n = 5
+    for i in range(1, 6):
+        ra, rb = i, 6 - i  # ascending ranks by construction
+        want = 1_000_000 // (60 + n - ra + 1) + 1_000_000 // (
+            60 + n - rb + 1
+        )
+        assert out[i]["rrf_micros"] == want

@@ -13328,3 +13328,119 @@ def q245_frontier_tick(spark, sf_dir):
     return sched.filter(F.col("fetch_rank") <= 5).select(
         "domain", "url", "fetch_rank", "scheduled_offset_sec"
     )
+
+
+# --- wave: RRF fusion / filter length-bias PSI (q246-q247) -------------------
+
+
+@q(
+    "q246_rrf_fusion",
+    """
+    WITH sig AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0)) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                  AS BIGINT) AS rank_n_chars,
+             CAST(row_number() OVER (ORDER BY n_tokens, doc_id)
+                  AS BIGINT) AS rank_n_tokens,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM sig
+    )
+    SELECT doc_id, rank_n_chars, rank_n_tokens,
+           1000000 // (60 + n - rank_n_chars + 1)
+             + 1000000 // (60 + n - rank_n_tokens + 1) AS rrf_micros
+    FROM rk
+    """,
+)
+def q246_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of quality signals (operators/layout.py
+    rrf_fusion -- Cormack 2009, k=60): q235's Borda weights ranks
+    uniformly; RRF weights the TOP, so a signal's confident head
+    survives two mediocre mid-ranks. Ranks via global_rank (bucketed
+    two-stage, no global window -- the oracle states the windows the
+    operator avoids); each reciprocal term floors to micros
+    independently so the sum is exact-integer and order-free."""
+    from .operators.layout import rrf_fusion
+
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return rrf_fusion(
+        d, ["n_chars", "n_tokens"], "doc_id", [64, 16], k_rrf=60
+    )
+
+
+@q(
+    "q247_filter_bias_psi",
+    """
+    WITH g AS (
+      SELECT n_chars,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> w = 'the')) >= 5
+                  THEN 'removed' ELSE 'kept' END AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT b, n_chars // 100 AS bin, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY b, n_chars // 100
+    ),
+    tot AS (SELECT b, sum(c) AS n FROM counts GROUP BY b),
+    bins AS (SELECT DISTINCT bin FROM counts),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+    pairs AS (
+      SELECT a.b AS batch_a, a.n AS n_a, y.b AS batch_b, y.n AS n_b
+      FROM tot a JOIN tot y ON a.b < y.b
+    ),
+    cells AS (
+      SELECT p.batch_a, p.batch_b, p.n_a, p.n_b, bins.bin,
+             coalesce(ca.c, 0) + 1 AS ca1,
+             coalesce(cb.c, 0) + 1 AS cb1,
+             nb.n_bins
+      FROM pairs p CROSS JOIN bins CROSS JOIN nb
+      LEFT JOIN counts ca ON ca.b = p.batch_a AND ca.bin = bins.bin
+      LEFT JOIN counts cb ON cb.b = p.batch_b AND cb.bin = bins.bin
+    )
+    SELECT batch_a, batch_b, max(n_a) AS n_a, max(n_b) AS n_b,
+           max(n_bins) AS n_bins,
+           CAST(floor(1e6 * sum(
+             (CAST(ca1 AS DOUBLE) / (n_a + n_bins)
+              - CAST(cb1 AS DOUBLE) / (n_b + n_bins))
+             * ln((CAST(ca1 AS DOUBLE) * (n_b + n_bins))
+                  / (CAST(cb1 AS DOUBLE) * (n_a + n_bins)))
+           )) AS BIGINT) AS psi_micros
+    FROM cells GROUP BY batch_a, batch_b
+    """,
+)
+def q247_filter_bias_psi(spark, sf_dir):
+    """Filter survivorship-bias audit (psi_drift composed over a
+    curation gate): PSI of the LENGTH distribution between the docs a
+    CONTENT gate keeps vs removes -- the "what else does this filter
+    select on?" check (a 'the'-density gate that also shifts lengths is
+    quietly a length filter; RefinedWeb-style ablations report exactly
+    this class of side effect). Same operator as q239, batch =
+    kept/removed verdict instead of doc_id parity -- operators compose
+    because batches are just a column."""
+    from .operators.stats import psi_drift
+
+    d = _read(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(
+            F.size(
+                F.filter(
+                    F.split("text", " "), lambda w: w == F.lit("the")
+                )
+            )
+            >= 5,
+            F.lit("removed"),
+        ).otherwise(F.lit("kept")).alias("_verdict"),
+    )
+    return psi_drift(d, "n_chars", "_verdict", bin_width=100)

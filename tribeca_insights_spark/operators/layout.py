@@ -339,3 +339,46 @@ def token_shard_manifest(
         )
         .select("shard_id", "n_docs", "n_tokens", "first_id", "last_id")
     )
+
+
+def rrf_fusion(
+    df: DataFrame,
+    signal_cols: list,
+    id_col: str,
+    bucket_widths: list,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of quality signals (Cormack et al. 2009)
+    — :func:`borda_fusion`'s robust sibling: RRF weights the TOP of
+    each ranking (score = Σ 1/(k + rank_from_top)) where Borda weights
+    uniformly, so one signal's confident head can't be washed out by
+    two mediocre mid-ranks; k=60 is the canonical damping.
+
+    Ranks come from :func:`global_rank` (bucketed two-stage, never a
+    global window) and are converted to from-the-top ranks via the
+    group size (one broadcast count). Each reciprocal term is floored
+    to micros INDEPENDENTLY, so the sum is exact-integer and
+    engine-order-free: ``rrf_micros = Σ_s floor(1e6 / (k + r_top_s))``.
+    Output: (id, rank_<sig>… [ascending ranks], rrf_micros).
+    """
+    if len(signal_cols) != len(bucket_widths):
+        raise ValueError("one bucket_width per signal required")
+    out = df
+    for c, w in zip(signal_cols, bucket_widths):
+        out = global_rank(out, c, id_col, w, rank_name=f"rank_{c}")
+    n = df.agg(F.count("*").cast("bigint").alias("_n")).withColumn(
+        "_one", F.lit(1)
+    )
+    out = out.withColumn("_one", F.lit(1)).join(F.broadcast(n), "_one")
+    rrf = None
+    for c in signal_cols:
+        # higher signal = better: from-top rank = n - rank_asc + 1
+        term = F.expr(
+            f"1000000 div ({int(k_rrf)} + _n - rank_{c} + 1)"
+        )
+        rrf = term if rrf is None else rrf + term
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"rank_{c}") for c in signal_cols],
+        rrf.cast("bigint").alias("rrf_micros"),
+    )
