@@ -13444,3 +13444,70 @@ def q247_filter_bias_psi(spark, sf_dir):
         ).otherwise(F.lit("kept")).alias("_verdict"),
     )
     return psi_drift(d, "n_chars", "_verdict", bin_width=100)
+
+
+# --- wave: streaming sliding-log rate limiter (q248) -------------------------
+
+
+@q(
+    "q248_stream_rate_limit",
+    """
+    WITH e AS (
+      SELECT event_id, user_id AS host,
+             CAST(epoch_us(ts) AS BIGINT) AS tsu
+      FROM events
+    )
+    SELECT event_id, host, tsu,
+           CAST(count(*) OVER (
+             PARTITION BY host ORDER BY tsu
+             RANGE BETWEEN 599999999 PRECEDING AND 1 PRECEDING
+           ) AS BIGINT) AS n_recent,
+           count(*) OVER (
+             PARTITION BY host ORDER BY tsu
+             RANGE BETWEEN 599999999 PRECEDING AND 1 PRECEDING
+           ) < 3 AS allowed
+    FROM e
+    """,
+)
+def q248_stream_rate_limit(spark, sf_dir):
+    """Streaming per-host sliding-log rate limiter (streaming/
+    stateful.py rate_limit_log, applyInPandasWithState): admit iff
+    fewer than 3 same-host requests arrived in the trailing 600 s —
+    the crawl-politeness admission gate AT INGEST, joining the
+    stateful family (q67 first-seen, q211 dedup gate). The verdict is
+    a pure function of the per-host event sequence, so the oracle is a
+    batch RANGE window — stream and batch provably agree regardless of
+    micro-batching (the q211 equivalence contract). State per host =
+    the in-window arrival log, pruned every arrival. Fixture: events
+    keyed by user_id, event-time epoch micros."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import rate_limit_log
+
+    src = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+    )
+    qname = "q248mem_" + uuid.uuid4().hex[:8]
+    with tempfile.TemporaryDirectory() as root:
+        src.write.mode("overwrite").parquet(f"{root}/src")
+        stream = (
+            spark.readStream.schema("event_id bigint, host bigint, tsu bigint")
+            .parquet(f"{root}/src")
+        )
+        out = rate_limit_log(stream, window_us=600_000_000, capacity=3)
+        qry = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qry.awaitTermination(300):
+            qry.stop()
+            raise TimeoutError("rate-limit drain exceeded 300s")
+        res = spark.table(qname).cache()
+        res.count()
+        return res

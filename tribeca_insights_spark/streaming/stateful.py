@@ -103,3 +103,82 @@ def dedup_first_seen(stream: DataFrame,
             ),
         )
     )
+
+
+RL_OUTPUT_SCHEMA = (
+    "event_id long, host long, tsu long, n_recent long, allowed boolean"
+)
+RL_STATE_SCHEMA = "recent array<long>"
+
+
+def _rate_limit(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    window_us: int,
+    capacity: int,
+) -> Iterator[pd.DataFrame]:
+    rows = [p for p in pdfs if len(p)]
+    if not rows:
+        return
+    batch = pd.concat(rows).sort_values(["tsu", "event_id"])
+    recent = list(state.get[0]) if state.exists else []
+    out_eid, out_ts, out_n, out_ok = [], [], [], []
+    for eid, tsu in zip(batch["event_id"], batch["tsu"]):
+        lo = int(tsu) - window_us + 1
+        # pruning below `lo` is safe for every LATER arrival too: their
+        # windows start even higher (rows walk in ascending tsu order)
+        recent = [t for t in recent if t >= lo]
+        n = sum(1 for t in recent if t <= int(tsu) - 1)
+        out_eid.append(int(eid))
+        out_ts.append(int(tsu))
+        out_n.append(n)
+        out_ok.append(n < capacity)
+        recent.append(int(tsu))
+    state.update((recent,))
+    yield pd.DataFrame(
+        {
+            "event_id": out_eid,
+            "host": [key[0]] * len(out_eid),
+            "tsu": out_ts,
+            "n_recent": out_n,
+            "allowed": out_ok,
+        }
+    )
+
+
+def rate_limit_log(
+    stream: DataFrame,
+    window_us: int,
+    capacity: int,
+) -> DataFrame:
+    """Streaming per-host SLIDING-LOG rate limiter via
+    ``applyInPandasWithState`` — the crawl-politeness admission gate at
+    ingest: request ``e`` is admitted iff fewer than ``capacity``
+    requests for the same host arrived with timestamps in
+    ``[e.tsu − window + 1, e.tsu − 1]`` (the standard sliding-log rule;
+    same-microsecond ties do not block each other, matching a RANGE
+    window's exclusive peer handling).
+
+    The verdict is a PURE function of the per-host event sequence —
+    no processing-time dependence — so a batch RANGE-window oracle
+    replays it exactly however the stream is micro-batched (the same
+    stream≡batch equivalence contract as stream_dedup_gate/q211).
+    State per host is the arrival log inside the trailing window —
+    bounded by window × peak rate, pruned on every arrival; hosts
+    partition across the state store like every keyed stateful op.
+
+    Input columns: (event_id long, host long, tsu long — event-time
+    epoch micros). Output: one row per event with (n_recent, allowed).
+    """
+    return (
+        stream.select("event_id", "host", "tsu")
+        .groupBy("host")
+        .applyInPandasWithState(
+            partial(_rate_limit, window_us=window_us, capacity=capacity),
+            outputStructType=RL_OUTPUT_SCHEMA,
+            stateStructType=RL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
