@@ -119,3 +119,77 @@ def test_kcenter_bad_args(spark):
         kcenter_greedy(df, k=0)
     with pytest.raises(ValueError):
         kcenter_greedy(df, k=2, start_id=99)
+
+
+# --- in-degree Gini / embedding quality (q249-q250 wave) -----------------------
+
+
+def test_gini_uniform_is_zero(spark):
+    from tribeca_insights_spark.operators.linkgraph import indegree_gini
+
+    # every node in-degree 2: perfectly equal -> G = (n+1-1)/n - ... = 0-ish
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % 6) for i in range(6)]
+        + [Row(src=i, dst=(i + 2) % 6) for i in range(6)]
+    )
+    out = indegree_gini(edges).collect()[0]
+    # exact: G = (2*six)/(n*sx) - (n+1)/n with x_i=2, six=2*n(n+1)/2
+    assert out["gini_micros"] == 0
+
+
+def test_gini_concentrated_is_high(spark):
+    from tribeca_insights_spark.operators.linkgraph import indegree_gini
+
+    # all edges point at one node
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=99) for i in range(10)]
+    )
+    out = indegree_gini(edges).collect()[0]
+    assert out["n"] == 1  # only node 99 has in-degree
+    assert out["gini_micros"] == 0  # single-node distribution: equal
+
+
+def test_gini_matches_closed_form(spark):
+    from tribeca_insights_spark.operators.linkgraph import indegree_gini
+
+    # in-degrees: node1 <- 1 edge, node2 <- 3 edges
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1)] + [Row(src=i, dst=2) for i in range(3)]
+    )
+    out = indegree_gini(edges).collect()[0]
+    # sorted x = [1, 3]; six = 1*1 + 2*3 = 7; n=2, sx=4
+    want = (1_000_000 * (2 * 7 * 2 - 3 * 2 * 4)) // (2 * 2 * 4)
+    assert out["gini_micros"] == want
+
+
+def test_global_rank_reserved_name_raises(spark):
+    from tribeca_insights_spark.operators.layout import global_rank
+
+    df = spark.createDataFrame([Row(id=1, s=1)])
+    with pytest.raises(ValueError):
+        global_rank(df, "s", "id", 4, rank_name="_r")
+
+
+def test_embedding_quality_flags(spark):
+    from tribeca_insights_spark.operators.similarity import (
+        embedding_quality_audit,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 2.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0]),          # zero vector
+        Row(vec_id=2, embedding=[float("nan"), 1.0]),  # nonfinite
+        Row(vec_id=3, embedding=[1.0, 2.0, 3.0]),      # ragged dim
+    ]
+    out = embedding_quality_audit(
+        spark.createDataFrame(rows), norm_bin_width=1_000_000
+    ).collect()
+    dims = {r["dim"] for r in out}
+    assert dims == {2, 3}  # ragged dimension surfaces
+    tot = out[0]
+    assert tot["n_vectors"] == 4
+    assert tot["n_zero"] == 1
+    assert tot["n_nonfinite"] == 1
+    # norm bin of [1,2]: ss = 1000^2 + 2000^2 = 5_000_000 -> bin 5
+    bins = {(r["dim"], r["norm_bin"]) for r in out}
+    assert (2, 5) in bins and (2, 0) in bins

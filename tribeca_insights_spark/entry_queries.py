@@ -13511,3 +13511,125 @@ def q248_stream_rate_limit(spark, sf_dir):
         res = spark.table(qname).cache()
         res.count()
         return res
+
+
+# --- wave: in-degree Gini / embedding quality audit (q249-q250) --------------
+
+
+@q(
+    "q249_indegree_gini",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N FROM documents, nn
+    ),
+    deg AS (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS indeg
+      FROM e GROUP BY dst
+    ),
+    r AS (
+      SELECT node, indeg, CAST(row_number() OVER (
+        ORDER BY indeg, node
+      ) AS BIGINT) AS rk
+      FROM deg
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(indeg) AS BIGINT) AS sx,
+             CAST(sum(rk * indeg) AS BIGINT) AS six
+      FROM r
+    )
+    SELECT n, sx AS total_indegree,
+           CASE WHEN n * n * sx > 0 THEN
+             (1000000 * (2 * six * n - (n + 1) * n * sx))
+               // (n * n * sx)
+           END AS gini_micros
+    FROM s
+    """,
+)
+def q249_indegree_gini(spark, sf_dir):
+    """Gini coefficient of the in-degree distribution (operators/
+    linkgraph.py indegree_gini) -- the one-number link-concentration
+    audit (a jump says link farm / crawler trap). An ORDER STATISTIC
+    computed with NO global sort: the rank index comes from
+    global_rank's bucketed two-stage machinery (ties by node leave
+    the sum invariant since tied degrees are equal); the rest is one
+    dst-keyed degree groupBy + one 1-row exact-integer aggregation
+    with floor-safe division. Same q83 synthetic graph."""
+    from .operators.linkgraph import indegree_gini
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.crossJoin(F.broadcast(n_row))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return indegree_gini(edges)
+
+
+@q(
+    "q250_embedding_quality",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    ssq AS (
+      SELECT vec_id, CAST(sum(xm * xm) AS BIGINT) AS ss
+      FROM ex GROUP BY vec_id
+    ),
+    nfq AS (
+      SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+             len(list_filter(embedding,
+                 x -> isnan(CAST(x AS DOUBLE))
+                      OR abs(CAST(x AS DOUBLE)) > 1e300)) AS nf
+      FROM embeddings
+    ),
+    per AS (
+      SELECT n.vec_id, n.dim,
+             CASE WHEN n.nf > 0 THEN 1 ELSE 0 END AS bad,
+             CASE WHEN s.ss = 0 THEN 1 ELSE 0 END AS zero,
+             s.ss // 1000000 AS norm_bin
+      FROM nfq n JOIN ssq s USING (vec_id)
+    ),
+    cells AS (
+      SELECT dim, norm_bin,
+             CAST(count(*) AS BIGINT) AS n_in_bin,
+             CAST(sum(bad) AS BIGINT) AS n_nonfinite_in_bin,
+             CAST(sum(zero) AS BIGINT) AS n_zero_in_bin
+      FROM per GROUP BY dim, norm_bin
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+             CAST(sum(zero) AS BIGINT) AS n_zero
+      FROM per
+    )
+    SELECT c.dim, c.norm_bin, c.n_in_bin, c.n_nonfinite_in_bin,
+           c.n_zero_in_bin, t.n_vectors, t.n_nonfinite, t.n_zero
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def q250_embedding_quality(spark, sf_dir):
+    """Embedding-table data-quality audit (operators/similarity.py
+    embedding_quality_audit): NaN/Inf elements, all-zero vectors
+    (cosine's classic silent failure), dimension consistency, and the
+    quantized norm histogram (bimodal = two encoder versions mixed) --
+    the pre-index checks next to q243's generic table profile. One
+    codegen pass per row (higher-order array exprs, zero Python), one
+    (dim, norm_bin) partial-agg groupBy, corpus totals broadcast onto
+    the cell table. Value-determined bins, exact integers."""
+    from .operators.similarity import embedding_quality_audit
+
+    return embedding_quality_audit(_read(spark, sf_dir, "embeddings"))

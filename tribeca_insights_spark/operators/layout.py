@@ -163,6 +163,9 @@ def global_rank(
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if rank_name in ("_b", "_r", "_off"):
+        raise ValueError(f"rank_name {rank_name!r} collides with an "
+                         "internal column")
     s = F.col(score_col).cast("bigint")
     d = df.withColumn("_b", F.expr(
         f"CAST({score_col} AS BIGINT) div {bucket_width}"

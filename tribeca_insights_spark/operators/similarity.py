@@ -779,3 +779,66 @@ def embedding_drift(
             "top_drift_dims"
         ),
     )
+
+def embedding_quality_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    norm_bin_width: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-table data-quality audit — the checks run before any
+    vector lands in an index: NaN/Inf elements (a broken encoder batch
+    poisons every cosine it touches), all-zero vectors (cosine
+    undefined — the classic silent failure), dimension consistency
+    (ragged arrays crash batched matmuls), and the norm HISTOGRAM
+    (bimodal norms = two encoder versions mixed).
+
+    One codegen pass per row (higher-order array exprs, no Python):
+    flags + quantized squared norm; ONE partial-agg groupBy per
+    histogram bin. Output: one row per (dim, norm_bin) cell with the
+    corpus-level counts repeated (n_vectors, n_nonfinite, n_zero) —
+    value-determined bins, exact integers, strict-oracle-safe.
+    """
+    v = F.col(vec_col)
+    xm = F.transform(
+        v, lambda x: F.floor(x.cast("double") * quant).cast("long")
+    )
+    n_nonfinite = F.size(
+        F.filter(
+            v, lambda x: F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) > F.lit(1e300))
+        )
+    )
+    ss = F.aggregate(
+        xm, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    rows = emb.select(
+        F.size(v).alias("dim"),
+        n_nonfinite.alias("_nf"),
+        ss.alias("_ss"),
+    )
+    per = rows.select(
+        "dim",
+        (F.col("_nf") > 0).cast("int").alias("_bad"),
+        (F.col("_ss") == 0).cast("int").alias("_zero"),
+        F.expr(f"_ss div {int(norm_bin_width)}").alias("norm_bin"),
+    )
+    cells = per.groupBy("dim", "norm_bin").agg(
+        F.count("*").cast("bigint").alias("n_in_bin"),
+        F.sum("_bad").cast("bigint").alias("n_nonfinite_in_bin"),
+        F.sum("_zero").cast("bigint").alias("n_zero_in_bin"),
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("_bad").cast("bigint").alias("n_nonfinite"),
+        F.sum("_zero").cast("bigint").alias("n_zero"),
+    ).withColumn("_one", F.lit(1))
+    return (
+        cells.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "dim", "norm_bin", "n_in_bin", "n_nonfinite_in_bin",
+            "n_zero_in_bin", "n_vectors", "n_nonfinite", "n_zero",
+        )
+    )
