@@ -152,3 +152,70 @@ def test_rrf_fusion_exact(spark):
             60 + n - rb + 1
         )
         assert out[i]["rrf_micros"] == want
+
+
+# --- char coverage / threshold sweep (q251-q252 wave) --------------------------
+
+
+def test_char_coverage_exact_cut(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.textstats import char_coverage
+
+    # 'aaaa bbb cc d' -> counts (space excluded? no: space IS a char of
+    # split(text, '')): a4 b3 c2 d1 ' '3 -> total 13
+    df = spark.createDataFrame([Row(lang="en", text="aaaabbbcc d")])
+    out = char_coverage(df, coverage_micros=900_000).collect()[0]
+    # counts: a4 b3 c2 ' '1 d1 -> total 11; 90% of 11 = 9.9 -> need cum>=9.9
+    # ranked: a4(4) b3(7) c2(9) ' '? tie c2 vs others... chars: a,b,c,d,' '
+    # cum a4=4, b=7, c=9, then ties count1: ' '(32) before 'd': cum 10 -> hits
+    assert out["n_chars_total"] == 11
+    assert out["alphabet_size"] == 4
+    assert out["covered_micros"] == 10 * 1_000_000 // 11
+
+
+def test_char_coverage_full_when_target_one(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.textstats import char_coverage
+
+    df = spark.createDataFrame([Row(lang="x", text="abc")])
+    out = char_coverage(df, coverage_micros=1_000_000).collect()[0]
+    assert out["alphabet_size"] == out["n_distinct_chars"] == 3
+    assert out["covered_micros"] == 1_000_000
+
+
+def test_threshold_sweep_counts(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=11, jacc_micros=950_000),
+            Row(id_a=2, id_b=12, jacc_micros=850_000),
+            Row(id_a=3, id_b=13, jacc_micros=550_000),
+            Row(id_a=1, id_b=12, jacc_micros=920_000),
+        ]
+    )
+    out = {
+        r["threshold_micros"]: r
+        for r in jaccard_threshold_sweep(pairs).collect()
+    }
+    assert out[900_000]["n_pairs"] == 2
+    assert out[900_000]["n_docs"] == 3  # {1, 11, 12}
+    assert out[800_000]["n_pairs"] == 3
+    assert out[500_000]["n_pairs"] == 4
+    assert out[500_000]["n_docs"] == 6
+
+
+def test_threshold_sweep_empty_thresholds_raise(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    df = spark.createDataFrame([Row(id_a=1, id_b=2, jacc_micros=1)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jaccard_threshold_sweep(df, thresholds_micros=())

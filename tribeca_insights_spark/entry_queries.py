@@ -13633,3 +13633,136 @@ def q250_embedding_quality(spark, sf_dir):
     from .operators.similarity import embedding_quality_audit
 
     return embedding_quality_audit(_read(spark, sf_dir, "embeddings"))
+
+
+# --- wave: character coverage / dedup threshold sweep (q251-q252) ------------
+
+
+@q(
+    "q251_char_coverage",
+    """
+    WITH ch AS (
+      SELECT lang AS grp, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    cc AS (
+      SELECT grp, ch, CAST(count(*) AS BIGINT) AS c
+      FROM ch WHERE length(ch) > 0 GROUP BY grp, ch
+    ),
+    rk AS (
+      SELECT grp, ch, c,
+             row_number() OVER (
+               PARTITION BY grp ORDER BY c DESC, ch
+             ) AS r,
+             CAST(sum(c) OVER (
+               PARTITION BY grp ORDER BY c DESC, ch
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum
+      FROM cc
+    ),
+    tot AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n_chars_total,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars
+      FROM cc GROUP BY grp
+    ),
+    hit AS (
+      SELECT rk.grp,
+             CAST(min(rk.r) AS BIGINT) AS alphabet_size,
+             CAST(min_by(rk.cum, rk.r) AS BIGINT) AS cumhit
+      FROM rk JOIN tot ON rk.grp = tot.grp
+      WHERE rk.cum * 1000000 >= 999500 * tot.n_chars_total
+      GROUP BY rk.grp
+    )
+    SELECT t.grp, t.n_chars_total, t.n_distinct_chars,
+           h.alphabet_size,
+           h.cumhit * 1000000 // t.n_chars_total AS covered_micros
+    FROM tot t JOIN hit h ON t.grp = h.grp
+    """,
+)
+def q251_char_coverage(spark, sf_dir):
+    """Per-language character coverage at 0.9995 (operators/
+    textstats.py char_coverage -- SentencePiece's character_coverage):
+    the alphabet-size budget that separates Latin (dozens of chars)
+    from CJK (thousands) and decides byte-fallback per language.
+    Chars rank (count DESC, char ASC); the answer is the smallest
+    prefix clearing the target in integer cross-multiplied form (no
+    division). All windows run over the CHAR-COUNT table partitioned
+    by language -- alphabet-sized, never the corpus."""
+    from .operators.textstats import char_coverage
+
+    return char_coverage(
+        _read(spark, sf_dir, "documents"), coverage_micros=999_500
+    )
+
+
+@q(
+    "q252_dedup_threshold_sweep",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       w -> length(w) > 0)) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+               * 1000000
+               // len(list_distinct(list_concat(a.toks, b.toks)))
+               AS jacc_micros
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 250
+      WHERE a.doc_id < 250
+    ),
+    th AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+             AS threshold_micros)
+    SELECT CAST(th.threshold_micros AS BIGINT) AS threshold_micros,
+           CAST(count(p.id_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.id_a)
+                + count(DISTINCT p.id_b) AS BIGINT) AS n_docs
+    FROM th LEFT JOIN pairs p
+      ON p.jacc_micros >= th.threshold_micros
+    GROUP BY th.threshold_micros
+    """,
+)
+def q252_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold ablation (operators/dedup.py
+    jaccard_threshold_sweep): pairs fired and documents touched at
+    each candidate Jaccard threshold -- the yield curve read before
+    pinning a pipeline threshold (a cliff between thresholds = a
+    template family at that similarity; RefinedWeb/SlimPajama
+    ablations tabulate this). Runs over CANDIDATE pairs (bounded by
+    banding, never the corpus); the oracle's distinct-doc count
+    exploits the fixture's disjoint endpoint ranges (id_a < 250 <=
+    id_b) so endpoint distincts add. Fixture pairs: doc d with
+    d + 250, token-set Jaccard."""
+    from .operators.dedup import jaccard_threshold_sweep
+
+    toks = F.array_distinct(
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    )
+    d = _read(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    a = d.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")
+    )
+    b = d.select(
+        (F.col("doc_id") - 250).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("tb"),
+    )
+    pairs = (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb"))
+            .cast("bigint")
+            .alias("_i"),
+            F.size(F.array_union("ta", "tb")).cast("bigint").alias("_u"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("_i * 1000000L div _u").alias("jacc_micros"),
+        )
+    )
+    return jaccard_threshold_sweep(pairs)

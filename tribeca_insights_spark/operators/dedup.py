@@ -1853,3 +1853,58 @@ def pair_transitivity_audit(pairs: DataFrame,
             ).alias("closure_micros"),
         )
     )
+
+
+def jaccard_threshold_sweep(
+    pairs: DataFrame,
+    sim_micros_col: str = "jacc_micros",
+    thresholds_micros: tuple = (
+        500_000, 600_000, 700_000, 800_000, 900_000,
+    ),
+) -> DataFrame:
+    """Dedup threshold ablation — for each candidate Jaccard threshold,
+    how many near-dup pairs fire and how many distinct documents they
+    touch: the yield curve read before pinning the pipeline's
+    threshold (RefinedWeb/SlimPajama ablations tabulate exactly this;
+    a cliff between two thresholds = a template family sitting at that
+    similarity).
+
+    Input: any scored pair table (q19's n-gram Jaccard verify, q221's
+    margins, q229's alignments) — CANDIDATE pairs, already bounded by
+    the LSH/banding stage, never the corpus. Shape: one filter +
+    partial-agg pass per threshold over that bounded table (pair
+    counts AND distinct touched docs; n thresholds = n cheap passes —
+    candidates are the small relation by construction). For an
+    unbounded pair stream, bucket each pair by similarity once and
+    suffix-sum the bucket tallies (skew_report's sorted-array trick);
+    n_pairs composes that way directly, n_docs does not (distinctness
+    is not suffix-summable) — which is why the per-threshold pass is
+    the honest default. Output: (threshold_micros, n_pairs, n_docs).
+    """
+    ts = sorted(int(t) for t in thresholds_micros)
+    if not ts:
+        raise ValueError("need at least one threshold")
+    sim = F.col(sim_micros_col).cast("bigint")
+    out = None
+    for t in ts:
+        hit = pairs.filter(sim >= t)
+        n_pairs = hit.agg(
+            F.count("*").cast("bigint").alias("n_pairs")
+        ).withColumn("_one", F.lit(1))
+        n_docs = (
+            hit.select(F.col("id_a").alias("id"))
+            .unionByName(hit.select(F.col("id_b").alias("id")))
+            .distinct()
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .withColumn("_one", F.lit(1))
+        )
+        row = (
+            n_pairs.join(n_docs, "_one")
+            .select(
+                F.lit(t).cast("bigint").alias("threshold_micros"),
+                "n_pairs",
+                "n_docs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1811,3 +1811,77 @@ def gate_marginal_attribution(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def char_coverage(
+    docs: DataFrame,
+    coverage_micros: int = 999_500,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group character coverage — how many distinct characters a
+    tokenizer alphabet needs to cover ``coverage_micros``/1e6 of all
+    character OCCURRENCES (SentencePiece's ``character_coverage``,
+    default 0.9995): the alphabet-size budget that separates compact
+    Latin alphabets (dozens of chars) from CJK (thousands) and decides
+    byte-fallback strategy per language.
+
+    Chars rank by (count DESC, char ASC); the answer is the smallest
+    prefix whose cumulative count clears the target — stated in exact
+    integer cross-multiplied form (``cum·1e6 ≥ target·total``, no
+    division). Shape: explode chars → ONE map-combined (group, char)
+    count (char cardinality per group is alphabet-sized); the rank and
+    running sum are windows over the CHAR-COUNT table partitioned by
+    group — never the corpus. Output: (grp, n_chars_total,
+    n_distinct_chars, alphabet_size, covered_micros).
+    """
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    cc = chars.groupBy("grp", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("ch"))
+    wsum = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("c"), F.asc("ch"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cc.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_cum", F.sum("c").over(wsum)
+    )
+    tot = cc.groupBy("grp").agg(
+        F.sum("c").alias("n_chars_total"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+    )
+    hit = (
+        ranked.join(tot, "grp")
+        .filter(
+            F.col("_cum") * F.lit(1_000_000)
+            >= F.lit(int(coverage_micros)) * F.col("n_chars_total")
+        )
+        .groupBy("grp")
+        .agg(
+            F.min(F.struct(F.col("_r"), F.col("_cum"))).alias("_m")
+        )
+        .select(
+            "grp",
+            F.col("_m._r").cast("bigint").alias("alphabet_size"),
+            F.col("_m._cum").alias("_cumhit"),
+        )
+    )
+    return (
+        tot.join(hit, "grp")
+        .select(
+            "grp",
+            "n_chars_total",
+            "n_distinct_chars",
+            "alphabet_size",
+            F.expr(
+                "_cumhit * 1000000L div n_chars_total"
+            ).alias("covered_micros"),
+        )
+    )
