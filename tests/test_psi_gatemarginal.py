@@ -219,3 +219,43 @@ def test_threshold_sweep_empty_thresholds_raise(spark):
 
     with _pytest.raises(ValueError):
         jaccard_threshold_sweep(df, thresholds_micros=())
+
+
+# --- Heaps' law (q253 wave) ----------------------------------------------------
+
+
+def test_heaps_closed_vocab_beta_zero(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.textstats import heaps_law_fit
+
+    # same 3 words forever: V(n) stuck at 3 -> beta ~ 0
+    docs = [Row(source="s", doc_id=i, text="a b c") for i in range(64)]
+    out = heaps_law_fit(
+        spark.createDataFrame(docs), checkpoints=(8, 16, 32, 64)
+    ).collect()[0]
+    assert out["n_points"] == 4
+    assert abs(out["beta_micros"]) < 10_000  # beta ~ 0 (< 0.01)
+
+
+def test_heaps_linear_vocab_beta_one(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.textstats import heaps_law_fit
+
+    # every doc = one brand-new word: V(n) = T(n) = n -> beta = 1
+    docs = [Row(source="s", doc_id=i, text=f"w{i}") for i in range(64)]
+    out = heaps_law_fit(
+        spark.createDataFrame(docs), checkpoints=(8, 16, 32, 64)
+    ).collect()[0]
+    assert abs(out["beta_micros"] - 1_000_000) < 10_000
+
+
+def test_heaps_skips_absent_checkpoints(spark):
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.textstats import heaps_law_fit
+
+    docs = [Row(source="tiny", doc_id=i, text=f"w{i} x") for i in range(10)]
+    out = heaps_law_fit(
+        spark.createDataFrame(docs), checkpoints=(8, 16, 32)
+    ).collect()[0]
+    assert out["n_points"] == 1  # only n=8 exists -> OLS degenerate
+    assert out["beta_micros"] is None

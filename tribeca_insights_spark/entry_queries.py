@@ -13766,3 +13766,77 @@ def q252_dedup_threshold_sweep(spark, sf_dir):
         )
     )
     return jaccard_threshold_sweep(pairs)
+
+
+# --- wave: Heaps'-law vocabulary growth (q253) -------------------------------
+
+
+@q(
+    "q253_heaps_law",
+    """
+    WITH d AS (
+      SELECT source AS grp, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY doc_id
+             ) AS pos,
+             list_filter(string_split(text, ' '),
+                         w -> length(w) > 0) AS toks
+      FROM documents
+    ),
+    tok AS (SELECT grp, pos, unnest(toks) AS tok FROM d),
+    first AS (
+      SELECT grp, tok, min(pos) AS first_pos
+      FROM tok GROUP BY grp, tok
+    ),
+    dl AS (SELECT grp, pos, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    nd AS (SELECT grp, max(pos) AS ndocs FROM d GROUP BY grp),
+    cps AS (SELECT unnest([8, 16, 32, 64]) AS cp),
+    pts AS (
+      SELECT f.grp,
+             CAST(floor(1e3 * ln(t.T)) AS BIGINT) AS x,
+             CAST(floor(1e9 * ln(f.V)) AS BIGINT) AS y
+      FROM (
+        SELECT first.grp, cps.cp,
+               CAST(sum(CASE WHEN first_pos <= cps.cp THEN 1 ELSE 0
+                        END) AS BIGINT) AS V
+        FROM first CROSS JOIN cps GROUP BY first.grp, cps.cp
+      ) f
+      JOIN (
+        SELECT dl.grp, cps.cp,
+               CAST(sum(CASE WHEN pos <= cps.cp THEN dl ELSE 0
+                        END) AS BIGINT) AS T
+        FROM dl CROSS JOIN cps GROUP BY dl.grp, cps.cp
+      ) t ON f.grp = t.grp AND f.cp = t.cp
+      JOIN nd ON nd.grp = f.grp AND nd.ndocs >= f.cp
+    ),
+    st AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY grp
+    )
+    SELECT grp, n AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             (n * sxy - sx * sy) // (n * sxx - sx * sx)
+           END AS beta_micros,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             (sy - ((n * sxy - sx * sy) // (n * sxx - sx * sx)) * sx)
+               // n
+           END AS lnk_nanos
+    FROM st
+    """,
+)
+def q253_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit per source (operators/
+    textstats.py heaps_law_fit): V(T) ~ K*T^beta -- beta ~ 0.4-0.6 for
+    natural text, ~0 for template farms recycling a closed vocabulary,
+    ~1 for hash soup; also the "what does 10x more of this source buy"
+    planning number. First-occurrence positions (one partial-agg
+    groupBy over the exploded stream) turn every checkpoint's V(n)
+    into a conditional sum -- no per-checkpoint distincts; the fit is
+    grouped_ols' exact-integer OLS on floored logs with asymmetric
+    milli/nano scales so the integer slope IS beta in micros. The only
+    corpus-facing window ranks DOCS within a source."""
+    from .operators.textstats import heaps_law_fit
+
+    return heaps_law_fit(_read(spark, sf_dir, "documents"))

@@ -1885,3 +1885,87 @@ def char_coverage(
             ).alias("covered_micros"),
         )
     )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    checkpoints: tuple = (8, 16, 32, 64),
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per group: V(T) ≈ K·T^β —
+    the corpus-growth diagnostic (β ≈ 0.4–0.6 for natural text;
+    β → 0 says the source recycles a closed vocabulary — template
+    farms; β → 1 says near-random strings — spam/hash soup). The
+    slope doubles as a "how much NEW vocabulary will the next 10×
+    of this source buy" planning number.
+
+    Growth points need "distinct vocabulary after the first n docs"
+    WITHOUT running n distincts: a token's FIRST-occurrence position
+    (min doc rank per (group, token) — one partial-agg groupBy over
+    the exploded stream) makes V(n) = #tokens with first_pos ≤ n and
+    T(n) = Σ tokens in the first n docs — both one conditional-sum
+    aggregation over group-sized side tables per checkpoint. β comes
+    from :func:`operators.stats.grouped_ols` on floored-integer logs
+    (q146 ln discipline) with asymmetric scales chosen so the integer
+    slope IS β in micros without overflowing int64: x = milli-ln T
+    (~9e3), y = nano-ln V (~9e9) → slope = y/x units = 1e6·β, and
+    n·Σxy stays ≤ ~1e15. The whole fit is the repo's exact-integer
+    OLS; the oracle replays it term for term. Doc rank within a group
+    is a window over the DOC table partitioned by group. Output:
+    (grp, n_points, beta_micros = slope, lnk_nanos = intercept in
+    1e-9 ln units).
+    """
+    from pyspark.sql import Window
+
+    from .stats import grouped_ols
+
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    d = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        toks.alias("_t"),
+    )
+    w = Window.partitionBy("grp").orderBy("_id")
+    ranked = d.withColumn("_pos", F.row_number().over(w))
+    tok = ranked.select(
+        "grp", "_pos", F.explode("_t").alias("tok")
+    )
+    first = tok.groupBy("grp", "tok").agg(
+        F.min("_pos").alias("first_pos")
+    )
+    dl = ranked.select(
+        "grp", "_pos", F.size("_t").cast("bigint").alias("_dl")
+    )
+    pts = None
+    for n in sorted(set(int(c) for c in checkpoints)):
+        v = first.groupBy("grp").agg(
+            F.sum((F.col("first_pos") <= n).cast("bigint")).alias("_v")
+        )
+        t = dl.groupBy("grp").agg(
+            F.sum(F.when(F.col("_pos") <= n, F.col("_dl"))
+                  .otherwise(F.lit(0))).alias("_T"),
+            F.max("_pos").alias("_ndocs"),
+        )
+        row = (
+            v.join(t, "grp")
+            .filter(F.col("_ndocs") >= n)  # checkpoint must exist
+            .select(
+                "grp",
+                F.floor(F.lit(1e3) * F.log(F.col("_T").cast("double")))
+                .cast("bigint").alias("x"),
+                F.floor(F.lit(1e9) * F.log(F.col("_v").cast("double")))
+                .cast("bigint").alias("y"),
+            )
+        )
+        pts = row if pts is None else pts.unionByName(row)
+    fit = grouped_ols(pts, ["grp"], "x", "y")
+    return fit.select(
+        "grp",
+        F.col("n").alias("n_points"),
+        F.col("slope_micros").alias("beta_micros"),
+        F.col("intercept_micros").alias("lnk_nanos"),
+    )
