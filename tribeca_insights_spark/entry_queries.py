@@ -13840,3 +13840,126 @@ def q253_heaps_law(spark, sf_dir):
     from .operators.textstats import heaps_law_fit
 
     return heaps_law_fit(_read(spark, sf_dir, "documents"))
+
+
+# --- wave: 3-level shrinkage / sitemap coverage audit (q254-q255) ------------
+
+
+@q(
+    "q254_hierarchy_shrinkage",
+    """
+    -- hosts: source-X-(doc_id % 7); domains: source (q214's shape, one
+    -- more level). alpha=20 host->domain, beta=50 domain->global.
+    WITH h AS (
+      SELECT source || '-' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             source AS domain, n_chars
+      FROM documents
+    ),
+    ha AS (
+      SELECT host, domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS s
+      FROM h GROUP BY host, domain
+    ),
+    da AS (
+      SELECT domain, sum(s) AS ds, sum(n_docs) AS dn
+      FROM ha GROUP BY domain
+    ),
+    g AS (
+      SELECT sum(ds) * 1000000 // sum(dn) AS gm FROM da
+    ),
+    dsh AS (
+      SELECT domain,
+             (ds * 1000000 + 50 * g.gm) // (dn + 50)
+               AS dom_shrunk_micros
+      FROM da CROSS JOIN g
+    )
+    SELECT ha.host, ha.domain, ha.n_docs,
+           ha.s * 1000000 // ha.n_docs AS mean_micros,
+           CAST(dsh.dom_shrunk_micros AS BIGINT) AS dom_shrunk_micros,
+           CAST((ha.s * 1000000 + 20 * dsh.dom_shrunk_micros)
+                // (ha.n_docs + 20) AS BIGINT) AS shrunk_micros
+    FROM ha JOIN dsh USING (domain)
+    """,
+)
+def q254_hierarchy_shrinkage(spark, sf_dir):
+    """THREE-level empirical-Bayes quality (operators/textstats.py
+    shrunk_hierarchy_quality -- multilevel partial pooling, Gelman's
+    radon model applied to hosts): a thin host borrows from its
+    domain, a thin DOMAIN borrows from the corpus -- the behavior
+    q214's one-level shrink can't give. ONE corpus pass (host partial
+    agg); domain and global levels aggregate host-count rows and
+    broadcast back down; integer micros, three floors, engine-exact."""
+    from .operators.textstats import shrunk_hierarchy_quality
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("source"), F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("host"),
+        F.col("source").alias("domain"),
+        "n_chars",
+    )
+    return shrunk_hierarchy_quality(d, alpha=20, beta=50)
+
+
+@q(
+    "q255_sitemap_coverage",
+    """
+    -- sitemap lists even doc_ids; crawl visited doc_id % 3 != 0.
+    WITH u AS (
+      SELECT source || '.example.com' AS host,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             doc_id
+      FROM documents
+    ),
+    j AS (
+      SELECT host, url,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_s,
+             CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS in_c
+      FROM u
+    ),
+    a AS (
+      SELECT host,
+             CAST(sum(in_s) AS BIGINT) AS n_in_sitemap,
+             CAST(sum(in_c) AS BIGINT) AS n_crawled,
+             CAST(sum(in_s * in_c) AS BIGINT) AS n_both
+      FROM j WHERE in_s = 1 OR in_c = 1 GROUP BY host
+    )
+    SELECT host, n_in_sitemap, n_crawled, n_both,
+           n_in_sitemap - n_both AS n_sitemap_only,
+           n_crawled - n_both AS n_crawled_only,
+           CASE WHEN n_in_sitemap > 0
+           THEN n_both * 1000000 // n_in_sitemap END
+             AS crawl_coverage_micros,
+           CASE WHEN n_crawled > 0
+           THEN (n_crawled - n_both) * 1000000 // n_crawled END
+             AS orphan_micros
+    FROM a
+    """,
+)
+def q255_sitemap_coverage(spark, sf_dir):
+    """Per-host sitemap <-> crawl coverage audit (sources/sitemap.py
+    sitemap_coverage): sitemap urls never crawled (frontier debt) vs
+    crawled orphans absent from the sitemap (stale sitemap) -- the two
+    gap lists of every crawl review. Composes sitemap_locs' real
+    <loc> parse with the visited set; full-outer join on url (the
+    state table's bucket key at scale) + one host partial agg.
+    Fixture: sitemaps list even doc_ids, crawl visited doc_id%3!=0."""
+    from .sources.sitemap import sitemap_coverage, sitemap_locs
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/docs/"), sid)
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), url, F.lit("</loc></url></urlset>")
+    )
+    sitemaps = d.filter(F.col("doc_id") % 2 == 0).select(
+        host.alias("host"), xml.alias("sitemap_xml")
+    )
+    locs = sitemap_locs(sitemaps, keep_cols=("host",))
+    crawled = d.filter(F.col("doc_id") % 3 != 0).select(
+        host.alias("host"), url.alias("url")
+    )
+    return sitemap_coverage(locs, crawled)

@@ -1969,3 +1969,68 @@ def heaps_law_fit(
         F.col("slope_micros").alias("beta_micros"),
         F.col("intercept_micros").alias("lnk_nanos"),
     )
+
+
+def shrunk_hierarchy_quality(
+    df: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    metric_col: str = "n_chars",
+    alpha: int = 20,
+    beta: int = 50,
+) -> DataFrame:
+    """THREE-level empirical-Bayes quality: page → host → registered
+    domain → corpus. :func:`shrunk_group_quality` shrinks a thin host
+    toward its domain; but a thin DOMAIN's prior is itself noise, so
+    production pipelines shrink the prior too (multilevel partial
+    pooling — Gelman's radon model, applied to hosts)::
+
+        dom_shrunk  = (Σ_dom·1e6  + β·global_mean) div (n_dom  + β)
+        host_shrunk = (Σ_host·1e6 + α·dom_shrunk)  div (n_host + α)
+
+    A 3-page host on a 5-page domain now borrows mostly from the
+    CORPUS; the same host on a 10^5-page domain borrows from its
+    domain — exactly the behavior a one-level shrink can't give.
+    Integer micros, three floors total, engine-exact.
+
+    Plan: ONE corpus pass (host partial agg); the domain and global
+    levels aggregate host-count-many rows and broadcast back down —
+    the extra level is free at any corpus size. Output: (host, domain,
+    n_docs, mean_micros, dom_shrunk_micros, shrunk_micros).
+    """
+    host_agg = df.groupBy(
+        F.col(host_col).alias("host"), F.col(domain_col).alias("domain")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(metric_col).cast("long")).alias("_sum"),
+    )
+    dom_agg = host_agg.groupBy("domain").agg(
+        F.sum("_sum").alias("_dsum"), F.sum("n_docs").alias("_dn")
+    )
+    glob = dom_agg.agg(
+        F.expr("sum(_dsum) * 1000000L div sum(_dn)").alias(
+            "global_mean_micros"
+        )
+    ).withColumn("_one", F.lit(1))
+    dom_shrunk = (
+        dom_agg.withColumn("_one", F.lit(1))
+        .join(F.broadcast(glob), "_one")
+        .select(
+            "domain",
+            F.expr(
+                f"(_dsum * 1000000L + {beta}L * global_mean_micros)"
+                f" div (_dn + {beta}L)"
+            ).alias("dom_shrunk_micros"),
+        )
+    )
+    return host_agg.join(F.broadcast(dom_shrunk), "domain").select(
+        "host",
+        "domain",
+        "n_docs",
+        F.expr("_sum * 1000000L div n_docs").alias("mean_micros"),
+        "dom_shrunk_micros",
+        F.expr(
+            f"(_sum * 1000000L + {alpha}L * dom_shrunk_micros)"
+            f" div (n_docs + {alpha}L)"
+        ).alias("shrunk_micros"),
+    )

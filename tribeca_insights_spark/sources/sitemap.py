@@ -59,3 +59,63 @@ def seed_urls(locs: DataFrame, state: DataFrame) -> DataFrame:
         )
     )
     return state.unionByName(new)
+
+
+def sitemap_coverage(
+    locs: DataFrame,
+    crawled: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host sitemap↔crawl coverage audit — the two gap lists every
+    crawl review reads: sitemap urls never crawled (frontier debt or
+    robots/error losses) and crawled urls absent from the sitemap
+    (orphans — reachable only by links; a big orphan share says the
+    sitemap is stale). Inputs: the ``sitemap_locs`` output and the
+    crawled-url set, both with a host column.
+
+    Shape: full outer join on url (bucketed by url at corpus scale —
+    the same key the state table already buckets on), then one
+    host-keyed partial agg. Output: (host, n_in_sitemap, n_crawled,
+    n_both, n_sitemap_only, n_crawled_only, crawl_coverage_micros =
+    n_both·1e6 div n_in_sitemap [NULL when the sitemap is empty],
+    orphan_micros = n_crawled_only·1e6 div n_crawled [NULL when
+    nothing crawled]).
+    """
+    s = locs.select(
+        F.col(host_col).alias("_hs"), F.col("url").alias("url")
+    ).distinct().withColumn("_in_s", F.lit(1))
+    c = crawled.select(
+        F.col(host_col).alias("_hc"), F.col("url").alias("url")
+    ).distinct().withColumn("_in_c", F.lit(1))
+    j = s.join(c, "url", "full_outer").select(
+        F.coalesce(F.col("_hs"), F.col("_hc")).alias("host"),
+        F.coalesce(F.col("_in_s"), F.lit(0)).alias("in_s"),
+        F.coalesce(F.col("_in_c"), F.lit(0)).alias("in_c"),
+    )
+    agg = j.groupBy("host").agg(
+        F.sum("in_s").cast("bigint").alias("n_in_sitemap"),
+        F.sum("in_c").cast("bigint").alias("n_crawled"),
+        F.sum(F.col("in_s") * F.col("in_c")).cast("bigint").alias(
+            "n_both"
+        ),
+    )
+    return agg.select(
+        "host",
+        "n_in_sitemap",
+        "n_crawled",
+        "n_both",
+        (F.col("n_in_sitemap") - F.col("n_both")).alias(
+            "n_sitemap_only"
+        ),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_crawled_only"),
+        F.when(
+            F.col("n_in_sitemap") > 0,
+            F.expr("n_both * 1000000L div n_in_sitemap"),
+        ).alias("crawl_coverage_micros"),
+        F.when(
+            F.col("n_crawled") > 0,
+            F.expr(
+                "(n_crawled - n_both) * 1000000L div n_crawled"
+            ),
+        ).alias("orphan_micros"),
+    )
