@@ -13963,3 +13963,85 @@ def q255_sitemap_coverage(spark, sf_dir):
         host.alias("host"), url.alias("url")
     )
     return sitemap_coverage(locs, crawled)
+
+
+# --- wave: dangling-mass PageRank variant (q256) -----------------------------
+
+
+@q(
+    "q256_pagerank_dangling",
+    """
+    -- graph with real sinks: only EVEN doc_ids emit edges, so odd
+    -- nodes that appear as targets are dangling. 2 rounds with the
+    -- classic uniform dangling-mass redistribution.
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % N AS dst
+      FROM documents, nn WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % N
+      FROM documents, nn WHERE doc_id % 2 = 0
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+    c1 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+    d1 AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS dmass
+           FROM r0 WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c, 0)) // 100
+                  + (85 * d1.dmass) // (100 * nc.n_nodes)
+                  AS BIGINT) AS s
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.dst
+      CROSS JOIN d1 CROSS JOIN nc
+    ),
+    c2 AS (SELECT dst, CAST(sum(s // 2) AS BIGINT) AS c
+           FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+    d2 AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS dmass
+           FROM r1 WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c, 0)) // 100
+                  + (85 * d2.dmass) // (100 * nc.n_nodes)
+                  AS BIGINT) AS s
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.dst
+      CROSS JOIN d2 CROSS JOIN nc
+    )
+    SELECT node, s AS rank_micros FROM r2
+    """,
+)
+def q256_pagerank_dangling(spark, sf_dir):
+    """PageRank WITH dangling-mass redistribution (operators/
+    linkgraph.py pagerank_micros redistribute_dangling=True) -- the
+    variant real web graphs need: a crawl frontier's unfetched targets
+    are all sinks, and without the uniform dangling term their mass
+    leaks out of the system every round (rank sums decay; comparisons
+    across snapshots break). Fixture: only even doc_ids emit edges, so
+    odd targets are genuine sinks. One extra 1-row aggregate +
+    broadcast per round (the dangling mass); everything else identical
+    to q83's loop -- integer micros, unrolled 2 rounds in the oracle."""
+    from .operators.linkgraph import pagerank_micros
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count("*").alias("N"))
+    base = d.filter(F.col("doc_id") % 2 == 0).crossJoin(
+        F.broadcast(n_row)
+    )
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("N")).alias("dst"),
+        )
+    )
+    return pagerank_micros(
+        edges, n_iter=2, redistribute_dangling=True
+    )
