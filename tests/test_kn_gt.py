@@ -1,0 +1,92 @@
+"""Closed-form fixtures for the classical LM smoothing tables:
+interpolated Kneser-Ney bigrams and Good-Turing count-of-counts
+(operators/lm.py; registered as q257/q258)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from tribeca_insights_spark.operators.lm import (
+    good_turing_counts,
+    kneser_ney_bigram,
+)
+
+
+def _kn_expected(c12, c1, n1p_fwd, n1p_bwd, b, d=0.75):
+    # EXACT expression the operator evaluates (same association order)
+    return math.floor(1e6 * ((c12 - d) / c1 + d * n1p_fwd / c1 * n1p_bwd / b))
+
+
+def test_kneser_ney_closed_form(spark):
+    # one doc "a b a b a c": bigrams ab x2, ba x2, ac x1
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c", "en"), (2, "z z z", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigram(docs, F.col("lang") == "en").collect()
+    }
+    # training slice excludes the lang='xx' doc entirely
+    assert set(out) == {("a", "b"), ("b", "a"), ("a", "c")}
+    ab, ba, ac = out[("a", "b")], out[("b", "a")], out[("a", "c")]
+    # raw counts and marginals
+    assert (ab["c12"], ab["c1"], ab["n1p_fwd"], ab["n1p_bwd"]) == (2, 3, 2, 1)
+    assert (ba["c12"], ba["c1"], ba["n1p_fwd"], ba["n1p_bwd"]) == (2, 2, 1, 1)
+    assert (ac["c12"], ac["c1"], ac["n1p_fwd"], ac["n1p_bwd"]) == (1, 3, 2, 1)
+    b = 3  # distinct bigram types
+    assert ab["kn_prob_micros"] == _kn_expected(2, 3, 2, 1, b)
+    assert ba["kn_prob_micros"] == _kn_expected(2, 2, 1, 1, b)
+    assert ac["kn_prob_micros"] == _kn_expected(1, 3, 2, 1, b)
+    # discounted mass is strictly below ML estimate; KN interpolation
+    # keeps each observed bigram's probability positive
+    assert 0 < ab["kn_prob_micros"] < math.floor(1e6 * 2 / 3)
+
+
+def test_kneser_ney_rows_sum_below_one_per_context(spark):
+    # per-context observed-bigram mass must stay < 1 (the discount
+    # reserves mass for unseen continuations)
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(
+            ["the cat sat", "the cat ran", "a cat sat on the mat"]
+        )],
+        "doc_id long, text string, lang string",
+    )
+    rows = kneser_ney_bigram(docs, F.col("lang") == "en").collect()
+    per_ctx = {}
+    for r in rows:
+        per_ctx.setdefault(r["w1"], 0)
+        per_ctx[r["w1"]] += r["kn_prob_micros"]
+    for w1, total in per_ctx.items():
+        assert total < 1_000_000, (w1, total)
+
+
+def test_good_turing_closed_form(spark):
+    # counts: a=3, b=2, c=1  ->  N_1=N_2=N_3=1
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en"), (2, "q q q q", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["r"]: r
+        for r in good_turing_counts(docs, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert all(out[r]["n_types"] == 1 for r in (1, 2, 3))
+    # r* = (r+1) * N_{r+1} / N_r
+    assert out[1]["r_star_micros"] == 2_000_000
+    assert out[2]["r_star_micros"] == 3_000_000
+    # no types observed 4 times -> simple GT reports 0 (documented gap)
+    assert out[3]["r_star_micros"] == 0
+
+
+def test_good_turing_unseen_mass(spark):
+    # N_1 / N is the standard unseen-probability estimate; the r=1 row
+    # carries exactly the ingredients
+    docs = spark.createDataFrame(
+        [(1, "x y z x", "en")], "doc_id long, text string, lang string"
+    )
+    out = {r["r"]: r for r in
+           good_turing_counts(docs, F.col("lang") == "en").collect()}
+    assert out[1]["n_types"] == 2  # y, z
+    assert out[2]["n_types"] == 1  # x

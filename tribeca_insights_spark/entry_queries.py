@@ -14045,3 +14045,87 @@ def q256_pagerank_dangling(spark, sf_dir):
     return pagerank_micros(
         edges, n_iter=2, redistribute_dangling=True
     )
+
+
+# --- wave: classical LM smoothing tables (q257-q258) -------------------------
+
+
+@q(
+    "q257_kneser_ney",
+    """
+    WITH toks AS (
+      SELECT list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents WHERE lang = 'en'
+    ),
+    big AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1p_fwd
+            FROM c12 GROUP BY 1),
+    bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd
+            FROM c12 GROUP BY 1),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS B FROM c12)
+    SELECT c12.w1, c12.w2, c12.c12, ctx.c1, ctx.n1p_fwd, bwd.n1p_bwd,
+           CAST(floor(1e6 * ((c12.c12 - CAST(0.75 AS DOUBLE)) / ctx.c1
+                + CAST(0.75 AS DOUBLE) * ctx.n1p_fwd / ctx.c1
+                  * bwd.n1p_bwd / bt.B))
+                AS BIGINT) AS kn_prob_micros
+    FROM c12 JOIN ctx USING (w1) JOIN bwd USING (w2) CROSS JOIN bt
+    """,
+)
+def q257_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model table fit on the English
+    slice (operators/lm.py:kneser_ney_bigram; Chen & Goodman 1999 eq.
+    4.25) — the smoothing the n-gram-LM quality filters (CCNet/KenLM)
+    actually use, completing the LM family next to Laplace (q73) and
+    Stupid Backoff (q139). The model lives in the dataflow: one
+    corpus-scale bigram-type groupBy, vocabulary-bounded marginal
+    re-aggregations (context totals, N1+ forward/backward continuation
+    counts), a broadcast 1-row type count, equi-joins only. Per-bigram
+    probability floors to integer micros from the identical
+    left-associated double expression the oracle states."""
+    from .operators.lm import kneser_ney_bigram
+
+    d = _read(spark, sf_dir, "documents")
+    return kneser_ney_bigram(d, F.col("lang") == "en")
+
+
+@q(
+    "q258_good_turing",
+    """
+    WITH toks AS (
+      SELECT list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents WHERE lang = 'en'
+    ),
+    cnt AS (SELECT w, count(*) AS r
+            FROM (SELECT unnest(l) AS w FROM toks) GROUP BY 1),
+    coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types
+            FROM cnt GROUP BY 1)
+    SELECT CAST(a.r AS BIGINT) AS r, a.n_types,
+           CAST(floor(1e6 * (a.r + 1) * coalesce(b.n_types, 0)
+                      / a.n_types) AS BIGINT) AS r_star_micros
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+    """,
+)
+def q258_good_turing(spark, sf_dir):
+    """Good-Turing count-of-counts table over the English slice's
+    unigrams (operators/lm.py:good_turing_counts; Good 1953): N_r and
+    the Turing-adjusted count r* = (r+1)N_{r+1}/N_r in integer micros.
+    The estimator behind unseen-mass estimates (N_1/N) and SGT
+    smoothing. Scale shape: corpus groupBy -> vocabulary-bounded
+    count-of-counts -> SELF equi-join on r+1 (never a global-ordered
+    window), output bounded by |distinct count values|."""
+    from .operators.lm import good_turing_counts
+
+    d = _read(spark, sf_dir, "documents")
+    return good_turing_counts(d, F.col("lang") == "en")

@@ -426,3 +426,125 @@ def heldout_lm_eval(docs: DataFrame, id_col: str = "doc_id",
             " ELSE -((-lm_logprob_micros) div n_bigrams) END"
         ).alias("mean_bigram_micros"),
     )
+
+
+def kneser_ney_bigram(docs: DataFrame, target_col,
+                      text_col: str = "text",
+                      discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model table (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) fit on the ``target_col`` slice.
+
+    One row per OBSERVED training bigram type:
+    ``(w1, w2, c12, c1, n1p_fwd, n1p_bwd, kn_prob_micros)`` where
+
+    - ``c12``      = count of bigram (w1, w2) in the training slice,
+    - ``c1``       = total bigram count with context w1 (sum of c12),
+    - ``n1p_fwd``  = N1+(w1 *): distinct continuations of w1,
+    - ``n1p_bwd``  = N1+(* w2): distinct contexts preceding w2 — the
+      continuation count KN substitutes for raw frequency so that
+      e.g. "francisco" (frequent but only ever after "san") gets a
+      LOW unigram weight,
+    - ``kn_prob_micros`` = floor(1e6 * P_KN(w2|w1)) with
+
+      P_KN(w2|w1) = (c12 - D)/c1 + D*n1p_fwd/c1 * n1p_bwd/B,
+
+      D the absolute discount and B the number of distinct bigram
+      types (the normalizer of the continuation distribution).
+
+    The model IS the dataflow — no driver-side object: one shuffle
+    builds the bigram-type counts (map-side partial agg), the context
+    (w1) and continuation (w2) marginals are vocabulary-bounded
+    re-aggregations of that table, and the 1-row type-count B is
+    broadcast. All joins are equi-joins on vocabulary-sized tables;
+    at 10^12 docs only the first groupBy sees corpus-scale data.
+    Scoring a corpus composes exactly like ``bigram_lm_score``: two
+    left equi-joins (on (w1,w2), then w1) plus the broadcast B.
+
+    Determinism: ``(c12 - D)/c1 + D*n1p_fwd/c1 * n1p_bwd/B`` is the
+    same left-associated IEEE-double expression the DuckDB oracle
+    states, evaluated on identical integer inputs, then floored to
+    integer micros — order-free and hash-stable.
+    """
+    toks = docs.filter(target_col).select(
+        _words(F.col(text_col)).alias("_l")
+    )
+    n = F.size("_l")
+    big = toks.filter(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("_l", 1, n - 1).alias("w1"),
+                F.slice("_l", 2, n - 1).alias("w2"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_fwd")
+    )
+    bwd = c12.groupBy("w2").agg(F.count("*").alias("n1p_bwd"))
+    btypes = c12.agg(F.count("*").alias("_B"))
+
+    d = F.lit(float(discount))
+    p = (
+        (F.col("c12") - d) / F.col("c1")
+        + d * F.col("n1p_fwd") / F.col("c1") * F.col("n1p_bwd")
+        / F.col("_B")
+    )
+    return (
+        c12.join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("n1p_fwd").cast("bigint").alias("n1p_fwd"),
+            F.col("n1p_bwd").cast("bigint").alias("n1p_bwd"),
+            F.floor(F.lit(1e6) * p).alias("kn_prob_micros"),
+        )
+    )
+
+
+def good_turing_counts(docs: DataFrame, target_col,
+                       text_col: str = "text") -> DataFrame:
+    """Good-Turing count-of-counts table over the training slice's
+    unigrams: ``(r, n_types, r_star_micros)``.
+
+    ``n_types`` = N_r, the number of distinct word types observed
+    exactly r times; ``r_star_micros`` = floor(1e6 * (r+1) * N_{r+1}
+    / N_r), the Turing-smoothed adjusted count (Good 1953). Rows where
+    no type has count r+1 report 0 — the gap simple GT leaves and
+    smoothed variants (SGT) fill by regression; documented rather than
+    hidden. N_0 is undefined here (open vocabulary), so the unseen
+    mass is the standard N_1/N ratio computable from the r=1 row.
+
+    Scale shape: one corpus-scale groupBy (word counts, partial agg),
+    one vocabulary-bounded groupBy (count-of-counts), then a SELF
+    equi-join on r+1 — never a global-ordered window, so no
+    single-partition WindowExec at any scale. Output is at most
+    |distinct count values| rows (<= max doc frequency), trivially
+    small at every SF.
+    """
+    cnt = (
+        docs.filter(target_col)
+        .select(F.explode(_words(F.col(text_col))).alias("_w"))
+        .groupBy("_w").agg(F.count("*").alias("_r"))
+    )
+    coc = cnt.groupBy(F.col("_r").alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_types")
+    )
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("_n_next")
+    )
+    return (
+        coc.join(nxt, "r", "left")
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "n_types",
+            F.floor(
+                F.lit(1e6) * (F.col("r") + 1)
+                * F.coalesce("_n_next", F.lit(0)) / F.col("n_types")
+            ).cast("bigint").alias("r_star_micros"),
+        )
+    )
