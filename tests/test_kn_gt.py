@@ -90,3 +90,57 @@ def test_good_turing_unseen_mass(spark):
            good_turing_counts(docs, F.col("lang") == "en").collect()}
     assert out[1]["n_types"] == 2  # y, z
     assert out[2]["n_types"] == 1  # x
+
+
+def test_extraction_eval_multiset(spark):
+    from tribeca_insights_spark.operators.boilerplate import extraction_eval
+
+    ext = spark.createDataFrame(
+        [(1, "a a b"), (2, "")], "doc_id long, text string"
+    )
+    gold = spark.createDataFrame(
+        [(1, "a b b c"), (2, "a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in extraction_eval(ext, gold).collect()}
+    r1 = out[1]
+    # multiset intersection: min(2,1) for 'a' + min(1,2) for 'b' = 2
+    assert (r1["n_ext"], r1["n_gold"], r1["n_inter"]) == (3, 4, 2)
+    assert r1["p_micros"] == 666666      # floor(1e6 * 2/3)
+    assert r1["r_micros"] == 500000
+    assert r1["f1_micros"] == 571428     # floor(2e6 * 2/7)
+    # empty extraction: zero scores by convention, never NULL
+    r2 = out[2]
+    assert (r2["n_ext"], r2["n_gold"], r2["n_inter"]) == (0, 1, 0)
+    assert (r2["p_micros"], r2["r_micros"], r2["f1_micros"]) == (0, 0, 0)
+
+
+def test_extraction_eval_perfect(spark):
+    from tribeca_insights_spark.operators.boilerplate import extraction_eval
+
+    d = spark.createDataFrame([(7, "x y z")], "doc_id long, text string")
+    r = extraction_eval(d, d).collect()[0]
+    assert r["p_micros"] == r["r_micros"] == r["f1_micros"] == 1_000_000
+
+
+def test_anchor_expansion_routing(spark):
+    from tribeca_insights_spark.operators.linkgraph import anchor_expansion
+
+    body = spark.createDataFrame(
+        [(1, "cats purr"), (2, "dogs bark")], "doc_id long, text string"
+    )
+    # two inbound anchors for doc 1, one repeating a body term
+    anchors = spark.createDataFrame(
+        [(1, "cats photos"), (1, "photos"), (2, "")],
+        "doc_id long, anchor string",
+    )
+    out = {(r["doc_id"], r["term"]): r
+           for r in anchor_expansion(body, anchors, 2).collect()}
+    # body+anchor overlap: tf_expanded = tf_body + 2*tf_anchor
+    assert out[(1, "cats")]["tf_expanded"] == 1 + 2 * 1
+    # anchor-only term appears in the target's index (the expansion)
+    assert out[(1, "photos")]["tf_body"] == 0
+    assert out[(1, "photos")]["tf_anchor"] == 2
+    assert out[(1, "photos")]["tf_expanded"] == 4
+    # body-only term untouched; empty anchor contributes nothing
+    assert out[(2, "dogs")]["tf_expanded"] == 1
+    assert (2, "") not in out

@@ -14129,3 +14129,150 @@ def q258_good_turing(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return good_turing_counts(d, F.col("lang") == "en")
+
+
+# --- wave: extraction-quality eval harness (q259) ----------------------------
+
+
+@q(
+    "q259_extraction_eval",
+    """
+    WITH ext AS (
+      SELECT doc_id,
+             'Heading ' || doc_id ||
+               CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN ' ' || text ELSE '' END AS t
+      FROM documents
+    ),
+    etok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(trim(
+               regexp_replace(t, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS w
+      FROM ext
+    ),
+    gtok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(trim(
+               regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS w
+      FROM documents
+    ),
+    ec AS (SELECT doc_id, w, count(*) AS c FROM etok GROUP BY 1, 2),
+    gc AS (SELECT doc_id, w, count(*) AS c FROM gtok GROUP BY 1, 2),
+    et AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ext
+           FROM ec GROUP BY 1),
+    gt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_gold
+           FROM gc GROUP BY 1),
+    iv AS (SELECT ec.doc_id,
+                  CAST(sum(least(ec.c, gc.c)) AS BIGINT) AS n_inter
+           FROM ec JOIN gc ON ec.doc_id = gc.doc_id AND ec.w = gc.w
+           GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(et.n_ext, 0) AS n_ext,
+           coalesce(gt.n_gold, 0) AS n_gold,
+           coalesce(iv.n_inter, 0) AS n_inter,
+           CASE WHEN coalesce(et.n_ext, 0) > 0
+                THEN CAST(floor(1e6 * coalesce(iv.n_inter, 0)
+                                / et.n_ext) AS BIGINT)
+                ELSE 0 END AS p_micros,
+           CASE WHEN coalesce(gt.n_gold, 0) > 0
+                THEN CAST(floor(1e6 * coalesce(iv.n_inter, 0)
+                                / gt.n_gold) AS BIGINT)
+                ELSE 0 END AS r_micros,
+           CASE WHEN coalesce(et.n_ext, 0) + coalesce(gt.n_gold, 0) > 0
+                THEN CAST(floor(2e6 * coalesce(iv.n_inter, 0)
+                                / (coalesce(et.n_ext, 0)
+                                   + coalesce(gt.n_gold, 0)))
+                          AS BIGINT)
+                ELSE 0 END AS f1_micros
+    FROM documents d
+    LEFT JOIN et USING (doc_id)
+    LEFT JOIN gt USING (doc_id)
+    LEFT JOIN iv USING (doc_id)
+    """,
+)
+def q259_extraction_eval(spark, sf_dir):
+    """Token-level extraction-quality harness (operators/boilerplate.py
+    extraction_eval; CleanEval / boilerpipe-style token-bag scoring):
+    run the REAL main-content extractor (q87's jusText-lite path) over
+    the synthesized pages and grade it against gold = the body text
+    alone. The h1 heading the extractor keeps becomes a deliberate
+    false-positive token and sub-3-word bodies become false negatives,
+    so P/R/F1 vary per document and the oracle states them closed-form
+    through the SAME generic multiset-intersection SQL the operator
+    implements (min of per-word counts — repeated words can't
+    double-credit). This is the eval loop an extraction-threshold
+    sweep reads at corpus scale; plan = two token groupBys, one
+    (doc, word) equi-join, three doc-keyed joins, no window."""
+    from .operators.boilerplate import extraction_eval, main_content
+
+    pages = documents_as_pages(spark, sf_dir)
+    extracted = main_content(pages).select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    gold = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return extraction_eval(extracted, gold)
+
+
+# --- wave: anchor-text document expansion (q260) ------------------------------
+
+
+@q(
+    "q260_anchor_expansion",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    anch AS (
+      SELECT (doc_id * 7 + 3) % N AS doc_id,
+             array_to_string(string_split(text, ' ')[1:3], ' ')
+               AS anchor
+      FROM documents, nn
+    ),
+    btok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(trim(
+               regexp_replace(text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS term
+      FROM documents
+    ),
+    atok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(trim(
+               regexp_replace(anchor, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0)) AS term
+      FROM anch
+    ),
+    tb AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_body
+           FROM btok GROUP BY 1, 2),
+    ta AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_anchor
+           FROM atok GROUP BY 1, 2)
+    SELECT coalesce(tb.doc_id, ta.doc_id) AS doc_id,
+           coalesce(tb.term, ta.term) AS term,
+           CAST(coalesce(tb.tf_body, 0) AS BIGINT) AS tf_body,
+           CAST(coalesce(ta.tf_anchor, 0) AS BIGINT) AS tf_anchor,
+           CAST(coalesce(tb.tf_body, 0)
+                + 2 * coalesce(ta.tf_anchor, 0) AS BIGINT)
+             AS tf_expanded
+    FROM tb FULL OUTER JOIN ta
+      ON tb.doc_id = ta.doc_id AND tb.term = ta.term
+    """,
+)
+def q260_anchor_expansion(spark, sf_dir):
+    """Anchor-text document expansion (operators/linkgraph.py
+    anchor_expansion; Craswell et al. 2001 / the anchor field of
+    BM25F): inbound anchor terms are routed to the TARGET document and
+    merged with its body term index at integer weight 2 — the signal
+    that made early web search find sites their own text never names.
+    Fixture: doc i links to (i*7+3)%N with anchor = its first three
+    words, so every target's expanded index provably mixes two
+    documents' vocabularies. Plan: one shuffle of the anchor stream on
+    target id, two (doc, term) partial-agg groupBys, one full-outer
+    equi-join — mega-indegree skew absorbed by map-side combine."""
+    from .operators.linkgraph import anchor_expansion
+
+    d = _read(spark, sf_dir, "documents")
+    n_row = d.agg(F.count("*").alias("N"))
+    anchors = d.crossJoin(F.broadcast(n_row)).select(
+        ((F.col("doc_id") * 7 + 3) % F.col("N")).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+        .alias("anchor"),
+    )
+    return anchor_expansion(
+        d.select("doc_id", "text"), anchors, anchor_weight=2
+    )

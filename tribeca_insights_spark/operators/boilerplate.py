@@ -486,3 +486,74 @@ def layout_clusters(
         F.min("n_tags").cast("int").alias("n_tags"),
         F.min(id_col).cast("long").alias("min_id"),
     )
+
+
+def extraction_eval(extracted: DataFrame, gold: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Token-level extraction-quality eval: compare an extractor's
+    output text against gold main content per document, CleanEval-style
+    (Baroni et al. 2008 score the token bag overlap; boilerpipe's eval
+    does the same).
+
+    Both inputs are ``(id, text)``; tokens come from the engine's
+    standard tokenizer. The match is the MULTISET intersection
+    (sum over words of min(count_extracted, count_gold)) so repeated
+    content words can't be double-credited. Output per document:
+    ``(id, n_ext, n_gold, n_inter, p_micros, r_micros, f1_micros)``
+    with precision = I/E, recall = I/G and F1 stated via the identity
+    2PR/(P+R) = 2I/(E+G) — one floor each, no chained rounding.
+    Documents with an empty side score 0 by convention (never NULL),
+    so corpus averages stay plain aggregates.
+
+    Scale shape: two (doc, word) partial-agg groupBys, one equi-join
+    on (doc, word) for the intersection, then doc-keyed joins of three
+    doc-sized aggregates — no window, no explode past the token stream,
+    everything combinable map-side. This is the harness a content-
+    extraction threshold sweep (q87's link-density/length rules) reads
+    at corpus scale.
+    """
+    from .dsir import _words
+
+    def _counts(df: DataFrame, total_name: str, cnt_name: str):
+        tok = df.select(
+            F.col(id_col),
+            F.explode(_words(F.col(text_col))).alias("_w"),
+        )
+        per = tok.groupBy(id_col, "_w").agg(
+            F.count("*").alias(cnt_name)
+        )
+        tot = per.groupBy(id_col).agg(
+            F.sum(cnt_name).cast("bigint").alias(total_name)
+        )
+        return per, tot
+
+    e_per, e_tot = _counts(extracted, "n_ext", "_ce")
+    g_per, g_tot = _counts(gold, "n_gold", "_cg")
+
+    inter = (
+        e_per.join(g_per, [id_col, "_w"])
+        .groupBy(id_col)
+        .agg(F.sum(F.least("_ce", "_cg")).cast("bigint").alias("n_inter"))
+    )
+    base = (
+        e_tot.join(g_tot, id_col, "full_outer")
+        .join(inter, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ext", F.lit(0)).alias("n_ext"),
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        )
+    )
+    i, e, g = F.col("n_inter"), F.col("n_ext"), F.col("n_gold")
+    zero = F.lit(0).cast("bigint")
+    return base.select(
+        id_col, "n_ext", "n_gold", "n_inter",
+        F.when(e > 0, F.floor(F.lit(1e6) * i / e)).otherwise(zero)
+        .alias("p_micros"),
+        F.when(g > 0, F.floor(F.lit(1e6) * i / g)).otherwise(zero)
+        .alias("r_micros"),
+        F.when(e + g > 0, F.floor(F.lit(2e6) * i / (e + g)))
+        .otherwise(zero).alias("f1_micros"),
+    )

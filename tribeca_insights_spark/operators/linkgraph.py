@@ -1240,3 +1240,60 @@ def indegree_gini(
         f"({num} - (({num} % {den} + {den}) % {den})) div {den} "
         f"END AS gini_micros",
     )
+
+
+def anchor_expansion(body: DataFrame, anchors: DataFrame,
+                     anchor_weight: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text",
+                     anchor_col: str = "anchor") -> DataFrame:
+    """Anchor-text document expansion (classic web IR — Craswell et al.
+    2001, "Effective Site Finding using Link Anchor Information"; the
+    anchor field of BM25F): terms from INBOUND anchor text are routed
+    to the TARGET document's term index, weighted, and merged with the
+    body term frequencies.
+
+    ``body`` is ``(id, text)``; ``anchors`` is ``(id, anchor)`` — one
+    row per inbound link, already resolved to the target id (compose
+    from :func:`anchor_pairs` with a url→id join). Output one row per
+    (id, term) observed in EITHER field:
+    ``(id, term, tf_body, tf_anchor, tf_expanded)`` with
+    ``tf_expanded = tf_body + anchor_weight * tf_anchor``. The weight
+    is an integer so the expanded tf stays exact (BM25F's per-field
+    soft normalization composes downstream; the field routing is the
+    operator).
+
+    Scale shape: the anchor stream shuffles ONCE on the target id —
+    the same exchange any inlink aggregation pays — then both fields
+    are (doc, term) partial-agg groupBys and one full-outer equi-join
+    on (doc, term). Mega-indegree targets (every page's nav link) are
+    absorbed by map-side combine exactly as in anchor_text_stats.
+    """
+    from .dsir import _words
+
+    tf_b = (
+        body.select(F.col(id_col),
+                    F.explode(_words(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf_body"))
+    )
+    tf_a = (
+        anchors.select(F.col(id_col),
+                       F.explode(_words(F.col(anchor_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf_anchor"))
+    )
+    w = F.lit(int(anchor_weight)).cast("bigint")
+    return (
+        tf_b.join(tf_a, [id_col, "term"], "full_outer")
+        .select(
+            id_col, "term",
+            F.coalesce("tf_body", F.lit(0)).cast("bigint")
+            .alias("tf_body"),
+            F.coalesce("tf_anchor", F.lit(0)).cast("bigint")
+            .alias("tf_anchor"),
+            (F.coalesce("tf_body", F.lit(0))
+             + w * F.coalesce("tf_anchor", F.lit(0))).cast("bigint")
+            .alias("tf_expanded"),
+        )
+    )
