@@ -144,3 +144,48 @@ def test_anchor_expansion_routing(spark):
     # body-only term untouched; empty anchor contributes nothing
     assert out[(2, "dogs")]["tf_expanded"] == 1
     assert (2, "") not in out
+
+
+def test_text_tiling_boundary_at_topic_shift(spark):
+    from tribeca_insights_spark.operators.textstats import text_tiling
+
+    # two homogeneous topics of 2 blocks each (k=4): high cohesion
+    # inside topics, zero-overlap valley at the topic shift (gap 1)
+    text = ("cat cat dog dog cat cat dog dog "
+            "car car bus bus car car bus bus")
+    docs = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    rows = {r["gap_idx"]: r
+            for r in text_tiling(docs, block_tokens=4).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["sim_micros"] == 1_000_000
+    assert rows[1]["sim_micros"] == 0
+    assert rows[2]["sim_micros"] == 1_000_000
+    # only the valley is a boundary
+    assert [rows[i]["is_boundary"] for i in (0, 1, 2)] == [0, 1, 0]
+
+
+def test_text_tiling_uniform_doc_no_boundary(spark):
+    from tribeca_insights_spark.operators.textstats import text_tiling
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b a b a b"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    out = text_tiling(docs, block_tokens=4).collect()
+    # constant similarity -> zero variance -> no gap qualifies
+    assert all(r["is_boundary"] == 0 for r in out)
+    # single-block doc emits nothing
+    assert all(r["doc_id"] == 1 for r in out)
+
+
+def test_text_tiling_multiset_dice(spark):
+    from tribeca_insights_spark.operators.textstats import text_tiling
+
+    # blocks of 2: L=[x,x], R=[x,y] -> I=min(2,1)=1, dice=2*1/4
+    docs = spark.createDataFrame(
+        [(1, "x x x y")], "doc_id long, text string"
+    )
+    r = text_tiling(docs, block_tokens=2).collect()[0]
+    assert r["sim_micros"] == 500_000

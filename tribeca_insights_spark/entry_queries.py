@@ -14276,3 +14276,72 @@ def q260_anchor_expansion(spark, sf_dir):
     return anchor_expansion(
         d.select("doc_id", "text"), anchors, anchor_weight=2
     )
+
+
+# --- wave: TextTiling topic segmentation (q261) -------------------------------
+
+
+@q(
+    "q261_text_tiling",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, l[i] AS w, CAST((i - 1) // 8 AS BIGINT) AS blk
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+            FROM toks)
+    ),
+    cnt AS (SELECT doc_id, blk, w, count(*) AS c
+            FROM pos GROUP BY 1, 2, 3),
+    sz AS (SELECT doc_id, blk, CAST(sum(c) AS BIGINT) AS s
+           FROM cnt GROUP BY 1, 2),
+    ij AS (
+      SELECT a.doc_id, a.blk AS gap,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS i
+      FROM cnt a JOIN cnt b
+        ON a.doc_id = b.doc_id AND a.w = b.w AND b.blk = a.blk + 1
+      GROUP BY 1, 2
+    ),
+    gaps AS (
+      SELECT l.doc_id, l.blk AS gap_idx,
+             CAST(floor(2e6 * coalesce(ij.i, 0) / (l.s + r.s))
+                  AS BIGINT) AS sim_micros
+      FROM sz l JOIN sz r
+        ON l.doc_id = r.doc_id AND r.blk = l.blk + 1
+      LEFT JOIN ij ON ij.doc_id = l.doc_id AND ij.gap = l.blk
+    ),
+    st AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sim_micros) AS BIGINT) AS s,
+             CAST(sum(sim_micros * sim_micros) AS BIGINT) AS q
+      FROM gaps GROUP BY 1
+    )
+    SELECT g.doc_id, g.gap_idx, g.sim_micros,
+           CAST(CASE WHEN (st.s - st.n * g.sim_micros) > 0
+                      AND 4 * (st.s - st.n * g.sim_micros)
+                          * (st.s - st.n * g.sim_micros)
+                          > st.n * st.q - st.s * st.s
+                THEN 1 ELSE 0 END AS INT) AS is_boundary
+    FROM gaps g JOIN st USING (doc_id)
+    """,
+)
+def q261_text_tiling(spark, sf_dir):
+    """TextTiling topic segmentation (operators/textstats.py
+    text_tiling; Hearst 1997): Dice similarity between adjacent
+    8-token blocks, boundary where a gap dips half a stddev below the
+    document's mean — Hearst's cutoff restated EXACTLY in integers
+    (4*(s - n*sim)^2 > n*q - s^2), so no float stddev and no
+    aggregation-order sensitivity anywhere. The segmentation a
+    long-document chunker (q116) upgrades to when blind fixed windows
+    split topics. Plan: doc-keyed groupBys and block+1 self
+    equi-joins only — no window, embarrassingly parallel across
+    documents."""
+    from .operators.textstats import text_tiling
+
+    d = _read(spark, sf_dir, "documents")
+    return text_tiling(d, block_tokens=8)

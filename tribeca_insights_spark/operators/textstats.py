@@ -2034,3 +2034,96 @@ def shrunk_hierarchy_quality(
             f" div (n_docs + {alpha}L)"
         ).alias("shrunk_micros"),
     )
+
+
+def text_tiling(docs: DataFrame, block_tokens: int = 8,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """TextTiling-style linear topic segmentation (Hearst 1997, CL 23(1))
+    — lexical-cohesion valleys between fixed-size token blocks mark
+    intra-document topic boundaries, the segmentation long-document
+    chunkers want instead of blind fixed windows.
+
+    Tokens split into blocks of ``block_tokens``; each adjacent-block
+    gap scores Dice similarity ``floor(2e6 * I / (|L| + |R|))`` with I
+    the MULTISET token intersection (min of counts). A gap is a
+    boundary when its similarity sits more than half a standard
+    deviation below the document's mean gap similarity — Hearst's
+    cutoff, stated EXACTLY in integers: with n gaps, s = sum(sim),
+    q = sum(sim^2), boundary iff
+
+        s - n*sim > 0  AND  4*(s - n*sim)^2 > n*q - s^2
+
+    (both sides integer-exact, aggregation-order-free; the float
+    sqrt/stddev never materializes). Safe in int64 up to ~2000 blocks
+    per document — far beyond any sane block size; shard longer docs
+    first. Output: one row per gap ``(id, gap_idx, sim_micros,
+    is_boundary)``; single-block documents emit nothing.
+
+    Scale shape: everything is keyed by document — a posexplode, two
+    (doc, block[, word]) partial-agg groupBys, self equi-joins on
+    block+1, one doc-level stats agg joined back broadcast-style by
+    AQE. No window at all, no global ordering, embarrassingly parallel
+    across documents.
+    """
+    from .dsir import _words
+
+    k = int(block_tokens)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(_words(F.col(text_col))).alias("_pos", "_w"),
+    )
+    cnt = (
+        toks.select(id_col, F.expr(f"_pos div {k}").alias("_blk"), "_w")
+        .groupBy(id_col, "_blk", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    sz = cnt.groupBy(id_col, "_blk").agg(
+        F.sum("_c").cast("bigint").alias("_s")
+    )
+    r = cnt.select(
+        F.col(id_col), (F.col("_blk") - 1).alias("_blk"),
+        F.col("_w"), F.col("_c").alias("_cr"),
+    )
+    inter = (
+        cnt.join(r, [id_col, "_blk", "_w"])
+        .groupBy(id_col, F.col("_blk").alias("_gap"))
+        .agg(F.sum(F.least("_c", "_cr")).cast("bigint").alias("_i"))
+    )
+    szr = sz.select(
+        F.col(id_col), (F.col("_blk") - 1).alias("_blk"),
+        F.col("_s").alias("_sr"),
+    )
+    gaps = (
+        sz.join(szr, [id_col, "_blk"])
+        .join(inter.withColumnRenamed("_gap", "_blk"),
+              [id_col, "_blk"], "left")
+        .select(
+            id_col,
+            F.col("_blk").cast("bigint").alias("gap_idx"),
+            F.floor(
+                F.lit(2e6) * F.coalesce("_i", F.lit(0))
+                / (F.col("_s") + F.col("_sr"))
+            ).alias("sim_micros"),
+        )
+    )
+    st = gaps.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("sim_micros").cast("bigint").alias("_sum"),
+        F.sum(F.col("sim_micros") * F.col("sim_micros"))
+        .cast("bigint").alias("_q"),
+    )
+    dev = F.col("_sum") - F.col("_n") * F.col("sim_micros")
+    return (
+        gaps.join(st, id_col)
+        .select(
+            id_col, "gap_idx", "sim_micros",
+            F.when(
+                (dev > 0)
+                & (4 * dev * dev
+                   > F.col("_n") * F.col("_q")
+                   - F.col("_sum") * F.col("_sum")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("is_boundary"),
+        )
+    )
