@@ -189,3 +189,43 @@ def test_text_tiling_multiset_dice(spark):
     )
     r = text_tiling(docs, block_tokens=2).collect()[0]
     assert r["sim_micros"] == 500_000
+
+
+def _tree_rows(spark, html):
+    from tribeca_insights_spark.operators.sections import section_tree
+
+    docs = spark.createDataFrame(
+        [(1, html.encode())], "doc_id long, html binary"
+    )
+    return section_tree(docs).collect()
+
+
+def test_section_tree_nesting_and_sibling_replacement(spark):
+    rows = _tree_rows(
+        spark,
+        "<html><body><p>preamble</p><h1>A</h1><p>one</p>"
+        "<h2>B</h2><p>two</p><h3>C</h3><p>three</p>"
+        "<h2>D</h2><p>four</p><h1>E</h1><p>five</p></body></html>",
+    )
+    got = {r["text"]: (r["depth"], r["section_path"]) for r in rows}
+    assert got["preamble"] == (0, "")          # root content
+    assert got["one"] == (1, "A")
+    assert got["two"] == (2, "A > B")
+    assert got["three"] == (3, "A > B > C")
+    # sibling h2 pops B AND C
+    assert got["four"] == (2, "A > D")
+    # new h1 resets the whole stack
+    assert got["five"] == (1, "E")
+
+
+def test_section_tree_skipped_levels_and_idx(spark):
+    # h3 directly under h1 (authors skip levels constantly)
+    rows = _tree_rows(
+        spark,
+        "<html><body><h1>T</h1><h3>S</h3><p>deep</p></body></html>",
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["depth"], r["section_path"], r["text"]) == (2, "T > S", "deep")
+    # block_idx counts ALL walker blocks (headings included): h1=0, h3=1
+    assert r["block_idx"] == 2

@@ -14345,3 +14345,54 @@ def q261_text_tiling(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return text_tiling(d, block_tokens=8)
+
+
+# --- wave: section-tree extraction (q262) -------------------------------------
+
+
+@q(
+    "q262_section_tree",
+    """
+    SELECT doc_id, CAST(1 AS INT) AS block_idx, CAST(1 AS INT) AS depth,
+           'Part ' || doc_id AS section_path,
+           'intro ' || string_split(text, ' ')[1] AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 3, 2, 'Part ' || doc_id || ' > Sec A', text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 5, 2, 'Part ' || doc_id || ' > Sec B',
+           'tail ' || lang
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 7, 3, 'Part ' || doc_id || ' > Sec B > Deep',
+           'leaf ' || source
+    FROM documents
+    """,
+)
+def q262_section_tree(spark, sf_dir):
+    """Section-tree extraction (operators/sections.py section_tree):
+    every content block attributed to its governing heading breadcrumb
+    — h2 opens under h1, a sibling h2 REPLACES it, h3 nests below —
+    the outline relation the reference's flat '## text' heading lines
+    (crawler.py:73-76) only hint at, and the structure section-aware
+    chunkers feed RAG/training pipelines. The heading-stack fold runs
+    inside the block walker's existing Arrow pass (zero extra parses);
+    plan = Scan -> ArrowEvalPython -> Generate -> Project, no shuffle.
+    Fixture: h1/h2/h2-sibling/h3 ladder per page; the oracle states
+    all four content rows and their paths closed-form — sibling
+    replacement and nesting are both load-bearing."""
+    from .operators.sections import section_tree
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Part "), sid, F.lit("</h1><p>intro "),
+        F.split("text", " ")[0],
+        F.lit("</p><h2>Sec A</h2><p>"), F.col("text"),
+        F.lit("</p><h2>Sec B</h2><p>tail "), F.col("lang"),
+        F.lit("</p><h3>Deep</h3><p>leaf "), F.col("source"),
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return section_tree(pages)
