@@ -5774,7 +5774,11 @@ def q129_prefix_jaccard_join(spark, sf_dir):
     prefix filter dropped no qualifying pair on this corpus."""
     from .operators.dedup import char_shingles, prefix_jaccard_join
 
-    d = _read(spark, sf_dir, "documents")
+    # one-row-group scan = one task; spread rows before the heavy
+    # row-local 12-gram shingling (all downstream aggs order-free)
+    d = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = char_shingles(d, text_col="text", k=12)
     return prefix_jaccard_join(
         grams, threshold_micros=500_000, token_col="gram",
@@ -6351,7 +6355,13 @@ def q140_edit_distance_neardup(spark, sf_dir):
         simhash_near_pairs,
     )
 
-    t = _tokens_df(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    # spread the one-row-group scan BEFORE Arrow tokenization so the
+    # simhash signature build parallelizes (tokens compute in the scan
+    # stage otherwise — one task at bench SFs)
+    d0 = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = with_tokens(d0).filter(F.col("doc_id") % 2 == 0)
     tc = (
         t.select("doc_id", F.explode("tokens").alias("word"))
         .groupBy("doc_id", "word")
@@ -6880,7 +6890,10 @@ def q151_containment_join(spark, sf_dir):
     prefix+semi-join pruning dropped no qualifying pair."""
     from .operators.dedup import char_shingles, containment_join
 
-    d = _read(spark, sf_dir, "documents")
+    # spread the one-row-group scan before row-local shingling
+    d = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = char_shingles(d, text_col="text", k=12)
     return containment_join(
         grams, threshold_micros=800_000, token_col="gram",
@@ -10991,6 +11004,11 @@ def q211_stream_dedup_gate(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # the sf parquet is ONE row group, so the scan is one task — and
+    # minhash_band_structs is a heavy row-local expression that would
+    # otherwise run serially in that task (38 s of the 67 s bench wall
+    # at sf0.1). Spread rows first; every downstream agg is order-free.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     t = with_tokens(d).select(
         "doc_id", F.concat_ws(" ", "tokens").alias("tok_str")
     )
