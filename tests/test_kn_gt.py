@@ -229,3 +229,30 @@ def test_section_tree_skipped_levels_and_idx(spark):
     assert (r["depth"], r["section_path"], r["text"]) == (2, "T > S", "deep")
     # block_idx counts ALL walker blocks (headings included): h1=0, h3=1
     assert r["block_idx"] == 2
+
+
+def test_frame_sample_anchors_stco_and_co64(spark):
+    from tribeca_insights_spark.mediax import make_mp4_with_chunks
+    from tribeca_insights_spark.operators.multimodal import (
+        frame_sample_anchors,
+    )
+
+    big = 5 << 33  # only representable in co64
+    media = spark.createDataFrame(
+        [
+            (1, make_mp4_with_chunks(1000, [10, 26, 42, 58, 74])),
+            (2, make_mp4_with_chunks(1000, [big, big + 16],
+                                     use_co64=True)),
+            (3, b"not an mp4"),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = frame_sample_anchors(media, every_n=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["chunk_offset"])
+        )
+    assert got[1] == [(0, 10), (1, 42), (2, 74)]   # every 2nd chunk
+    assert got[2] == [(0, big)]                    # 64-bit offsets intact
+    assert 3 not in got                            # undecodable: no rows

@@ -14414,3 +14414,44 @@ def q262_section_tree(spark, sf_dir):
     )
     pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
     return section_tree(pages)
+
+
+# --- wave: video frame-sample anchors (q263) ----------------------------------
+
+
+@q(
+    "q263_frame_sample",
+    """
+    WITH p AS (SELECT doc_id, 5 + doc_id % 3 AS nc FROM documents),
+    j AS (SELECT doc_id, nc, unnest(range(0, nc, 2)) AS cj FROM p)
+    SELECT doc_id AS media_id,
+           CAST(cj // 2 AS INT) AS frame_idx,
+           CAST(1000 * doc_id + 16 * cj AS BIGINT) AS chunk_offset
+    FROM j
+    """,
+)
+def q263_frame_sample(spark, sf_dir):
+    """Video frame-sample anchors (operators/multimodal.py
+    frame_sample_anchors over mediax.frame_sample_mp4): REAL MP4
+    sample-table parsing — ftyp/moov/trak walked, stco (even ids) and
+    co64 (odd ids — the 64-bit box >4 GB web video carries) both
+    exercised — emitting every 2nd chunk's byte offset, the positions
+    a production sampler range-reads before the (stubbed) ffmpeg
+    decode seam. Fixture: each doc becomes an MP4 with 5 + id%3
+    chunks at offsets 1000*id + 16*j, so the sampled anchors are pure
+    arithmetic the oracle states closed-form. Plan: Scan →
+    ArrowEvalPython → posexplode → Project, zero shuffle — payload
+    bytes never leave the Arrow batch."""
+    from .operators.multimodal import frame_sample_anchors, make_mp4_udf
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        make_mp4_udf(
+            F.lit(2000) + F.col("doc_id") % 5,
+            (F.lit(5) + F.col("doc_id") % 3).cast("int"),
+            (F.col("doc_id") * 1000).cast("bigint"),
+            (F.col("doc_id") % 2 == 1),
+        ).alias("payload"),
+    )
+    return frame_sample_anchors(media, every_n=2)

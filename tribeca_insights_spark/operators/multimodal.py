@@ -330,3 +330,75 @@ def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     k+1 bands matches exactly) and equi-join on (band_idx, band_bits);
     never all-pairs."""
     return media.withColumn("dhash", dhash_udf(_F.col(payload_col)))
+
+
+def make_mp4_udf(duration_col, n_chunks_col, base_col, co64_col):
+    """Column builder: a REAL MP4 (ftyp + moov/mvhd + trak sample
+    table) whose chunk offsets are ``base + 16*j`` for j in
+    [0, n_chunks) — the deterministic video fixture queries use, with
+    ``co64_col`` switching to the 64-bit offset box web-scale files
+    carry. Arrow-batched; the builder is mediax.make_mp4_with_chunks
+    (the same bytes the pytest round-trips pin)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from ..mediax import make_mp4_with_chunks
+
+    @pandas_udf(BinaryType())
+    def _build(dur: pd.Series, nc: pd.Series, base: pd.Series,
+               co64: pd.Series) -> pd.Series:
+        out = []
+        for d, n, b, c in zip(dur, nc, base, co64):
+            offs = [int(b) + 16 * j for j in range(int(n))]
+            out.append(make_mp4_with_chunks(int(d), offs,
+                                            use_co64=bool(c)))
+        return pd.Series(out)
+
+    return _build(duration_col, n_chunks_col, base_col, co64_col)
+
+
+def frame_sample_anchors(media: DataFrame, every_n: int = 2,
+                         id_col: str = "media_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Video frame-sample anchors as a DataFrame op: one row per
+    sampled chunk ``(id, frame_idx, chunk_offset)`` — the byte
+    positions a production frame sampler range-reads (decoding the
+    frame bytes is the ffmpeg seam, stubbed per the task brief; the
+    LOCATE step is real MP4 sample-table parsing, stco or co64).
+
+    Plan shape: Scan → ArrowEvalPython (header-only parse — payloads
+    never leave the Arrow batch) → posexplode → Project, no shuffle;
+    a video's anchors stay in its input partition, exactly like
+    table_rows. Downstream per-frame work (range reads, decode on a
+    GPU pool) partitions on (id, frame_idx) without reshuffling here.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    from ..mediax import frame_sample_mp4
+
+    n = max(1, int(every_n))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _anchors(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [int(o) for o in
+                 frame_sample_mp4(bytes(p) if p is not None else b"", n)]
+                for p in payload
+            ]
+        )
+
+    return (
+        media.select(
+            F.col(id_col),
+            F.posexplode(_anchors(F.col(payload_col)))
+            .alias("frame_idx", "chunk_offset"),
+        )
+        .select(
+            id_col,
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("chunk_offset").cast("bigint").alias("chunk_offset"),
+        )
+    )
