@@ -256,3 +256,41 @@ def test_frame_sample_anchors_stco_and_co64(spark):
     assert got[1] == [(0, 10), (1, 42), (2, 74)]   # every 2nd chunk
     assert got[2] == [(0, big)]                    # 64-bit offsets intact
     assert 3 not in got                            # undecodable: no rows
+
+
+def _burst_rows(spark):
+    rows = []
+    for t in range(8):
+        rows += [("bg", t)] * 20      # majority background term
+        rows += [("x", t)] * 2        # minority steady
+    rows += [("x", 3)] * 8 + [("x", 4)] * 8
+    return rows
+
+
+def test_kleinberg_burst_on_spike(spark):
+    from tribeca_insights_spark.operators.stats import kleinberg_bursts
+
+    ev = spark.createDataFrame(_burst_rows(spark), "term string, t long")
+    out = {(r["term"], r["t"]): r for r in kleinberg_bursts(ev).collect()}
+    # full grid: both terms x 8 windows
+    assert len(out) == 16
+    x_flags = [out[("x", t)]["burst"] for t in range(8)]
+    assert x_flags == [0, 0, 0, 1, 1, 0, 0, 0]
+    # counts ride along (zero-fill applies to missing cells)
+    assert out[("x", 3)]["n"] == 10
+    # the majority term never bursts (its rate DROPS during x's spike)
+    assert all(out[("bg", t)]["burst"] == 0 for t in range(8))
+
+
+def test_kleinberg_gamma_suppresses_one_window_noise(spark):
+    from tribeca_insights_spark.operators.stats import kleinberg_bursts
+
+    rows = []
+    for t in range(8):
+        rows += [("bg", t)] * 20
+        rows += [("x", t)] * 2
+    rows += [("x", 5)] * 3  # one mild single-window wiggle
+    ev = spark.createDataFrame(rows, "term string, t long")
+    # entry toll high enough that a 1-window wiggle can't pay for it
+    out = kleinberg_bursts(ev, gamma_micros=20_000_000).collect()
+    assert all(r["burst"] == 0 for r in out)

@@ -14455,3 +14455,98 @@ def q263_frame_sample(spark, sf_dir):
         ).alias("payload"),
     )
     return frame_sample_anchors(media, every_n=2)
+
+
+# --- wave: Kleinberg burst detection (q264) -----------------------------------
+
+
+@q(
+    "q264_kleinberg_bursts",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT CASE WHEN date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) BETWEEN 10 AND 13
+                       AND user_id % 2 = 0
+                  THEN 'error' ELSE event_type END AS term,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS t
+      FROM events
+    ),
+    nt AS (SELECT t, CAST(count(*) AS BIGINT) AS N FROM ev GROUP BY 1),
+    ntt AS (SELECT term, t, CAST(count(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2),
+    tt AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_tot
+           FROM ntt GROUP BY 1),
+    gg AS (SELECT CAST(sum(N) AS BIGINT) AS N_tot FROM nt),
+    costs AS (
+      SELECT tt.term, nt.t, coalesce(ntt.n, 0) AS n, nt.N,
+             CAST(-floor(1e6 * (coalesce(ntt.n, 0)
+                  * ln(CAST(tt.n_tot AS DOUBLE) / gg.N_tot)
+                  + (nt.N - coalesce(ntt.n, 0))
+                  * ln(1.0 - CAST(tt.n_tot AS DOUBLE) / gg.N_tot)))
+                  AS BIGINT) AS c0,
+             CAST(-floor(1e6 * (coalesce(ntt.n, 0)
+                  * ln(least(2.0 * (CAST(tt.n_tot AS DOUBLE)
+                                    / gg.N_tot), 0.999999))
+                  + (nt.N - coalesce(ntt.n, 0))
+                  * ln(1.0 - least(2.0 * (CAST(tt.n_tot AS DOUBLE)
+                                          / gg.N_tot), 0.999999))))
+                  AS BIGINT) AS c1
+      FROM tt CROSS JOIN nt
+      LEFT JOIN ntt ON ntt.term = tt.term AND ntt.t = nt.t
+      CROSS JOIN gg
+    ),
+    mx AS (SELECT CAST(max(t) AS BIGINT) AS W1 FROM nt),
+    fwd AS (
+      SELECT term, t, c0 AS f0, c1 + 2000000 AS f1
+      FROM costs WHERE t = 0
+      UNION ALL
+      SELECT c.term, c.t,
+             least(f.f0, f.f1) + c.c0,
+             least(f.f0 + 2000000, f.f1) + c.c1
+      FROM fwd f JOIN costs c ON c.term = f.term AND c.t = f.t + 1
+    ),
+    bwd AS (
+      SELECT term, t, CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
+      FROM costs, mx WHERE t = W1
+      UNION ALL
+      SELECT c.term, c.t,
+             least(cn.c0 + b.b0, 2000000 + cn.c1 + b.b1),
+             least(cn.c0 + b.b0, cn.c1 + b.b1)
+      FROM bwd b
+      JOIN costs c ON c.term = b.term AND c.t = b.t - 1
+      JOIN costs cn ON cn.term = b.term AND cn.t = b.t
+    )
+    SELECT f.term, f.t, c.n,
+           CAST(CASE WHEN f.f1 + b.b1 < f.f0 + b.b0
+                THEN 1 ELSE 0 END AS INT) AS burst
+    FROM fwd f
+    JOIN bwd b ON b.term = f.term AND b.t = f.t
+    JOIN costs c ON c.term = f.term AND c.t = f.t
+    """,
+)
+def q264_kleinberg_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst detection (operators/stats.py
+    kleinberg_bursts; KDD 2002) over the events stream bucketed by
+    day, with a four-day synthetic 'error' burst injected (days 10-13,
+    even user_ids rerouted) so the automaton has a real spike to find
+    and every other term sees a matching dip. Binomial state costs
+    quantize to integer micros JVM-side from the exact expression the
+    oracle states; the Viterbi runs in EXACT integer arithmetic — one
+    applyInPandas per term after a single term-key shuffle (W ints
+    cross Arrow, never the event stream), mirrored by the oracle's
+    recursive-CTE forward/backward DP. Labels = argmin of F+B totals,
+    no backtrack plumbing. Counts are two partial-agg groupBys; the
+    grid cross join is |terms| x |days|, dim x dim by construction."""
+    from .operators.stats import kleinberg_bursts
+
+    ev = _read(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date"))
+    stream = ev.select(
+        F.when(d.between(10, 13) & (F.col("user_id") % 2 == 0),
+               F.lit("error"))
+        .otherwise(F.col("event_type")).alias("term"),
+        d.cast("bigint").alias("t"),
+    )
+    return kleinberg_bursts(stream)

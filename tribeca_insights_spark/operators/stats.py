@@ -630,3 +630,117 @@ def table_profile(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kleinberg_bursts(events: DataFrame, term_col: str = "term",
+                     t_col: str = "t", s: float = 2.0,
+                     gamma_micros: int = 2_000_000) -> DataFrame:
+    """Kleinberg 2-state burst detection (Kleinberg KDD 2002, the
+    batched/enumerating variant) over per-window event counts — the
+    trend-mining classic: a term is "bursting" in the windows where a
+    2-state automaton (base rate p0 = the term's overall share, burst
+    rate p1 = min(s*p0, 0.999999)) explains its counts more cheaply
+    than staying in the base state, with an entry toll ``gamma_micros``
+    that suppresses one-window noise.
+
+    Input: one row per EVENT ``(term, t)`` with ``t`` a contiguous
+    integer window index. Output: one row per (term, window) on the
+    FULL grid (zero-count windows included — they end bursts):
+    ``(term, t, n, burst)``.
+
+    Exactness contract: the per-(term, window, state) binomial
+    log-cost ``-floor(1e6 * (n*ln(p) + (N-n)*ln(1-p)))`` is quantized
+    to integer micros from an expression the DuckDB oracle states
+    verbatim; the Viterbi itself then runs in EXACT integer arithmetic
+    (python ints / recursive-CTE BIGINTs), so state labels cannot
+    drift with aggregation or iteration order. Labels come from
+    forward+backward totals (argmin_s F+B-c per window, ties → base
+    state), which needs no backtrack pointer plumbing.
+
+    Scale shape: counts are two partial-agg groupBys of the event
+    stream ((t) totals and (term, t)); the grid is |terms| x |windows|
+    — both dims vocabulary/calendar-bounded by construction (the cross
+    join is dim x dim, never event-scale). The DP is one
+    applyInPandas over term — W integer ops per group after ONE
+    shuffle on the term key; a hot term costs W ints, not its event
+    count, because only counts cross the Arrow boundary.
+    """
+    import pandas as pd
+
+    # counts AND state costs are stated in ONE parameterized
+    # spark.sql — four partial-agg passes joined on dim-sized keys,
+    # binomial log-costs floored to integer micros in the same
+    # statement (verbatim the oracle's expressions). A DataFrame-API
+    # build trips Spark 4.1's name resolution here: it resolves
+    # through projections into inner scopes, so any re-select of a
+    # name that also exists below (a sibling-aggregate join of one
+    # frame) reports a phantom AMBIGUOUS_REFERENCE. One SQL statement
+    # with no post-hoc by-name selects sidesteps it and compiles to
+    # the identical plan.
+    sd = float(s)
+    costs = events.sparkSession.sql(
+        f"""
+        WITH nt AS (SELECT {t_col} AS _t, count(*) AS _N
+                    FROM {{ev}} GROUP BY {t_col}),
+        ntt AS (SELECT {term_col} AS _tm, {t_col} AS _t, count(*) AS _n
+                FROM {{ev}} GROUP BY {term_col}, {t_col}),
+        tt AS (SELECT {term_col} AS _tm, CAST(count(*) AS BIGINT)
+                        AS _n_tot
+               FROM {{ev}} GROUP BY {term_col}),
+        gg AS (SELECT CAST(count(*) AS BIGINT) AS _N_tot FROM {{ev}})
+        SELECT tt._tm AS {term_col}, nt._t AS {t_col},
+               CAST(coalesce(ntt._n, 0) AS BIGINT) AS n,
+               CAST(-floor(1e6 * (coalesce(ntt._n, 0)
+                    * ln(CAST(tt._n_tot AS DOUBLE) / gg._N_tot)
+                    + (nt._N - coalesce(ntt._n, 0))
+                    * ln(1.0 - CAST(tt._n_tot AS DOUBLE) / gg._N_tot)))
+                    AS BIGINT) AS _c0,
+               CAST(-floor(1e6 * (coalesce(ntt._n, 0)
+                    * ln(least({sd!r} * (CAST(tt._n_tot AS DOUBLE)
+                                         / gg._N_tot), 0.999999))
+                    + (nt._N - coalesce(ntt._n, 0))
+                    * ln(1.0 - least({sd!r} * (CAST(tt._n_tot AS DOUBLE)
+                                               / gg._N_tot), 0.999999))))
+                    AS BIGINT) AS _c1
+        FROM tt CROSS JOIN nt
+        LEFT JOIN ntt ON ntt._tm = tt._tm AND ntt._t = nt._t
+        CROSS JOIN gg
+        """,
+        ev=events,
+    )
+
+    gamma = int(gamma_micros)
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col).reset_index(drop=True)
+        c0 = [int(x) for x in pdf["_c0"]]
+        c1 = [int(x) for x in pdf["_c1"]]
+        w = len(c0)
+        f0, f1 = [0] * w, [0] * w
+        f0[0], f1[0] = c0[0], c1[0] + gamma
+        for t in range(1, w):
+            f0[t] = min(f0[t - 1], f1[t - 1]) + c0[t]
+            f1[t] = min(f0[t - 1] + gamma, f1[t - 1]) + c1[t]
+        b0, b1 = [0] * w, [0] * w
+        for t in range(w - 2, -1, -1):
+            b0[t] = min(c0[t + 1] + b0[t + 1],
+                        gamma + c1[t + 1] + b1[t + 1])
+            b1[t] = min(c0[t + 1] + b0[t + 1], c1[t + 1] + b1[t + 1])
+        burst = [
+            1 if f1[t] + b1[t] < f0[t] + b0[t] else 0 for t in range(w)
+        ]
+        return pd.DataFrame(
+            {
+                term_col: pdf[term_col],
+                t_col: pdf[t_col],
+                "n": pdf["n"],
+                "burst": burst,
+            }
+        )
+
+    out_schema = (
+        f"{term_col} string, {t_col} bigint, n bigint, burst int"
+    )
+    return costs.groupBy(costs[term_col]).applyInPandas(
+        _viterbi, out_schema
+    )
