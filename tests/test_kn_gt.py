@@ -294,3 +294,67 @@ def test_kleinberg_gamma_suppresses_one_window_noise(spark):
     # entry toll high enough that a 1-window wiggle can't pay for it
     out = kleinberg_bursts(ev, gamma_micros=20_000_000).collect()
     assert all(r["burst"] == 0 for r in out)
+
+
+def test_google_robots_tie_allow_wins_and_group_select(spark):
+    from tribeca_insights_spark.sources.robots import (
+        google_robots_rules,
+        google_robots_verdict,
+    )
+    from pyspark.sql import functions as F
+
+    txt = (
+        "User-agent: other\nDisallow: /\n\n"
+        "User-agent: tribeca\n"
+        "Allow: /p/x\n"         # len 4: ties with the disallow below
+        "Disallow: /p/*\n"      # len 4
+        "Disallow: /q\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [(1, txt)], "doc_id long, robots_txt string"
+    )
+    rules = google_robots_rules(robots, user_agent="tribeca")
+    got = {(r["allow"], r["pattern"]) for r in rules.collect()}
+    # specific group replaces '*' and 'other'; keeps allow AND disallow
+    assert got == {(True, "/p/x"), (False, "/p/*"), (False, "/q")}
+
+    urls = spark.createDataFrame(
+        [(1, "/p/x"), (1, "/p/y"), (1, "/q/z"), (1, "/r")],
+        "doc_id long, path string",
+    )
+    v = {r["path"]: (r["allowed"], r["spec"])
+         for r in google_robots_verdict(urls, rules).collect()}
+    assert v["/p/x"] == (1, 4)   # equal specificity: Allow wins
+    assert v["/p/y"] == (0, 4)   # wildcard disallow
+    assert v["/q/z"] == (0, 2)   # prefix disallow
+    assert v["/r"] == (1, 0)     # no rule: default allow
+
+
+def test_sitemap_index_resolution_edges(spark):
+    from tribeca_insights_spark.sources.sitemap import resolve_sitemap_tree
+
+    idx = ("<sitemapindex><sitemap><loc>https://h/child.xml</loc>"
+           "</sitemap><sitemap><loc>https://h/missing.xml</loc>"
+           "</sitemap></sitemapindex>")
+    child = "<urlset><url><loc>https://h/page1</loc></url></urlset>"
+    nested = ("<sitemapindex><sitemap><loc>https://h/child.xml</loc>"
+              "</sitemap></sitemapindex>")
+    sm = spark.createDataFrame(
+        [
+            ("h", "https://h/smi.xml", idx),
+            ("h", "https://h/child.xml", child),
+            ("h", "https://h/nested.xml", nested),
+        ],
+        "host string, sitemap_url string, sitemap_xml string",
+    )
+    rows = {(r["url"], r["via"])
+            for r in resolve_sitemap_tree(sm).collect()}
+    # direct tier: only the urlset body's page
+    # index tier: child resolved; missing.xml has no body -> silently
+    # absent; nested index resolves one level (its child IS in the
+    # table) but is never recursed further
+    assert rows == {
+        ("https://h/page1", "direct"),
+        ("https://h/page1", "index"),
+    }

@@ -14550,3 +14550,132 @@ def q264_kleinberg_bursts(spark, sf_dir):
         d.cast("bigint").alias("t"),
     )
     return kleinberg_bursts(stream)
+
+
+# --- wave: RFC 9309 wildcard robots matching (q265) ---------------------------
+
+
+@q(
+    "q265_google_robots",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN '/private/x'
+             WHEN 1 THEN '/private/public'
+             WHEN 2 THEN '/a/file.pdf'
+             WHEN 3 THEN '/docs/guide'
+             WHEN 4 THEN '/docs/tmp/x'
+             ELSE '/home' END AS path,
+           CAST(CASE doc_id % 6
+             WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0
+             WHEN 3 THEN 1 WHEN 4 THEN 0 ELSE 1 END AS INT) AS allowed,
+           CAST(CASE doc_id % 6
+             WHEN 0 THEN 10 WHEN 1 THEN 16 WHEN 2 THEN 7
+             WHEN 3 THEN 6 WHEN 4 THEN 9 ELSE 0 END AS BIGINT) AS spec
+    FROM documents
+    """,
+)
+def q265_google_robots(spark, sf_dir):
+    """RFC 9309 / Google-style robots.txt matching (sources/robots.py
+    google_robots_rules + google_robots_verdict): wildcard ``*`` and
+    end-anchor ``$`` patterns, BOTH Allow and Disallow lines,
+    most-specific (longest) match wins with Allow breaking ties — the
+    semantics real crawlers implement and the stdlib RobotFileParser
+    (the reference's parser, q49/q58/q69) treats as literal text.
+    Rules pre-compile to regexes inside the Arrow parse; the verdict
+    is a broadcast join + codegen rlike + one max(struct) partial agg
+    — no window, no Python on the url path. Fixture: six path shapes
+    per doc against a fixed 6-rule group; the oracle states every
+    verdict and winning-rule specificity closed-form (wildcard hit,
+    $-anchor exact allow, extension ban, prefix allow, deeper
+    disallow override, no-match default)."""
+    from .sources.robots import google_robots_rules, google_robots_verdict
+
+    d = _read(spark, sf_dir, "documents")
+    robots = d.select(
+        "doc_id",
+        F.lit(
+            "User-agent: *\n"
+            "Disallow: /private/*\n"
+            "Allow: /private/public$\n"
+            "Disallow: /*.pdf$\n"
+            "Allow: /docs/\n"
+            "Disallow: /docs/tmp\n"
+        ).alias("robots_txt"),
+    )
+    rules = google_robots_rules(robots, user_agent="tribeca")
+    urls = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.lit("/private/x"), F.lit("/private/public"),
+                F.lit("/a/file.pdf"), F.lit("/docs/guide"),
+                F.lit("/docs/tmp/x"), F.lit("/home"),
+            ),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("path"),
+    )
+    return google_robots_verdict(urls, rules)
+
+
+# --- wave: sitemap-index resolution (q266) ------------------------------------
+
+
+@q(
+    "q266_sitemap_index",
+    """
+    SELECT doc_id, '/p/' || doc_id || '/a' AS url, 'direct' AS via
+    FROM documents
+    UNION ALL
+    SELECT doc_id, '/p/' || doc_id || '/b', 'direct' FROM documents
+    UNION ALL
+    SELECT doc_id, '/p/' || doc_id || '/c', 'direct' FROM documents
+    UNION ALL
+    SELECT doc_id, '/p/' || doc_id || '/a', 'index' FROM documents
+    UNION ALL
+    SELECT doc_id, '/p/' || doc_id || '/b', 'index' FROM documents
+    UNION ALL
+    SELECT doc_id, '/p/' || doc_id || '/c', 'index' FROM documents
+    """,
+)
+def q266_sitemap_index(spark, sf_dir):
+    """Sitemap-INDEX resolution (sources/sitemap.py
+    resolve_sitemap_tree): the <sitemapindex> tier big sites serve —
+    an index at /smi.xml referencing two child urlsets — resolved
+    through ONE self equi-join of child <loc>s against the sitemap
+    table on its url key (the crawl state store's bucketed key, so the
+    hop co-locates at scale); plain urlsets emit via='direct', urls
+    reached through the index via='index'. Fixture: per doc an index
+    + two urlset bodies (2+1 page urls), so every page url appears
+    once per tier and the oracle is a 6-row closed form. Namespace
+    prefixes exercised on the index (<sm:loc>)."""
+    from .sources.sitemap import resolve_sitemap_tree
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    rows = []
+    smi = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><sitemap><sm:loc>https://h'), sid,
+        F.lit("/sm1.xml</sm:loc></sitemap><sitemap><sm:loc>https://h"),
+        sid, F.lit("/sm2.xml</sm:loc></sitemap></sitemapindex>"),
+    )
+    sm1 = F.concat(
+        F.lit("<urlset><url><loc>/p/"), sid,
+        F.lit("/a</loc></url><url><loc>/p/"), sid,
+        F.lit("/b</loc></url></urlset>"),
+    )
+    sm2 = F.concat(
+        F.lit("<urlset><url><loc>/p/"), sid,
+        F.lit("/c</loc></url></urlset>"),
+    )
+    for url, xml in (
+        (F.concat(F.lit("https://h"), sid, F.lit("/smi.xml")), smi),
+        (F.concat(F.lit("https://h"), sid, F.lit("/sm1.xml")), sm1),
+        (F.concat(F.lit("https://h"), sid, F.lit("/sm2.xml")), sm2),
+    ):
+        rows.append(d.select(
+            "doc_id", url.alias("sitemap_url"), xml.alias("sitemap_xml")
+        ))
+    sitemaps = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return resolve_sitemap_tree(sitemaps, key_cols=("doc_id",))

@@ -112,3 +112,127 @@ def disallow_rules(robots: DataFrame, user_agent: str,
         .withColumn("path_prefix", F.explode("_rules"))
         .drop("_rules", txt_col)
     )
+
+
+def _rep_pattern_to_regex(p: str) -> str:
+    """RFC 9309 path pattern → Java/RE2-safe regex: ``*`` matches any
+    run of octets, a trailing ``$`` anchors at end; everything else is
+    literal."""
+    import re as _re
+
+    anchor = p.endswith("$")
+    core = p[:-1] if anchor else p
+    rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*"))
+    return rx + "$" if anchor else rx
+
+
+def google_robots_rules(robots: DataFrame, user_agent: str,
+                        txt_col: str = "robots_txt") -> DataFrame:
+    """RFC 9309 / Google-style rule dimension: one row per Allow or
+    Disallow line in the effective UA group — ``(…, allow, pattern,
+    specificity, _rx)`` with ``specificity`` = raw pattern octet length
+    (the RFC's most-specific-match key) and ``_rx`` the pattern
+    pre-compiled to a regex so the verdict join is pure JVM rlike.
+
+    Group selection mirrors ``disallow_rules`` (specific UA group over
+    ``*``, groups replace not merge); unlike the stdlib path it keeps
+    BOTH allow and disallow lines and preserves wildcard/``$`` syntax
+    the stdlib parser treats as literals.
+    """
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, StringType, StructField, StructType,
+    )
+
+    rule_t = ArrayType(StructType([
+        StructField("allow", BooleanType()),
+        StructField("pattern", StringType()),
+    ]))
+
+    def _batch(txt: pd.Series) -> pd.Series:
+        out = []
+        ua = user_agent.lower()
+        for t in txt:
+            groups: list = []          # (uas, rules)
+            cur_uas: list = []
+            cur_rules: list = []
+            in_rules = False
+            for line in (t or "").splitlines():
+                line = line.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key, val = key.strip().lower(), val.strip()
+                if key == "user-agent":
+                    if in_rules and cur_uas:
+                        groups.append((cur_uas, cur_rules))
+                        cur_uas, cur_rules = [], []
+                        in_rules = False
+                    cur_uas.append(val.lower())
+                elif key in ("allow", "disallow"):
+                    in_rules = True
+                    if val:
+                        cur_rules.append((key == "allow", val))
+            if cur_uas:
+                groups.append((cur_uas, cur_rules))
+            best = star = None
+            for uas, rules in groups:
+                if "*" in uas:
+                    star = rules
+                if any(ua.startswith(u) for u in uas if u != "*"):
+                    best = rules
+            out.append(best if best is not None else (star or []))
+        return pd.Series(out)
+
+    udf = pandas_udf(_batch, returnType=rule_t)
+    rules = (
+        robots.withColumn("_r", udf(F.col(txt_col)))
+        .withColumn("_e", F.explode("_r"))
+        .drop("_r", txt_col)
+        .select("*", F.col("_e.allow").alias("allow"),
+                F.col("_e.pattern").alias("pattern"))
+        .drop("_e")
+    )
+    rx = pandas_udf(
+        lambda p: p.map(_rep_pattern_to_regex), StringType()
+    )
+    return rules.select(
+        "*",
+        F.length("pattern").cast("bigint").alias("specificity"),
+        rx(F.col("pattern")).alias("_rx"),
+    )
+
+
+def google_robots_verdict(urls: DataFrame, rules: DataFrame,
+                          key_cols: tuple = ("doc_id",),
+                          path_col: str = "path") -> DataFrame:
+    """Per-url RFC 9309 verdict against a rule dimension: most
+    specific (longest) matching pattern wins, Allow wins length ties
+    (Google semantics), no match → allowed.
+
+    Plan: broadcast the rule dim (robots corpora are tiny next to url
+    universes), rlike in codegen, one partial-agg max(struct) per url
+    — never a window, never a regex recompile Python-side. At 10^12
+    urls the only corpus-scale operation is the broadcast-join scan.
+    """
+    keys = list(key_cols)
+    j = urls.join(F.broadcast(rules), keys, "left")
+    matched = j.filter(F.expr(f"{path_col} rlike _rx")).groupBy(
+        *keys, path_col
+    ).agg(
+        F.max(F.struct(
+            F.col("specificity"),
+            F.col("allow").cast("int").alias("_a"),
+        )).alias("_w")
+    ).select(
+        *keys, path_col,
+        F.col("_w._a").alias("allowed"),
+        F.col("_w.specificity").alias("spec"),
+    )
+    return (
+        urls.join(matched, keys + [path_col], "left")
+        .select(
+            *keys, path_col,
+            F.coalesce("allowed", F.lit(1)).cast("int").alias("allowed"),
+            F.coalesce("spec", F.lit(0)).cast("bigint").alias("spec"),
+        )
+    )
