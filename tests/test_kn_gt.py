@@ -358,3 +358,34 @@ def test_sitemap_index_resolution_edges(spark):
         ("https://h/page1", "direct"),
         ("https://h/page1", "index"),
     }
+
+
+def test_meta_tags_attr_order_and_quotes(spark):
+    from tribeca_insights_spark.operators.meta import (
+        jsonld_entities,
+        meta_tags,
+        robots_meta_flags,
+    )
+
+    html = (
+        "<html><head>"
+        "<meta content=\"noindex , NOFOLLOW\" name='robots'>"
+        '<meta property="og:title" content="T">'
+        "<meta charset=\"utf-8\">"  # no name/property: dropped
+        '<script type="application/ld+json">'
+        '{"@type":"Person","name":"Ada"}</script>'
+        "</head></html>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    tags = {(r["kind"], r["key"], r["content"])
+            for r in meta_tags(docs).collect()}
+    assert ("name", "robots", "noindex , NOFOLLOW") in tags
+    assert ("property", "og:title", "T") in tags
+    assert len(tags) == 2  # charset meta has neither key kind
+
+    f = robots_meta_flags(docs).collect()[0]
+    # token splitting trims spaces and lowercases
+    assert (f["noindex"], f["nofollow"], f["indexable"]) == (1, 1, 0)
+
+    e = jsonld_entities(docs).collect()[0]
+    assert (e["entity_type"], e["entity_name"]) == ("Person", "Ada")

@@ -14679,3 +14679,116 @@ def q266_sitemap_index(spark, sf_dir):
         ))
     sitemaps = rows[0].unionByName(rows[1]).unionByName(rows[2])
     return resolve_sitemap_tree(sitemaps, key_cols=("doc_id",))
+
+
+# --- wave: head metadata — robots meta / OpenGraph / JSON-LD (q267-q269) ------
+
+
+def _meta_pages(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    robots_content = F.element_at(
+        F.array(F.lit(""), F.lit("noindex"), F.lit("nofollow"),
+                F.lit("none")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    # attribute order + quote style vary by parity — both served in the
+    # wild, both must parse
+    robots_meta = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("")
+    ).when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<meta name="robots" content="'),
+                 robots_content, F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="'), robots_content,
+                 F.lit("\" name='robots'>")),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        robots_meta,
+        F.lit('<meta property="og:title" content="Doc '), sid,
+        F.lit('"><meta property="og:type" content="'), F.col("source"),
+        F.lit('"><meta name="author" content="crawler">'),
+        F.lit('<script type="application/ld+json">'),
+        F.lit('{"@type":"Article","name":"Doc '), sid, F.lit('"}'),
+        F.lit("</script>"),
+        F.lit('<script type="application/ld+json">{oops</script>'),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+@q(
+    "q267_robots_meta",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END
+                AS INT) AS noindex,
+           CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END
+                AS INT) AS nofollow,
+           CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 0 ELSE 1 END
+                AS INT) AS indexable
+    FROM documents
+    """,
+)
+def q267_robots_meta(spark, sf_dir):
+    """Robots-meta directive flags (operators/meta.py
+    robots_meta_flags): noindex/nofollow/'none' tokens from
+    <meta name=robots> — the page-level half of crawl politeness the
+    reference's SEO extractor skips (crawler.py reads only
+    meta[name=description]). Attribute ORDER and quote style vary by
+    parity in the fixture; 'none' (= noindex,nofollow) exercised;
+    absent tag defaults indexable. Entirely JVM regexp + one tiny
+    partial-agg groupBy — zero Python, zero corpus shuffle."""
+    from .operators.meta import robots_meta_flags
+
+    return robots_meta_flags(_meta_pages(spark, sf_dir))
+
+
+@q(
+    "q268_opengraph",
+    """
+    SELECT doc_id, 'og:title' AS key, 'Doc ' || doc_id AS content
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'og:type', source FROM documents
+    """,
+)
+def q268_opengraph(spark, sf_dir):
+    """OpenGraph property extraction (operators/meta.py meta_tags —
+    the generic name=/property= <meta> relation, filtered to og:*):
+    the social-preview surface SEO audits check next to
+    title/description. The author name= row proves kind
+    discrimination; plan is Scan → regexp explode → Project, no
+    shuffle."""
+    from .operators.meta import meta_tags
+
+    m = meta_tags(_meta_pages(spark, sf_dir))
+    return m.filter(F.col("key").startswith("og:")).select(
+        "doc_id", "key", "content"
+    )
+
+
+@q(
+    "q269_jsonld",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS block_idx,
+           'Article' AS entity_type, 'Doc ' || doc_id AS entity_name
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, NULL, NULL FROM documents
+    """,
+)
+def q269_jsonld(spark, sf_dir):
+    """schema.org JSON-LD entity extraction (operators/meta.py
+    jsonld_entities): fenced ld+json payloads parsed with JVM
+    from_json — valid Article blocks yield (@type, name), the
+    deliberately malformed second block yields NULL fields (tolerant
+    reader, PERMISSIVE mode) instead of failing the page. Structured
+    data is the machine-readable layer modern SEO/KG pipelines
+    extract; plan = Scan → regexp posexplode → from_json Project,
+    zero Python, zero shuffle."""
+    from .operators.meta import jsonld_entities
+
+    return jsonld_entities(_meta_pages(spark, sf_dir))
