@@ -389,3 +389,26 @@ def test_meta_tags_attr_order_and_quotes(spark):
 
     e = jsonld_entities(docs).collect()[0]
     assert (e["entity_type"], e["entity_name"]) == ("Person", "Ada")
+
+
+def test_rel_anchor_pairs_semantics(spark):
+    from tribeca_insights_spark.operators.linkgraph import rel_anchor_pairs
+
+    html = (
+        '<a href="https://x/a">plain</a>'
+        '<a href="https://x/b" rel="NoFollow">nf</a>'
+        '<a href="https://x/c" rel="me noopener">benign rel</a>'
+        '<a rel="sponsored" href="https://x/d">ad</a>'
+        "<a>no href</a>"
+    )
+    docs = spark.createDataFrame(
+        [("https://h/p", html)], "url string, html string"
+    )
+    got = {r["target"]: r["followed"]
+           for r in rel_anchor_pairs(docs).collect()}
+    assert got == {
+        "https://x/a": 1,
+        "https://x/b": 0,   # rel matching is case-insensitive
+        "https://x/c": 1,   # non-triad rel tokens don't demote
+        "https://x/d": 0,
+    }

@@ -14792,3 +14792,60 @@ def q269_jsonld(spark, sf_dir):
     from .operators.meta import jsonld_entities
 
     return jsonld_entities(_meta_pages(spark, sf_dir))
+
+
+# --- wave: rel-aware link edges (q270) ----------------------------------------
+
+
+@q(
+    "q270_nofollow_edges",
+    """
+    SELECT 'https://h' || doc_id || '/page' AS url,
+           'https://t.example.org/f/' || doc_id AS target,
+           'follow me' AS anchor, CAST(1 AS INT) AS followed
+    FROM documents
+    UNION ALL
+    SELECT 'https://h' || doc_id || '/page',
+           'https://t.example.org/n/' || doc_id, 'spam',
+           CAST(0 AS INT)
+    FROM documents
+    UNION ALL
+    SELECT 'https://h' || doc_id || '/page',
+           'https://t.example.org/s/' || doc_id, 'ad', CAST(0 AS INT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q270_nofollow_edges(spark, sf_dir):
+    """rel-aware link-graph edges (operators/linkgraph.py
+    rel_anchor_pairs over htmlx/anchors._RelAnchorWalker): nofollow /
+    ugc / sponsored (Google's 2019 rel triad) mark an edge
+    non-endorsing, the semantics PageRank/TrustRank builders (q83,
+    q204) must honor — without it every guestbook-spam link endorses
+    its target. ``rel`` is a space-split token LIST per the HTML spec
+    ("ugc nofollow" exercised), the sponsored link flips attribute
+    order and uses an unquoted value. Same single-parse Arrow regime
+    as anchor_pairs; the token check is arrays_overlap codegen after
+    the JVM explode."""
+    from .operators.linkgraph import rel_anchor_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://t.example.org/f/'), sid,
+        F.lit('">follow me</a>'),
+        F.lit('<a href="https://t.example.org/n/'), sid,
+        F.lit('" rel="ugc nofollow">spam</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit('<a rel=sponsored href="https://t.example.org/s/'),
+                sid, F.lit('">ad</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), sid, F.lit("/page")).alias("url"),
+        html.alias("html"),
+    )
+    return rel_anchor_pairs(pages)

@@ -74,3 +74,41 @@ def extract_anchors(html: str) -> List[Tuple[str, str]]:
     except Exception:  # pragma: no cover — html.parser is tolerant already
         pass
     return w.pairs
+
+
+class _RelAnchorWalker(_AnchorWalker):
+    """`_AnchorWalker` that also records each anchor's ``rel`` tokens
+    (lowercased, space-split — ``rel="ugc nofollow"`` is a token LIST
+    per the HTML spec, not a literal)."""
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            href = rel = None
+            for k, v in attrs:
+                if k == "href" and href is None:
+                    href = v
+                elif k == "rel" and rel is None:
+                    rel = v
+            self._open.append(((href, rel), []))
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open:
+            (href, rel), parts = self._open.pop()
+            if href is not None:
+                toks = (rel or "").lower().split()
+                self.pairs.append(
+                    (href, _WS.sub(" ", "".join(parts)).strip(), toks)
+                )
+
+
+def extract_anchors_rel(html: str) -> List[tuple]:
+    """All ``(href, text, rel_tokens)`` triples in document order —
+    the link-graph needs ``rel`` to honor nofollow/ugc/sponsored
+    edge semantics."""
+    w = _RelAnchorWalker()
+    try:
+        w.feed(html)
+        w.close()
+    except Exception:  # pragma: no cover
+        pass
+    return w.pairs

@@ -1297,3 +1297,46 @@ def anchor_expansion(body: DataFrame, anchors: DataFrame,
             .alias("tf_expanded"),
         )
     )
+
+
+REL_PAIR = ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+    StructField("rel", ArrayType(StringType())),
+]))
+
+
+def _rel_anchor_batch(html: pd.Series) -> pd.Series:
+    from ..htmlx.anchors import extract_anchors_rel
+
+    return pd.Series([extract_anchors_rel(h or "") for h in html])
+
+
+rel_anchors_udf = pandas_udf(_rel_anchor_batch, REL_PAIR)
+
+
+def rel_anchor_pairs(docs: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(url, target, anchor, followed) — anchor_pairs plus the edge
+    semantics real link graphs honor: ``rel`` containing nofollow,
+    ugc or sponsored (Google's 2019 triad) marks the edge
+    non-endorsing, so PageRank/TrustRank builders drop or down-weight
+    it. Same Arrow-batched single-parse regime; the rel token check is
+    JVM array_contains codegen after the explode."""
+    pairs = docs.select(
+        F.col(url_col).alias("url"),
+        F.explode(rel_anchors_udf(F.col(html_col))).alias("p"),
+    )
+    nofollow = (
+        F.arrays_overlap(
+            F.col("p.rel"),
+            F.array(F.lit("nofollow"), F.lit("ugc"), F.lit("sponsored")),
+        )
+    )
+    return pairs.select(
+        "url",
+        resolve_href(F.col("url"), F.col("p.href")).alias("target"),
+        F.col("p.anchor").alias("anchor"),
+        F.when(nofollow, F.lit(0)).otherwise(F.lit(1)).cast("int")
+        .alias("followed"),
+    ).where(F.col("target").isNotNull())
