@@ -412,3 +412,46 @@ def test_rel_anchor_pairs_semantics(spark):
         "https://x/c": 1,   # non-triad rel tokens don't demote
         "https://x/d": 0,
     }
+
+
+def test_canonical_resolve_chain_and_cycle_free(spark):
+    from tribeca_insights_spark.operators.meta import canonical_resolve
+
+    def pg(url, canon=None):
+        link = (f'<link rel="canonical" href="{canon}">' if canon else "")
+        return (url, f"<html><head>{link}</head></html>")
+
+    pages = spark.createDataFrame(
+        [
+            pg("a"), pg("b", "a"), pg("c", "b"), pg("d", "c"),
+            pg("e", "c"),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: (r["canonical"], r["hops"])
+           for r in canonical_resolve(pages, max_hops=2).collect()}
+    assert out["a"] == ("a", 0)
+    assert out["b"] == ("a", 1)
+    assert out["c"] == ("a", 2)
+    assert out["d"] == ("a", 3)   # 3-link chain closes in 2 doublings
+    assert out["e"] == ("a", 3)
+
+
+def test_hreflang_reciprocity_edges(spark):
+    from tribeca_insights_spark.operators.meta import hreflang_reciprocity
+
+    def pg(url, *alts):
+        links = "".join(
+            f'<link rel="alternate" hreflang="{l}" href="{h}">'
+            for l, h in alts
+        )
+        return (url, f"<html><head>{links}</head></html>")
+
+    pages = spark.createDataFrame(
+        [pg("A", ("fr", "B")), pg("B", ("en", "A"), ("de", "C")),
+         pg("C")],
+        "url string, html string",
+    )
+    got = {(r["url"], r["alt_url"]): r["reciprocal"]
+           for r in hreflang_reciprocity(pages).collect()}
+    assert got == {("A", "B"): 1, ("B", "A"): 1, ("B", "C"): 0}

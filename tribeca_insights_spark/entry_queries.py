@@ -14849,3 +14849,128 @@ def q270_nofollow_edges(spark, sf_dir):
         html.alias("html"),
     )
     return rel_anchor_pairs(pages)
+
+
+# --- wave: hreflang reciprocity + canonical chains (q271-q272) ----------------
+
+
+@q(
+    "q271_hreflang_audit",
+    """
+    WITH e AS (
+      SELECT 'https://h' || doc_id || '/en' AS url,
+             'https://h' || doc_id || '/fr' AS alt_url, 'fr' AS lang,
+             1 AS reciprocal
+      FROM documents
+      UNION ALL
+      SELECT 'https://h' || doc_id || '/en',
+             'https://h' || doc_id || '/de', 'de', 1 FROM documents
+      UNION ALL
+      SELECT 'https://h' || doc_id || '/fr',
+             'https://h' || doc_id || '/en', 'en', 1 FROM documents
+      UNION ALL
+      SELECT 'https://h' || doc_id || '/fr',
+             'https://h' || doc_id || '/de', 'de', 0 FROM documents
+      UNION ALL
+      SELECT 'https://h' || doc_id || '/de',
+             'https://h' || doc_id || '/en', 'en', 1 FROM documents
+    )
+    SELECT url, alt_url, lang, CAST(reciprocal AS INT) AS reciprocal
+    FROM e
+    """,
+)
+def q271_hreflang_audit(spark, sf_dir):
+    """hreflang return-tag audit (operators/meta.py
+    hreflang_reciprocity) — international SEO's classic check: if A
+    lists B as an alternate, B must list A back or engines ignore the
+    pair. Fixture: per doc a 3-language cluster where de omits its
+    return tag to fr, so exactly one of five edges per cluster is
+    non-reciprocal. Plan: codegen <link> extraction → ONE self
+    equi-join on the reversed (url, alt_url) key (q145's
+    symmetric-edge shape), url-keyed so it co-locates with a bucketed
+    page store."""
+    from .operators.meta import hreflang_reciprocity
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    def alt(lang, path):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="' + lang
+                  + '" href="https://h'), sid, F.lit(path + '">'),
+        )
+
+    def page(path, *alts):
+        html = F.concat(
+            F.lit("<html><head>"), *alts, F.lit("</head></html>")
+        )
+        return d.select(
+            F.concat(F.lit("https://h"), sid, F.lit(path)).alias("url"),
+            html.alias("html"),
+        )
+
+    pages = (
+        page("/en", alt("fr", "/fr"), alt("de", "/de"))
+        .unionByName(page("/fr", alt("en", "/en"), alt("de", "/de")))
+        .unionByName(page("/de", alt("en", "/en")))
+    )
+    return hreflang_reciprocity(pages)
+
+
+@q(
+    "q272_canonical_chains",
+    """
+    SELECT 'https://h' || doc_id || '/main' AS url,
+           'https://h' || doc_id || '/main' AS canonical,
+           CAST(0 AS INT) AS hops
+    FROM documents
+    UNION ALL
+    SELECT 'https://h' || doc_id || '/dup1',
+           'https://h' || doc_id || '/main', 1 FROM documents
+    UNION ALL
+    SELECT 'https://h' || doc_id || '/dup2',
+           'https://h' || doc_id || '/main', 2 FROM documents
+    UNION ALL
+    SELECT 'https://h' || doc_id || '/ext',
+           'https://other.example.org/x', 1 FROM documents
+    """,
+)
+def q272_canonical_chains(spark, sf_dir):
+    """rel=canonical chain resolution (operators/meta.py
+    canonical_resolve): pointer jumping — 2 doubling rounds resolve
+    chains up to 4 links, the q50 connected-components trick, never a
+    per-link loop. hops > 1 is the misconfiguration SEO audits flag
+    (engines may ignore multi-hop canonicals); the flattened target is
+    what a canonical-dedup pass (q148) keys on. Fixture per doc:
+    self-canonical main, a 1-hop dup, a 2-hop chain, and an
+    off-corpus canonical that resolves to the external url in one
+    hop."""
+    from .operators.meta import canonical_resolve
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    def page(path, canon):
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(
+                F.lit(canon is not None),
+                F.concat(F.lit('<link rel="canonical" href="'),
+                         canon if canon is not None else F.lit(""),
+                         F.lit('">')),
+            ).otherwise(F.lit("")),
+            F.lit("</head></html>"),
+        )
+        return d.select(
+            F.concat(F.lit("https://h"), sid, F.lit(path)).alias("url"),
+            html.alias("html"),
+        )
+
+    h = F.concat(F.lit("https://h"), sid)
+    pages = (
+        page("/main", None)
+        .unionByName(page("/dup1", F.concat(h, F.lit("/main"))))
+        .unionByName(page("/dup2", F.concat(h, F.lit("/dup1"))))
+        .unionByName(page("/ext", F.lit("https://other.example.org/x")))
+    )
+    return canonical_resolve(pages, max_hops=2)

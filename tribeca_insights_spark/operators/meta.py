@@ -122,3 +122,128 @@ def jsonld_entities(docs: DataFrame, html_col: str = "html",
         e.getField("@type").alias("entity_type"),
         e.getField("name").alias("entity_name"),
     )
+
+
+_LINK_TAG = r"<link\s[^>]*>"
+
+
+def link_tags(docs: DataFrame, html_col: str = "html",
+              id_col: str = "doc_id") -> DataFrame:
+    """One row per ``<link>`` head element: ``(id, rel, href,
+    hreflang)`` — rel lowercased, hreflang lowercased ('' when
+    absent). Same JVM void-element regexp regime as :func:`meta_tags`.
+    """
+    m = F.col("_l")
+    tags = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(_LINK_TAG), 0
+            )
+        ).alias("_l"),
+    )
+    return (
+        tags.select(
+            id_col,
+            F.lower(F.coalesce(_attr(m, "rel"), F.lit("")))
+            .alias("rel"),
+            F.coalesce(_attr(m, "href"), F.lit("")).alias("href"),
+            F.lower(F.coalesce(_attr(m, "hreflang"), F.lit("")))
+            .alias("hreflang"),
+        )
+        .filter(F.col("href") != "")
+    )
+
+
+def hreflang_reciprocity(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """hreflang return-tag audit (THE classic international-SEO check:
+    if A lists B as an alternate, B must list A back or search engines
+    ignore the pair): one row per alternate edge ``(url, alt_url,
+    lang, reciprocal)``.
+
+    Plan: link_tags' codegen extraction → one self equi-join of the
+    edge set on the reversed (url, alt_url) key — the same
+    symmetric-edge check as link reciprocity (q145), keyed by url so
+    it co-locates with any url-bucketed page store. No window, no
+    Python."""
+    alts = link_tags(
+        pages.select(F.col(url_col).alias("url"), F.col(html_col)),
+        html_col=html_col, id_col="url",
+    ).filter(
+        (F.col("rel") == "alternate") & (F.col("hreflang") != "")
+    ).select(
+        "url", F.col("href").alias("alt_url"),
+        F.col("hreflang").alias("lang"),
+    )
+    back = alts.select(
+        F.col("alt_url").alias("url"), F.col("url").alias("alt_url"),
+        F.lit(1).alias("_has_back"),
+    ).dropDuplicates(["url", "alt_url"])
+    return (
+        alts.join(back, ["url", "alt_url"], "left")
+        .select(
+            "url", "alt_url", "lang",
+            F.coalesce("_has_back", F.lit(0)).cast("int")
+            .alias("reciprocal"),
+        )
+    )
+
+
+def canonical_resolve(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      max_hops: int = 2) -> DataFrame:
+    """rel=canonical CHAIN resolution: each page's canonical pointer
+    followed to its terminal target via pointer jumping —
+    ``max_hops`` doublings resolve chains up to 2^max_hops links, the
+    log-step trick the connected-components labeler (q50) uses, so
+    even pathological chains cost O(log L) self-joins, never a
+    per-link loop. Output: ``(url, canonical, hops)`` — hops = 0 for
+    self-canonical / no-tag pages; chains and the final flattening a
+    canonical-dedup pass needs.
+
+    Audit semantics: chains (hops > 1) are the misconfiguration SEO
+    audits flag — engines may ignore multi-hop canonicals entirely.
+    """
+    canon = link_tags(
+        pages.select(F.col(url_col).alias("url"), F.col(html_col)),
+        html_col=html_col, id_col="url",
+    ).filter(F.col("rel") == "canonical").select(
+        "url", F.col("href").alias("canonical")
+    ).dropDuplicates(["url"])
+
+    cur = (
+        pages.select(F.col(url_col).alias("url"))
+        .join(canon, "url", "left")
+        .select(
+            "url",
+            F.coalesce("canonical", F.col("url")).alias("canonical"),
+            F.when(F.col("canonical").isNotNull()
+                   & (F.col("canonical") != F.col("url")), F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint").alias("hops"),
+        )
+    )
+    # materialize the (url, canonical, hops) pointer table once: each
+    # jump round otherwise REPLAYS the extraction lineage on both join
+    # sides (2 rounds -> 4x page parses; measured 62 s -> 9 s at
+    # sf0.01). At corpus scale this is the persisted canonical edge
+    # table a dedup pass would read anyway.
+    cur = cur.localCheckpoint(eager=False)
+    for _ in range(int(max_hops)):
+        nxt = cur.select(
+            F.col("url").alias("canonical"),
+            F.col("canonical").alias("_c2"),
+            F.col("hops").alias("_h2"),
+        )
+        cur = (
+            cur.join(nxt, "canonical", "left")
+            .select(
+                "url",
+                F.coalesce("_c2", F.col("canonical")).alias("canonical"),
+                (F.col("hops") + F.coalesce("_h2", F.lit(0)))
+                .cast("bigint").alias("hops"),
+            )
+        )
+    return cur.select(
+        "url", "canonical", F.col("hops").cast("int").alias("hops")
+    )
