@@ -455,3 +455,24 @@ def test_hreflang_reciprocity_edges(spark):
     got = {(r["url"], r["alt_url"]): r["reciprocal"]
            for r in hreflang_reciprocity(pages).collect()}
     assert got == {("A", "B"): 1, ("B", "A"): 1, ("B", "C"): 0}
+
+
+def test_image_sources_lazyload_and_srcset(spark):
+    from tribeca_insights_spark.operators.meta import image_sources
+
+    html = (
+        '<img src="p.jpg">'
+        '<img data-src="real.jpg" src="ph.gif" '
+        'srcset="a.jpg 2x, b.jpg 640w, c.jpg 1280w">'
+        "<img srcset='only.jpg 10w'>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = {r["img_idx"]: r for r in image_sources(docs).collect()}
+    assert out[0]["effective_src"] == "p.jpg"
+    assert out[0]["widest_src"] is None
+    r1 = out[1]
+    # data-src wins; x-descriptor ranks 0 so widest is the 1280w url
+    assert (r1["effective_src"], r1["n_variants"], r1["widest_src"]) == (
+        "real.jpg", 3, "c.jpg")
+    # srcset-only img: no src at all, variant still parsed
+    assert (out[2]["src"], out[2]["widest_src"]) == ("", "only.jpg")

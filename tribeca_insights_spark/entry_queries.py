@@ -14974,3 +14974,89 @@ def q272_canonical_chains(spark, sf_dir):
         .unionByName(page("/ext", F.lit("https://other.example.org/x")))
     )
     return canonical_resolve(pages, max_hops=2)
+
+
+# --- wave: responsive images + mixed content (q273-q274) ----------------------
+
+
+@q(
+    "q273_image_sources",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS img_idx,
+           'https://img.example.org/plain-' || doc_id || '.jpg' AS src,
+           'https://img.example.org/plain-' || doc_id || '.jpg'
+             AS effective_src,
+           CAST(0 AS INT) AS n_variants,
+           CAST(NULL AS VARCHAR) AS widest_src
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'data:image/gif;base64,x',
+           'https://img.example.org/real-' || doc_id || '.jpg', 2,
+           'https://img.example.org/b-' || doc_id || '.jpg'
+    FROM documents
+    """,
+)
+def q273_image_sources(spark, sf_dir):
+    """Modern image-source inventory (operators/meta.py
+    image_sources): lazy-load data-src overriding a data: placeholder
+    and responsive srcset width-descriptor parsing with widest-variant
+    selection — the reference's src/alt-only inventory
+    (crawler.py:86-89) misses every lazy-loaded image on a modern
+    page. All codegen (void-element regexp, srcset microsyntax via
+    transform + array_max(struct)), zero Python, zero shuffle; oracle
+    states both img shapes closed-form."""
+    from .operators.meta import image_sources
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><img src="https://img.example.org/plain-'),
+        sid, F.lit('.jpg" alt="a">'),
+        F.lit('<img src="data:image/gif;base64,x" data-src='
+              '"https://img.example.org/real-'), sid,
+        F.lit('.jpg" srcset="https://img.example.org/s-'), sid,
+        F.lit('.jpg 480w, https://img.example.org/b-'), sid,
+        F.lit('.jpg 1024w"></body></html>'),
+    )
+    return image_sources(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q274_mixed_content",
+    """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+             || '://h' || doc_id || '/page' AS url,
+           CAST(3 AS BIGINT) AS n_resources,
+           CAST(2 AS BIGINT) AS n_insecure,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS mixed
+    FROM documents
+    """,
+)
+def q274_mixed_content(spark, sf_dir):
+    """Mixed-content audit (operators/meta.py mixed_content_audit):
+    http:// resources on an https:// page — browser-blocked and
+    audit-flagged. Resources = effective img sources (lazy-load
+    aware) + srcset widest variants + <link href>s; per-page counts
+    via one partial-agg groupBy, page scheme gating the verdict.
+    Fixture: every page loads 2 insecure of 3 resources; only the
+    https pages (even ids) flag mixed."""
+    from .operators.meta import mixed_content_audit
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")) \
+        .otherwise(F.lit("http"))
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" '
+              'href="http://cdn.example.org/s.css"></head><body>'),
+        F.lit('<img src="http://cdn.example.org/x-'), sid,
+        F.lit('.png"><img src="https://cdn.example.org/y-'), sid,
+        F.lit('.png"></body></html>'),
+    )
+    pages = d.select(
+        F.concat(scheme, F.lit("://h"), sid, F.lit("/page"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return mixed_content_audit(pages)

@@ -247,3 +247,100 @@ def canonical_resolve(pages: DataFrame, url_col: str = "url",
     return cur.select(
         "url", "canonical", F.col("hops").cast("int").alias("hops")
     )
+
+
+_IMG_TAG = r"<img\s[^>]*>"
+
+
+def image_sources(docs: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Modern image-source inventory: one row per ``<img>`` —
+    ``(id, img_idx, src, effective_src, n_variants, widest_src)``.
+
+    The reference's image inventory reads only src/alt
+    (crawler.py:86-89); real pages lazy-load (placeholder ``src`` +
+    ``data-src``) and serve responsive ``srcset`` variant lists.
+    ``effective_src`` prefers ``data-src`` (the lazy-load convention);
+    ``widest_src`` is the srcset variant with the largest
+    ``<int>w`` width descriptor (x-density descriptors rank 0), NULL
+    when no srcset. All parsing is codegen: img is a void element,
+    srcset a comma-separated microsyntax — transform + regexp +
+    array_max(struct) JVM-side, no Python, no shuffle."""
+    m = F.col("_i")
+    variants = F.transform(
+        F.split(_attr(m, "srcset"), ","),
+        lambda v: F.struct(
+            F.coalesce(
+                # try_cast: x-density descriptors ('2x') have no width
+                # digits and must rank 0, not throw under ANSI mode
+                F.regexp_extract(F.trim(v), r"\s(\d+)w$", 1)
+                .try_cast("int"),
+                F.lit(0),
+            ).alias("w"),
+            F.regexp_extract(F.trim(v), r"^(\S+)", 1).alias("u"),
+        ),
+    )
+    has_srcset = _attr(m, "srcset") != ""
+    src = _attr(m, "src")
+    dsrc = _attr(m, "data-src")
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(_IMG_TAG), 0
+            )
+        ).alias("img_idx", "_i"),
+    ).select(
+        id_col,
+        F.col("img_idx").cast("int").alias("img_idx"),
+        F.coalesce(src, F.lit("")).alias("src"),
+        F.when(dsrc != "", dsrc).otherwise(F.coalesce(src, F.lit("")))
+        .alias("effective_src"),
+        F.when(has_srcset, F.size(variants)).otherwise(F.lit(0))
+        .cast("int").alias("n_variants"),
+        F.when(has_srcset, F.array_max(variants).getField("u"))
+        .alias("widest_src"),
+    )
+
+
+def mixed_content_audit(pages: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """Mixed-content audit: resources loaded over ``http://`` from an
+    ``https://`` page — browsers block or warn on these, and SEO/
+    security audits flag them. Counts per page over img src,
+    data-src, srcset variants AND <link href>: ``(url, n_resources,
+    n_insecure, mixed)``. Codegen end to end; one partial-agg groupBy
+    on the page key."""
+    imgs = image_sources(pages, html_col=html_col, id_col=url_col)
+    img_urls = (
+        imgs.select(F.col(url_col), F.col("effective_src").alias("_r"))
+        .unionByName(
+            imgs.filter(F.col("widest_src").isNotNull())
+            .select(F.col(url_col), F.col("widest_src").alias("_r"))
+        )
+    )
+    links = link_tags(pages, html_col=html_col, id_col=url_col).select(
+        F.col(url_col), F.col("href").alias("_r")
+    )
+    res = img_urls.unionByName(links).filter(F.col("_r") != "")
+    flags = res.groupBy(url_col).agg(
+        F.count("*").cast("bigint").alias("n_resources"),
+        F.sum(
+            F.when(F.col("_r").startswith("http://"), 1).otherwise(0)
+        ).cast("bigint").alias("n_insecure"),
+    )
+    return (
+        pages.select(F.col(url_col))
+        .join(flags, url_col, "left")
+        .select(
+            url_col,
+            F.coalesce("n_resources", F.lit(0)).cast("bigint")
+            .alias("n_resources"),
+            F.coalesce("n_insecure", F.lit(0)).cast("bigint")
+            .alias("n_insecure"),
+            F.when(
+                F.col(url_col).startswith("https://")
+                & (F.coalesce("n_insecure", F.lit(0)) > 0), 1
+            ).otherwise(0).cast("int").alias("mixed"),
+        )
+    )
