@@ -476,3 +476,60 @@ def test_image_sources_lazyload_and_srcset(spark):
         "real.jpg", 3, "c.jpg")
     # srcset-only img: no src at all, variant still parsed
     assert (out[2]["src"], out[2]["widest_src"]) == ("", "only.jpg")
+
+
+def test_feed_enclosures_and_opml(spark):
+    from tribeca_insights_spark.sources.feeds import (
+        feed_enclosures,
+        opml_feeds,
+    )
+
+    xml = (
+        "<rss><channel>"
+        '<item><enclosure url="https://c/a.mp3" length="123" '
+        'type="audio/MPEG"></item>'
+        "<item><enclosure type='video/mp4' length='junk' "
+        "url='https://c/b.mp4'/></item>"
+        '<item><enclosure length="5" type="audio/ogg"></item>'
+        "</channel></rss>"
+    )
+    feeds = spark.createDataFrame([(1, xml)], "fid long, feed_xml string")
+    rows = {r["enclosure_url"]: (r["mime"], r["n_bytes"])
+            for r in feed_enclosures(feeds, keep_cols=("fid",)).collect()}
+    assert rows == {
+        "https://c/a.mp3": ("audio/mpeg", 123),  # mime lowercased
+        "https://c/b.mp4": ("video/mp4", -1),    # junk length -> -1
+    }  # url-less enclosure dropped
+
+    opml = spark.createDataFrame(
+        [(1, '<opml><body><outline text="News">'
+             '<outline text="A" xmlUrl="https://a/f" htmlUrl="https://a"/>'
+             "</outline></body></opml>")],
+        "fid long, opml_xml string",
+    )
+    o = opml_feeds(opml, keep_cols=("fid",)).collect()
+    assert len(o) == 1  # folder outline dropped
+    assert (o[0]["feed_url"], o[0]["site_url"], o[0]["title"]) == (
+        "https://a/f", "https://a", "A")
+
+
+def test_inline_image_dhash_roundtrip(spark):
+    import base64
+    from tribeca_insights_spark.imagex import make_png
+    from tribeca_insights_spark.operators.multimodal import (
+        inline_image_dhash,
+    )
+
+    png = make_png(16, 16, seed=3)
+    b64 = base64.b64encode(png).decode()
+    html = (
+        f'<img src="data:image/png;base64,{b64}">'
+        '<img src="https://x/u.png">'
+        '<img src="data:image/png;base64,@@bad@@">'
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = {r["img_idx"]: r for r in inline_image_dhash(docs).collect()}
+    assert set(rows) == {0, 2}  # url img filtered, bad payload kept
+    assert rows[0]["mime"] == "image/png"
+    assert rows[0]["dhash64"] is not None and len(rows[0]["dhash64"]) == 16
+    assert rows[2]["dhash64"] is None  # undecodable -> NULL fingerprint

@@ -15060,3 +15060,144 @@ def q274_mixed_content(spark, sf_dir):
         html.alias("html"),
     )
     return mixed_content_audit(pages)
+
+
+# --- wave: feed enclosures + OPML subscriptions (q275-q276) -------------------
+
+
+@q(
+    "q275_feed_enclosures",
+    """
+    SELECT doc_id,
+           'https://cdn.example.org/ep' || doc_id || '.mp3'
+             AS enclosure_url,
+           'audio/mpeg' AS mime,
+           CAST(1000 + doc_id AS BIGINT) AS n_bytes
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'https://cdn.example.org/clip' || doc_id || '.mp4',
+           'video/mp4', CAST(-1 AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q275_feed_enclosures(spark, sf_dir):
+    """RSS enclosure extraction (sources/feeds.py feed_enclosures):
+    the podcast/video attachment relation a multimodal ingest reads to
+    build its fetch list (composes with q29/q53's header sniffers
+    downstream). Junk length attributes try_cast to -1 instead of
+    failing ANSI; every-3rd doc adds a self-closing video enclosure
+    with an EMPTY length and flipped attr order. Codegen end to end,
+    zero shuffle."""
+    from .sources.feeds import feed_enclosures
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<rss><channel><item><enclosure url='
+              '"https://cdn.example.org/ep'), sid,
+        F.lit('.mp3" length="'), (F.col("doc_id") + 1000).cast("string"),
+        F.lit('" type="audio/MPEG"></item>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<item><enclosure type="video/mp4" length="" '
+                      'url="https://cdn.example.org/clip'), sid,
+                F.lit('.mp4"/></item>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    return feed_enclosures(
+        d.select("doc_id", xml.alias("feed_xml")),
+        keep_cols=("doc_id",),
+    )
+
+
+@q(
+    "q276_opml_feeds",
+    """
+    SELECT doc_id,
+           'https://h' || doc_id || '/feed.xml' AS feed_url,
+           'https://h' || doc_id || '/' AS site_url,
+           'Blog ' || doc_id AS title
+    FROM documents
+    """,
+)
+def q276_opml_feeds(spark, sf_dir):
+    """OPML subscription-list source (sources/feeds.py opml_feeds):
+    the export format feed readers interchange — folder outlines
+    (no xmlUrl) are structural and dropped, subscription outlines
+    yield the feed-url dimension feed_entries (q244) consumes, so
+    OPML → feeds → entries → frontier composes as three codegen
+    stages. Fixture: one folder + one subscription per doc."""
+    from .sources.feeds import opml_feeds
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<opml><body><outline text="Folder"><outline '
+              'text="Blog '), sid,
+        F.lit('" xmlUrl="https://h'), sid,
+        F.lit('/feed.xml" htmlUrl="https://h'), sid,
+        F.lit('/"/></outline></body></opml>'),
+    )
+    return opml_feeds(
+        d.select("doc_id", xml.alias("opml_xml")),
+        keep_cols=("doc_id",),
+    )
+
+
+# --- wave: inline data-URI image fingerprinting (q277) ------------------------
+
+_B64_STRIPES = (
+    "iVBORw0KGgoAAAANSUhEUgAAABAAAAAQCAAAAAA6mKC9AAABG0lEQVR4AQEQAe/+AAD/"
+    "AP8A/wD/AP8A/wD/AP8AAP8A/wD/AP8A/wD/AP8A/wAA/wD/AP8A/wD/AP8A/wD/AAD/"
+    "AP8A/wD/AP8A/wD/AP8AAP8A/wD/AP8A/wD/AP8A/wAA/wD/AP8A/wD/AP8A/wD/AAD/"
+    "AP8A/wD/AP8A/wD/AP8AAP8A/wD/AP8A/wD/AP8A/wAA/wD/AP8A/wD/AP8A/wD/AAD/"
+    "AP8A/wD/AP8A/wD/AP8AAP8A/wD/AP8A/wD/AP8A/wAA/wD/AP8A/wD/AP8A/wD/AAD/"
+    "AP8A/wD/AP8A/wD/AP8AAP8A/wD/AP8A/wD/AP8A/wAA/wD/AP8A/wD/AP8A/wD/AAD/"
+    "AP8A/wD/AP8A/wD/AP+BPX+BMu2MqQAAAABJRU5ErkJggg=="
+)
+_B64_HALF = (
+    "iVBORw0KGgoAAAANSUhEUgAAABAAAAAQCAAAAAA6mKC9AAABG0lEQVR4AQEQAe/+AAAA"
+    "AAAAAAAA//////////8AAAAAAAAAAAD//////////wAAAAAAAAAAAP//////////AAAA"
+    "AAAAAAAA//////////8AAAAAAAAAAAD//////////wAAAAAAAAAAAP//////////AAAA"
+    "AAAAAAAA//////////8AAAAAAAAAAAD//////////wAAAAAAAAAAAP//////////AAAA"
+    "AAAAAAAA//////////8AAAAAAAAAAAD//////////wAAAAAAAAAAAP//////////AAAA"
+    "AAAAAAAA//////////8AAAAAAAAAAAD//////////wAAAAAAAAAAAP//////////AAAA"
+    "AAAAAAAA///////////C33+B+hcjGgAAAABJRU5ErkJggg=="
+)
+
+
+@q(
+    "q277_inline_image_dhash",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS img_idx, 'image/png' AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN '0808080808080808'
+                ELSE '0000000000000000' END AS dhash64
+    FROM documents
+    """,
+)
+def q277_inline_image_dhash(spark, sf_dir):
+    """Inline data:-URI image fingerprinting (operators/multimodal.py
+    inline_image_dhash): the extraction→decode→fingerprint seam wired
+    end to end — image_sources finds the data: URI, unbase64 decodes
+    it IN CODEGEN (bytes never round-trip through Python strings), and
+    the real PNG decoder + dHash (q105's path) fingerprints it. Even
+    docs embed a 16x16 vertical-stripe PNG (dhash 0808...), odd docs a
+    half-split PNG (dhash 0000...) — both hashes are authoring-time
+    constants of REAL decodes, and a trailing url-src img proves the
+    data: filter. Template-stamped inline imagery (tracking pixels,
+    spacer GIFs) dedups through q107's banding without fetching a
+    single asset."""
+    from .operators.multimodal import inline_image_dhash
+
+    d = _read(spark, sf_dir, "documents")
+    b64 = F.when(F.col("doc_id") % 2 == 0, F.lit(_B64_STRIPES)) \
+        .otherwise(F.lit(_B64_HALF))
+    html = F.concat(
+        F.lit('<html><body><img src="data:image/png;base64,'), b64,
+        F.lit('"><img src="https://cdn.example.org/u.png">'
+              "</body></html>"),
+    )
+    return inline_image_dhash(d.select("doc_id", html.alias("html")))

@@ -402,3 +402,36 @@ def frame_sample_anchors(media: DataFrame, every_n: int = 2,
             F.col("chunk_offset").cast("bigint").alias("chunk_offset"),
         )
     )
+
+
+def inline_image_dhash(docs: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Inline ``data:`` URI images, end to end: extracted by the
+    responsive-image inventory (operators/meta.image_sources),
+    base64-decoded ENTIRELY JVM-side (unbase64 in codegen — the bytes
+    never exist as a Python string), then fingerprinted by the REAL
+    PNG decoder + dHash (q105's path). One row per inline image:
+    ``(id, img_idx, mime, dhash64)``; undecodable payloads yield NULL
+    dhash like every other imagex consumer.
+
+    This is the extraction→decode→fingerprint seam wired through:
+    tracking pixels, inlined logos and spacer GIFs live in data: URIs,
+    and near-dup banding over these hashes (q107) spots
+    template-stamped imagery without ever fetching an asset."""
+    from pyspark.sql import functions as F
+
+    from .meta import image_sources
+
+    imgs = image_sources(docs, html_col=html_col, id_col=id_col)
+    src = F.col("effective_src")
+    payload = F.unbase64(
+        F.regexp_extract(src, r"^data:[^;]*;base64,(.*)$", 1)
+    )
+    return (
+        imgs.filter(src.startswith("data:"))
+        .select(
+            id_col, "img_idx",
+            F.regexp_extract(src, r"^data:([^;,]*)", 1).alias("mime"),
+            dhash_udf(payload).alias("dhash64"),
+        )
+    )

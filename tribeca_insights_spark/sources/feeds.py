@@ -107,3 +107,73 @@ def seed_from_feeds(entries: DataFrame, state: DataFrame) -> DataFrame:
             F.lit("").alias("JSON File"),
         )
     )
+
+
+_ENCLOSURE = r"<enclosure\s[^>]*/?>"
+
+
+def _encl_attr(m, name: str):
+    dq = F.regexp_extract(m, name + r'\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(m, name + r"\s*=\s*'([^']*)'", 1)
+    return F.when(dq != "", dq).otherwise(sq)
+
+
+def feed_enclosures(feeds: DataFrame, xml_col: str = "feed_xml",
+                    keep_cols: tuple = ()) -> DataFrame:
+    """One row per RSS ``<enclosure>``: (…keys, enclosure_url, mime,
+    n_bytes) — the podcast/video attachment relation a multimodal
+    ingest pipeline (media_metadata / av_metadata, q29/q53) reads to
+    build its fetch list. Void-element regexp regime, length via
+    try_cast (feeds ship '' and junk there constantly), entries with
+    no url dropped. Codegen end to end."""
+    rows = feeds.select(
+        *keep_cols,
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_ENCLOSURE), 0)
+        ).alias("_e"),
+    )
+    e = F.col("_e")
+    return (
+        rows.select(
+            *keep_cols,
+            F.trim(_encl_attr(e, "url")).alias("enclosure_url"),
+            F.lower(F.coalesce(_encl_attr(e, "type"), F.lit("")))
+            .alias("mime"),
+            F.coalesce(
+                _encl_attr(e, "length").try_cast("bigint"), F.lit(-1)
+            ).alias("n_bytes"),
+        )
+        .filter(F.length("enclosure_url") > 0)
+    )
+
+
+_OUTLINE = r"<outline\s[^>]*/?>"
+
+
+def opml_feeds(opml: DataFrame, xml_col: str = "opml_xml",
+               keep_cols: tuple = ()) -> DataFrame:
+    """OPML subscription-list source (the interchange format feed
+    readers export): one row per ``<outline>`` carrying an xmlUrl —
+    (…keys, feed_url, site_url, title). Category/folder outlines (no
+    xmlUrl) are structural and dropped; the output is exactly the
+    feed-url dimension ``feed_entries`` consumes next, so
+    OPML → feeds → entries → frontier composes as three codegen
+    stages."""
+    rows = opml.select(
+        *keep_cols,
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_OUTLINE), 0)
+        ).alias("_o"),
+    )
+    o = F.col("_o")
+    return (
+        rows.select(
+            *keep_cols,
+            F.trim(_encl_attr(o, "xmlUrl")).alias("feed_url"),
+            F.trim(F.coalesce(_encl_attr(o, "htmlUrl"), F.lit("")))
+            .alias("site_url"),
+            F.trim(F.coalesce(_encl_attr(o, "text"), F.lit("")))
+            .alias("title"),
+        )
+        .filter(F.length("feed_url") > 0)
+    )
