@@ -533,3 +533,42 @@ def test_inline_image_dhash_roundtrip(spark):
     assert rows[0]["mime"] == "image/png"
     assert rows[0]["dhash64"] is not None and len(rows[0]["dhash64"]) == 16
     assert rows[2]["dhash64"] is None  # undecodable -> NULL fingerprint
+
+
+def test_license_signals_variants(spark):
+    from tribeca_insights_spark.operators.governance import license_signals
+
+    html = (
+        '<a href="https://creativecommons.org/licenses/by-sa/4.0/">l</a>'
+        '<link rel="license" '
+        'href="http://creativecommons.org/publicdomain/zero/1.0/">'
+        "<pre>SPDX-License-Identifier: Apache-2.0</pre>"
+        "<pre>SPDX-License-Identifier: Apache-2.0</pre>"
+        '<a href="https://example.org/licenses/by/4.0/">decoy</a>'
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = {(r["license"], r["via"])
+           for r in license_signals(docs).collect()}
+    assert got == {
+        ("cc-by-sa-4.0", "link"),
+        ("cc-zero-1.0", "link"),
+        ("Apache-2.0", "spdx"),
+    }
+
+
+def test_ai_optout_defaults_and_tokens(spark):
+    from tribeca_insights_spark.operators.governance import ai_optout_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<meta name="robots" content="NOAI">'),
+            (2, '<meta name="tdm-reservation" content="0">'),
+            (3, "<html>no meta at all</html>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: (r["noai"], r["noimageai"], r["tdm_reserved"])
+           for r in ai_optout_flags(docs).collect()}
+    assert out[1] == (1, 0, 0)   # case-insensitive token
+    assert out[2] == (0, 0, 0)   # content=0 is NOT a reservation
+    assert out[3] == (0, 0, 0)   # absent -> defaults

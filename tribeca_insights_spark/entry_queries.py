@@ -15201,3 +15201,95 @@ def q277_inline_image_dhash(spark, sf_dir):
               "</body></html>"),
     )
     return inline_image_dhash(d.select("doc_id", html.alias("html")))
+
+
+# --- wave: corpus governance — licenses + AI opt-out (q278-q279) --------------
+
+
+@q(
+    "q278_license_signals",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'cc-by-4.0'
+             WHEN 1 THEN 'cc-by-nc-sa-3.0'
+             ELSE 'cc-zero-1.0' END AS license,
+           'link' AS via
+    FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT doc_id, 'MIT', 'spdx' FROM documents WHERE doc_id % 4 = 3
+    UNION ALL
+    SELECT doc_id, 'cc-by-4.0', 'link'
+    FROM documents WHERE doc_id % 4 = 3
+    """,
+)
+def q278_license_signals(spark, sf_dir):
+    """License-signal detection (operators/governance.py
+    license_signals): canonical Creative-Commons deed URLs (incl. the
+    CC0 publicdomain/zero path) from ANY href plus
+    SPDX-License-Identifier markers in page source — the
+    machine-readable license layer responsibly-built corpora filter
+    on. Fixture: per doc one of cc-by / cc-by-nc-sa / cc0 via link;
+    every 4th doc declares MIT via SPDX AND a cc-by link (multi-signal
+    page), with a duplicate link proving the dedup. Codegen regexp
+    end to end."""
+    from .operators.governance import license_signals
+
+    d = _read(spark, sf_dir, "documents")
+    cc_href = F.element_at(
+        F.array(
+            F.lit("https://creativecommons.org/licenses/by/4.0/"),
+            F.lit("https://creativecommons.org/licenses/by-nc-sa/3.0/"),
+            F.lit("https://creativecommons.org/publicdomain/zero/1.0/"),
+            F.lit("https://creativecommons.org/licenses/by/4.0/"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a rel="license" href="'), cc_href,
+        F.lit('">license</a><a href="'), cc_href,
+        F.lit('">again</a>'),
+        F.when(
+            F.col("doc_id") % 4 == 3,
+            F.lit("<pre>SPDX-License-Identifier: MIT</pre>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return license_signals(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q279_ai_optout",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+             AS noai,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+             AS noimageai,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT)
+             AS tdm_reserved
+    FROM documents
+    """,
+)
+def q279_ai_optout(spark, sf_dir):
+    """AI-use reservation audit (operators/governance.py
+    ai_optout_flags): the noai/noimageai robots-meta tokens and the
+    W3C TDM-Reservation-Protocol meta — the consent layer an ethical
+    training-data pipeline must read BEFORE ingesting a page; a
+    corpus filter is one predicate over this relation. Fixture:
+    doc%3==1 serves 'noai, noimageai' (comma-list parsing), doc%3==2
+    a tdm-reservation=1 meta, doc%3==0 neither (defaults 0)."""
+    from .operators.governance import ai_optout_flags
+
+    d = _read(spark, sf_dir, "documents")
+    meta = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.lit('<meta name="robots" content="noai, noimageai">'),
+    ).when(
+        F.col("doc_id") % 3 == 2,
+        F.lit('<meta name="tdm-reservation" content="1">'),
+    ).otherwise(F.lit('<meta name="robots" content="index">'))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>x</body></html>")
+    )
+    return ai_optout_flags(d.select("doc_id", html.alias("html")))
