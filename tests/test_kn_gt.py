@@ -572,3 +572,26 @@ def test_ai_optout_defaults_and_tokens(spark):
     assert out[1] == (1, 0, 0)   # case-insensitive token
     assert out[2] == (0, 0, 0)   # content=0 is NOT a reservation
     assert out[3] == (0, 0, 0)   # absent -> defaults
+
+
+def test_param_significance_mixed_evidence(spark):
+    from tribeca_insights_spark.functions.urlnorm import param_significance
+
+    rows = [
+        # sess neutral in one group, content-changing in another
+        ("https://h/a?sess=1", "X"),
+        ("https://h/a?sess=2", "X"),
+        ("https://h/b?sess=1", "Y"),
+        ("https://h/b?sess=2", "Z"),
+        # id always changes content
+        ("https://h/c?id=1", "P"),
+        ("https://h/c?id=2", "Q"),
+        # single-value param: no evidence group at all
+        ("https://h/d?lone=1", "R"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r["param"]: r for r in param_significance(pages).collect()}
+    assert set(out) == {"sess", "id"}  # 'lone' has no >=2-value group
+    s = out["sess"]
+    assert (s["n_groups"], s["n_neutral_groups"], s["neutral"]) == (2, 1, 0)
+    assert out["id"]["neutral"] == 0

@@ -15293,3 +15293,108 @@ def q279_ai_optout(spark, sf_dir):
         F.lit("<html><head>"), meta, F.lit("</head><body>x</body></html>")
     )
     return ai_optout_flags(d.select("doc_id", html.alias("html")))
+
+
+# --- wave: URL-parameter significance mining (q280) ---------------------------
+
+
+@q(
+    "q280_param_significance",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || (doc_id % 50) AS host FROM documents
+    )
+    SELECT host, 'page' AS param, CAST(2 AS BIGINT) AS n_groups,
+           CAST(0 AS BIGINT) AS n_neutral_groups,
+           CAST(0 AS INT) AS neutral
+    FROM hosts
+    UNION ALL
+    SELECT host, 'utm', 2, 2, 1 FROM hosts
+    """,
+)
+def q280_param_significance(spark, sf_dir):
+    """URL-parameter significance mining (functions/urlnorm.py
+    param_significance): LEARN per-host content-neutral query
+    parameters by comparing content hashes across URLs differing only
+    in one parameter — the data-driven upgrade over q80's fixed
+    utm-blocklist, and the discovered strip-list q41/q148's
+    canonicalizers feed on. Fixture: every host serves the page/utm
+    cross product where the hash depends only on 'page', so 'utm'
+    proves neutral (2/2 groups) and 'page' proves significant (0/2).
+    Codegen parsing, two partial-agg groupBys on host-prefixed keys,
+    no window."""
+    from .functions.urlnorm import param_significance
+
+    d = _read(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 50).cast("string")
+    combos = F.array(
+        *[
+            F.struct(F.lit(p).alias("pg"), F.lit(u).alias("ut"))
+            for p, u in ((1, "a"), (1, "b"), (2, "a"), (2, "b"))
+        ]
+    )
+    rows = d.select(hid.alias("_hid"), F.explode(combos).alias("_c"))
+    pages = rows.select(
+        F.concat(
+            F.lit("https://h"), F.col("_hid"), F.lit("/p?page="),
+            F.col("_c.pg").cast("string"), F.lit("&utm="),
+            F.col("_c.ut"),
+        ).alias("url"),
+        F.md5(
+            F.concat(F.lit("h"), F.col("_hid"), F.lit("-"),
+                     F.col("_c.pg").cast("string"))
+        ).alias("content_hash"),
+    )
+    return param_significance(pages)
+
+
+# --- wave: IDN homograph audit (q281) -----------------------------------------
+
+
+@q(
+    "q281_host_script_audit",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://example' || doc_id || '.com/p'
+               WHEN 1 THEN 'https://exаmple' || doc_id || '.com/p'
+               ELSE 'https://xn--80ak6aa92e.com/p' || doc_id END AS url,
+             CASE doc_id % 3
+               WHEN 0 THEN 'example' || doc_id || '.com'
+               WHEN 1 THEN 'exаmple' || doc_id || '.com'
+               ELSE 'xn--80ak6aa92e.com' END AS host
+      FROM documents
+    )
+    SELECT url, host,
+           CAST(1 AS INT) AS has_latin,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+             AS has_cyrillic,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT)
+             AS punycode,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT)
+             AS suspicious
+    FROM u
+    """,
+)
+def q281_host_script_audit(spark, sf_dir):
+    """IDN-homograph hostname audit (functions/urlnorm.py
+    host_script_audit): mixed Latin+Cyrillic hosts (the classic
+    exаmple.com spoof) and raw punycode labels flagged before a
+    frontier trusts them — crawler-trap and phishing hygiene for the
+    url universe. Pure codegen rlike Project; fixture covers clean /
+    homograph / punycode thirds closed-form."""
+    from .functions.urlnorm import host_script_audit
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.element_at(
+        F.array(
+            F.concat(F.lit("https://example"), sid, F.lit(".com/p")),
+            F.concat(F.lit("https://exаmple"), sid,
+                     F.lit(".com/p")),
+            F.concat(F.lit("https://xn--80ak6aa92e.com/p"), sid),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return host_script_audit(d.select(url.alias("url")))

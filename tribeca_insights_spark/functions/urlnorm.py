@@ -132,3 +132,94 @@ def url_path_templates(
             F.min("_u").alias("sample_url"),
         )
     )
+
+
+def param_significance(pages, url_col: str = "url",
+                       hash_col: str = "content_hash"):
+    """DATA-DRIVEN URL-parameter significance mining: which query
+    parameters never change the content they address?
+
+    q80's tracking-strip uses a FIXED blocklist (utm_*/gclid/...);
+    search engines instead LEARN per-host neutral parameters by
+    comparing content across URLs that differ only in one parameter.
+    This operator is that learner: for every (host, path,
+    other-params-signature, param) group with >= 2 distinct values of
+    the param, the group is *neutral evidence* when all its pages
+    share one content hash. Per (host, param):
+    ``(host, param, n_groups, n_neutral_groups, neutral)`` with
+    ``neutral = 1`` iff every evidence group was neutral — the
+    discovered strip-list a canonicalizer (q41/q80/q148) then feeds
+    on, closing the loop without a hand-maintained list.
+
+    All parsing is codegen (split + transform/filter + sort_array for
+    the others-signature); the evidence grouping is one partial-agg
+    groupBy on (host, path, sig, param) and one on (host, param) —
+    never a window, never Python. At 10^12 urls both keys are
+    host-prefixed, so the shuffle co-locates with a host-bucketed
+    frontier store.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+([^?#]*)", 1)
+    qs = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    pairs = F.filter(F.split(qs, "&"), lambda kv: kv != "")
+    exploded = pages.select(
+        host.alias("host"), path.alias("path"), pairs.alias("_ps"),
+        F.col(hash_col).alias("_h"),
+        F.explode(pairs).alias("_kv"),
+    )
+    pname = F.split(F.col("_kv"), "=")[0]
+    others = F.array_join(
+        F.sort_array(
+            F.filter(F.col("_ps"), lambda kv: kv != F.col("_kv"))
+        ),
+        "&",
+    )
+    ev = exploded.select(
+        "host", "path",
+        pname.alias("param"),
+        F.split(F.col("_kv"), "=")[1].alias("_val"),
+        others.alias("_sig"),
+        "_h",
+    )
+    groups = ev.groupBy("host", "path", "_sig", "param").agg(
+        F.countDistinct("_val").alias("_nv"),
+        F.countDistinct("_h").alias("_nh"),
+    ).filter(F.col("_nv") >= 2)
+    return (
+        groups.groupBy("host", "param")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("_nh") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_neutral_groups"),
+        )
+        .select(
+            "host", "param", "n_groups", "n_neutral_groups",
+            F.when(F.col("n_neutral_groups") == F.col("n_groups"), 1)
+            .otherwise(0).cast("int").alias("neutral"),
+        )
+    )
+
+
+def host_script_audit(pages, url_col: str = "url"):
+    """IDN-homograph audit: hostnames mixing Unicode scripts
+    (``exаmple.com`` with a Cyrillic а) are the classic phishing /
+    crawler-trap spoof, and raw punycode labels (``xn--…``) deserve a
+    review flag before a frontier trusts them. Per url: ``(url, host,
+    has_latin, has_cyrillic, punycode, suspicious)`` with
+    ``suspicious = mixed-script OR punycode``. Pure codegen rlike —
+    the audit costs a Project on the url stream, nothing more."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:]+)", 1)
+    )
+    has_lat = host.rlike("[a-z]")
+    has_cyr = host.rlike("[Ѐ-ӿ]")
+    puny = host.rlike(r"(^|\.)xn--")
+    flag = (has_lat & has_cyr) | puny
+    b = lambda c: F.when(c, 1).otherwise(0).cast("int")  # noqa: E731
+    return pages.select(
+        F.col(url_col).alias("url"), host.alias("host"),
+        b(has_lat).alias("has_latin"),
+        b(has_cyr).alias("has_cyrillic"),
+        b(puny).alias("punycode"),
+        b(flag).alias("suspicious"),
+    )
