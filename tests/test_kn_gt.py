@@ -595,3 +595,25 @@ def test_param_significance_mixed_evidence(spark):
     s = out["sess"]
     assert (s["n_groups"], s["n_neutral_groups"], s["neutral"]) == (2, 1, 0)
     assert out["id"]["neutral"] == 0
+
+
+def test_table_column_profile_majority_and_ties(spark):
+    from tribeca_insights_spark.operators.tables import (
+        table_column_profile,
+        table_rows,
+    )
+
+    html = (
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>x</td></tr>"
+        "<tr><td>2.5</td><td>y</td></tr>"
+        "</table>"
+    ).encode()
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html binary")
+    out = {r["col_idx"]: r
+           for r in table_column_profile(table_rows(docs)).collect()}
+    # 1-1 int/float tie -> lexicographically larger type name wins
+    assert out[0]["col_type"] == "int"
+    assert out[1]["col_type"] == "string"
+    assert out[0]["header"] == "a"
+    assert out[0]["n_values"] == 2

@@ -15398,3 +15398,53 @@ def q281_host_script_audit(spark, sf_dir):
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
     return host_script_audit(d.select(url.alias("url")))
+
+
+# --- wave: web-table column profiling (q282) ----------------------------------
+
+
+@q(
+    "q282_table_profile_cols",
+    """
+    WITH cols AS (
+      SELECT * FROM (VALUES
+        (0, 'name', 'string'), (1, 'qty', 'int'),
+        (2, 'price', 'float'), (3, 'when', 'date')
+      ) AS t(col_idx, header, col_type)
+    )
+    SELECT doc_id, CAST(0 AS INT) AS table_idx,
+           CAST(col_idx AS INT) AS col_idx, header, col_type,
+           CAST(3 AS BIGINT) AS n_values
+    FROM documents CROSS JOIN cols
+    """,
+)
+def q282_table_profile_cols(spark, sf_dir):
+    """WebTables-style column profiling (operators/tables.py
+    table_column_profile; Cafarella VLDB'08): per extracted table
+    column, the header label and MAJORITY value type — the attribute
+    statistics that make a web-table corpus queryable (and the schema
+    a table-QA training set needs). Fixture: a 4-column table per
+    page whose columns type cleanly as string/int/float/date over 3
+    data rows (with one dissenting string cell in the int column —
+    majority must still say int). Typing is rlike codegen; majority =
+    max(struct) partial agg, lexicographic tie-break documented."""
+    from .operators.tables import table_column_profile, table_rows
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><table>"
+              "<tr><th>name</th><th>qty</th><th>price</th>"
+              "<th>when</th></tr>"),
+        F.lit("<tr><td>a"), sid, F.lit("</td><td>"), sid,
+        F.lit("</td><td>1.25</td><td>2024-01-02</td></tr>"),
+        F.lit("<tr><td>b</td><td>7</td><td>"), sid,
+        F.lit(".5</td><td>2024-02-03</td></tr>"),
+        F.lit("<tr><td>c</td><td>n/a</td><td>2.5</td>"
+              "<td>2024-03-04</td></tr>"),
+        F.lit("</table></body></html>"),
+    )
+    pages = d.select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    return table_column_profile(table_rows(pages))

@@ -80,3 +80,55 @@ def table_rows(docs: DataFrame, html_col: str = "html") -> DataFrame:
             F.col("r.cells").alias("cells"),
         )
     )
+
+
+def table_column_profile(rows: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """WebTables-style column profiling (Cafarella et al., VLDB 2008
+    §4 — the attribute statistics that make a web-table corpus
+    queryable): over :func:`table_rows` output, per (doc, table,
+    column): the header label, the MAJORITY value type among
+    {int, float, date, string}, and the value count.
+
+    Typing is codegen rlike; the majority pick is two partial-agg
+    groupBys and a max(struct(cnt, type)) — ties break toward the
+    lexicographically larger type name (deterministic, documented).
+    Header = row 0; tables without data rows produce no profile rows.
+    At corpus scale the (doc, table, col, type) key is doc-prefixed,
+    so profiling co-locates with the extraction output.
+    """
+    cells = rows.select(
+        id_col, "table_idx", "row_idx",
+        F.posexplode("cells").alias("col_idx", "_cell"),
+    )
+    c = F.trim(F.col("_cell"))
+    typ = (
+        F.when(c.rlike(r"^-?\d+$"), F.lit("int"))
+        .when(c.rlike(r"^-?\d+\.\d+$"), F.lit("float"))
+        .when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.lit("date"))
+        .otherwise(F.lit("string"))
+    )
+    data = cells.filter(F.col("row_idx") > 0).select(
+        id_col, "table_idx", "col_idx", typ.alias("_t")
+    )
+    per_type = data.groupBy(id_col, "table_idx", "col_idx", "_t").agg(
+        F.count("*").alias("_n")
+    )
+    best = per_type.groupBy(id_col, "table_idx", "col_idx").agg(
+        F.max(F.struct(F.col("_n"), F.col("_t"))).alias("_b"),
+        F.sum("_n").cast("bigint").alias("n_values"),
+    )
+    headers = cells.filter(F.col("row_idx") == 0).select(
+        id_col, "table_idx", "col_idx", F.col("_cell").alias("header")
+    )
+    return (
+        best.join(headers, [id_col, "table_idx", "col_idx"], "left")
+        .select(
+            id_col,
+            F.col("table_idx").cast("int").alias("table_idx"),
+            F.col("col_idx").cast("int").alias("col_idx"),
+            F.coalesce("header", F.lit("")).alias("header"),
+            F.col("_b._t").alias("col_type"),
+            "n_values",
+        )
+    )
