@@ -617,3 +617,29 @@ def test_table_column_profile_majority_and_ties(spark):
     assert out[1]["col_type"] == "string"
     assert out[0]["header"] == "a"
     assert out[0]["n_values"] == 2
+
+
+def test_cache_policy_precedence(spark):
+    from tribeca_insights_spark.plans.frontier import cache_policy
+
+    rows = [
+        ("u1", 100, "public, max-age=0", None, "", ""),
+        ("u2", 100, "private, no-cache, max-age=50", None, "", ""),
+        ("u3", 100, "max-age=30", 999, "", ""),   # max-age beats Expires
+        ("u4", 100, "", -5, "", ""),              # stale Expires -> default
+        ("u5", 100, "maxi-age=77", None, "", 'etag-only'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, fetch_ts long, cache_control string, "
+        "expires_delta_s long, last_modified string, etag string",
+    )
+    out = {r["url"]: r for r in cache_policy(df).collect()}
+    assert out["u1"]["ttl_s"] == 0       # max-age=0 is a revalidate order
+    assert out["u2"]["ttl_s"] == 0       # no-cache beats its own max-age
+    assert out["u3"]["ttl_s"] == 30
+    assert out["u3"]["recrawl_after"] == 130
+    assert out["u4"]["ttl_s"] == 86400
+    # 'maxi-age' must NOT match the max-age token regex
+    assert out["u5"]["ttl_s"] == 86400
+    assert out["u5"]["has_validator"] == 1

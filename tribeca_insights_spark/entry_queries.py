@@ -15448,3 +15448,60 @@ def q282_table_profile_cols(spark, sf_dir):
         "doc_id", F.encode(html, "UTF-8").alias("html")
     )
     return table_column_profile(table_rows(pages))
+
+
+# --- wave: HTTP cache-policy TTL (q283) ---------------------------------------
+
+
+@q(
+    "q283_cache_policy",
+    """
+    WITH base AS (
+      SELECT doc_id, 1704067200 + doc_id AS fts,
+             CASE doc_id % 5
+               WHEN 0 THEN 3600 WHEN 1 THEN 0 WHEN 2 THEN 600
+               WHEN 3 THEN 120 ELSE 86400 END AS ttl,
+             CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS hv
+      FROM documents
+    )
+    SELECT 'https://h' || doc_id || '/p' AS url,
+           CAST(ttl AS BIGINT) AS ttl_s,
+           CAST(fts + ttl AS BIGINT) AS recrawl_after,
+           CAST(hv AS INT) AS has_validator
+    FROM base
+    """,
+)
+def q283_cache_policy(spark, sf_dir):
+    """HTTP cache-policy TTL for recrawl scheduling (plans/frontier.py
+    cache_policy; RFC 9111 precedence): no-store/no-cache/max-age=0
+    beat s-maxage beat max-age beat Expires beat the crawler default —
+    the server-declared freshness signal q95's recrawl model should
+    trust first, with ETag/Last-Modified flagged for cheap 304
+    revalidation. Fixture covers all five precedence shapes (incl.
+    s-maxage overriding max-age in one header). Pure codegen Project
+    on the fetch log."""
+    from .plans.frontier import cache_policy
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    cc = F.element_at(
+        F.array(F.lit("max-age=3600"), F.lit("no-store"),
+                F.lit("s-maxage=600, max-age=60"), F.lit(""),
+                F.lit("")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    headers = d.select(
+        F.concat(F.lit("https://h"), sid, F.lit("/p")).alias("url"),
+        (F.lit(1704067200) + F.col("doc_id")).cast("long")
+        .alias("fetch_ts"),
+        cc.alias("cache_control"),
+        F.when(F.col("doc_id") % 5 == 3, F.lit(120))
+        .otherwise(F.lit(None)).cast("bigint").alias("expires_delta_s"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit('W/"x'), sid, F.lit('"')))
+        .otherwise(F.lit("")).alias("etag"),
+        F.when(F.col("doc_id") % 5 == 1,
+               F.lit("Mon, 01 Jan 2024 00:00:00 GMT"))
+        .otherwise(F.lit("")).alias("last_modified"),
+    )
+    return cache_policy(headers)

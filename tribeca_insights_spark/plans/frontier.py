@@ -36,3 +36,59 @@ def schedule_fetches(frontier: DataFrame, delays: DataFrame,
             ((F.col("fetch_rank") - 1) * F.col(delay_col)).cast("double"),
         )
     )
+
+
+def cache_policy(headers: DataFrame, url_col: str = "url",
+                 fetch_ts_col: str = "fetch_ts",
+                 default_ttl: int = 86400) -> DataFrame:
+    """HTTP cache-policy TTL for recrawl scheduling (RFC 9111
+    precedence): per fetched page, how long its response said it stays
+    fresh — the server-declared signal a recrawl scheduler (q95's
+    priority model) should trust before estimating change rates.
+
+    Input columns: ``cache_control`` (raw header, '' if absent),
+    ``expires_delta_s`` (Expires minus Date in seconds, NULL if
+    either header absent — computed upstream where the raw dates
+    live), plus url + fetch timestamp. Precedence:
+
+    1. ``no-store`` / ``no-cache`` / ``max-age=0`` → ttl 0 (always
+       revalidate),
+    2. ``max-age=N`` (also ``s-maxage``) → N,
+    3. the Expires delta when positive,
+    4. ``default_ttl`` (crawlers assume ~a day when servers say
+       nothing).
+
+    Output: ``(url, ttl_s, recrawl_after, has_validator)`` —
+    ``has_validator`` flags ETag/Last-Modified presence, i.e. the
+    page supports cheap conditional revalidation (304s) even at
+    ttl 0. Pure codegen: regexp + timestamp arithmetic, a Project on
+    the fetch-log stream."""
+    cc = F.lower(F.coalesce(F.col("cache_control"), F.lit("")))
+    no_cache = (
+        cc.contains("no-store") | cc.contains("no-cache")
+        | cc.rlike(r"(^|[,\s])max-age=0($|[,\s])")
+    )
+    max_age = F.regexp_extract(cc, r"(?:^|[,\s])max-age=(\d+)", 1) \
+        .try_cast("bigint")
+    s_maxage = F.regexp_extract(cc, r"(?:^|[,\s])s-maxage=(\d+)", 1) \
+        .try_cast("bigint")
+    exp = F.col("expires_delta_s").cast("bigint")
+    ttl = (
+        F.when(no_cache, F.lit(0))
+        .when(s_maxage.isNotNull(), s_maxage)
+        .when(max_age.isNotNull(), max_age)
+        .when(exp.isNotNull() & (exp > 0), exp)
+        .otherwise(F.lit(int(default_ttl)))
+    ).cast("bigint")
+    has_val = (
+        (F.coalesce(F.col("etag"), F.lit("")) != "")
+        | (F.coalesce(F.col("last_modified"), F.lit("")) != "")
+    )
+    return headers.select(
+        F.col(url_col).alias("url"),
+        ttl.alias("ttl_s"),
+        (F.col(fetch_ts_col).cast("long") + ttl).cast("long")
+        .alias("recrawl_after"),
+        F.when(has_val, 1).otherwise(0).cast("int")
+        .alias("has_validator"),
+    )
