@@ -643,3 +643,38 @@ def test_cache_policy_precedence(spark):
     # 'maxi-age' must NOT match the max-age token regex
     assert out["u5"]["ttl_s"] == 86400
     assert out["u5"]["has_validator"] == 1
+
+
+def test_pii_pseudonyms_stability_and_salt(spark):
+    from tribeca_insights_spark.operators.redact import pii_pseudonyms
+
+    docs = spark.createDataFrame(
+        [(1, "mail A@X.com now"), (2, "a@x.com again"),
+         (3, "no pii here")],
+        "doc_id long, text string",
+    )
+    p1 = {r["doc_id"]: r["pseudonym"]
+          for r in pii_pseudonyms(docs, salt="k1").collect()}
+    # case-insensitive: A@X.com and a@x.com share a pseudonym
+    assert p1[1] == p1[2]
+    assert 3 not in p1
+    p2 = {r["doc_id"]: r["pseudonym"]
+          for r in pii_pseudonyms(docs, salt="k2").collect()}
+    # salt rotation rotates every pseudonym
+    assert p2[1] != p1[1]
+
+
+def test_crawl_trap_score_thresholds(spark):
+    from tribeca_insights_spark.functions.urlnorm import crawl_trap_score
+
+    rows = []
+    for i in range(12):   # trap: 12 urls, 1 hash
+        rows.append((f"https://h/cal/{i}", "same"))
+    for i in range(12):   # healthy: 12 urls, 12 hashes
+        rows.append((f"https://h/art/{i}", f"h{i}"))
+    for i in range(4):    # too few urls to call, even if samey
+        rows.append((f"https://h/tag/{i}", "same"))
+    pages = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r["template"]: r["trap"]
+           for r in crawl_trap_score(pages).collect()}
+    assert out == {"/cal/N": 1, "/art/N": 0, "/tag/N": 0}

@@ -15505,3 +15505,89 @@ def q283_cache_policy(spark, sf_dir):
         .otherwise(F.lit("")).alias("last_modified"),
     )
     return cache_policy(headers)
+
+
+# --- wave: crawl traps + PII pseudonyms (q284-q285) ---------------------------
+
+
+@q(
+    "q284_crawl_traps",
+    """
+    WITH hosts AS (
+      SELECT 'h' || (doc_id % 25) AS host,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT host, '/cal/N' AS template, n AS n_urls,
+           CAST(1 AS BIGINT) AS n_hashes,
+           CAST(CASE WHEN n >= 8 AND n >= 10 THEN 1 ELSE 0 END AS INT)
+             AS trap
+    FROM hosts
+    UNION ALL
+    SELECT host, '/art/N', n, n,
+           CAST(CASE WHEN n >= 8 AND n >= 10 * n THEN 1 ELSE 0 END
+                AS INT)
+    FROM hosts
+    """,
+)
+def q284_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (functions/urlnorm.py crawl_trap_score):
+    URL templates that fan out into many URLs with barely any
+    distinct content — infinite calendars, session paginators. The
+    frontier anti-joins candidates against trap templates BEFORE
+    fetching (the only way to win against a trap). Fixture: every
+    host serves a /cal/N template whose pages all hash identically
+    (trap) and an /art/N template with unique content (healthy); the
+    oracle states the verdict as the same n_urls/n_hashes FORMULA so
+    it holds at every SF."""
+    from .functions.urlnorm import crawl_trap_score
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    hid = (F.col("doc_id") % 25).cast("string")
+    pages = d.select(
+        F.concat(F.lit("https://h"), hid, F.lit("/cal/"), sid)
+        .alias("url"),
+        F.md5(F.concat(F.lit("trap-"), hid)).alias("content_hash"),
+    ).unionByName(d.select(
+        F.concat(F.lit("https://h"), hid, F.lit("/art/"), sid)
+        .alias("url"),
+        F.md5(F.concat(F.lit("art-"), sid)).alias("content_hash"),
+    ))
+    return crawl_trap_score(pages)
+
+
+@q(
+    "q285_pii_pseudonyms",
+    """
+    SELECT doc_id, 'email' AS kind,
+           sha256('s3cr3t' || 'u' || (doc_id % 20) || '@x.com')
+             AS pseudonym
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'email',
+           sha256('s3cr3t' || 'd' || doc_id || '@y.org')
+    FROM documents
+    """,
+)
+def q285_pii_pseudonyms(spark, sf_dir):
+    """Keyed PII pseudonymization (operators/redact.py
+    pii_pseudonyms): detected emails become stable salted sha-256
+    pseudonyms — the SAME address pseudonymizes identically
+    corpus-wide (user-level joins/dedup still work) while the raw
+    identifier never leaves the projection, and rotating the salt is
+    the GDPR-style re-identification kill-switch. q71's redaction
+    drops the linkage; this relation carries it. Fixture: one shared
+    address per user-bucket (20 users) plus one unique per doc; the
+    oracle recomputes both hashes with DuckDB's sha256."""
+    from .operators.redact import pii_pseudonyms
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("contact u"), (F.col("doc_id") % 20).cast("string"),
+        F.lit("@x.com and d"), sid, F.lit("@y.org today"),
+    )
+    return pii_pseudonyms(
+        d.select("doc_id", text.alias("text")), salt="s3cr3t"
+    )

@@ -223,3 +223,37 @@ def host_script_audit(pages, url_col: str = "url"):
         b(puny).alias("punycode"),
         b(flag).alias("suspicious"),
     )
+
+
+def crawl_trap_score(pages, url_col: str = "url",
+                     hash_col: str = "content_hash",
+                     min_urls: int = 8) -> DataFrame:
+    """Crawl-trap detection: hosts where a URL path template fans out
+    into many URLs but barely any distinct content — infinite
+    calendars, session-id paginators, faceted-search explosions. Per
+    (host, template): ``(host, template, n_urls, n_hashes, trap)``
+    with template = path with digit runs collapsed to 'N' (q160's
+    convention) and ``trap = 1`` when the template has at least
+    ``min_urls`` URLs and 10x more URLs than distinct hashes.
+
+    A frontier filters candidate URLs against trap templates with a
+    broadcast anti-join BEFORE fetching — the only way to win against
+    a trap is to never enqueue it. Two partial-agg groupBys on
+    host-prefixed keys; codegen template normalization."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+([^?#]*)", 1)
+    tmpl = F.regexp_replace(path, r"\d+", "N")
+    per = pages.select(
+        host.alias("host"), tmpl.alias("template"),
+        F.col(url_col).alias("_u"), F.col(hash_col).alias("_h"),
+    ).groupBy("host", "template").agg(
+        F.countDistinct("_u").cast("bigint").alias("n_urls"),
+        F.countDistinct("_h").cast("bigint").alias("n_hashes"),
+    )
+    return per.select(
+        "host", "template", "n_urls", "n_hashes",
+        F.when(
+            (F.col("n_urls") >= int(min_urls))
+            & (F.col("n_urls") >= 10 * F.col("n_hashes")), 1
+        ).otherwise(0).cast("int").alias("trap"),
+    )

@@ -96,3 +96,31 @@ def pii_density(df: DataFrame, group_col: str = "source",
             "(n_emails + n_ips + n_phones) * 1000000L div _chars"
         ).alias("pii_per_mchar"),
     )
+
+
+def pii_pseudonyms(df: DataFrame, salt: str, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keyed PII pseudonymization relation: every detected email
+    becomes a stable salted-hash pseudonym ``(id, kind, pseudonym)``
+    — the privacy-pipeline upgrade over plain redaction (q71): the
+    SAME address maps to the SAME pseudonym corpus-wide (user-level
+    joins and dedup still work on the pseudonym key) while the raw
+    identifier never leaves this projection. The salt is the secret:
+    rotate it and every pseudonym rotates, which is exactly the
+    re-identification kill-switch GDPR-style pipelines want.
+
+    sha2 in codegen; one explode of per-doc matches. Pair with
+    ``redact_pii`` on the text itself — this relation carries the
+    linkage the redacted text loses."""
+    t = F.col(text_col).cast("string")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)
+        ).alias("_m"),
+    ).select(
+        id_col,
+        F.lit("email").alias("kind"),
+        F.sha2(F.concat(F.lit(salt), F.lower(F.col("_m"))), 256)
+        .alias("pseudonym"),
+    ).dropDuplicates([id_col, "kind", "pseudonym"])
