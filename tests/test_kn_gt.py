@@ -678,3 +678,47 @@ def test_crawl_trap_score_thresholds(spark):
     out = {r["template"]: r["trap"]
            for r in crawl_trap_score(pages).collect()}
     assert out == {"/cal/N": 1, "/art/N": 0, "/tag/N": 0}
+
+
+def test_k_anonymize_levels(spark):
+    from tribeca_insights_spark.operators.governance import (
+        k_anonymize_hosts,
+    )
+
+    hosts = (
+        ["big.com"] * 6          # host-level release
+        + ["a.net", "b.net", "c.net", "d.net", "e.net"]  # pool to tld
+        + ["x.qq", "y.zz"]       # residual '*'
+    )
+    docs = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = {(r["release_key"], r["level"]): r["n_docs"]
+           for r in k_anonymize_hosts(docs, k=5).collect()}
+    assert out == {
+        ("big.com", "host"): 6,
+        ("net", "tld"): 5,
+        ("*", "any"): 2,
+    }
+    # every published row except the residual aggregates >= k
+    assert all(n >= 5 for (key, lvl), n in out.items() if key != "*")
+
+
+def test_contrastive_triplets_shape(spark):
+    from tribeca_insights_spark.operators.chunking import (
+        contrastive_triplets,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g"), (2, "h i"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contrastive_triplets(docs).collect()}
+    # doc 3 has 1 token: no second view, so (a) it emits no triplet
+    # and (b) doc 1 — whose arithmetic negative IS doc 3 — drops too:
+    # the negative join only accepts eligible documents
+    assert set(out) == {0, 2}
+    assert out[0]["anchor"] == "a b"
+    assert out[0]["positive"] == "c d"
+    assert out[0]["neg_id"] == 2 and out[0]["negative"] == "h"
+    assert out[2]["anchor"] == "h"       # floor split: 1 | 1
+    assert out[2]["positive"] == "i"
+    assert out[2]["neg_id"] == 0 and out[2]["negative"] == "a b"

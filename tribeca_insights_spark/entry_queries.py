@@ -15591,3 +15591,101 @@ def q285_pii_pseudonyms(spark, sf_dir):
     return pii_pseudonyms(
         d.select("doc_id", text.alias("text")), salt="s3cr3t"
     )
+
+
+# --- wave: contrastive triplets (q286) ----------------------------------------
+
+
+@q(
+    "q286_contrastive_triplets",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    toks AS (
+      SELECT doc_id, list_filter(
+               string_split(lower(trim(regexp_replace(
+                 text, '[^A-Za-zÀ-ÿ]+', ' ', 'g'))), ' '),
+               w -> length(w) > 0) AS l
+      FROM documents
+    ),
+    el AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2),
+    h AS (
+      SELECT doc_id,
+             array_to_string(l[1:(n // 2)], ' ') AS anchor,
+             array_to_string(l[(n // 2 + 1):n], ' ') AS positive
+      FROM el
+    )
+    SELECT a.doc_id, a.anchor, a.positive,
+           CAST((a.doc_id + nn.N // 2) % nn.N AS BIGINT) AS neg_id,
+           b.anchor AS negative
+    FROM h a CROSS JOIN nn
+    JOIN h b ON b.doc_id = (a.doc_id + nn.N // 2) % nn.N
+    """,
+)
+def q286_contrastive_triplets(spark, sf_dir):
+    """Deterministic contrastive-triplet mining (operators/chunking.py
+    contrastive_triplets; the DPR/SimCSE training-data shape): anchor
+    and positive are the two halves of one document, the negative is
+    the anchor of the document N/2 away — no RNG, so the mined set is
+    reproducible and hash-oracle-able; swap the arithmetic negative
+    for q114's BM25 top-k to get hard negatives with the same
+    relation shape. Halves are slice/array_join codegen; the negative
+    lookup is one id-keyed equi-join."""
+    from .operators.chunking import contrastive_triplets
+
+    d = _read(spark, sf_dir, "documents")
+    return contrastive_triplets(d)
+
+
+# --- wave: k-anonymity release table (q287) -----------------------------------
+
+
+@q(
+    "q287_k_anonymity",
+    """
+    WITH d AS (
+      SELECT CASE
+               WHEN doc_id % 10 < 8 THEN 'big' || (doc_id % 4) || '.com'
+               WHEN doc_id % 500 = 7 THEN 'solo' || doc_id || '.qq'
+               ELSE 'r' || doc_id || '.net' END AS host
+      FROM documents
+    ),
+    hc AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1),
+    rel AS (SELECT host AS release_key, 'host' AS level, n AS n_docs
+            FROM hc WHERE n >= 5),
+    sup AS (SELECT regexp_extract(host, '\\.([a-z]+)$', 1) AS tld, n
+            FROM hc WHERE n < 5),
+    tc AS (SELECT tld, CAST(sum(n) AS BIGINT) AS n
+           FROM sup GROUP BY 1),
+    rel2 AS (SELECT tld AS release_key, 'tld' AS level, n AS n_docs
+             FROM tc WHERE n >= 5),
+    rest AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs
+             FROM tc WHERE n < 5)
+    SELECT * FROM rel
+    UNION ALL SELECT * FROM rel2
+    UNION ALL SELECT '*', 'any', n_docs FROM rest WHERE n_docs > 0
+    """,
+)
+def q287_k_anonymity(spark, sf_dir):
+    """k-anonymity for released crawl metadata (operators/
+    governance.py k_anonymize_hosts): publishing raw per-host counts
+    leaks k=1 facts, so small hosts suppress into their TLD and
+    still-small TLD pools collapse into one '*' residual — every
+    published row aggregates >= k docs. Fixture: four big .com hosts
+    (host-level), singleton .net hosts (pool to tld-level), and one
+    .qq singleton whose pool stays below k — the '*' row — at the
+    gate SF. The oracle restates the ALGORITHM, not constants, so
+    verdicts track every SF."""
+    from .operators.governance import k_anonymize_hosts
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.when(
+        F.col("doc_id") % 10 < 8,
+        F.concat(F.lit("big"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit(".com")),
+    ).when(
+        F.col("doc_id") % 500 == 7,
+        F.concat(F.lit("solo"), sid, F.lit(".qq")),
+    ).otherwise(F.concat(F.lit("r"), sid, F.lit(".net")))
+    return k_anonymize_hosts(d.select(host.alias("host")), k=5)

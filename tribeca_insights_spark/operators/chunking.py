@@ -290,3 +290,53 @@ def cdc_chunks(
                    "CAST(chunk_len AS INT))")
         ).alias("chunk_md5"),
     )
+
+
+def contrastive_triplets(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic contrastive-triplet mining for embedding-model
+    training (the DPR/SimCSE data shape): per document, anchor = the
+    first half of its tokens, positive = the second half (two views of
+    one document — the standard unsupervised positive), negative = the
+    anchor half of the document N/2 away in id order (a corpus-distant
+    in-batch negative; no RNG anywhere, so the mined set is
+    reproducible and oracle-checkable).
+
+    Output: ``(id, anchor, positive, neg_id, negative)``; documents
+    with fewer than 2 tokens are dropped (no second view exists).
+
+    Scale shape: the halves are slice/array_join codegen; the
+    negative lookup is ONE equi-join on the derived id (AQE handles
+    it as a plain shuffle join — at 10^12 docs the negative table IS
+    the corpus, co-partitioned by the same id key). Swap the
+    arithmetic negative for q114's BM25 top-k to upgrade to hard
+    negatives; the triplet relation shape stays identical.
+    """
+    from .dsir import _words
+
+    n_row = docs.select(F.count("*").alias("_N"))
+    toks = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_l")
+    ).filter(F.size("_l") >= 2)
+    half = (F.size("_l") / 2).cast("int")
+    halves = toks.select(
+        id_col,
+        F.array_join(F.slice("_l", 1, half), " ").alias("anchor"),
+        F.array_join(
+            F.slice("_l", half + 1, F.size("_l") - half), " "
+        ).alias("positive"),
+    )
+    neg_src = halves.select(
+        F.col(id_col).alias("neg_id"), F.col("anchor").alias("negative")
+    )
+    return (
+        halves.crossJoin(F.broadcast(n_row))
+        .select(
+            id_col, "anchor", "positive",
+            ((F.col(id_col)
+              + F.floor(F.col("_N") / 2).cast("bigint"))
+             % F.col("_N").cast("bigint")).alias("neg_id"),
+        )
+        .join(neg_src, "neg_id")
+        .select(id_col, "anchor", "positive", "neg_id", "negative")
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .meta import link_tags, meta_tags
+from .meta import meta_tags
 
 # creativecommons.org/licenses/<code>/<version>/ — the canonical deed
 # URL form; publicdomain/zero is CC0's path
@@ -128,3 +128,50 @@ def ai_optout_flags(pages: DataFrame, id_col: str = "doc_id",
             .alias("tdm_reserved"),
         )
     )
+
+
+def k_anonymize_hosts(docs: DataFrame, host_col: str = "host",
+                      k: int = 5) -> DataFrame:
+    """k-anonymity for released per-host metadata: publishing host
+    counts straight from a crawl leaks k=1 facts ("we crawled exactly
+    this one blog"), so release tables suppress small groups and
+    generalize them up a hierarchy. Per the standard
+    suppress-and-generalize scheme:
+
+    1. hosts with >= k docs release at ``level='host'``;
+    2. smaller hosts pool into their TLD — TLD pools reaching k
+       release at ``level='tld'``;
+    3. anything still below k collapses into one ``('*', 'any')``
+       residual row (emitted only when non-empty).
+
+    Output: ``(release_key, level, n_docs)`` — the table is safe to
+    publish: every row aggregates >= k documents except the residual,
+    which is intentionally maximal-entropy. Three partial-agg
+    groupBys, codegen TLD extraction, no window.
+    """
+    hc = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rel_host = hc.filter(F.col("n") >= k).select(
+        F.col("host").alias("release_key"),
+        F.lit("host").alias("level"),
+        F.col("n").alias("n_docs"),
+    )
+    sup = hc.filter(F.col("n") < k).select(
+        F.regexp_extract("host", r"\.([a-z]+)$", 1).alias("tld"),
+        "n",
+    )
+    tc = sup.groupBy("tld").agg(F.sum("n").cast("bigint").alias("n"))
+    rel_tld = tc.filter(F.col("n") >= k).select(
+        F.col("tld").alias("release_key"),
+        F.lit("tld").alias("level"),
+        F.col("n").alias("n_docs"),
+    )
+    rest = tc.filter(F.col("n") < k).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs")
+    ).filter(F.col("n_docs") > 0).select(
+        F.lit("*").alias("release_key"),
+        F.lit("any").alias("level"),
+        "n_docs",
+    )
+    return rel_host.unionByName(rel_tld).unionByName(rest)
