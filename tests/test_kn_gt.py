@@ -722,3 +722,23 @@ def test_contrastive_triplets_shape(spark):
     assert out[2]["anchor"] == "h"       # floor split: 1 | 1
     assert out[2]["positive"] == "i"
     assert out[2]["neg_id"] == 0 and out[2]["negative"] == "a b"
+
+
+def test_sitemap_url_meta_block_isolation(spark):
+    from tribeca_insights_spark.sources.sitemap import sitemap_url_meta
+
+    xml = (
+        "<urlset>"
+        "<url><loc>/a</loc>\n<lastmod>2024-02-01</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>/b</loc></url>"  # bare: must NOT inherit /a's fields
+        "<url><lastmod>2024-03-01</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    sm = spark.createDataFrame([(1, xml)], "sid long, sitemap_xml string")
+    out = {r["url"]: r
+           for r in sitemap_url_meta(sm, keep_cols=("sid",)).collect()}
+    assert set(out) == {"/a", "/b"}
+    assert out["/a"]["lastmod"] == "2024-02-01"
+    assert out["/a"]["priority_micros"] == 800000
+    assert (out["/b"]["lastmod"], out["/b"]["priority_micros"]) == ("", -1)

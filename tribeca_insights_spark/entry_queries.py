@@ -15689,3 +15689,60 @@ def q287_k_anonymity(spark, sf_dir):
         F.concat(F.lit("solo"), sid, F.lit(".qq")),
     ).otherwise(F.concat(F.lit("r"), sid, F.lit(".net")))
     return k_anonymize_hosts(d.select(host.alias("host")), k=5)
+
+
+# --- wave: sitemap freshness metadata (q288) ----------------------------------
+
+
+@q(
+    "q288_sitemap_meta",
+    """
+    SELECT doc_id, '/p/' || doc_id AS url,
+           '2024-01-' || CASE WHEN doc_id % 28 + 1 < 10 THEN '0' ELSE ''
+             END || (doc_id % 28 + 1) AS lastmod,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (doc_id % 10) * 100000 ELSE -1 END AS BIGINT)
+             AS priority_micros,
+           CASE WHEN doc_id % 3 = 0 THEN 'daily' ELSE '' END
+             AS changefreq
+    FROM documents
+    UNION ALL
+    SELECT doc_id, '/q/' || doc_id, '', CAST(-1 AS BIGINT), ''
+    FROM documents
+    """,
+)
+def q288_sitemap_meta(spark, sf_dir):
+    """Sitemap freshness metadata (sources/sitemap.py
+    sitemap_url_meta): lastmod / priority / changefreq per <url>
+    block — the publisher-declared change signals a recrawl scheduler
+    reads before spending a single fetch (lastmod vs state-table
+    last-crawl is the cheapest change detector there is; priority /
+    changefreq are priors for q95). Blocks isolate first so missing
+    fields can't steal a neighbor's; junk priorities try_cast to -1;
+    a bare-loc second entry proves the defaults. Codegen end to
+    end."""
+    from .sources.sitemap import sitemap_url_meta
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    day = (F.col("doc_id") % 28 + 1).cast("string")
+    day2 = F.lpad(day, 2, "0")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>/p/"), sid,
+        F.lit("</loc><lastmod>2024-01-"), day2, F.lit("</lastmod>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<priority>0."),
+                     (F.col("doc_id") % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("<priority>junk</priority>")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<changefreq>DAILY</changefreq>"))
+        .otherwise(F.lit("")),
+        F.lit("</url><url><loc>/q/"), sid,
+        F.lit("</loc></url></urlset>"),
+    )
+    return sitemap_url_meta(
+        d.select("doc_id", xml.alias("sitemap_xml")),
+        keep_cols=("doc_id",),
+    )

@@ -159,3 +159,53 @@ def resolve_sitemap_tree(sitemaps: DataFrame,
     ).select(*keys, "url", F.lit("index").alias("via"))
 
     return direct.unionByName(resolved)
+
+
+_URL_BLOCK = r"<url>.*?</url>"
+
+
+def sitemap_url_meta(sitemaps: DataFrame, xml_col: str = "sitemap_xml",
+                     keep_cols: tuple = ()) -> DataFrame:
+    """Full per-URL sitemap metadata: ``(…keys, url, lastmod,
+    priority_micros, changefreq)`` — the freshness fields
+    :func:`sitemap_locs` deliberately drops for the seed path, but a
+    change-aware recrawl scheduler wants: ``lastmod`` against the
+    state table's last-crawl timestamp is the cheapest possible
+    change signal (no fetch at all), ``priority``/``changefreq`` are
+    the publisher's own ordering hints (q95's model can take them as
+    priors). Absent fields: lastmod '' / priority -1 / changefreq ''.
+
+    Same columnar regime as sitemap_locs: ``<url>`` blocks isolated
+    FIRST (``(?s)`` so multi-line blocks match), then fields extract
+    inside each block — a missing lastmod cannot steal the next
+    entry's. Priority parses to integer micros (try_cast guards
+    junk); all codegen, zero Python.
+    """
+    blocks = sitemaps.select(
+        *keep_cols,
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit("(?s)" + _URL_BLOCK), 0
+            )
+        ).alias("_b"),
+    )
+    b = F.col("_b")
+
+    def field(tag):
+        return F.trim(F.regexp_extract(
+            b, r"(?s)<(?:\w+:)?" + tag + r">([^<]*)</", 1
+        ))
+
+    prio = F.floor(
+        field("priority").try_cast("double") * 1_000_000
+    ).try_cast("bigint")
+    return (
+        blocks.select(
+            *keep_cols,
+            field("loc").alias("url"),
+            field("lastmod").alias("lastmod"),
+            F.coalesce(prio, F.lit(-1)).alias("priority_micros"),
+            F.lower(field("changefreq")).alias("changefreq"),
+        )
+        .filter(F.length("url") > 0)
+    )
