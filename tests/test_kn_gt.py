@@ -742,3 +742,19 @@ def test_sitemap_url_meta_block_isolation(spark):
     assert out["/a"]["lastmod"] == "2024-02-01"
     assert out["/a"]["priority_micros"] == 800000
     assert (out["/b"]["lastmod"], out["/b"]["priority_micros"]) == ("", -1)
+
+
+def test_read_warc_meta_relation(spark, tmp_path):
+    from tribeca_insights_spark.sources.warc import make_warc, read_warc_meta
+
+    blob = make_warc([
+        ("https://a", "<p>hello</p>", "utf-8"),
+        ("https://b", "nope", "utf-8", 404),
+    ])
+    (tmp_path / "f.warc").write_bytes(blob)
+    rows = {r["url"]: r
+            for r in read_warc_meta(spark, str(tmp_path)).collect()}
+    assert rows["https://a"]["status"] == 200
+    assert rows["https://a"]["content_type"] == "text/html"
+    assert rows["https://a"]["n_bytes"] == len(b"<p>hello</p>")
+    assert rows["https://b"]["status"] == 404

@@ -15746,3 +15746,75 @@ def q288_sitemap_meta(spark, sf_dir):
         d.select("doc_id", xml.alias("sitemap_xml")),
         keep_cols=("doc_id",),
     )
+
+
+# --- wave: WARC response metadata (q289) --------------------------------------
+
+
+@q(
+    "q289_warc_meta",
+    """
+    SELECT doc_id, 'https://w/ok/' || doc_id AS url,
+           CAST(200 AS INT) AS status, 'text/html' AS content_type,
+           CAST(7 + (doc_id % 7) AS BIGINT) AS n_bytes
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'https://w/gone/' || doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 404 ELSE 503 END AS INT),
+           'text/html', CAST(4 AS BIGINT)
+    FROM documents
+    """,
+)
+def q289_warc_meta(spark, sf_dir):
+    """WARC response-metadata relation (sources/warc.py parse_warc
+    status/content-type/size fields + read_warc_meta): the fetch-log
+    view crawl health ops consume WITHOUT shipping payload bytes —
+    status-code health per host, soft-404 candidates (q191),
+    content-type routing to the right extractor, size anomalies.
+    Fixture: per doc a 200 page with id-varying payload length plus a
+    404/503 error record; the engine's real WARC parser (header walk,
+    HTTP status line, Content-Type split) recovers every field the
+    oracle states closed-form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from .sources.warc import make_warc, parse_warc
+
+    rec_t = ArrayType(StructType([
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]))
+
+    @pandas_udf(rec_t)
+    def _meta(doc_id):
+        out = []
+        for i in doc_id:
+            i = int(i)
+            blob = make_warc([
+                (f"https://w/ok/{i}", f"<p>{'x' * (i % 7)}</p>",
+                 "utf-8"),
+                (f"https://w/gone/{i}", "gone", "utf-8",
+                 404 if i % 2 == 0 else 503),
+            ])
+            out.append([
+                (r["url"], r["status"], r["content_type"], r["n_bytes"])
+                for r in parse_warc(blob)
+            ])
+        return pd.Series(out)
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(_meta(F.col("doc_id"))).alias("_r")
+    ).select(
+        "doc_id",
+        F.col("_r.url").alias("url"),
+        F.col("_r.status").alias("status"),
+        F.col("_r.content_type").alias("content_type"),
+        F.col("_r.n_bytes").alias("n_bytes"),
+    )

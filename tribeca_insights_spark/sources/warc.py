@@ -90,6 +90,15 @@ def parse_warc(data: bytes) -> List[dict]:
         if http_end < 0:
             continue
         http_headers = _split_headers(body[:http_end])
+        status = None
+        line_end = body.find(b"\r\n")
+        if line_end > 0:
+            parts = body[:line_end].split()
+            if len(parts) >= 2 and parts[0][:5] == b"HTTP/":
+                try:
+                    status = int(parts[1])
+                except ValueError:
+                    pass
         payload = body[http_end + 4 :]
         charset = None
         m = _CHARSET_HEADER_RE.search(http_headers.get("content-type", b""))
@@ -105,6 +114,11 @@ def parse_warc(data: bytes) -> List[dict]:
                 "warc_ts": ts,
                 "html": payload,
                 "charset": charset or "utf-8",
+                "status": status,
+                "content_type": http_headers.get(
+                    b"content-type".decode(), b""
+                ).split(b";")[0].strip().decode("latin-1").lower(),
+                "n_bytes": len(payload),
             }
         )
     return out
@@ -261,10 +275,13 @@ def make_warc(pages: List[Tuple[str, str, str]], gzip_file: bool = False,
 
     record("warcinfo", [("Content-Type", "application/warc-fields")],
            b"software: tribeca-insights-spark-fixture\r\n")
-    for url, html, charset in pages:
+    for page in pages:
+        url, html, charset = page[:3]
+        status = page[3] if len(page) > 3 else 200
         payload = html.encode(charset, errors="replace")
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="
+            b"HTTP/1.1 " + str(status).encode() + b" X"
+            + b"\r\nContent-Type: text/html; charset="
             + charset.encode("ascii")
             + b"\r\nContent-Length: "
             + str(len(payload)).encode()
@@ -279,3 +296,41 @@ def make_warc(pages: List[Tuple[str, str, str]], gzip_file: bool = False,
         )
     data = buf.getvalue()
     return gzip.compress(data) if gzip_file else data
+
+
+META_SCHEMA = (
+    "url string, warc_ts timestamp, status int, content_type string, "
+    "n_bytes bigint"
+)
+
+
+def read_warc_meta(spark: SparkSession, path: str) -> DataFrame:
+    """WARC response METADATA relation: ``(url, warc_ts, status,
+    content_type, n_bytes)`` per response record — the fetch-log view
+    crawl ops consume without touching payload bytes: status-code
+    health per host, soft-404 candidates (q191), content-type routing
+    (html → extractor, pdf → q48/q93, media → q29/q53), size
+    anomalies. Same file-granular mapInPandas as read_warc; payloads
+    are measured, never shipped."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _records(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for content in pdf["content"]:
+                recs = parse_warc(bytes(content))
+                if not recs:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "url": [r["url"] for r in recs],
+                        "warc_ts": [r["warc_ts"] for r in recs],
+                        "status": [r["status"] for r in recs],
+                        "content_type": [r["content_type"]
+                                         for r in recs],
+                        "n_bytes": [r["n_bytes"] for r in recs],
+                    }
+                )
+
+    return files.select("content").mapInPandas(
+        _records, schema=META_SCHEMA
+    )
