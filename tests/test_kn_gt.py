@@ -758,3 +758,26 @@ def test_read_warc_meta_relation(spark, tmp_path):
     assert rows["https://a"]["content_type"] == "text/html"
     assert rows["https://a"]["n_bytes"] == len(b"<p>hello</p>")
     assert rows["https://b"]["status"] == 404
+
+
+def test_base_href_first_wins_and_relative_base_ignored(spark):
+    from tribeca_insights_spark.operators.linkgraph import (
+        anchor_pairs_base_aware,
+    )
+
+    html = (
+        '<head><base href="https://b1.com/x/">'
+        '<base href="https://b2.com/"></head>'
+        '<body><a href="/p">p</a></body>'
+    )
+    html_rel_base = '<base href="/only/relative"><a href="/q">q</a>'
+    docs = spark.createDataFrame(
+        [("https://page.com/a", html),
+         ("https://page.com/b", html_rel_base)],
+        "url string, html string",
+    )
+    got = {r["url"]: r for r in anchor_pairs_base_aware(docs).collect()}
+    # first base wins per spec
+    assert got["https://page.com/a"]["target"] == "https://b1.com/p"
+    # a non-absolute base is ignored: resolution falls back to the page
+    assert got["https://page.com/b"]["target"] == "https://page.com/q"

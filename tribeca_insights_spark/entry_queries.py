@@ -15818,3 +15818,63 @@ def q289_warc_meta(spark, sf_dir):
         F.col("_r.content_type").alias("content_type"),
         F.col("_r.n_bytes").alias("n_bytes"),
     )
+
+
+# --- wave: base-href-aware link resolution (q290) -----------------------------
+
+
+@q(
+    "q290_base_href_links",
+    """
+    SELECT 'https://cdn.example.net/t/' || doc_id || '/page' AS url,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://real' || doc_id || '.com/dir/'
+                ELSE 'https://cdn.example.net/t/' || doc_id || '/page'
+             END AS base,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://real' || doc_id || '.com/about'
+                ELSE 'https://cdn.example.net/about' END AS target,
+           'about' AS anchor
+    FROM documents
+    UNION ALL
+    SELECT 'https://cdn.example.net/t/' || doc_id || '/page',
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://real' || doc_id || '.com/dir/'
+                ELSE 'https://cdn.example.net/t/' || doc_id || '/page'
+             END,
+           'https://ext.example.org/x', 'ext'
+    FROM documents
+    """,
+)
+def q290_base_href_links(spark, sf_dir):
+    """<base href>-aware link resolution (operators/linkgraph.py
+    anchor_pairs_base_aware): when a page declares a base element,
+    relative hrefs resolve against IT, not the page url — the HTML
+    rule templated/CDN-hosted sites rely on; ignoring it silently
+    corrupts the link graph for every such page. Fixture: even docs
+    declare an off-host base so their root-relative '/about' must
+    land on the base host; odd docs have no base and resolve against
+    the page; an absolute external link must be unaffected either
+    way. Base extraction is one codegen regexp; plan stays the
+    single-parse zero-shuffle anchor shape."""
+    from .operators.linkgraph import anchor_pairs_base_aware
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<base href="https://real'), sid,
+                     F.lit('.com/dir/">')),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><a href="/about">about</a>'
+              '<a href="https://ext.example.org/x">ext</a>'
+              "</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://cdn.example.net/t/"), sid,
+                 F.lit("/page")).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_pairs_base_aware(pages)
