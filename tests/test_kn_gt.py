@@ -781,3 +781,22 @@ def test_base_href_first_wins_and_relative_base_ignored(spark):
     assert got["https://page.com/a"]["target"] == "https://b1.com/p"
     # a non-absolute base is ignored: resolution falls back to the page
     assert got["https://page.com/b"]["target"] == "https://page.com/q"
+
+
+def test_client_redirects_microsyntax(spark):
+    from tribeca_insights_spark.operators.meta import client_redirects
+
+    html = (
+        '<META HTTP-EQUIV="refresh" content="5; URL=\'https://x/a\'">'
+        '<meta http-equiv="refresh" content="junk;url=https://x/b">'
+        '<meta http-equiv="refresh" content="0">'  # no url: dropped
+        "<script>location.href=\"https://x/c\";</script>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = {(r["kind"], r["target"]): r["delay_s"]
+           for r in client_redirects(docs).collect()}
+    assert got == {
+        ("meta", "https://x/a"): 5,    # case-insensitive, quoted url
+        ("meta", "https://x/b"): 0,    # junk delay -> 0
+        ("js", "https://x/c"): 0,
+    }

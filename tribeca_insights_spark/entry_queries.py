@@ -15878,3 +15878,102 @@ def q290_base_href_links(spark, sf_dir):
         html.alias("html"),
     )
     return anchor_pairs_base_aware(pages)
+
+
+# --- wave: client redirects + SEO health (q291-q292) --------------------------
+
+
+@q(
+    "q291_client_redirects",
+    """
+    SELECT doc_id, 'meta' AS kind,
+           CAST(doc_id % 5 AS INT) AS delay_s,
+           'https://t' || doc_id || '.com/new' AS target
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'js', CAST(0 AS INT),
+           '/spa/' || doc_id
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q291_client_redirects(spark, sf_dir):
+    """Client-side redirect extraction (operators/meta.py
+    client_redirects): meta-refresh (with its N;url= delay
+    microsyntax) and window.location JS assignments — the redirect
+    channels beyond HTTP 3xx a crawler must honor, and the
+    cloaking-detection staple (0-delay client redirect on a
+    content-bearing page = classic spam signal). Fixture thirds:
+    meta-refresh with varying delay / a JS redirect / no redirect at
+    all; codegen regexp end to end."""
+    from .operators.meta import client_redirects
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(";url=https://t"), sid, F.lit('.com/new">'),
+            ),
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<script>window.location.href = '/spa/"), sid,
+                F.lit("';</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return client_redirects(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q292_seo_health",
+    """
+    WITH p AS (
+      SELECT 'h' || (doc_id % 20) AS host,
+             CASE WHEN doc_id % 4 = 0 THEN 'Shared Title'
+                  ELSE 'Doc ' || doc_id || ' long title' END AS title,
+             CASE WHEN doc_id % 5 = 0 THEN ''
+                  ELSE 'desc ' || doc_id END AS meta_description
+      FROM documents
+    ),
+    pt AS (SELECT host, title, count(*) AS n FROM p GROUP BY 1, 2),
+    dup AS (SELECT host, CAST(sum(n) AS BIGINT) AS n_dup_title_pages
+            FROM pt WHERE n > 1 GROUP BY 1)
+    SELECT p.host, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(coalesce(any_value(dup.n_dup_title_pages), 0)
+                AS BIGINT) AS n_dup_title_pages,
+           CAST(sum(CASE WHEN meta_description = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_desc,
+           CAST(sum(CASE WHEN length(title) < 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short_title
+    FROM p LEFT JOIN dup ON dup.host = p.host
+    GROUP BY p.host
+    """,
+)
+def q292_seo_health(spark, sf_dir):
+    """Per-host SEO health card (operators/textstats.py
+    seo_health_rollup) — the Search-Console-style rollup the
+    reference's per-page reports imply but never aggregate: duplicate
+    titles (every 4th page shares one), missing descriptions (every
+    5th), short titles. Two partial-agg groupBys + a host-keyed left
+    join, no window; oracle restates the same grouping algebra."""
+    from .operators.textstats import seo_health_rollup
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("host"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Shared Title"))
+        .otherwise(F.concat(F.lit("Doc "), sid, F.lit(" long title")))
+        .alias("title"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("desc "), sid))
+        .alias("meta_description"),
+    )
+    return seo_health_rollup(pages)

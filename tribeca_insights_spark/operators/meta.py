@@ -344,3 +344,55 @@ def mixed_content_audit(pages: DataFrame, url_col: str = "url",
             ).otherwise(0).cast("int").alias("mixed"),
         )
     )
+
+
+def client_redirects(pages: DataFrame, id_col: str = "doc_id",
+                     html_col: str = "html") -> DataFrame:
+    """Client-side redirect extraction — the two channels crawlers
+    must honor beyond HTTP 3xx: ``<meta http-equiv=refresh>`` (with
+    its delay) and the ``window.location`` / ``location.href``
+    JavaScript assignment (the cloaking-detection staple: a 0-delay
+    client redirect on a content-bearing page is a classic spam
+    signal). One row per redirect: ``(id, kind, delay_s, target)``,
+    kind in {'meta','js'}; meta delay parses from the
+    ``N;url=...`` content microsyntax (try_cast guards junk), JS
+    redirects report delay 0. Codegen regexp end to end."""
+    html = F.col(html_col).cast("string")
+    metas = pages.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                html,
+                F.lit(r'(?i)<meta\s[^>]*http-equiv\s*=\s*"refresh"'
+                      r"[^>]*>"),
+                0,
+            )
+        ).alias("_m"),
+    )
+    content = _attr(F.col("_m"), "content")
+    meta_r = metas.select(
+        id_col,
+        F.lit("meta").alias("kind"),
+        F.coalesce(
+            F.regexp_extract(content, r"^\s*(\d+)", 1).try_cast("int"),
+            F.lit(0),
+        ).alias("delay_s"),
+        F.trim(
+            F.regexp_extract(content, r"(?i)url\s*=\s*'?([^;']+)", 1)
+        ).alias("target"),
+    ).filter(F.col("target") != "")
+    js_r = pages.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                html,
+                F.lit(r"(?:window\.location(?:\.href)?|location\.href)"
+                      r"\s*=\s*['\"]([^'\"]+)['\"]"),
+                1,
+            )
+        ).alias("target"),
+    ).select(
+        id_col, F.lit("js").alias("kind"),
+        F.lit(0).cast("int").alias("delay_s"), "target",
+    )
+    return meta_r.unionByName(js_r)

@@ -2127,3 +2127,41 @@ def text_tiling(docs: DataFrame, block_tokens: int = 8,
             ).otherwise(F.lit(0)).cast("int").alias("is_boundary"),
         )
     )
+
+
+def seo_health_rollup(pages: DataFrame, host_col: str = "host",
+                      title_col: str = "title",
+                      desc_col: str = "meta_description",
+                      short_title_chars: int = 10) -> DataFrame:
+    """Per-host SEO health card — the Search-Console-style audit the
+    reference's per-page reports imply but never aggregate: ``(host,
+    n_pages, n_dup_title_pages, n_missing_desc, n_short_title)``.
+    Duplicate-title pages are counted via a (host, title) groupBy
+    re-joined host-side (two partial aggs, no window); missing
+    descriptions and sub-``short_title_chars`` titles are codegen
+    predicates."""
+    per_title = pages.groupBy(
+        F.col(host_col).alias("host"), F.col(title_col).alias("_t")
+    ).agg(F.count("*").alias("_n"))
+    dup = per_title.filter(F.col("_n") > 1).groupBy("host").agg(
+        F.sum("_n").cast("bigint").alias("n_dup_title_pages")
+    )
+    base = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(
+            F.when(F.coalesce(F.col(desc_col), F.lit("")) == "", 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_missing_desc"),
+        F.sum(
+            F.when(
+                F.length(F.coalesce(F.col(title_col), F.lit("")))
+                < short_title_chars, 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_short_title"),
+    )
+    return base.join(dup, "host", "left").select(
+        "host", "n_pages",
+        F.coalesce("n_dup_title_pages", F.lit(0)).cast("bigint")
+        .alias("n_dup_title_pages"),
+        "n_missing_desc", "n_short_title",
+    )
