@@ -800,3 +800,37 @@ def test_client_redirects_microsyntax(spark):
         ("meta", "https://x/b"): 0,    # junk delay -> 0
         ("js", "https://x/c"): 0,
     }
+
+
+def test_a11y_audit_outline_rules(spark):
+    from tribeca_insights_spark.operators.meta import a11y_audit
+
+    html = (
+        "<h2>leading non-h1</h2>"       # root-level skip
+        "<h1>a</h1><h2>b</h2><h4>c</h4>"  # h2 -> h4 skip
+        "<img src='x'><img src='y' alt=''>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = a11y_audit(docs).collect()[0]
+    assert r["n_images"] == 2
+    assert r["n_missing_alt"] == 1      # empty alt still PRESENT
+    assert r["n_h1"] == 1
+    assert r["n_level_skips"] == 2      # leading h2 + the h2->h4 jump
+
+
+def test_third_party_census_distinct_pages(spark):
+    from tribeca_insights_spark.operators.meta import third_party_census
+
+    html = (
+        '<script src="https://cdn.x/a.js"></script>'
+        '<script src="https://cdn.x/b.js"></script>'
+        '<img src="/relative.png">'
+    )
+    pages = spark.createDataFrame(
+        [("https://site.a/1", html), ("https://site.a/2", html)],
+        "url string, html string",
+    )
+    rows = third_party_census(pages).collect()
+    assert len(rows) == 1
+    assert (rows[0]["site_host"], rows[0]["third_party_host"],
+            rows[0]["n_pages"]) == ("site.a", "cdn.x", 2)

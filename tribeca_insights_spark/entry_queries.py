@@ -15977,3 +15977,102 @@ def q292_seo_health(spark, sf_dir):
         .alias("meta_description"),
     )
     return seo_health_rollup(pages)
+
+
+# --- wave: accessibility audit + third-party census (q293-q294) ---------------
+
+
+@q(
+    "q293_a11y_audit",
+    """
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_images,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_missing_alt,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+             AS n_h1,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_level_skips
+    FROM documents
+    """,
+)
+def q293_a11y_audit(spark, sf_dir):
+    """Accessibility / outline audit (operators/meta.py a11y_audit):
+    alt-less images and broken heading ladders — WCAG findings that
+    double as page-quality curation signals. Fixture: two images (one
+    losing its alt on even ids), a duplicate h1 every 3rd doc, an
+    h1→h3 level skip every 4th. Level-skip detection is zip_with over
+    the heading-level array and its shifted self — array codegen, no
+    walker, no shuffle."""
+    from .operators.meta import a11y_audit
+
+    d = _read(spark, sf_dir, "documents")
+    alt2 = F.when(F.col("doc_id") % 2 == 0, F.lit("")) \
+        .otherwise(F.lit(' alt="b"'))
+    h_tail = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("<h3>skip</h3>")
+    ).otherwise(F.lit("<h2>ok</h2>"))
+    extra_h1 = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("<h1>again</h1>")
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><img src="a.png" alt="a"><img src="b.png"'),
+        alt2, F.lit("><h1>T</h1>"), h_tail, extra_h1,
+        F.lit("</body></html>"),
+    )
+    return a11y_audit(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q294_third_party_census",
+    """
+    WITH sites AS (
+      SELECT DISTINCT 's' || (doc_id % 10) AS site_host,
+             count(*) OVER (PARTITION BY doc_id % 10) AS np
+      FROM documents
+    ),
+    n AS (SELECT 's' || (doc_id % 10) AS site_host,
+                 CAST(count(*) AS BIGINT) AS n_pages
+          FROM documents GROUP BY 1)
+    SELECT site_host, 'cdn.example.org' AS third_party_host, n_pages
+    FROM n
+    UNION ALL
+    SELECT site_host, 'tracker.example.net',
+           CAST((SELECT count(*) FROM documents d2
+                 WHERE 's' || (d2.doc_id % 10) = n.site_host
+                   AND d2.doc_id % 2 = 0) AS BIGINT)
+    FROM n
+    WHERE EXISTS (SELECT 1 FROM documents d2
+                  WHERE 's' || (d2.doc_id % 10) = n.site_host
+                    AND d2.doc_id % 2 = 0)
+    """,
+)
+def q294_third_party_census(spark, sf_dir):
+    """Third-party dependency census (operators/meta.py
+    third_party_census; the WebCensus-style measurement): per (site,
+    third-party host) how many DISTINCT pages embed it — tracker
+    prevalence, CDN reliance, supply-chain surface. Fixture: every
+    page loads one CDN script and a same-site image (must NOT count);
+    even pages add a tracker pixel; a duplicate CDN reference per
+    page proves the distinct-pages semantics. Codegen extraction, one
+    distinct, one partial-agg groupBy."""
+    from .operators.meta import third_party_census
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    hid = (F.col("doc_id") % 10).cast("string")
+    html = F.concat(
+        F.lit('<script src="https://cdn.example.org/a.js"></script>'),
+        F.lit('<script src="https://cdn.example.org/b.js"></script>'),
+        F.lit('<img src="https://s'), hid, F.lit('/self.png">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<img src="https://tracker.example.net/px.gif">'),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://s"), hid, F.lit("/p/"), sid)
+        .alias("url"),
+        html.alias("html"),
+    )
+    return third_party_census(pages)

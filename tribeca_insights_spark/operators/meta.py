@@ -396,3 +396,104 @@ def client_redirects(pages: DataFrame, id_col: str = "doc_id",
         F.lit(0).cast("int").alias("delay_s"), "target",
     )
     return meta_r.unionByName(js_r)
+
+
+def a11y_audit(pages: DataFrame, id_col: str = "doc_id",
+               html_col: str = "html") -> DataFrame:
+    """Accessibility / document-outline audit per page: ``(id,
+    n_images, n_missing_alt, n_h1, n_level_skips)`` — images without
+    alt text and broken heading ladders (an h3 directly under an h1,
+    multiple h1s) are both WCAG findings and page-quality signals a
+    curation gate can threshold on.
+
+    Everything is codegen: img tags via the void-element regexp (alt
+    presence = attribute match), the heading-level sequence via
+    regexp_extract_all + zip_with over the array and its shifted self
+    (a level skip is next > prev + 1) — no walker pass, no Python,
+    no shuffle."""
+    html = F.col(html_col).cast("string")
+    imgs = F.regexp_extract_all(html, F.lit(_IMG_TAG), 0)
+    n_images = F.size(imgs)
+    n_missing_alt = F.size(
+        F.filter(
+            imgs,
+            lambda t: ~(
+                t.rlike(r'alt\s*=\s*"') | t.rlike(r"alt\s*=\s*'")
+            ),
+        )
+    )
+    levels = F.transform(
+        F.regexp_extract_all(html, F.lit(r"(?i)<h([1-6])[\s>]"), 1),
+        lambda s: s.cast("int"),
+    )
+    n = F.size(levels)
+    skips = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(levels, 1, n - 1),
+                    F.slice(levels, 2, n - 1),
+                    lambda a, b: b > a + 1,
+                ),
+                lambda x: x,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    # a leading non-h1 heading is also an outline break (skip from
+    # the implicit document root)
+    lead = F.when(
+        (n >= 1) & (F.element_at(levels, 1) > 1), 1
+    ).otherwise(0)
+    return pages.select(
+        F.col(id_col),
+        n_images.cast("int").alias("n_images"),
+        n_missing_alt.cast("int").alias("n_missing_alt"),
+        F.size(F.filter(levels, lambda v: v == 1)).cast("int")
+        .alias("n_h1"),
+        (skips + lead).cast("int").alias("n_level_skips"),
+    )
+
+
+def third_party_census(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Third-party dependency census (the WebCensus-style privacy /
+    performance measurement): which OFF-SITE hosts does each site
+    embed? Resources = script src + link href + img src/srcset
+    variants; a resource is third-party when its host differs from
+    the page's. Output per (site_host, third_party_host):
+    ``(site_host, third_party_host, n_pages)`` — n_pages counts
+    DISTINCT embedding pages, the metric tracker-prevalence studies
+    report. Codegen extraction + one distinct + one partial-agg
+    groupBy on the site-host-prefixed key."""
+    page_host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:]+)", 1)
+    )
+    html = F.col(html_col).cast("string")
+    res = F.concat(
+        F.regexp_extract_all(
+            html, F.lit(r'<script\s[^>]*src\s*=\s*"([^"]*)"'), 1
+        ),
+        F.regexp_extract_all(
+            html, F.lit(r'<link\s[^>]*href\s*=\s*"([^"]*)"'), 1
+        ),
+        F.regexp_extract_all(
+            html, F.lit(r'<img\s[^>]*src\s*=\s*"([^"]*)"'), 1
+        ),
+    )
+    rows = pages.select(
+        F.col(url_col).alias("_page"),
+        page_host.alias("site_host"),
+        F.explode(res).alias("_r"),
+    )
+    r_host = F.lower(F.regexp_extract("_r", r"^[a-z]+://([^/:]+)", 1))
+    return (
+        rows.select("_page", "site_host", r_host.alias("third_party_host"))
+        .filter(
+            (F.col("third_party_host") != "")
+            & (F.col("third_party_host") != F.col("site_host"))
+        )
+        .dropDuplicates(["_page", "site_host", "third_party_host"])
+        .groupBy("site_host", "third_party_host")
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+    )
