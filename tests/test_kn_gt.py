@@ -834,3 +834,29 @@ def test_third_party_census_distinct_pages(spark):
     assert len(rows) == 1
     assert (rows[0]["site_host"], rows[0]["third_party_host"],
             rows[0]["n_pages"]) == ("site.a", "cdn.x", 2)
+
+
+def test_int8_quant_exact_cases(spark):
+    from tribeca_insights_spark.operators.similarity import (
+        int8_quantization_audit,
+    )
+
+    embs = spark.createDataFrame(
+        [
+            (1, [127.0, -127.0, 0.0]),   # exactly representable
+            (2, [0.0, 0.0]),             # zero vector: lossless
+            (3, [1.0, 0.5]),             # 0.5/ (1/127) = 63.5 -> 64
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r
+           for r in int8_quantization_audit(embs).collect()}
+    assert out[1]["scale_micros"] == 1_000_000
+    assert out[1]["max_abs_err_micros"] == 0
+    assert out[1]["mse_micros"] == 0
+    assert out[2] is not None and out[2]["scale_micros"] == 0
+    assert out[2]["mse_micros"] == 0
+    r3 = out[3]
+    # scale = 1/127; q(0.5) = floor(63.5+0.5) = 64 -> recon 64/127
+    expected_err = abs(64 / 127 - 0.5)
+    assert abs(r3["max_abs_err_micros"] / 1e6 - expected_err) < 1e-6

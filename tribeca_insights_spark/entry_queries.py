@@ -16076,3 +16076,56 @@ def q294_third_party_census(spark, sf_dir):
         html.alias("html"),
     )
     return third_party_census(pages)
+
+
+# --- wave: int8 quantization audit (q295) -------------------------------------
+
+
+@q(
+    "q295_int8_quant",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, l, len(l) AS dim,
+             list_max(list_transform(l, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    e AS (
+      SELECT vec_id, l, dim, scale,
+             list_transform(
+               l, x -> greatest(-127.0, least(127.0,
+                         floor(x / scale + 0.5))) * scale - x
+             ) AS err
+      FROM s
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE floor(1e6 * scale) END AS BIGINT) AS scale_micros,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE floor(1e6 * list_max(list_transform(err,
+                       x -> abs(x)))) END AS BIGINT)
+             AS max_abs_err_micros,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE floor(1e6 * (list_sum(list_transform(err,
+                       x -> x * x)) / dim)) END AS BIGINT)
+             AS mse_micros
+    FROM e
+    """,
+)
+def q295_int8_quant(spark, sf_dir):
+    """Symmetric int8 scalar quantization + reconstruction-error audit
+    (operators/similarity.py int8_quantization_audit; FAISS SQ8's
+    recipe): scale = max|x|/127, half-up rounding, clamp — and the
+    max-abs / MSE error columns you check against the ANN recall
+    budget (q184) before flipping an index to SQ8 at 4x memory
+    savings. Pure array codegen over the embedding column — zero
+    shuffle, zero Python; every fold is the same left-to-right
+    expression the oracle states, so integer micros hash-match."""
+    from .operators.similarity import int8_quantization_audit
+
+    e = _read(spark, sf_dir, "embeddings")
+    return int8_quantization_audit(e)

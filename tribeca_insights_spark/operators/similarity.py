@@ -842,3 +842,57 @@ def embedding_quality_audit(
             "n_zero_in_bin", "n_vectors", "n_nonfinite", "n_zero",
         )
     )
+
+
+def int8_quantization_audit(embs: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    audit — the compression every serving-scale vector index applies
+    (FAISS SQ8 / scalar quantization), and the error report that
+    decides whether it is safe for a given corpus: ``(id, dim,
+    scale_micros, max_abs_err_micros, mse_micros)``.
+
+    scale = max|x| / 127; q_i = clamp(floor(x_i/scale + 0.5), ±127);
+    err = q*scale - x. Zero vectors quantize losslessly (scale 0 →
+    all zeros). 4x memory saved vs f32; the audit columns are what
+    you check against the ANN recall budget (q184) before flipping an
+    index to SQ8.
+
+    Determinism: every expression is the same left-to-right array
+    fold in both engines (higher-order transform/aggregate here,
+    list_transform/list_sum in the oracle), floats widen exactly to
+    doubles, and floor(x + 0.5) half-rounding is engine-independent —
+    so the micros columns hash-match. Pure array codegen; zero
+    shuffle, zero Python."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / scale + 0.5)
+                    .cast("double")),
+        ),
+    )
+    err = F.zip_with(q, v, lambda a, b: a * scale - b)
+    abs_err = F.transform(err, F.abs)
+    dim = F.size(v)
+    mse = (
+        F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+        / dim.cast("double")
+    )
+    zero = F.lit(0).cast("bigint")
+    is_zero = scale == 0.0
+    return embs.select(
+        F.col(id_col),
+        dim.cast("int").alias("dim"),
+        F.when(is_zero, zero)
+        .otherwise(F.floor(F.lit(1e6) * scale)).cast("bigint")
+        .alias("scale_micros"),
+        F.when(is_zero, zero)
+        .otherwise(F.floor(F.lit(1e6) * F.array_max(abs_err)))
+        .cast("bigint").alias("max_abs_err_micros"),
+        F.when(is_zero, zero)
+        .otherwise(F.floor(F.lit(1e6) * mse)).cast("bigint")
+        .alias("mse_micros"),
+    )
