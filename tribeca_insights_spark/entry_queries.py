@@ -16129,3 +16129,91 @@ def q295_int8_quant(spark, sf_dir):
 
     e = _read(spark, sf_dir, "embeddings")
     return int8_quantization_audit(e)
+
+
+# --- wave: fragment integrity + sitemap-robots conflict (q296-q297) -----------
+
+
+@q(
+    "q296_broken_fragments",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT)
+             AS n_fragment_links,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_broken
+    FROM documents
+    """,
+)
+def q296_broken_fragments(spark, sf_dir):
+    """Broken in-page fragment links (operators/meta.py
+    broken_fragment_links): <a href=#x> without a matching id=x /
+    <a name=x> — the dead-TOC bug static-site generators introduce
+    constantly. Per-row array codegen (regexp_extract_all both sides,
+    array_except for the broken set) — no explode, no join, no
+    shuffle. Fixture: #top and #sec{id} resolve, evens add a
+    #missing{id} that doesn't."""
+    from .operators.meta import broken_fragment_links
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<div id="top"></div><a href="#top">up</a>'),
+        F.lit('<h2 id="sec'), sid, F.lit('">s</h2>'),
+        F.lit('<a href="#sec'), sid, F.lit('">go</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<a href="#missing'), sid, F.lit('">x</a>')),
+        ).otherwise(F.lit("")),
+    )
+    return broken_fragment_links(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q297_sitemap_robots_conflict",
+    """
+    SELECT doc_id, CAST(2 AS BIGINT) AS n_sitemap_urls,
+           CAST(1 AS BIGINT) AS n_disallowed
+    FROM documents
+    """,
+)
+def q297_sitemap_robots_conflict(spark, sf_dir):
+    """Sitemap-vs-robots conflict audit (composition: q288's
+    sitemap_url_meta x q265's google_robots_verdict): urls a site
+    ADVERTISES in its sitemap while its robots.txt FORBIDS them — the
+    classic crawl-config contradiction Search Console flags, and a
+    frontier must resolve (robots wins). Per host: advertised urls
+    and how many are disallowed. Operators compose because both
+    relations key on the url; the verdict side broadcasts its rule
+    dim exactly as in q265."""
+    from .sources.robots import google_robots_rules, google_robots_verdict
+    from .sources.sitemap import sitemap_url_meta
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), sid,
+        F.lit("/pub/"), sid, F.lit("</loc></url><url><loc>https://h"),
+        sid, F.lit("/private/"), sid,
+        F.lit("</loc></url></urlset>"),
+    )
+    locs = sitemap_url_meta(
+        d.select("doc_id", xml.alias("sitemap_xml")),
+        keep_cols=("doc_id",),
+    ).select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1)
+        .alias("path"),
+    )
+    robots = d.select(
+        "doc_id",
+        F.lit("User-agent: *\nDisallow: /private/*\n")
+        .alias("robots_txt"),
+    )
+    rules = google_robots_rules(robots, user_agent="tribeca")
+    verdicts = google_robots_verdict(locs, rules)
+    return verdicts.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sitemap_urls"),
+        F.sum(1 - F.col("allowed")).cast("bigint")
+        .alias("n_disallowed"),
+    )

@@ -497,3 +497,35 @@ def third_party_census(pages: DataFrame, url_col: str = "url",
         .groupBy("site_host", "third_party_host")
         .agg(F.count("*").cast("bigint").alias("n_pages"))
     )
+
+
+def broken_fragment_links(pages: DataFrame, id_col: str = "doc_id",
+                          html_col: str = "html") -> DataFrame:
+    """Broken in-page fragment links: ``<a href="#x">`` with no
+    matching ``id="x"`` (or legacy ``<a name="x">``) anywhere on the
+    page — dead table-of-contents entries, the link-integrity bug
+    static-site generators introduce constantly. Per page: ``(id,
+    n_fragment_links, n_broken)``.
+
+    Entirely array codegen: both sides extract with
+    regexp_extract_all and the broken set is one array_except — no
+    explode, no join, no shuffle; the page's link integrity is a
+    per-row computation exactly as it should be."""
+    html = F.col(html_col).cast("string")
+    frags = F.regexp_extract_all(
+        html, F.lit(r'<a\s[^>]*href\s*=\s*"#([^"]+)"'), 1
+    )
+    ids = F.concat(
+        F.regexp_extract_all(
+            html, F.lit(r'\sid\s*=\s*"([^"]*)"'), 1
+        ),
+        F.regexp_extract_all(
+            html, F.lit(r'<a\s[^>]*name\s*=\s*"([^"]*)"'), 1
+        ),
+    )
+    broken = F.array_except(F.array_distinct(frags), ids)
+    return pages.select(
+        F.col(id_col),
+        F.size(frags).cast("int").alias("n_fragment_links"),
+        F.size(broken).cast("int").alias("n_broken"),
+    )
