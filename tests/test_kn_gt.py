@@ -860,3 +860,28 @@ def test_int8_quant_exact_cases(spark):
     # scale = 1/127; q(0.5) = floor(63.5+0.5) = 64 -> recon 64/127
     expected_err = abs(64 / 127 - 0.5)
     assert abs(r3["max_abs_err_micros"] / 1e6 - expected_err) < 1e-6
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    from tribeca_insights_spark.operators.classifier import (
+        isotonic_calibration,
+    )
+
+    # rates: 0.2, 0.8, 0.4  -> bins 1,2 violate; pool to (8+4)/(10+10)
+    bins = spark.createDataFrame(
+        [("g", 0, 2, 10), ("g", 1, 8, 10), ("g", 2, 4, 10),
+         ("h", 0, 1, 10), ("h", 1, 9, 10)],  # already monotone
+        "grp string, bin_idx long, n_pos long, n_tot long",
+    )
+    out = {(r["grp"], r["bin_idx"]): r["p_hat_micros"]
+           for r in isotonic_calibration(bins).collect()}
+    assert out[("g", 0)] == 200_000
+    assert out[("g", 1)] == 600_000   # pooled (8+4)/20
+    assert out[("g", 2)] == 600_000
+    # untouched monotone group passes through
+    assert out[("h", 0)] == 100_000
+    assert out[("h", 1)] == 900_000
+    # global invariant: monotone non-decreasing within every group
+    for g in ("g", "h"):
+        vals = [v for (gg, _), v in sorted(out.items()) if gg == g]
+        assert vals == sorted(vals)

@@ -16217,3 +16217,68 @@ def q297_sitemap_robots_conflict(spark, sf_dir):
         F.sum(1 - F.col("allowed")).cast("bigint")
         .alias("n_disallowed"),
     )
+
+
+# --- wave: isotonic calibration (q298) ----------------------------------------
+
+
+@q(
+    "q298_isotonic_calibration",
+    """
+    WITH b AS (
+      SELECT source AS grp, CAST(doc_id % 12 AS BIGINT) AS bin_idx,
+             CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(sum(CASE WHEN (doc_id * 7 + doc_id % 12) % 3 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM documents GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT grp, bin_idx FROM b),
+    ivr AS (
+      SELECT g1.grp, g1.bin_idx AS i, g2.bin_idx AS j,
+             CAST(sum(b.n_pos) AS DOUBLE) / sum(b.n_tot) AS r
+      FROM keys g1
+      JOIN keys g2 ON g1.grp = g2.grp AND g2.bin_idx >= g1.bin_idx
+      JOIN b ON b.grp = g1.grp
+            AND b.bin_idx BETWEEN g1.bin_idx AND g2.bin_idx
+      GROUP BY 1, 2, 3
+    ),
+    mn AS (
+      SELECT ivr.grp, ivr.i, k.bin_idx AS bin_idx, min(ivr.r) AS mr
+      FROM ivr JOIN keys k
+        ON k.grp = ivr.grp AND ivr.i <= k.bin_idx
+       AND ivr.j >= k.bin_idx
+      GROUP BY 1, 2, 3
+    ),
+    mx AS (SELECT grp, bin_idx, max(mr) AS ph FROM mn GROUP BY 1, 2)
+    SELECT b.grp, b.bin_idx, b.n_pos, b.n_tot,
+           CAST(floor(1e6 * mx.ph) AS BIGINT) AS p_hat_micros
+    FROM b JOIN mx ON mx.grp = b.grp AND mx.bin_idx = b.bin_idx
+    """,
+)
+def q298_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration over score bins (operators/
+    classifier.py isotonic_calibration; Zadrozny & Elkan KDD'02) via
+    the minimax characterization p_hat(k) = max_{i<=k} min_{j>=k}
+    rate(i..j) — exact, monotone by construction, and restatable as
+    nested aggregations over bin INTERVALS (O(bins^2), and bins are
+    score buckets, never corpus rows). Spark evaluates the identical
+    double divisions over prefix sums in one applyInPandas per group
+    (a group ships |bins| integers across Arrow after the single
+    group-key shuffle). Fixture: per-source empirical rates made
+    deliberately non-monotone so adjacent-violator pooling actually
+    pools."""
+    from .operators.classifier import isotonic_calibration
+
+    d = _read(spark, sf_dir, "documents")
+    bins = d.groupBy(
+        F.col("source").alias("grp"),
+        (F.col("doc_id") % 12).cast("bigint").alias("bin_idx"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") * 7 + F.col("doc_id") % 12) % 3 == 0, 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_pos"),
+    )
+    return isotonic_calibration(bins)

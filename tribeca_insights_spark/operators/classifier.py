@@ -358,3 +358,76 @@ def calibration_bins(docs: DataFrame, label,
         (F.expr("_sum_shifted div n_docs") - 1_000_000)
         .alias("mean_score_micros"),
     )
+
+
+def isotonic_calibration(bins: DataFrame, group_col: str = "grp",
+                         bin_col: str = "bin_idx",
+                         pos_col: str = "n_pos",
+                         tot_col: str = "n_tot") -> DataFrame:
+    """Isotonic (PAV) probability calibration over score bins — the
+    nonparametric calibrator production quality-classifiers use when
+    Platt's sigmoid is too rigid (Zadrozny & Elkan, KDD 2002): fit
+    the best MONOTONE probability curve to the per-bin empirical
+    rates, pooling adjacent violators.
+
+    Computed via the minimax characterization of the weighted
+    isotonic fit (Robertson-Wright-Dykstra eq. 1.9):
+
+        p_hat(k) = max_{i<=k} min_{j>=k} sum(pos[i..j])/sum(tot[i..j])
+
+    which the oracle restates verbatim as nested aggregations over
+    bin intervals — O(n^2) in the BIN count, and bins are bounded
+    (|score buckets|, not corpus rows), so exactness costs nothing.
+    The Spark side evaluates the same double divisions over prefix
+    sums inside one applyInPandas per group (bins shuffle once on the
+    group key; a group moves |bins| integers across Arrow).
+
+    Output: ``(grp, bin_idx, n_pos, n_tot, p_hat_micros)`` with
+    p_hat floored to integer micros; the result is monotone
+    non-decreasing in bin_idx by construction.
+    """
+    import pandas as pd
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bin_col).reset_index(drop=True)
+        pos = [int(x) for x in pdf[pos_col]]
+        tot = [int(x) for x in pdf[tot_col]]
+        n = len(pos)
+        cp = [0] * (n + 1)
+        ct = [0] * (n + 1)
+        for i in range(n):
+            cp[i + 1] = cp[i] + pos[i]
+            ct[i + 1] = ct[i] + tot[i]
+        out = []
+        for k in range(n):
+            best = None
+            for i in range(k + 1):
+                mn = None
+                for j in range(k, n):
+                    t = ct[j + 1] - ct[i]
+                    v = (cp[j + 1] - cp[i]) / t if t else 0.0
+                    if mn is None or v < mn:
+                        mn = v
+                if best is None or mn > best:
+                    best = mn
+            import math
+            out.append(int(math.floor(1e6 * best)))
+        return pd.DataFrame({
+            group_col: pdf[group_col],
+            bin_col: pdf[bin_col],
+            pos_col: pos,
+            tot_col: tot,
+            "p_hat_micros": out,
+        })
+
+    schema = (
+        f"{group_col} string, {bin_col} bigint, {pos_col} bigint, "
+        f"{tot_col} bigint, p_hat_micros bigint"
+    )
+    sel = bins.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(bin_col).cast("bigint").alias(bin_col),
+        F.col(pos_col).cast("bigint").alias(pos_col),
+        F.col(tot_col).cast("bigint").alias(tot_col),
+    )
+    return sel.groupBy(sel[group_col]).applyInPandas(_fit, schema)
