@@ -16282,3 +16282,152 @@ def q298_isotonic_calibration(spark, sf_dir):
         ).cast("bigint").alias("n_pos"),
     )
     return isotonic_calibration(bins)
+
+
+# --- wave: survivor enrichment (q299) -----------------------------------------
+
+
+@q(
+    "q299_survivor_enrichment",
+    """
+    WITH m AS (
+      SELECT doc_id - doc_id % 3 AS cluster, doc_id,
+             1704067200 + doc_id * 7 AS ts_epoch,
+             CAST((doc_id * 13) % 997 AS BIGINT) * 1000
+               AS quality_micros,
+             CAST(doc_id % 7 AS BIGINT) AS inlinks
+      FROM documents
+    )
+    SELECT cluster,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(ts_epoch) AS BIGINT) AS earliest_ts_epoch,
+           CAST(max(quality_micros) AS BIGINT) AS max_quality_micros,
+           CAST(sum(inlinks) AS BIGINT) AS total_inlinks,
+           CAST(floor(1e6 / count(*)) AS BIGINT) AS weight_micros
+    FROM m GROUP BY cluster
+    """,
+)
+def q299_survivor_enrichment(spark, sf_dir):
+    """Post-dedup survivor consolidation (operators/dedup.py
+    survivor_enrichment): the losers' signals fold onto the kept
+    document — earliest timestamp, best quality, total inlinks — plus
+    the SoftDeDup-style ``1e6/n_members`` down-weight for pipelines
+    that keep every member but normalize the cluster's gradient
+    contribution to one document. One map-combinable groupBy on the
+    cluster key; composes directly on q50's cluster labels (fixture
+    uses closed-form groups of three)."""
+    from .operators.dedup import survivor_enrichment
+
+    d = _read(spark, sf_dir, "documents")
+    members = d.select(
+        (F.col("doc_id") - F.col("doc_id") % 3).alias("cluster"),
+        "doc_id",
+        (F.lit(1704067200) + F.col("doc_id") * 7).cast("bigint")
+        .alias("ts_epoch"),
+        ((F.col("doc_id") * 13) % 997 * 1000).cast("bigint")
+        .alias("quality_micros"),
+        (F.col("doc_id") % 7).cast("bigint").alias("inlinks"),
+    )
+    return survivor_enrichment(members)
+
+
+# --- wave: site health card capstone (q300) -----------------------------------
+
+
+@q(
+    "q300_site_health_card",
+    """
+    WITH p AS (
+      SELECT doc_id, 'h' || (doc_id % 20) AS host,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS noindex,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS mixed,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS brokenf,
+             CASE WHEN doc_id % 2 = 0 THEN 'Shared Title'
+                  ELSE 'T' || doc_id END AS title
+      FROM documents
+    ),
+    pt AS (SELECT host, title, count(*) AS n FROM p GROUP BY 1, 2),
+    dup AS (SELECT host, CAST(sum(n) AS BIGINT) AS n_dup_title_pages
+            FROM pt WHERE n > 1 GROUP BY 1)
+    SELECT p.host, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(noindex) AS BIGINT) AS n_noindex,
+           CAST(sum(mixed) AS BIGINT) AS n_mixed,
+           CAST(sum(brokenf) AS BIGINT) AS n_broken_frag,
+           CAST(coalesce(any_value(dup.n_dup_title_pages), 0)
+                AS BIGINT) AS n_dup_title_pages
+    FROM p LEFT JOIN dup ON dup.host = p.host
+    GROUP BY p.host
+    """,
+)
+def q300_site_health_card(spark, sf_dir):
+    """Per-host site health card — the capstone COMPOSITION: four
+    independent audit relations (robots-meta indexability q267,
+    mixed content q274, fragment integrity q296, duplicate titles
+    q292) built from ONE shared page fixture and joined into one card
+    in ONE Catalyst plan — the q245-style proof that this engine's
+    audits are relations that compose, not reports that concatenate.
+    Every component keys on the host/url the page store is bucketed
+    by; the plan is four partial-agg branches over one scan lineage
+    plus host-keyed joins, no window."""
+    from .operators.meta import (
+        broken_fragment_links,
+        mixed_content_audit,
+        robots_meta_flags,
+    )
+    from .operators.textstats import seo_health_rollup
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    hid = (F.col("doc_id") % 20).cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<img src="http://cdn.example.org/i.png">'),
+        ).otherwise(
+            F.lit('<img src="https://cdn.example.org/i.png">')
+        ),
+        F.lit('<div id="top"></div><a href="#top">up</a>'),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<a href="#gone">x</a>')).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    url = F.concat(F.lit("https://h"), hid, F.lit("/p/"), sid)
+    pages = d.select(
+        "doc_id", F.concat(F.lit("h"), hid).alias("host"),
+        url.alias("url"), html.alias("html"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Shared Title"))
+        .otherwise(F.concat(F.lit("T"), sid)).alias("title"),
+        F.lit("d").alias("meta_description"),
+    )
+    host_of = pages.select("doc_id", "host", "url")
+
+    ridx = robots_meta_flags(pages).join(host_of, "doc_id").groupBy(
+        "host"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum("noindex").cast("bigint").alias("n_noindex"),
+    )
+    mixed = mixed_content_audit(pages).join(
+        host_of.select("url", "host"), "url"
+    ).groupBy("host").agg(
+        F.sum("mixed").cast("bigint").alias("n_mixed")
+    )
+    frags = broken_fragment_links(pages).join(host_of, "doc_id") \
+        .groupBy("host").agg(
+            F.sum(F.when(F.col("n_broken") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_broken_frag")
+        )
+    seo = seo_health_rollup(pages).select("host", "n_dup_title_pages")
+    return (
+        ridx.join(mixed, "host")
+        .join(frags, "host")
+        .join(seo, "host")
+        .select("host", "n_pages", "n_noindex", "n_mixed",
+                "n_broken_frag", "n_dup_title_pages")
+    )

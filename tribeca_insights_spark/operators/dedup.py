@@ -1908,3 +1908,36 @@ def jaccard_threshold_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def survivor_enrichment(members: DataFrame,
+                        cluster_col: str = "cluster",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Post-dedup survivor consolidation: when a near-dup cluster
+    keeps one document, the losers' signals should not vanish —
+    production pipelines fold them onto the survivor (FineWeb merges
+    dup URL lists; inlink counts and freshness transfer the same
+    way). Per cluster: ``(cluster, survivor_id, n_members,
+    earliest_ts_epoch, max_quality_micros, total_inlinks,
+    weight_micros)``.
+
+    ``weight_micros = floor(1e6 / n_members)`` is the SoftDeDup-style
+    alternative to hard removal: train on every member but
+    down-weight by duplication so the cluster contributes one
+    document's worth of gradient.
+
+    Input: cluster-labeled members (q50's connected-components output
+    joined to metadata) with ``ts_epoch``, ``quality_micros``,
+    ``inlinks`` columns. One partial-agg groupBy on the cluster key —
+    min/max/sum/count all combine map-side, survivor = min id (the
+    q50/q75 convention)."""
+    return members.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.min(id_col).cast("bigint").alias("survivor_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("ts_epoch").cast("bigint").alias("earliest_ts_epoch"),
+        F.max("quality_micros").cast("bigint")
+        .alias("max_quality_micros"),
+        F.sum("inlinks").cast("bigint").alias("total_inlinks"),
+        F.floor(F.lit(1e6) / F.count("*")).cast("bigint")
+        .alias("weight_micros"),
+    )
