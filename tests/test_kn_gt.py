@@ -885,3 +885,27 @@ def test_isotonic_calibration_pools_violators(spark):
     for g in ("g", "h"):
         vals = [v for (gg, _), v in sorted(out.items()) if gg == g]
         assert vals == sorted(vals)
+
+
+def test_survivor_enrichment_folding(spark):
+    from tribeca_insights_spark.operators.dedup import survivor_enrichment
+
+    members = spark.createDataFrame(
+        [
+            (10, 11, 2000, 500_000, 3),
+            (10, 12, 1000, 900_000, 4),   # later id, better quality
+            (20, 20, 5000, 100_000, 0),   # singleton
+        ],
+        "cluster long, doc_id long, ts_epoch long, "
+        "quality_micros long, inlinks long",
+    )
+    out = {r["cluster"]: r
+           for r in survivor_enrichment(members).collect()}
+    c = out[10]
+    assert (c["survivor_id"], c["n_members"]) == (11, 2)
+    assert c["earliest_ts_epoch"] == 1000
+    assert c["max_quality_micros"] == 900_000  # loser's best survives
+    assert c["total_inlinks"] == 7
+    assert c["weight_micros"] == 500_000
+    s = out[20]
+    assert (s["survivor_id"], s["weight_micros"]) == (20, 1_000_000)
