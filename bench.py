@@ -267,8 +267,12 @@ def main() -> None:
     queries = {}
     for name, fn in sorted(entry_mod.queries().items()):
         t0 = time.time()
-        fn(spark, SF_DIR).limit(10000).collect()
-        queries[name] = round(time.time() - t0, 3)
+        try:
+            fn(spark, SF_DIR).limit(10000).collect()
+            queries[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record, don't abort the whole bench
+            queries[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
     queries["extract_tf_full"] = round(wall_full, 3)
     queries["extract_tf_textonly"] = round(wall_text, 3)
 

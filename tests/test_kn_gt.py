@@ -909,3 +909,25 @@ def test_survivor_enrichment_folding(spark):
     assert c["weight_micros"] == 500_000
     s = out[20]
     assert (s["survivor_id"], s["weight_micros"]) == (20, 1_000_000)
+
+
+
+def test_bidi_invisible_audit_classes(spark):
+    from tribeca_insights_spark.operators.textstats import (
+        bidi_invisible_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain text\twith tab\nand newline\r"),  # allowed ws
+            (2, "evil \u202e tseT"),                       # RLO
+            (3, "a\u200bb\u200dc\u2060d\ufeffe"),       # zero-widths
+            (4, "bell\u0007 and del\u007f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bidi_invisible_audit(docs).collect()}
+    assert out[1]["clean"] == 1  # tab/newline/CR are NOT violations
+    assert out[2]["n_bidi"] == 1 and out[2]["clean"] == 0
+    assert out[3]["n_zero_width"] == 4
+    assert out[4]["n_other_ctrl"] == 2

@@ -16431,3 +16431,45 @@ def q300_site_health_card(spark, sf_dir):
         .select("host", "n_pages", "n_noindex", "n_mixed",
                 "n_broken_frag", "n_dup_title_pages")
     )
+
+
+
+# --- wave: Trojan-Source bidi audit (q301) ------------------------------------
+
+
+@q(
+    "q301_bidi_audit",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INT)
+             AS n_bidi,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 0 END AS INT)
+             AS n_zero_width,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INT)
+             AS n_other_ctrl,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+             AS clean
+    FROM documents
+    """,
+)
+def q301_bidi_audit(spark, sf_dir):
+    """Trojan-Source / invisible-character audit (operators/
+    textstats.py bidi_invisible_audit; CVE-2021-42574): bidi control
+    characters that make code READ differently than it parses,
+    zero-width characters that smuggle payloads and split dedup keys,
+    stray C0/C1 controls — the ingest gate a code corpus runs before
+    training. Fixture quarters: clean / one RLO / two ZWSP / one C0
+    control, injected as unicode escapes so neither source file nor
+    oracle ever contains the raw bytes. Pure codegen Project."""
+    from .operators.textstats import bidi_invisible_audit
+
+    d = _read(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("\u202e"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("\u200b\u200b"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("\u0001"))
+        .otherwise(F.lit(""))
+    )
+    return bidi_invisible_audit(
+        d.select("doc_id", F.concat("text", marker).alias("text"))
+    )

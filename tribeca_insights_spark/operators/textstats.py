@@ -2165,3 +2165,41 @@ def seo_health_rollup(pages: DataFrame, host_col: str = "host",
         .alias("n_dup_title_pages"),
         "n_missing_desc", "n_short_title",
     )
+
+
+def bidi_invisible_audit(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Trojan-Source / invisible-character audit (CVE-2021-42574;
+    Boucher & Anderson 2021): Unicode bidi control characters can make
+    source code READ differently than it parses, and zero-width
+    characters smuggle payloads and split dedup keys — a code-corpus
+    ingest gate counts them before anything trains on the text. Per
+    document: ``(id, n_bidi, n_zero_width, n_other_ctrl, clean)``.
+
+    - bidi: LRE/RLE/PDF/LRO/RLO (U+202A..U+202E) and LRI/RLI/FSI/PDI
+      (U+2066..U+2069),
+    - zero-width: ZWSP/ZWNJ/ZWJ (U+200B..U+200D), word joiner
+      (U+2060), BOM-as-ZWNBSP (U+FEFF),
+    - other C0/C1 controls excluding tab/newline/CR.
+
+    Pure codegen: size(regexp_extract_all) per class — a Project on
+    the corpus scan, free at any scale. Patterns are built from
+    unicode escapes so the source file itself stays free of the very
+    characters it hunts.
+    """
+    t = F.col(text_col).cast("string")
+    bidi_rx = "[\u202a-\u202e\u2066-\u2069]"
+    zw_rx = "[\u200b-\u200d\u2060\ufeff]"
+    ctrl_rx = ("[\u0000-\u0008\u000b\u000c\u000e-\u001f"
+               "\u007f-\u009f]")
+    n_bidi = F.size(F.regexp_extract_all(t, F.lit(bidi_rx), 0))
+    n_zw = F.size(F.regexp_extract_all(t, F.lit(zw_rx), 0))
+    n_ctrl = F.size(F.regexp_extract_all(t, F.lit(ctrl_rx), 0))
+    return docs.select(
+        F.col(id_col),
+        n_bidi.cast("int").alias("n_bidi"),
+        n_zw.cast("int").alias("n_zero_width"),
+        n_ctrl.cast("int").alias("n_other_ctrl"),
+        F.when((n_bidi + n_zw + n_ctrl) == 0, 1).otherwise(0)
+        .cast("int").alias("clean"),
+    )
