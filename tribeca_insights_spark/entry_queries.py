@@ -16473,3 +16473,59 @@ def q301_bidi_audit(spark, sf_dir):
     return bidi_invisible_audit(
         d.select("doc_id", F.concat("text", marker).alias("text"))
     )
+
+
+# --- wave: html lang attribute consistency (q302) -----------------------------
+
+
+@q(
+    "q302_lang_attr_consistency",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'fr-ca'
+                WHEN doc_id % 7 = 0 THEN ''
+                ELSE lang || '-gb' END AS lang_attr,
+           CASE WHEN doc_id % 5 = 0 THEN 'fr'
+                WHEN doc_id % 7 = 0 THEN ''
+                ELSE lang END AS lang_primary,
+           lang AS lang_declared,
+           CAST(CASE WHEN doc_id % 5 = 0
+                       THEN CASE WHEN lang = 'fr' THEN 1 ELSE 0 END
+                     WHEN doc_id % 7 = 0 THEN 0
+                     ELSE 1 END AS INT) AS attr_matches_declared
+    FROM documents
+    """,
+)
+def q302_lang_attr_consistency(spark, sf_dir):
+    """<html lang> attribute vs fetch-layer language label
+    (operators/meta.py html_lang_attr): the third vertex of the
+    language triangle — q197 audits declared-vs-detected, this audits
+    DECLARED-vs-ATTRIBUTE, with region subtags stripped (en-GB → en)
+    because routing keys on the primary tag. Fixture: every 5th page
+    declares fr-CA against a non-fr label (mismatch), every 7th omits
+    the attribute (no verdict), the rest carry region-tagged
+    agreeing attributes. Codegen regexp on the root element only."""
+    from .operators.meta import html_lang_attr
+
+    d = _read(spark, sf_dir, "documents")
+    attr = F.when(F.col("doc_id") % 5 == 0, F.lit("fr-CA")) \
+        .when(F.col("doc_id") % 7 == 0, F.lit(None)) \
+        .otherwise(F.concat(F.col("lang"), F.lit("-GB")))
+    html = F.concat(
+        F.lit("<html"),
+        F.when(attr.isNotNull(),
+               F.concat(F.lit(' lang="'), attr, F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit("><body>x</body></html>"),
+    )
+    out = html_lang_attr(d.select("doc_id", html.alias("html"))).join(
+        d.select("doc_id", F.col("lang").alias("lang_declared")),
+        "doc_id",
+    )
+    return out.select(
+        "doc_id", "lang_attr", "lang_primary", "lang_declared",
+        F.when(
+            (F.col("lang_primary") != "")
+            & (F.col("lang_primary") == F.col("lang_declared")), 1
+        ).otherwise(0).cast("int").alias("attr_matches_declared"),
+    )

@@ -529,3 +529,26 @@ def broken_fragment_links(pages: DataFrame, id_col: str = "doc_id",
         F.size(frags).cast("int").alias("n_fragment_links"),
         F.size(broken).cast("int").alias("n_broken"),
     )
+
+
+def html_lang_attr(pages: DataFrame, id_col: str = "doc_id",
+                   html_col: str = "html") -> DataFrame:
+    """``<html lang>`` attribute relation: ``(id, lang_attr,
+    lang_primary)`` — the document-level language DECLARATION, the
+    third vertex of the language-consistency triangle next to the
+    fetch-layer label (q197 checks it against detection) and the
+    content-based guess (q25). ``lang_primary`` strips the region
+    subtag (en-GB → en) since that is what routing and per-language
+    model selection key on; pages without the attribute yield ''.
+    Codegen regexp on the root element only."""
+    attr = F.lower(
+        F.regexp_extract(
+            F.col(html_col).cast("string"),
+            r'(?i)<html\s[^>]*lang\s*=\s*["\x27]([^"\x27]*)["\x27]', 1,
+        )
+    )
+    return pages.select(
+        F.col(id_col),
+        attr.alias("lang_attr"),
+        F.split(attr, "-")[0].alias("lang_primary"),
+    )
