@@ -931,3 +931,22 @@ def test_bidi_invisible_audit_classes(spark):
     assert out[2]["n_bidi"] == 1 and out[2]["clean"] == 0
     assert out[3]["n_zero_width"] == 4
     assert out[4]["n_other_ctrl"] == 2
+
+
+def test_csp_directives_parsing(spark):
+    from tribeca_insights_spark.operators.meta import csp_directives
+
+    html = (
+        '<meta http-equiv="Content-Security-Policy" content='
+        '"default-src  \'self\'  https://a ; ; img-src *;'
+        ' upgrade-insecure-requests">'
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = {(r["directive"], r["source"])
+           for r in csp_directives(docs).collect()}
+    assert got == {
+        ("default-src", "'self'"),
+        ("default-src", "https://a"),
+        ("img-src", "*"),
+        ("upgrade-insecure-requests", ""),
+    }  # double spaces collapse; empty segment between ;; dropped

@@ -16529,3 +16529,50 @@ def q302_lang_attr_consistency(spark, sf_dir):
             & (F.col("lang_primary") == F.col("lang_declared")), 1
         ).otherwise(0).cast("int").alias("attr_matches_declared"),
     )
+
+
+# --- wave: CSP directive relation (q303) --------------------------------------
+
+
+@q(
+    "q303_csp_directives",
+    """
+    SELECT doc_id, 'default-src' AS directive, '''self''' AS source
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'script-src', '''self''' FROM documents
+    WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'script-src', 'https://cdn.example.org'
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'upgrade-insecure-requests', ''
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q303_csp_directives(spark, sf_dir):
+    """CSP directive relation (operators/meta.py csp_directives): the
+    normalized (directive, source) pairs security-posture rollups
+    aggregate — e.g. join script-src whitelists against q294's
+    OBSERVED third-party census to catch policy/reality drift. Even
+    docs whitelist a CDN for script-src, every 3rd doc carries the
+    source-less upgrade-insecure-requests (one row, source '').
+    Codegen meta extraction + two-level split/explode."""
+    from .operators.meta import csp_directives
+
+    d = _read(spark, sf_dir, "documents")
+    policy = F.concat(
+        F.lit("default-src 'self'"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("; script-src 'self' https://cdn.example.org"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("; upgrade-insecure-requests")).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit('<html><head><meta http-equiv="Content-Security-Policy" '
+              'content="'),
+        policy, F.lit('"></head><body>y</body></html>'),
+    )
+    return csp_directives(d.select("doc_id", html.alias("html")))

@@ -34,12 +34,14 @@ def _attr(m, name: str):
 def meta_tags(docs: DataFrame, html_col: str = "html",
               id_col: str = "doc_id") -> DataFrame:
     """One row per ``<meta>`` tag carrying a name= or property= key:
-    ``(id, kind, key, content)`` with ``kind`` in {'name','property'},
+    ``(id, kind, key, content)`` with ``kind`` in {'name','property',
+    'http-equiv'},
     key lowercased, attribute ORDER-independent (name before content or
     after — both forms are served in the wild)."""
     m = F.col("_m")
     name_k = _attr(m, "name")
     prop_k = _attr(m, "property")
+    he_k = _attr(m, "http-equiv")
     tags = docs.select(
         F.col(id_col),
         F.explode(
@@ -52,9 +54,13 @@ def meta_tags(docs: DataFrame, html_col: str = "html",
         tags.select(
             id_col,
             F.when(name_k != "", F.lit("name"))
-            .when(prop_k != "", F.lit("property")).alias("kind"),
-            F.lower(F.when(name_k != "", name_k).otherwise(prop_k))
-            .alias("key"),
+            .when(prop_k != "", F.lit("property"))
+            .when(he_k != "", F.lit("http-equiv")).alias("kind"),
+            F.lower(
+                F.when(name_k != "", name_k)
+                .when(prop_k != "", prop_k)
+                .otherwise(he_k)
+            ).alias("key"),
             F.coalesce(_attr(m, "content"), F.lit("")).alias("content"),
         )
         .filter(F.col("kind").isNotNull())
@@ -551,4 +557,39 @@ def html_lang_attr(pages: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         attr.alias("lang_attr"),
         F.split(attr, "-")[0].alias("lang_primary"),
+    )
+
+
+def csp_directives(pages: DataFrame, id_col: str = "doc_id",
+                   html_col: str = "html") -> DataFrame:
+    """Content-Security-Policy directive relation from the meta
+    http-equiv channel: ``(id, directive, source)`` — one row per
+    (directive, source-expression) pair, the normalized form
+    security-posture rollups aggregate (what share of a site allows
+    'unsafe-inline'? which third parties are script-src-whitelisted —
+    join against q294's observed census to catch policy/reality
+    drift). Source-less directives (``upgrade-insecure-requests``)
+    emit one row with source ''. Codegen: meta extraction + two-level
+    split/explode, no Python, no shuffle."""
+    m = meta_tags(pages, html_col=html_col, id_col=id_col)
+    pol = m.filter(
+        F.col("key") == "content-security-policy"
+    ).select(id_col, F.explode(F.split("content", ";")).alias("_d"))
+    toks = F.filter(
+        F.split(F.trim("_d"), r"\s+"), lambda t: t != ""
+    )
+    return (
+        pol.select(
+            id_col, toks.alias("_t")
+        )
+        .filter(F.size("_t") >= 1)
+        .select(
+            id_col,
+            F.lower(F.element_at("_t", 1)).alias("directive"),
+            F.explode(
+                F.when(
+                    F.size("_t") > 1, F.slice("_t", 2, F.size("_t") - 1)
+                ).otherwise(F.array(F.lit("")))
+            ).alias("source"),
+        )
     )
