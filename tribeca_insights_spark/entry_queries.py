@@ -16576,3 +16576,68 @@ def q303_csp_directives(spark, sf_dir):
         policy, F.lit('"></head><body>y</body></html>'),
     )
     return csp_directives(d.select("doc_id", html.alias("html")))
+
+
+# --- wave: RTBF tombstone propagation (q304) ----------------------------------
+
+
+@q(
+    "q304_index_tombstones",
+    """
+    WITH g AS (SELECT doc_id // 10 AS grp, doc_id FROM documents),
+    keep AS (
+      SELECT grp, doc_id FROM g
+      WHERE NOT (grp % 5 = 0) AND NOT (doc_id % 10 = 0)
+    ),
+    cnt AS (SELECT grp, CAST(count(*) * 2 AS BIGINT) AS n_rows_after
+            FROM keep GROUP BY 1)
+    SELECT gg.grp, CAST(coalesce(cnt.n_rows_after, 0) AS BIGINT)
+             AS n_rows_after,
+           CAST(CASE WHEN cnt.grp IS NOT NULL THEN 1 ELSE 0 END
+                AS INT) AS still_dup
+    FROM (SELECT DISTINCT grp FROM g) gg
+    LEFT JOIN cnt ON cnt.grp = gg.grp
+    """,
+)
+def q304_index_tombstones(spark, sf_dir):
+    """Right-to-be-forgotten delete propagation (operators/dedup.py
+    apply_tombstones): erased documents' rows leave the persisted
+    band index via ONE broadcast left-anti join — no rebuild — and a
+    probe proves the semantics: key-groups whose members are ALL
+    tombstoned (every 5th group, plus partial deletes elsewhere) stop
+    matching entirely, everything else keeps deduping. The oracle
+    states survivorship as the same keep/count algebra, so verdicts
+    track every SF. Composes with q106 (incremental dedup) and q279
+    (reservation-driven erasure lists)."""
+    from .operators.dedup import apply_tombstones
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("doc_id div 10").alias("grp")
+    )
+    index = d.select(
+        "doc_id", "grp",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("band"),
+    ).select(
+        "doc_id", "grp", "band",
+        F.concat(F.lit("k"), F.col("grp").cast("string"),
+                 F.lit("-"), F.col("band").cast("string"))
+        .alias("band_key"),
+    )
+    tomb = d.filter(
+        (F.col("grp") % 5 == 0) | (F.col("doc_id") % 10 == 0)
+    )
+    updated = apply_tombstones(index, tomb)
+    stats = updated.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_rows_after")
+    )
+    return (
+        d.select("grp").distinct()
+        .join(stats, "grp", "left")
+        .select(
+            "grp",
+            F.coalesce("n_rows_after", F.lit(0)).cast("bigint")
+            .alias("n_rows_after"),
+            F.when(F.col("n_rows_after").isNotNull(), 1).otherwise(0)
+            .cast("int").alias("still_dup"),
+        )
+    )

@@ -1941,3 +1941,22 @@ def survivor_enrichment(members: DataFrame,
         F.floor(F.lit(1e6) / F.count("*")).cast("bigint")
         .alias("weight_micros"),
     )
+
+
+def apply_tombstones(index: DataFrame, tombstones: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Delete propagation into a persisted dedup index — the
+    right-to-be-forgotten path: when documents are removed from the
+    corpus (takedown, opt-out via q279's reservations, GDPR
+    erasure), their band-index rows must die WITHOUT rebuilding the
+    index over the surviving corpus. One LEFT-ANTI equi-join on the
+    id key (the index's bucketed dimension), so the deletion batch —
+    typically tiny — broadcasts and the index is touched only where
+    it must be. Composes with q106's incremental path: run N+1
+    dedups against (index MINUS tombstones) and appends its own
+    rows, so the index stays an append+retract log, never a rebuild.
+    """
+    return index.join(
+        F.broadcast(tombstones.select(id_col).distinct()),
+        id_col, "left_anti",
+    )
