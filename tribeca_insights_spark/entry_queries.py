@@ -16641,3 +16641,140 @@ def q304_index_tombstones(spark, sf_dir):
             .cast("int").alias("still_dup"),
         )
     )
+
+
+# --- wave: URL-space layout — SURT keys + PSL registrable domains ------------
+
+
+@q(
+    "q305_surt_keys",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'com,example,ext' || CAST(doc_id % 5 AS VARCHAR)
+                 || ')/Docs/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+        WHEN 1 THEN 'uk,co,example,site' || CAST(doc_id % 5 AS VARCHAR)
+                 || ',sub)/a/' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'org,example,news' || CAST(doc_id % 5 AS VARCHAR)
+                 || ')/' || CAST(doc_id AS VARCHAR) || '?z=9'
+        ELSE 'net,example,cdn' || CAST(doc_id % 5 AS VARCHAR)
+                 || ')/static/' || CAST(doc_id AS VARCHAR)
+      END AS surt,
+      CASE doc_id % 4
+        WHEN 0 THEN 'com,example'
+        WHEN 1 THEN 'uk,co'
+        WHEN 2 THEN 'org,example'
+        ELSE 'net,example'
+      END AS shard_prefix
+    FROM documents
+    """,
+)
+def q305_surt_keys(spark, sf_dir):
+    """SURT key generation (functions/urlnorm.py surt_key/surt_prefix):
+    the sort-friendly URI form CDX indexes key on — host lowercased +
+    reversed + comma-joined, www/default-port/fragment dropped, query
+    sorted — plus the 2-label range-partition prefix. The fixture
+    exercises every normalization: mixed case, :80/:443, www/www2
+    prefixes, unsorted query, fragment. The oracle states each
+    transform's closed form. At 10^12 captures, sorting the Iceberg
+    table by this key is what turns per-site reads into contiguous
+    range scans (Common Crawl's own index layout); the whole transform
+    is per-row codegen, zero shuffle."""
+    from .functions.urlnorm import surt_key, surt_prefix
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 5).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW.Ext"), g, F.lit(".Example.COM:80/Docs/"),
+            sid, F.lit("?b=2&a=1")))
+        .when(m == 1, F.concat(
+            F.lit("https://Sub.Site"), g, F.lit(".example.CO.UK:443/a/"),
+            sid, F.lit("#frag")))
+        .when(m == 2, F.concat(
+            F.lit("http://www2.news"), g, F.lit(".example.org/"),
+            sid, F.lit("?z=9")))
+        .otherwise(F.concat(
+            F.lit("https://cdn"), g, F.lit(".example.net/static/"), sid))
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", surt_key("url").alias("surt"))
+        .select(
+            "doc_id", "surt",
+            surt_prefix("surt").alias("shard_prefix"),
+        )
+    )
+
+
+@q(
+    "q306_registrable_domains",
+    """
+    WITH h AS (
+      SELECT
+        CASE doc_id % 6
+          WHEN 0 THEN 'a' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.shop.example.co.uk'
+          WHEN 1 THEN 'user' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.blogspot.com'
+          WHEN 2 THEN 'example.com'
+          WHEN 3 THEN 'deep.www.example' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com.br'
+          WHEN 4 THEN 'site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.zz'
+          ELSE 'co.uk'
+        END AS host,
+        CASE doc_id % 6
+          WHEN 0 THEN 'co.uk' WHEN 1 THEN 'blogspot.com'
+          WHEN 2 THEN 'com' WHEN 3 THEN 'com.br'
+          WHEN 4 THEN 'zz' ELSE 'co.uk'
+        END AS public_suffix,
+        CASE doc_id % 6
+          WHEN 0 THEN 'example.co.uk'
+          WHEN 1 THEN 'user' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.blogspot.com'
+          WHEN 2 THEN 'example.com'
+          WHEN 3 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com.br'
+          WHEN 4 THEN 'example.zz'
+          ELSE NULL
+        END AS registrable,
+        CASE doc_id % 6
+          WHEN 0 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.shop'
+          WHEN 3 THEN 'deep.www'
+          WHEN 4 THEN 'site' || CAST(doc_id % 7 AS VARCHAR)
+          ELSE NULL
+        END AS subdomain
+      FROM documents
+    )
+    SELECT DISTINCT host, public_suffix, registrable, subdomain FROM h
+    """,
+)
+def q306_registrable_domains(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction with Public-Suffix-List
+    semantics (functions/urlnorm.py registrable_domains): longest
+    matching suffix wins (co.uk beats uk), PRIVATE-section platform
+    suffixes (blogspot.com) keep user subdomains as separate sites,
+    unknown TLDs fall back to the PSL default ``*`` rule, and a host
+    that IS a suffix gets registrable NULL. This is the grouping key
+    every per-"domain" stage (dedup rate caps, host quality priors,
+    politeness budgets) actually needs — naive last-two-labels merges
+    all of blogspot into one site and splits co.uk sites in half.
+    Shape: distinct hosts → suffix-explode → broadcast PSL join →
+    max(struct) partial agg; the page table is never shuffled."""
+    from .functions.urlnorm import registrable_domains
+
+    d = _read(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 6
+    host = (
+        F.when(m == 0, F.concat(F.lit("a"), g, F.lit(".shop.example.co.uk")))
+        .when(m == 1, F.concat(F.lit("user"), g, F.lit(".blogspot.com")))
+        .when(m == 2, F.lit("example.com"))
+        .when(m == 3, F.concat(F.lit("deep.www.example"), g,
+                               F.lit(".com.br")))
+        .when(m == 4, F.concat(F.lit("site"), g, F.lit(".example.zz")))
+        .otherwise(F.lit("co.uk"))
+    )
+    return registrable_domains(d.select(host.alias("host")))

@@ -257,3 +257,160 @@ def crawl_trap_score(pages, url_col: str = "url",
             & (F.col("n_urls") >= 10 * F.col("n_hashes")), 1
         ).otherwise(0).cast("int").alias("trap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT keys (Sort-friendly URI Reordering Transform)
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url, strip_www: bool = True, sort_query: bool = True):
+    """SURT key for a URL — the sort-friendly form CDX indexes key on
+    (public format, e.g. ``com,example)/path?a=1``): host lowercased,
+    ``www``-prefix and default ports dropped, host labels REVERSED and
+    comma-joined, scheme dropped, query parameters sorted.
+
+    Why it matters at corpus scale: a CDX/Iceberg table sorted (or
+    range-partitioned) by SURT clusters every capture of one
+    registrable domain into a contiguous key range, so per-site reads
+    become partition-range scans instead of full-table filters — the
+    layout Common Crawl's own index uses. Reversing the host puts the
+    low-cardinality TLD first, which is exactly what makes prefix
+    pruning effective.
+
+    Pure Column expressions (regexp/split/reverse/array_join) — stays
+    in codegen except the tiny per-row array ops; no UDF, no shuffle.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    authority = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.substring(authority, 1, F.length(authority) - 3),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.substring(authority, 1, F.length(authority) - 4),
+    ).otherwise(authority)
+    if strip_www:
+        authority = F.regexp_replace(authority, r"^www[0-9]*\.", "")
+    # non-default ports survive, rendered AFTER the reversed host
+    # ("com,example,a:8080)") so they never pollute the TLD-first prefix
+    host_only = F.regexp_replace(authority, r":[0-9]+$", "")
+    port = F.regexp_extract(authority, r"(:[0-9]+)$", 1)
+    rev_host = F.concat(
+        F.array_join(F.reverse(F.split(host_only, r"\.")), ","), port
+    )
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    rest = F.regexp_extract(
+        no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    if sort_query:
+        query = F.array_join(F.array_sort(F.split(query, "&", -1)), "&")
+    return F.concat(
+        rev_host,
+        F.lit(")"),
+        path,
+        F.when(F.length(query) > 0, F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def surt_prefix(surt_col, n_labels: int = 2):
+    """Range-partition prefix of a SURT key: the first ``n_labels``
+    reversed host labels (``com,example``). The shard key for
+    CDX-style layouts — one prefix ≈ one registrable domain's key
+    range, so writers can ``repartitionByRange(surt)`` and readers
+    prune by prefix."""
+    c = F.col(surt_col) if isinstance(surt_col, str) else surt_col
+    host_part = F.regexp_extract(c, r"^([^)]*)\)", 1)
+    return F.array_join(F.slice(F.split(host_part, ","), 1, n_labels), ",")
+
+
+# ---------------------------------------------------------------------------
+# Registrable domains (Public Suffix List semantics)
+# ---------------------------------------------------------------------------
+
+# A deterministic, vendored subset of the Public Suffix List
+# (publicsuffix.org — public data). Multi-label ICANN suffixes plus two
+# PRIVATE-section entries (blogspot.com, github.io) that demonstrate why
+# suffix matching must be data-driven, not "last two labels": pages on
+# user-subdomain platforms are DIFFERENT sites and must not collapse into
+# one "domain" for dedup/rate-limit/quality purposes. The real pipeline
+# swaps in the full downloaded list as the same one-column table.
+DEFAULT_PUBLIC_SUFFIXES = (
+    "com org net edu gov mil int io co ai app dev info biz "
+    "uk co.uk org.uk ac.uk gov.uk ltd.uk plc.uk "
+    "br com.br net.br org.br gov.br "
+    "jp co.jp ne.jp or.jp ac.jp go.jp "
+    "au com.au net.au org.au edu.au gov.au "
+    "cn com.cn net.cn org.cn gov.cn "
+    "fr de nl it es pl ru us ca mx ar in "
+    "blogspot.com github.io"
+).split()
+
+
+def registrable_domains(df, host_col: str = "host", suffixes=None):
+    """Registrable-domain (eTLD+1) extraction with Public-Suffix-List
+    semantics: for each distinct host, the LONGEST matching public
+    suffix wins (``a.b.co.uk`` → suffix ``co.uk``, registrable
+    ``b.co.uk``, subdomain ``a``); hosts whose TLD is not listed fall
+    back to the PSL default rule ``*`` (last label is the suffix).
+    A host that IS a public suffix has registrable NULL.
+
+    Output: (host, public_suffix, registrable, subdomain).
+
+    Shape for 10^12 pages: hosts are deduplicated first (distinct on a
+    host-sized relation — millions, not trillions), dot-suffixes are
+    generated per host as an array (codegen, reusing the blocklist
+    machinery), and the PSL is a BROADCAST dim (~10k rows for the full
+    list). The default-``*`` fallback rides the SAME aggregation via a
+    matched-flag sort key (unmatched suffixes rank by FEWEST labels,
+    so the bare TLD surfaces), so the whole operator is one broadcast
+    left join + one max(struct) partial agg — no rejoin, no window, no
+    shuffle of the page table. Callers join the result back to pages
+    on host (broadcast again: the host dim is small relative to pages).
+    """
+    from ..operators.blocklist import host_suffixes
+
+    spark = df.sparkSession
+    sfx = suffixes if suffixes is not None else DEFAULT_PUBLIC_SUFFIXES
+    sfx_df = spark.createDataFrame(
+        [(s, 1) for s in sorted(set(sfx))], "suffix string, _m int"
+    )
+    hosts = df.select(F.lower(F.col(host_col)).alias("host")).distinct()
+    cand = hosts.select(
+        "host", F.explode(host_suffixes(F.col("host"))).alias("suffix")
+    ).join(F.broadcast(sfx_df), "suffix", "left")
+    n_lbl = F.size(F.split(F.col("suffix"), r"\."))
+    matched = F.coalesce(F.col("_m"), F.lit(0))
+    labeled = cand.groupBy("host").agg(
+        F.max(
+            F.struct(
+                matched.alias("m"),
+                # matched: longest suffix wins; unmatched: SHORTEST
+                # (the bare TLD — the PSL default '*' rule)
+                F.when(matched == 1, n_lbl).otherwise(-n_lbl).alias("n"),
+                F.col("suffix").alias("suffix"),
+            )
+        ).alias("b")
+    ).select("host", F.col("b.suffix").alias("public_suffix"))
+    parts = F.split(F.col("host"), r"\.")
+    n = F.size(parts)
+    n_sfx = F.size(F.split(F.col("public_suffix"), r"\."))
+    return labeled.select(
+        "host",
+        "public_suffix",
+        F.when(
+            n > n_sfx,
+            F.array_join(F.slice(parts, n - n_sfx, n_sfx + 1), "."),
+        ).alias("registrable"),
+        F.when(
+            n > n_sfx + 1,
+            F.array_join(F.slice(parts, 1, n - n_sfx - 1), "."),
+        ).alias("subdomain"),
+    )
