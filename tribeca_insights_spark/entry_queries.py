@@ -16778,3 +16778,104 @@ def q306_registrable_domains(spark, sf_dir):
         .otherwise(F.lit("co.uk"))
     )
     return registrable_domains(d.select(host.alias("host")))
+
+
+# --- wave: form census + microdata (q307-q308) --------------------------------
+
+
+@q(
+    "q307_form_census",
+    """
+    SELECT doc_id, 1 AS form_idx, '/login' AS action, 'post' AS method,
+           3 AS n_inputs, 1 AS n_password, 0 AS n_email, 1 AS n_hidden,
+           'login' AS kind
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, 1, '/search', 'get', 1, 0, 0, 0, 'search'
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, 2, '/fb', 'get', 1, 0, 0, 0, 'other'
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, 1, 'https://news.example.org/sub', 'post',
+           1, 0, 1, 0, 'newsletter'
+    FROM documents WHERE doc_id % 4 = 2
+    """,
+)
+def q307_form_census(spark, sf_dir):
+    """HTML form inventory and page-kind classification (operators/
+    meta.py form_census): login walls, search shells and newsletter
+    capture forms are navigation chrome a training corpus filters and
+    a crawl frontier stops behind. Fixture: a 3-input login form with
+    hidden CSRF (every 4th doc), a search + feedback form PAIR
+    (form_idx ordering proven), a one-field email signup; every rule
+    (password→login, search-name→search, lone-email→newsletter,
+    default method get) is stated closed-form by the oracle. Codegen
+    regexp channels, zero shuffle."""
+    from .operators.meta import form_census
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.lit(
+            '<html><body><form action="/login" method="POST">'
+            '<input type="text" name="user">'
+            '<input type="password" name="pw">'
+            '<input type="hidden" name="csrf" value="t"></form>'
+            "</body></html>"))
+        .when(m == 1, F.lit(
+            '<html><body><form action="/search">'
+            '<input type="search" name="q"></form>'
+            '<form action="/fb"><input type="text" name="comment">'
+            "</form></body></html>"))
+        .when(m == 2, F.lit(
+            '<html><body><form action="https://news.example.org/sub" '
+            'method="post"><input type="email" name="e"></form>'
+            "</body></html>"))
+        .otherwise(F.lit("<html><body>no forms</body></html>"))
+    )
+    return form_census(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q308_microdata",
+    """
+    SELECT doc_id, 'Product' AS itemtype, 'name' AS prop,
+           'Widget ' || CAST(doc_id AS VARCHAR) AS value
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'Product', 'price', '9.99'
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'Article', 'headline', 'Doc ' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q308_microdata(spark, sf_dir):
+    """Schema.org microdata extraction (operators/meta.py
+    microdata_items) — the third structured-data channel next to
+    JSON-LD (q269) and OpenGraph (q268): flat single-scope
+    (id, itemtype, prop, value) rows, content= attribute preferred
+    over element text. Fixture: Product pages with a text prop and a
+    meta-content price, Article pages with a headline, and prop-less
+    pages emitting nothing. Codegen regexp channels, zero shuffle."""
+    from .operators.meta import microdata_items
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><body><div itemscope '
+                  'itemtype="https://schema.org/Product">'
+                  '<span itemprop="name">Widget '), sid,
+            F.lit('</span><meta itemprop="price" content="9.99">'
+                  "</div></body></html>")))
+        .when(m == 1, F.concat(
+            F.lit('<html><body><article itemscope '
+                  'itemtype="https://schema.org/Article">'
+                  '<h1 itemprop="headline">Doc '), sid,
+            F.lit("</h1></article></body></html>")))
+        .otherwise(F.lit("<html><body>plain</body></html>"))
+    )
+    return microdata_items(d.select("doc_id", html.alias("html")))

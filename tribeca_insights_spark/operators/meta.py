@@ -593,3 +593,106 @@ def csp_directives(pages: DataFrame, id_col: str = "doc_id",
             ).alias("source"),
         )
     )
+
+
+def form_census(pages: DataFrame, id_col: str = "doc_id",
+                html_col: str = "html") -> DataFrame:
+    """FORM inventory per page: one row per ``<form>`` block —
+    ``(id, form_idx, action, method, n_inputs, n_password, n_email,
+    n_hidden, kind)`` with ``kind`` in {'login','search','newsletter',
+    'other'} by deterministic rules: any password input → login; any
+    search-typed/named input → search; an email input on a ≤2-field
+    form → newsletter. The curation use: login/signup gate pages and
+    search-result shells are navigation chrome, not prose — corpora
+    filter them (their extracted text is near-empty boilerplate), and
+    crawl frontiers stop expanding behind login walls. The reference
+    never looks at forms (`/root/reference/tribeca_insights/
+    crawler.py` reads title/meta/links only) — beyond-parity page
+    understanding.
+
+    Shape: regexp_extract_all over the page string → posexplode →
+    per-form codegen attribute pulls and higher-order-function counts.
+    Zero shuffle, zero Python; rows stay in their input partition.
+    """
+    forms = pages.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"),
+                F.lit(r"(?s)<form\b[^>]*>.*?</form>"), 0,
+            )
+        ).alias("_p", "_f"),
+    )
+    f = F.col("_f")
+    head = F.regexp_extract(f, r"^<form\b[^>]*>", 0)
+    method = F.lower(F.coalesce(_attr(head, "method"), F.lit("")))
+    inputs = F.regexp_extract_all(
+        f, F.lit(r"<(?:input|textarea|select)\b[^>]*>"), 0
+    )
+
+    def _n(pat):
+        return F.size(F.filter(inputs, lambda i: i.rlike(pat)))
+
+    n_password = _n(r'(?i)type\s*=\s*["\x27]?password')
+    n_email = _n(r'(?i)type\s*=\s*["\x27]?email')
+    n_hidden = _n(r'(?i)type\s*=\s*["\x27]?hidden')
+    n_search = _n(
+        r'(?i)(type\s*=\s*["\x27]?search|name\s*=\s*["\x27]?'
+        r'(q|s|search|query)["\x27\s>])'
+    )
+    n_inputs = F.size(inputs)
+    return forms.select(
+        id_col,
+        (F.col("_p") + 1).cast("int").alias("form_idx"),
+        F.coalesce(_attr(head, "action"), F.lit("")).alias("action"),
+        F.when(method == "", "get").otherwise(method).alias("method"),
+        n_inputs.cast("int").alias("n_inputs"),
+        n_password.cast("int").alias("n_password"),
+        n_email.cast("int").alias("n_email"),
+        n_hidden.cast("int").alias("n_hidden"),
+        F.when(n_password > 0, "login")
+        .when(n_search > 0, "search")
+        .when((n_email > 0) & (n_inputs <= 2), "newsletter")
+        .otherwise("other").alias("kind"),
+    )
+
+
+def microdata_items(pages: DataFrame, id_col: str = "doc_id",
+                    html_col: str = "html") -> DataFrame:
+    """Schema.org MICRODATA extraction (the itemscope/itemprop channel
+    — the third structured-data surface next to JSON-LD
+    (jsonld_entities) and OpenGraph (meta_tags): older commerce and
+    article pages mark up with microdata only). Flat single-scope
+    contract: ``(id, itemtype, prop, value)`` — itemtype is the
+    page's FIRST declared ``itemtype`` (short name, schema.org prefix
+    stripped), one row per ``itemprop``; ``value`` is the ``content=``
+    attribute when present (meta-style props) else the element's
+    immediate text. Nested scopes need the tree walker — this is the
+    codegen fast path that covers the dominant one-scope-per-page
+    layout.
+
+    Shape: two regexp channels + explode, zero shuffle, zero Python.
+    """
+    h = F.col(html_col).cast("string")
+    itemtype = F.regexp_extract(
+        h, r'itemtype\s*=\s*["\x27]?(?:https?://)?schema\.org/([A-Za-z]+)', 1
+    )
+    props = F.regexp_extract_all(
+        h, F.lit(r"(?s)<[a-zA-Z][^>]*\bitemprop\s*=[^>]*>[^<]*"), 0
+    )
+    rows = pages.select(
+        F.col(id_col),
+        itemtype.alias("itemtype"),
+        F.explode(props).alias("_e"),
+    )
+    e = F.col("_e")
+    tag = F.regexp_extract(e, r"^(<[^>]*>)", 1)
+    prop = F.lower(_attr(tag, "itemprop"))
+    content = _attr(tag, "content")
+    text = F.trim(F.regexp_extract(e, r">([^<]*)$", 1))
+    return rows.select(
+        id_col,
+        "itemtype",
+        prop.alias("prop"),
+        F.when(content != "", content).otherwise(text).alias("value"),
+    )
