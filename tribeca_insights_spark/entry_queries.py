@@ -16879,3 +16879,148 @@ def q308_microdata(spark, sf_dir):
         .otherwise(F.lit("<html><body>plain</body></html>"))
     )
     return microdata_items(d.select("doc_id", html.alias("html")))
+
+
+# --- wave: publish-date resolution (q309) -------------------------------------
+
+
+@q(
+    "q309_publish_dates",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN make_date(2024, CAST(doc_id % 12 + 1 AS INT), 3)
+        WHEN 1 THEN make_date(2023, CAST(doc_id % 12 + 1 AS INT), 11)
+        WHEN 2 THEN make_date(2022, CAST(doc_id % 12 + 1 AS INT), 1)
+        ELSE NULL
+      END AS pub_date,
+      CASE doc_id % 4
+        WHEN 0 THEN 'meta' WHEN 1 THEN 'jsonld' WHEN 2 THEN 'url'
+        ELSE NULL
+      END AS channel
+    FROM documents
+    """,
+)
+def q309_publish_dates(spark, sf_dir):
+    """Publish-date resolution with precedence (operators/meta.py
+    publish_dates): OpenGraph article:published_time beats JSON-LD
+    datePublished beats the /YYYY/MM/ permalink pattern. The fixture
+    proves precedence (meta-channel docs ALSO carry a decoy JSON-LD
+    date that must lose), ISO-timestamp truncation, URL month
+    resolution to the 1st, and the all-channels-absent NULL row. The
+    curation axis: cutoff-aware splits and contamination windows need
+    a date per document, and the three channels disagree in the wild —
+    the ladder must be explicit. Codegen regexp + to_date/make_date,
+    zero shuffle."""
+    from .operators.meta import publish_dates
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><meta property="article:published_time" '
+                  'content="2024-'), mm,
+            F.lit('-03T10:00:00Z"><script type="application/ld+json">'
+                  '{"datePublished": "1999-01-01"}</script></head>'
+                  "<body>a</body></html>")))
+        .when(m == 1, F.concat(
+            F.lit('<html><body><script type="application/ld+json">'
+                  '{"@type": "NewsArticle", "datePublished": "2023-'), mm,
+            F.lit('-11T00:00:00+02:00"}</script></body></html>')))
+        .otherwise(F.lit("<html><body>undated</body></html>"))
+    )
+    url = (
+        F.when(m == 2, F.concat(
+            F.lit("https://blog.example.com/2022/"), mm,
+            F.lit("/post-"), sid))
+        .otherwise(F.concat(F.lit("https://a.example.com/p/"), sid))
+    )
+    return publish_dates(
+        d.select("doc_id", url.alias("url"), html.alias("html"))
+    )
+
+
+# --- wave: sentence segmentation + quotation mining (q310-q311) ---------------
+
+
+@q(
+    "q310_sentence_spans",
+    """
+    SELECT doc_id, 1 AS sent_idx,
+           'Alpha ' || CAST(doc_id AS VARCHAR) || '.' AS sentence,
+           CAST(7 + length(CAST(doc_id AS VARCHAR)) AS INT) AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'Beta two!!', 10 FROM documents
+    UNION ALL
+    SELECT doc_id, 3, 'Gamma three?', 12 FROM documents
+    UNION ALL
+    SELECT doc_id, 4, 'tail ' || CAST(doc_id AS VARCHAR),
+           CAST(5 + length(CAST(doc_id AS VARCHAR)) AS INT)
+    FROM documents
+    """,
+)
+def q310_sentence_spans(spark, sf_dir):
+    """Deterministic sentence segmentation (operators/textstats.py
+    sentence_spans): terminal-punctuation-run boundaries, document
+    order preserved, trailing unterminated fragment kept as the final
+    sentence. The shared unit under chunking, bitext alignment,
+    sentence-level dedup and mean-sentence-length quality gates — the
+    fixture exercises single and doubled punctuation, '?' boundaries
+    and the tail fragment, and the oracle states every row closed-
+    form. Marker-insert + split + posexplode: per-row codegen, zero
+    shuffle."""
+    from .operators.textstats import sentence_spans
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Alpha "), sid, F.lit(". Beta two!! Gamma three? tail "), sid
+    )
+    return sentence_spans(d.select("doc_id", text.alias("text")))
+
+
+@q(
+    "q311_shared_quotes",
+    """
+    SELECT 'unique insight number ' || CAST(doc_id AS VARCHAR)
+             || ' from doc' AS quote,
+           md5('unique insight number ' || CAST(doc_id AS VARCHAR)
+             || ' from doc') AS quote_md5,
+           CAST(1 AS BIGINT) AS n_docs,
+           CAST(1 AS BIGINT) AS n_occurrences,
+           doc_id AS sample_doc_id
+    FROM documents
+    UNION ALL
+    SELECT 'the shared syndicated press release line',
+           md5('the shared syndicated press release line'),
+           (SELECT count(*) FROM documents WHERE doc_id % 5 = 0),
+           (SELECT count(*) FROM documents WHERE doc_id % 5 = 0),
+           CAST(0 AS BIGINT)
+    """,
+)
+def q311_shared_quotes(spark, sf_dir):
+    """Cross-document quotation mining (operators/dedup.py
+    shared_quotes): quoted spans ≥20 chars rolled up by quote —
+    syndication/boilerplate detection at SPAN level, invisible to the
+    document/paragraph dedup passes. Fixture: every doc carries one
+    unique straight-quoted span; every 5th doc also carries one
+    CURLY-quoted syndicated line, whose rollup row (n_docs = corpus
+    count of that stratum, sample = min id) the oracle states closed-
+    form. One map-combined groupBy on the quote key; md5 column is
+    the at-scale join key."""
+    from .operators.dedup import shared_quotes
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit('He said "unique insight number '), sid,
+        F.lit(' from doc" and '),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("also “the shared syndicated press release line” end"),
+        ).otherwise(F.lit("nothing more")),
+    )
+    return shared_quotes(d.select("doc_id", text.alias("text")))

@@ -1960,3 +1960,43 @@ def apply_tombstones(index: DataFrame, tombstones: DataFrame,
         F.broadcast(tombstones.select(id_col).distinct()),
         id_col, "left_anti",
     )
+
+
+def shared_quotes(df, id_col: str = "doc_id", text_col: str = "text",
+                  min_chars: int = 20):
+    """Cross-document QUOTATION mining: extract every straight- or
+    curly-quoted span of at least ``min_chars`` characters and roll
+    up by quote — ``(quote, quote_md5, n_docs, n_occurrences,
+    sample_doc_id)``. Quotes that recur across many documents are
+    syndicated content, press-release boilerplate, or verbatim
+    citation chains — a span-level duplication signal the document-
+    and paragraph-level dedup passes (q16/q56/q97) don't see, and a
+    provenance signal for attribution audits.
+
+    Shape: regexp_extract_all + explode per page (codegen), then ONE
+    map-combined groupBy on the quote string; at 10^12 docs the key
+    is the md5 column (8-byte prefix join keys, same trick as
+    exact-substring dedup's hash_grams mode) and the quote text rides
+    as min() payload. No windows, no all-pairs anything.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    straight = F.regexp_extract_all(
+        t, F.lit('"([^"]{%d,})"' % int(min_chars)), 1
+    )
+    curly = F.regexp_extract_all(
+        t, F.lit("“([^”]{%d,})”" % int(min_chars)), 1
+    )
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.concat(straight, curly)).alias("quote"),
+    )
+    return q.groupBy("quote").agg(
+        F.countDistinct("_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.min("_id").cast("bigint").alias("sample_doc_id"),
+    ).select(
+        "quote", F.md5("quote").alias("quote_md5"),
+        "n_docs", "n_occurrences", "sample_doc_id",
+    )

@@ -696,3 +696,50 @@ def microdata_items(pages: DataFrame, id_col: str = "doc_id",
         prop.alias("prop"),
         F.when(content != "", content).otherwise(text).alias("value"),
     )
+
+
+def publish_dates(pages: DataFrame, id_col: str = "doc_id",
+                  url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Best-effort PUBLISH-DATE resolution per page with a declared
+    precedence ladder — ``(id, pub_date, channel)``, channel in
+    {'meta','jsonld','url'} or NULL when no signal exists:
+
+    1. ``<meta property="article:published_time">`` (the OpenGraph
+       article channel — most precise, editor-controlled);
+    2. JSON-LD ``datePublished`` (schema.org NewsArticle et al.);
+    3. a ``/YYYY/MM/`` URL path segment (blog permalink convention;
+       resolves to the first of the month).
+
+    Temporal metadata is a first-class curation axis at corpus scale:
+    dated corpora support cutoff-aware training splits, recency
+    weighting, and contamination windows — and the three channels
+    disagree often enough that the precedence must be explicit and
+    testable. All channels are targeted regexp pulls + to_date /
+    make_date in codegen; zero shuffle, zero Python.
+    """
+    h = F.col(html_col).cast("string")
+    u = F.col(url_col)
+    m_tag = F.regexp_extract(
+        h,
+        r'<meta\s[^>]*property\s*=\s*["\x27]article:published_time'
+        r'["\x27][^>]*>', 0,
+    )
+    meta_val = _attr(m_tag, "content")
+    jsonld_val = F.regexp_extract(h, r'"datePublished"\s*:\s*"([^"]+)"', 1)
+    yr = F.regexp_extract(u, r"/((?:19|20)\d{2})/(?:0[1-9]|1[0-2])/", 1)
+    mo = F.regexp_extract(u, r"/(?:19|20)\d{2}/(0[1-9]|1[0-2])/", 1)
+    pub = (
+        F.when(meta_val != "", F.to_date(F.substring(meta_val, 1, 10)))
+        .when(jsonld_val != "", F.to_date(F.substring(jsonld_val, 1, 10)))
+        .when(yr != "",
+              F.make_date(yr.cast("int"), mo.cast("int"), F.lit(1)))
+    )
+    channel = (
+        F.when(meta_val != "", "meta")
+        .when(jsonld_val != "", "jsonld")
+        .when(yr != "", "url")
+    )
+    return pages.select(
+        F.col(id_col), pub.alias("pub_date"), channel.alias("channel")
+    )

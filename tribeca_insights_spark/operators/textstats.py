@@ -2203,3 +2203,42 @@ def bidi_invisible_audit(docs: DataFrame, id_col: str = "doc_id",
         F.when((n_bidi + n_zw + n_ctrl) == 0, 1).otherwise(0)
         .cast("int").alias("clean"),
     )
+
+
+def sentence_spans(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """SENTENCE segmentation relation: ``(id, sent_idx, sentence,
+    n_chars)`` — one row per sentence in document order, 1-based
+    index, whitespace-trimmed, empty pieces dropped. Rule-based
+    boundary: a run of terminal punctuation ``[.!?]+`` followed by
+    whitespace ends a sentence; the trailing fragment (no terminal
+    punctuation) is its own final piece. The naive-splitter caveats
+    (abbreviations like "e.g. " split) are inherent to the rule and
+    pinned by tests — sentence units feed chunking, bitext alignment,
+    quality gates (mean sentence length) and sentence-level dedup,
+    all of which need ONE deterministic segmentation shared across
+    the pipeline and its oracles.
+
+    Shape: a marker insertion (regexp_replace keeps both capture
+    groups, so pieces concatenate back to the original text) + split
+    + posexplode — per-row codegen, zero shuffle, rows stay in their
+    input partition. At 10^12 documents this parallelizes like the
+    extractor itself.
+    """
+    marker = "\x00"
+    marked = F.regexp_replace(
+        F.col(text_col), r"([.!?]+)(\s+)", "$1$2" + marker
+    )
+    pieces = F.split(marked, marker)
+    rows = df.select(
+        F.col(id_col), F.posexplode(pieces).alias("_p", "_s")
+    ).filter(F.trim("_s") != "")
+    return rows.select(
+        id_col,
+        # idx by document order; empty pieces never occur mid-text
+        # (the marker always follows non-empty punctuation), so _p is
+        # already dense for the kept rows
+        (F.col("_p") + 1).cast("int").alias("sent_idx"),
+        F.trim("_s").alias("sentence"),
+        F.length(F.trim("_s")).cast("int").alias("n_chars"),
+    )
