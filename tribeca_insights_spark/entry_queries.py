@@ -17024,3 +17024,148 @@ def q311_shared_quotes(spark, sf_dir):
         ).otherwise(F.lit("nothing more")),
     )
     return shared_quotes(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: paragraph-level language segmentation (q312) -----------------------
+
+
+@q(
+    "q312_paragraph_langs",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END
+        AS n_paragraphs,
+      CASE doc_id % 4 WHEN 0 THEN 2 WHEN 3 THEN 0 ELSE 1 END AS n_langs,
+      CASE doc_id % 4 WHEN 3 THEN 'none' ELSE 'en' END AS dominant_lang,
+      CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+        ELSE 0 END AS n_dominant_paras,
+      CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS is_mixed
+    FROM documents
+    """,
+)
+def q312_paragraph_langs(spark, sf_dir):
+    """Paragraph-level language segmentation (operators/textstats.py
+    paragraph_langs): per-paragraph marker argmax, per-document
+    mixed-language flagging — the CCNet/FineWeb-style sub-document
+    granularity that catches half-translated pages document-level ID
+    (q25) hides. Fixture strata: EN+ES mixed doc (dominant tie broken
+    by code ascending), uniform 2-paragraph EN doc, single-paragraph
+    EN doc, and a no-marker doc resolving to 'none'/0 langs. Two
+    map-combined groupBys + min(struct) dominant pick; no windows."""
+    from .operators.textstats import paragraph_langs
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0,
+               F.lit("the cat is this fine\n\nlos gatos las casas una"))
+        .when(m == 1,
+              F.lit("the first is here\n\nthe second and third of them"))
+        .when(m == 2, F.lit("the only paragraph of note"))
+        .otherwise(F.lit("zzz qqq xylophone"))
+    )
+    return paragraph_langs(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: host co-citation similarity (q313) ---------------------------------
+
+
+@q(
+    "q313_host_cocitation",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 6 AS VARCHAR) AS src,
+                      'd' || CAST(doc_id % 10 AS VARCHAR) AS dst
+      FROM documents
+      UNION
+      SELECT DISTINCT 'h' || CAST(doc_id % 6 AS VARCHAR),
+                      'x' || CAST(doc_id % 4 AS VARCHAR)
+      FROM documents
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+    p AS (
+      SELECT a.src AS host_a, b.src AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT p.host_a, p.host_b, p.n_shared,
+           da.d AS n_a, db.d AS n_b,
+           CAST(1000000 * p.n_shared // (da.d + db.d - p.n_shared)
+                AS BIGINT) AS jaccard_micros
+    FROM p
+    JOIN deg da ON da.src = p.host_a
+    JOIN deg db ON db.src = p.host_b
+    """,
+)
+def q313_host_cocitation(spark, sf_dir):
+    """Host co-citation similarity (operators/linkgraph.py
+    host_cocitation): outlink-set Jaccard per host pair via the
+    inverted-index self-join on destination — the mirror-network and
+    link-farm detector that survives text rewrites (composes with
+    q161 mirror_hosts and q204 spam mass). The oracle replays the
+    identical relational algebra in SQL over the same two synthetic
+    edge channels, so every pair/degree/micros value is cross-engine
+    checked. Never all-pairs: destinations emit only their actual
+    citer pairs, and the max_fanout cap (exercised in pytest) bounds
+    hub blowup at corpus scale."""
+    from .operators.linkgraph import host_cocitation
+
+    d = _read(spark, sf_dir, "documents")
+    s6 = (F.col("doc_id") % 6).cast("string")
+    e1 = d.select(
+        F.concat(F.lit("h"), s6).alias("src_host"),
+        F.concat(F.lit("d"), (F.col("doc_id") % 10).cast("string"))
+        .alias("dst_host"),
+    )
+    e2 = d.select(
+        F.concat(F.lit("h"), s6).alias("src_host"),
+        F.concat(F.lit("x"), (F.col("doc_id") % 4).cast("string"))
+        .alias("dst_host"),
+    )
+    return host_cocitation(e1.unionByName(e2))
+
+
+# --- wave: embedded-URL parameter audit (q314) --------------------------------
+
+
+@q(
+    "q314_embedded_url_params",
+    """
+    SELECT 'https://a.example.com/r?next=https%3A%2F%2Fevil.example.org'
+             || '%2Fphish&x=' || CAST(doc_id AS VARCHAR) AS url,
+           'next' AS param, 'evil.example.org' AS embedded_host,
+           1 AS is_external
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'https://b.example.com/login?return=https://b.example.com/home'
+             || CAST(doc_id AS VARCHAR),
+           'return', 'b.example.com', 0
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q314_embedded_url_params(spark, sf_dir):
+    """Embedded-URL query-parameter audit (functions/urlnorm.py
+    embedded_url_params): parameters carrying absolute URLs — plain
+    or percent-encoded — surfaced with their decoded target host and
+    an internal/external flag. Open-redirect surface + frontier
+    hygiene + wrapper-URL dedup noise, three standard crawl-pipeline
+    consumers. Fixture: a %-encoded external redirect (decode path
+    proven), a plain same-host return URL (is_external 0), and a
+    plain-parameter page emitting nothing. Codegen split/regexp,
+    zero shuffle."""
+    from .functions.urlnorm import embedded_url_params
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://a.example.com/r?next=https%3A%2F%2F"
+                  "evil.example.org%2Fphish&x="), sid))
+        .when(m == 1, F.concat(
+            F.lit("https://b.example.com/login?return="
+                  "https://b.example.com/home"), sid))
+        .otherwise(F.concat(F.lit("https://c.example.com/p?id="), sid))
+    )
+    return embedded_url_params(d.select(url.alias("url")))

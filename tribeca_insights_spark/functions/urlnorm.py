@@ -414,3 +414,48 @@ def registrable_domains(df, host_col: str = "host", suffixes=None):
             F.array_join(F.slice(parts, 1, n - n_sfx - 1), "."),
         ).alias("subdomain"),
     )
+
+
+def embedded_url_params(pages, url_col: str = "url"):
+    """EMBEDDED-URL query-parameter audit: rows for every query
+    parameter whose value is itself an absolute http(s) URL, plain or
+    percent-encoded — ``(url, param, embedded_host, is_external)``.
+    Three pipeline consumers: open-redirect surface detection
+    (``?next=https://evil...`` on a login host), crawl-frontier
+    hygiene (an embedded URL is usually the REAL resource — enqueue
+    it, not the wrapper), and dedup noise (wrapper URLs explode the
+    URL space without adding content). ``is_external`` compares the
+    embedded host against the wrapping page's host.
+
+    Per-row codegen: query split + explode + a 3-step minimal percent
+    decode (%3A/%2F, case-insensitive) + host regexp pulls. Zero
+    shuffle, zero Python.
+    """
+    u = F.col(url_col)
+    page_host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    query = F.regexp_extract(
+        F.regexp_replace(u, r"#.*$", ""), r"\?(.*)$", 1
+    )
+    rows = pages.select(
+        u.alias("url"),
+        page_host.alias("_ph"),
+        F.explode(F.split(query, "&", -1)).alias("_kv"),
+    ).filter(
+        F.col("_kv").rlike(r"(?i)^[^=]+=(https?(://|%3A%2F%2F))")
+    )
+    val = F.regexp_extract(F.col("_kv"), r"^[^=]+=(.*)$", 1)
+    decoded = F.regexp_replace(
+        F.regexp_replace(val, r"(?i)%3A", ":"), r"(?i)%2F", "/"
+    )
+    emb_host = F.lower(
+        F.regexp_extract(decoded, r"^https?://([^/?#:]*)", 1)
+    )
+    return rows.select(
+        "url",
+        F.regexp_extract(F.col("_kv"), r"^([^=]+)=", 1).alias("param"),
+        emb_host.alias("embedded_host"),
+        F.when(emb_host != F.col("_ph"), 1).otherwise(0).cast("int")
+        .alias("is_external"),
+    )

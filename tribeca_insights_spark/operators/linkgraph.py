@@ -1374,3 +1374,61 @@ def anchor_pairs_base_aware(docs: DataFrame, url_col: str = "url",
         resolve_href(F.col("_base"), F.col("p.href")).alias("target"),
         F.col("p.anchor").alias("anchor"),
     ).where(F.col("target").isNotNull())
+
+
+def host_cocitation(edges, src_col: str = "src_host",
+                    dst_col: str = "dst_host",
+                    max_fanout: int | None = None,
+                    min_shared: int = 1):
+    """HOST co-citation similarity: two hosts are similar when they
+    link to overlapping sets of destination hosts — ``(host_a,
+    host_b, n_shared, n_a, n_b, jaccard_micros)`` for every ordered
+    pair (a < b) sharing ≥ ``min_shared`` destinations. The
+    mirror/network detector that composes with mirror_hosts (q161):
+    content-identical mirrors share outlink sets even when their
+    TEXT was rewritten, and spam link farms show near-1.0 outlink
+    Jaccard across hundreds of "different" sites.
+
+    Shape — the inverted-index self-join, never all-pairs: distinct
+    edges, self-join ON dst (each destination emits only the pairs of
+    hosts that actually cite it), partial-agg count per pair, then
+    two joins against the host out-degree dim. ``max_fanout`` drops
+    mega-in-degree destinations first (a dst cited by 10^5 hosts
+    contributes 10^10 pairs but no discrimination — the standard
+    frequency-cap from co-occurrence mining); the cap is a documented
+    coverage bound, logged by callers. jaccard in integer micros —
+    deterministic across engines.
+    """
+    from pyspark.sql import functions as F
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    if max_fanout is not None:
+        indeg = e.groupBy("dst").agg(F.count("*").alias("_in"))
+        e = e.join(
+            indeg.filter(F.col("_in") <= int(max_fanout)).select("dst"),
+            "dst",
+        )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    a = e.select(F.col("src").alias("host_a"), "dst")
+    b = e.select(F.col("src").alias("host_b"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    return (
+        pairs.join(deg.withColumnsRenamed({"src": "host_a", "d": "n_a"}),
+                   "host_a")
+        .join(deg.withColumnsRenamed({"src": "host_b", "d": "n_b"}),
+              "host_b")
+        .select(
+            "host_a", "host_b", "n_shared", "n_a", "n_b",
+            (F.lit(1000000) * F.col("n_shared")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+            .cast("bigint").alias("jaccard_micros"),
+        )
+    )

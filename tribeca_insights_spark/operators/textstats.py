@@ -2242,3 +2242,80 @@ def sentence_spans(df: DataFrame, id_col: str = "doc_id",
         F.trim("_s").alias("sentence"),
         F.length(F.trim("_s")).cast("int").alias("n_chars"),
     )
+
+
+def paragraph_langs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> DataFrame:
+    """PARAGRAPH-level language segmentation rolled up per document:
+    ``(id, n_paragraphs, n_langs, dominant_lang, n_dominant_paras,
+    is_mixed)``. Each paragraph gets the same marker-word argmax as
+    :func:`lang_guess` (ties → language code ascending, zero hits →
+    'none'); the document rollup counts distinct non-none paragraph
+    languages, picks the dominant one by (paragraph count desc, code
+    asc) via a min(struct) partial agg — never a window — and flags
+    mixed-language documents (``n_langs >= 2``).
+
+    Why per-paragraph: document-level language ID (q25) hides the
+    dominant failure mode of web corpora — boilerplate-translated or
+    half-translated pages where navigation is one language and prose
+    another. CCNet and FineWeb both segment BELOW document level
+    before language filtering; mixed docs either get split or dropped.
+    All aggregation is map-combined groupBy on (id) / (id, lang) keys;
+    no windows, no Python.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_p", "_t"),
+    ).filter(F.trim("_t") != "")
+    words = paras.select(
+        id_col, "_p", F.explode(_ws_words(F.lower(F.col("_t")))).alias("w")
+    )
+    langs = sorted(LANG_MARKERS)
+    scores = words.groupBy(id_col, "_p").agg(
+        *[
+            F.sum(
+                F.when(F.col("w").isin(*LANG_MARKERS[lg]), 1).otherwise(0)
+            ).alias(f"s_{lg}")
+            for lg in langs
+        ]
+    )
+    pairs = F.array(
+        *[F.struct(F.col(f"s_{lg}").alias("s"), F.lit(lg).alias("lg"))
+          for lg in langs]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1)
+        .when(a["lg"] < b["lg"], -1).when(a["lg"] > b["lg"], 1).otherwise(0),
+    )[0]
+    per_para = scores.select(
+        id_col,
+        F.when(best["s"] > 0, best["lg"]).otherwise(F.lit("none"))
+        .alias("plang"),
+    )
+    n_paras = per_para.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_paragraphs")
+    )
+    lang_counts = (
+        per_para.filter(F.col("plang") != "none")
+        .groupBy(id_col, "plang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dom = lang_counts.groupBy(id_col).agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"),
+                     F.col("plang").alias("lg"))
+        ).alias("b"),
+        F.countDistinct("plang").cast("int").alias("n_langs"),
+    )
+    return n_paras.join(dom, id_col, "left").select(
+        id_col,
+        "n_paragraphs",
+        F.coalesce("n_langs", F.lit(0)).cast("int").alias("n_langs"),
+        F.coalesce(F.col("b.lg"), F.lit("none")).alias("dominant_lang"),
+        F.coalesce(-F.col("b.nc"), F.lit(0)).cast("int")
+        .alias("n_dominant_paras"),
+        F.when(F.coalesce("n_langs", F.lit(0)) >= 2, 1).otherwise(0)
+        .cast("int").alias("is_mixed"),
+    )
