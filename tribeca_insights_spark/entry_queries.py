@@ -17169,3 +17169,145 @@ def q314_embedded_url_params(spark, sf_dir):
         .otherwise(F.concat(F.lit("https://c.example.com/p?id="), sid))
     )
     return embedded_url_params(d.select(url.alias("url")))
+
+
+# --- wave: compression-ratio quality signal (q315) ----------------------------
+
+
+@q(
+    "q315_compression_signal",
+    """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 320 WHEN 1 THEN 101 ELSE 78 END
+        AS n_bytes,
+      CASE doc_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 87 ELSE 77 END
+        AS n_compressed,
+      CASE doc_id % 3 WHEN 0 THEN CAST(62500 AS BIGINT)
+        WHEN 1 THEN CAST(861386 AS BIGINT)
+        ELSE CAST(987179 AS BIGINT) END AS ratio_micros
+    FROM documents
+    """,
+)
+def q315_compression_signal(spark, sf_dir):
+    """DEFLATE compression-ratio quality signal (operators/
+    textstats.py compression_signal): the long-range redundancy gate
+    char-entropy can't provide — templated spam compresses to ~6% of
+    raw, prose to ~86%, random-ish text to ~99%. zlib at a fixed
+    level is bit-deterministic, so the oracle states the exact
+    byte counts for the three fixture strata (values precomputed from
+    the same public zlib): a STRICT oracle for a genuinely
+    non-SQL-expressible operator. Arrow-batched pandas_udf; plan is
+    Scan → ArrowEvalPython → Project, zero shuffle."""
+    from .operators.textstats import compression_signal
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    text = (
+        F.when(m == 0, F.lit("buy now " * 40))
+        .when(m == 1, F.lit(
+            "The committee reviewed the annual extraction report and "
+            "published its findings for the member states."))
+        .otherwise(F.lit(
+            "qz7 xv93 kd2m wq8r fy5t bn1c gh6j pl4s mz0w vt8k xr3d "
+            "cn9f jb5h wy2g qk7m dz4v"))
+    )
+    return compression_signal(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: frontier intake composition (q316) ---------------------------------
+
+
+@q(
+    "q316_frontier_intake",
+    """
+    WITH g AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS gg,
+                      CAST(doc_id AS VARCHAR) AS sid, doc_id % 4 AS m
+               FROM documents)
+    SELECT
+      CASE m
+        WHEN 0 THEN 'https://WWW.Shop' || gg || '.example.co.uk/p/' || sid
+                 || '?utm_source=x&b=2&a=1#f'
+        WHEN 1 THEN 'http://spam' || gg || '.badsite.com/x/' || sid
+        WHEN 2 THEN 'https://news.example.org/a/' || sid
+        ELSE 'https://example.net:443/' || sid
+      END AS url,
+      CASE m
+        WHEN 0 THEN 'https://www.shop' || gg || '.example.co.uk/p/' || sid
+                 || '?a=1&b=2'
+        WHEN 1 THEN 'http://spam' || gg || '.badsite.com/x/' || sid
+        WHEN 2 THEN 'https://news.example.org/a/' || sid
+        ELSE 'https://example.net/' || sid
+      END AS canon,
+      CASE m
+        WHEN 0 THEN 'uk,co,example,shop' || gg || ')/p/' || sid
+                 || '?a=1&b=2'
+        WHEN 1 THEN 'com,badsite,spam' || gg || ')/x/' || sid
+        WHEN 2 THEN 'org,example,news)/a/' || sid
+        ELSE 'net,example)/' || sid
+      END AS surt,
+      CASE m
+        WHEN 0 THEN 'example.co.uk' WHEN 1 THEN 'badsite.com'
+        WHEN 2 THEN 'example.org' ELSE 'example.net'
+      END AS registrable,
+      CASE m WHEN 1 THEN 1 ELSE 0 END AS blocked
+    FROM g
+    """,
+)
+def q316_frontier_intake(spark, sf_dir):
+    """Frontier-intake composition capstone: raw URL → canonical form
+    (tracking strip + query sort + default-port drop, q41/q80) →
+    SURT layout key (q305) → PSL registrable domain (q306) →
+    registrable-level blocklist verdict — the exact normalize-and-
+    admit relation a crawl scheduler materializes before enqueueing.
+    Every stage is an existing audited operator; the composition
+    proves they agree on one row (the canonical host feeds both the
+    SURT and the PSL lookup, and the blocklist joins on REGISTRABLE,
+    so spam subdomains can't dodge the block). Codegen end-to-end;
+    the only joins are the broadcast PSL dim and the broadcast
+    blocklist."""
+    from .functions.urlnorm import (
+        canonical_url,
+        registrable_domains,
+        surt_key,
+        surt_prefix,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    gg = (F.col("doc_id") % 5).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://WWW.Shop"), gg, F.lit(".example.co.uk/p/"),
+            sid, F.lit("?utm_source=x&b=2&a=1#f")))
+        .when(m == 1, F.concat(
+            F.lit("http://spam"), gg, F.lit(".badsite.com/x/"), sid))
+        .when(m == 2, F.concat(
+            F.lit("https://news.example.org/a/"), sid))
+        .otherwise(F.concat(F.lit("https://example.net:443/"), sid))
+    )
+    base = d.select(url.alias("url")).select(
+        "url",
+        canonical_url(F.col("url"), strip_tracking=True).alias("canon"),
+    )
+    withhost = base.select(
+        "url", "canon",
+        surt_key("canon", strip_www=True).alias("surt"),
+        F.regexp_extract(
+            F.col("canon"), r"^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1
+        ).alias("host"),
+    )
+    regs = registrable_domains(withhost.select("host"))
+    block = spark.createDataFrame([("badsite.com",)], "registrable string")
+    return (
+        withhost
+        .join(F.broadcast(regs.select("host", "registrable")), "host")
+        .join(
+            F.broadcast(block.withColumn("_b", F.lit(1))),
+            "registrable", "left",
+        )
+        .select(
+            "url", "canon", "surt", "registrable",
+            F.coalesce("_b", F.lit(0)).cast("int").alias("blocked"),
+        )
+    )

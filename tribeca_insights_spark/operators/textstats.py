@@ -2319,3 +2319,54 @@ def paragraph_langs(df: DataFrame, id_col: str = "doc_id",
         F.when(F.coalesce("n_langs", F.lit(0)) >= 2, 1).otherwise(0)
         .cast("int").alias("is_mixed"),
     )
+
+
+def compression_signal(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       level: int = 6) -> DataFrame:
+    """DEFLATE compression ratio per document: ``(id, n_bytes,
+    n_compressed, ratio_micros)`` with ``ratio_micros = floor(1e6 ·
+    compressed/raw)``. The long-range redundancy signal the unigram
+    char-entropy gate (q159) cannot see: templated spam, keyword
+    stuffing and copy-paste loops compress far below natural prose
+    (Gopher uses exactly this family of repetition signals), so a
+    low ratio is a strong machine-generated/boilerplate flag, and an
+    extremely HIGH ratio (≈1.0) marks binary-ish or already-encoded
+    payloads masquerading as text.
+
+    zlib at a FIXED level is bit-deterministic across runs and
+    platforms for a given input, so the signal is oracle-stable. The
+    Python boundary is Arrow-batched (pandas_udf over the column,
+    one zlib call per value inside a C loop) — the plan stays
+    Scan → ArrowEvalPython → Project with zero shuffle, the same
+    embarrassingly-parallel shape as the extractor.
+    """
+    lvl = int(level)
+
+    def _comp_batch(s):
+        import zlib
+
+        import pandas as pd
+
+        raw = [t.encode("utf-8") if t is not None else b"" for t in s]
+        nb = [len(b) for b in raw]
+        nc = [len(zlib.compress(b, lvl)) if b else 0 for b in raw]
+        return pd.DataFrame(
+            {
+                "n_bytes": nb,
+                "n_compressed": nc,
+                "ratio_micros": [
+                    (1_000_000 * c) // b if b else 0
+                    for b, c in zip(nb, nc)
+                ],
+            }
+        )
+
+    _comp = F.pandas_udf(
+        _comp_batch,
+        "struct<n_bytes:int,n_compressed:int,ratio_micros:bigint>",
+    )
+
+    return df.select(
+        F.col(id_col), _comp(F.col(text_col)).alias("_c")
+    ).select(id_col, "_c.n_bytes", "_c.n_compressed", "_c.ratio_micros")
