@@ -17311,3 +17311,145 @@ def q316_frontier_intake(spark, sf_dir):
             F.coalesce("_b", F.lit(0)).cast("int").alias("blocked"),
         )
     )
+
+
+# --- wave: pagination chains + per-domain temporal profile (q317-q318) --------
+
+
+@q(
+    "q317_pagination_audit",
+    """
+    WITH b AS (SELECT doc_id, 'https://s.example.com/g'
+                 || CAST(doc_id AS VARCHAR) || '/p' AS u,
+                      doc_id % 5 AS m5 FROM documents)
+    SELECT u || '1' AS url, u || '2' AS next_url,
+           CAST(NULL AS VARCHAR) AS prev_url,
+           CASE WHEN m5 = 0 THEN 0 ELSE 1 END AS next_reciprocal,
+           1 AS is_first, 0 AS is_last
+    FROM b
+    UNION ALL
+    SELECT u || '2', u || '3',
+           CASE WHEN m5 = 0 THEN NULL ELSE u || '1' END,
+           1, CASE WHEN m5 = 0 THEN 1 ELSE 0 END, 0
+    FROM b
+    UNION ALL
+    SELECT u || '3', NULL, u || '2', NULL, 0, 1
+    FROM b
+    """,
+)
+def q317_pagination_audit(spark, sf_dir):
+    """rel=next/prev pagination audit (operators/meta.py
+    pagination_audit): per-page chain pointers, reciprocity verdict
+    (next page must declare THIS page as prev), and first/last flags
+    — chain roots for fetch-as-one-document logic and broken
+    reciprocity as the misdeclared-pagination trap signal. Fixture:
+    every doc expands to a 3-page chain; every 5th chain drops page
+    2's prev declaration, which must flip page 1's reciprocity to 0
+    and make page 2 a spurious second 'first'. link_tags codegen →
+    per-page partial agg → one url-keyed self-join; no windows."""
+    from .operators.meta import pagination_audit
+
+    d = _read(spark, sf_dir, "documents")
+    u = F.concat(F.lit("https://s.example.com/g"),
+                 F.col("doc_id").cast("string"), F.lit("/p"))
+    m5 = F.col("doc_id") % 5
+    p1, p2, p3 = [F.concat(u, F.lit(str(i))) for i in (1, 2, 3)]
+    mk = lambda *parts: F.concat(
+        F.lit("<html><head>"), *parts, F.lit("</head><body>x</body></html>")
+    )
+    lnk = lambda rel, href: F.concat(
+        F.lit('<link rel="%s" href="' % rel), href, F.lit('">')
+    )
+    pages = d.select(
+        F.explode(
+            F.array(
+                F.struct(p1.alias("url"), mk(lnk("next", p2)).alias("html")),
+                F.struct(
+                    p2.alias("url"),
+                    F.when(
+                        m5 == 0, mk(lnk("next", p3))
+                    ).otherwise(
+                        mk(lnk("next", p3), lnk("prev", p1))
+                    ).alias("html"),
+                ),
+                F.struct(p3.alias("url"), mk(lnk("prev", p2)).alias("html")),
+            )
+        ).alias("pg")
+    ).select("pg.url", "pg.html")
+    return pagination_audit(pages)
+
+
+@q(
+    "q318_domain_temporal_profile",
+    """
+    SELECT 'alpha.co.uk' AS registrable,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+             AS n_docs,
+           (SELECT count(*) FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 7 != 0) AS n_dated,
+           DATE '2024-01-03' AS min_pub, DATE '2024-11-03' AS max_pub
+    UNION ALL
+    SELECT 'beta.com',
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 1),
+           (SELECT count(*) FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id % 7 != 0),
+           DATE '2023-02-01', DATE '2023-12-01'
+    """,
+)
+def q318_domain_temporal_profile(spark, sf_dir):
+    """Per-registrable-domain temporal profile — the composition of
+    publish-date resolution (q309) and PSL registrable-domain
+    grouping (q306): ``(registrable, n_docs, n_dated, min_pub,
+    max_pub)``. The corpus-datasheet row that answers 'how fresh is
+    this site's content, and what share of it is dateable at all' —
+    the grouping key is the REGISTRABLE domain, not the host, so
+    subdomain farms roll up honestly. Fixture: two registrables, one
+    dated via the meta channel, one via the URL channel, every 7th
+    doc undated; the oracle states the month-coverage extremes
+    closed-form. Shape: codegen date extraction → broadcast PSL host
+    dim join → one partial-agg groupBy on the registrable key."""
+    from .functions.urlnorm import registrable_domains
+    from .operators.meta import publish_dates
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    m2 = F.col("doc_id") % 2
+    undated = F.col("doc_id") % 7 == 0
+    host = (
+        F.when(m2 == 0, F.concat(
+            F.lit("b"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".alpha.co.uk")))
+        .otherwise(F.concat(
+            F.lit("c"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".beta.com")))
+    )
+    html = F.when(
+        (m2 == 0) & ~undated,
+        F.concat(
+            F.lit('<html><head><meta property="article:published_time" '
+                  'content="2024-'), mm,
+            F.lit('-03T08:00:00Z"></head><body>x</body></html>')),
+    ).otherwise(F.lit("<html><body>x</body></html>"))
+    url = F.when(
+        (m2 == 1) & ~undated,
+        F.concat(F.lit("https://"), host, F.lit("/2023/"), mm,
+                 F.lit("/post-"), sid),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), sid))
+    pages = d.select(
+        "doc_id", host.alias("host"), url.alias("url"), html.alias("html")
+    )
+    dated = publish_dates(pages).join(
+        pages.select("doc_id", "host"), "doc_id"
+    )
+    regs = registrable_domains(pages.select("host"))
+    return (
+        dated.join(F.broadcast(regs.select("host", "registrable")), "host")
+        .groupBy("registrable")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("pub_date").cast("bigint").alias("n_dated"),
+            F.min("pub_date").alias("min_pub"),
+            F.max("pub_date").alias("max_pub"),
+        )
+    )

@@ -743,3 +743,55 @@ def publish_dates(pages: DataFrame, id_col: str = "doc_id",
     return pages.select(
         F.col(id_col), pub.alias("pub_date"), channel.alias("channel")
     )
+
+
+def pagination_audit(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """``rel=next`` / ``rel=prev`` PAGINATION audit: per page —
+    ``(url, next_url, prev_url, next_reciprocal, is_first, is_last)``
+    with ``next_reciprocal = 1`` iff the declared next page declares
+    THIS page as its prev (NULL when there is no next). Paginated
+    archives are the dominant multi-page unit on the web; a frontier
+    that understands chains fetches them as one logical document
+    (composing with q116 chunking), and broken reciprocity is the
+    standard signal of misdeclared pagination that creates crawl
+    traps and split/duplicated content. Chain ROOTS are
+    ``is_first = 1`` rows; full chain assembly reuses the
+    pointer-jump machinery of canonical_resolve/q272.
+
+    Shape: link_tags codegen extraction → one partial-agg groupBy per
+    page → ONE self-join on the next-pointer key (url-keyed equi-join
+    — at 10^12 pages both sides are url-bucketed, co-partitioned with
+    every other url-keyed state table). No windows, no Python.
+    """
+    links = link_tags(pages, html_col=html_col, id_col=url_col)
+    ptrs = (
+        links.filter(F.col("rel").isin("next", "prev"))
+        .groupBy(url_col)
+        .agg(
+            F.max(F.when(F.col("rel") == "next", F.col("href")))
+            .alias("next_url"),
+            F.max(F.when(F.col("rel") == "prev", F.col("href")))
+            .alias("prev_url"),
+        )
+    )
+    base = pages.select(F.col(url_col).alias("url")).distinct().join(
+        ptrs.withColumnRenamed(url_col, "url"), "url", "left"
+    )
+    nxt = base.select(
+        F.col("url").alias("_nu"), F.col("prev_url").alias("_nprev")
+    )
+    return (
+        base.join(nxt, base["next_url"] == nxt["_nu"], "left")
+        .select(
+            "url", "next_url", "prev_url",
+            F.when(
+                F.col("next_url").isNotNull(),
+                F.when(F.col("_nprev") == F.col("url"), 1).otherwise(0),
+            ).cast("int").alias("next_reciprocal"),
+            F.when(F.col("prev_url").isNull(), 1).otherwise(0)
+            .cast("int").alias("is_first"),
+            F.when(F.col("next_url").isNull(), 1).otherwise(0)
+            .cast("int").alias("is_last"),
+        )
+    )
