@@ -17453,3 +17453,99 @@ def q318_domain_temporal_profile(spark, sf_dir):
             F.max("pub_date").alias("max_pub"),
         )
     )
+
+
+# --- wave: AMP pairing + template-leak audit (q319-q320) ----------------------
+
+
+@q(
+    "q319_amp_pages",
+    """
+    WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                      doc_id % 3 AS m FROM documents)
+    SELECT
+      CASE m
+        WHEN 0 THEN 'https://a.example.com/p/' || sid
+        WHEN 1 THEN 'https://a.example.com/amp/' || sid
+        ELSE 'https://a.example.com/x/' || sid
+      END AS url,
+      CASE m WHEN 1 THEN 1 ELSE 0 END AS is_amp,
+      CASE m WHEN 0 THEN 'https://a.example.com/amp/' || sid
+        ELSE NULL END AS amphtml_url,
+      CASE m WHEN 1 THEN 'https://a.example.com/p/' || sid
+        ELSE NULL END AS canonical_url,
+      CASE m
+        WHEN 0 THEN 'https://a.example.com/amp/' || sid
+        WHEN 1 THEN 'https://a.example.com/p/' || sid
+        ELSE NULL
+      END AS pair_url
+    FROM b
+    """,
+)
+def q319_amp_pages(spark, sf_dir):
+    """AMP variant detection and canonical pairing (operators/meta.py
+    amp_pages): the mobile web's largest systematic near-duplicate
+    family, paired via the spec's two declared pointers (rel=amphtml
+    forward, rel=canonical back) plus the <html amp|⚡> attribute.
+    pair_url is the dedup key either side — content hashing never
+    catches these because the markup differs. Fixture: canonical
+    pages pointing at their AMP twin, AMP pages (attribute set)
+    pointing back, and unpaired pages all-NULL. Codegen link_tags
+    channel + one attribute probe."""
+    from .operators.meta import amp_pages
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://a.example.com/p/"), sid))
+        .when(m == 1, F.concat(F.lit("https://a.example.com/amp/"), sid))
+        .otherwise(F.concat(F.lit("https://a.example.com/x/"), sid))
+    )
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><link rel="amphtml" '
+                  'href="https://a.example.com/amp/'), sid,
+            F.lit('"></head><body>c</body></html>')))
+        .when(m == 1, F.concat(
+            F.lit('<html amp lang="en"><head><link rel="canonical" '
+                  'href="https://a.example.com/p/'), sid,
+            F.lit('"></head><body>a</body></html>')))
+        .otherwise(F.lit("<html><body>plain</body></html>"))
+    )
+    return amp_pages(d.select(url.alias("url"), html.alias("html")))
+
+
+@q(
+    "q320_template_leaks",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 2 ELSE 0 END AS n_mustache,
+      CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS n_erb,
+      CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS n_jinja_tags,
+      CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END AS n_php,
+      CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END AS leaky
+    FROM documents
+    """,
+)
+def q320_template_leaks(spark, sf_dir):
+    """Unrendered-template artifact audit (operators/textstats.py
+    template_leak_audit): mustache/ERB/jinja/PHP syntax in served
+    text marks broken renders whose 'prose' is variable names —
+    corpus poison, and a site-wide health signal (composes with
+    q300's per-host card). Fixture strata carry two {{vars}} plus a
+    {% tag %}, one <%= erb %>, one <?php leak, and clean text with
+    decoy braces; the oracle states every count closed-form. Four
+    codegen regexp counts, zero shuffle."""
+    from .operators.textstats import template_leak_audit
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.lit(
+            "Welcome {{ user.name }} to {{ site }} {% if x %} end"))
+        .when(m == 1, F.lit("Price: <%= item.price %> dollars"))
+        .when(m == 2, F.lit("<?php echo $title; ?> page"))
+        .otherwise(F.lit("clean prose with { single } braces"))
+    )
+    return template_leak_audit(d.select("doc_id", text.alias("text")))

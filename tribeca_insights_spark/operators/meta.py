@@ -795,3 +795,48 @@ def pagination_audit(pages: DataFrame, url_col: str = "url",
             .cast("int").alias("is_last"),
         )
     )
+
+
+def amp_pages(pages: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """AMP variant detection and canonical pairing: ``(url, is_amp,
+    amphtml_url, canonical_url, pair_url)`` — ``is_amp`` from the
+    ``<html amp>`` / ``<html ⚡>`` attribute (the public AMP spec's
+    marker), ``amphtml_url`` from the canonical page's
+    ``link rel=amphtml`` pointer, ``canonical_url`` from the AMP
+    page's required back-pointer, and ``pair_url`` = the other half
+    of the pair whichever side this page is. AMP mirrors are the
+    single largest systematic near-duplicate family on the mobile
+    web: every paired page exists twice with rewritten markup, so a
+    corpus that doesn't collapse AMP↔canonical double-counts those
+    documents (and their links). The pair relation feeds the same
+    keep-best machinery as q75 — content hashing never sees these as
+    exact dupes because the markup differs.
+
+    Codegen: one html-tag attribute probe + the link_tags channel,
+    zero shuffle beyond the per-page partial agg."""
+    tags = link_tags(pages, html_col=html_col, id_col=url_col)
+    ptrs = (
+        tags.filter(F.col("rel").isin("amphtml", "canonical"))
+        .groupBy(url_col)
+        .agg(
+            F.max(F.when(F.col("rel") == "amphtml", F.col("href")))
+            .alias("amphtml_url"),
+            F.max(F.when(F.col("rel") == "canonical", F.col("href")))
+            .alias("canonical_url"),
+        )
+    )
+    h = F.col(html_col).cast("string")
+    is_amp = F.when(
+        F.regexp_extract(
+            h, r"(?s)<html[^>]*[\s](amp|⚡)[\s>=]", 1
+        ) != "", 1
+    ).otherwise(0)
+    base = pages.select(
+        F.col(url_col).alias("url"), is_amp.cast("int").alias("is_amp")
+    ).join(ptrs.withColumnRenamed(url_col, "url"), "url", "left")
+    return base.select(
+        "url", "is_amp", "amphtml_url", "canonical_url",
+        F.when(F.col("is_amp") == 1, F.col("canonical_url"))
+        .otherwise(F.col("amphtml_url")).alias("pair_url"),
+    )

@@ -2370,3 +2370,37 @@ def compression_signal(df: DataFrame, id_col: str = "doc_id",
     return df.select(
         F.col(id_col), _comp(F.col(text_col)).alias("_c")
     ).select(id_col, "_c.n_bytes", "_c.n_compressed", "_c.ratio_micros")
+
+
+def template_leak_audit(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """UNRENDERED-TEMPLATE artifact audit: ``(id, n_mustache, n_erb,
+    n_jinja_tags, n_php, leaky)`` — counts of template-engine syntax
+    that should never reach served text: ``{{ var }}`` (mustache/
+    handlebars/jinja expressions), ``<%= ... %>`` (ERB/EJS),
+    ``{% tag %}`` (jinja/liquid statements), ``<?php``. Pages serving
+    raw template source are broken renders — their "prose" is
+    variable names and control flow, poison for a training corpus
+    and a strong site-health signal (a misconfigured server leaks
+    whole sites at once, so the per-host rollup of ``leaky`` composes
+    with q300's site health card). Four codegen regexp_extract_all
+    counts; zero shuffle, zero Python."""
+    t = F.col(text_col)
+
+    def _n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("int")
+
+    n_mustache = _n(r"\{\{[^{}]+\}\}")
+    n_erb = _n(r"<%=?[^%]*%>")
+    n_jinja = _n(r"\{%[^%}]+%\}")
+    n_php = _n(r"<\?php")
+    return df.select(
+        F.col(id_col),
+        n_mustache.alias("n_mustache"),
+        n_erb.alias("n_erb"),
+        n_jinja.alias("n_jinja_tags"),
+        n_php.alias("n_php"),
+        F.when(
+            n_mustache + n_erb + n_jinja + n_php > 0, 1
+        ).otherwise(0).cast("int").alias("leaky"),
+    )
