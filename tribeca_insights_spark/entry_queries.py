@@ -17549,3 +17549,84 @@ def q320_template_leaks(spark, sf_dir):
         .otherwise(F.lit("clean prose with { single } braces"))
     )
     return template_leak_audit(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: noindex-inlink contradiction + title duplication (q321-q322) -------
+
+
+@q(
+    "q321_noindex_inlinks",
+    """
+    WITH ind AS (
+      SELECT doc_id % 50 AS k, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT 'u' || CAST(d.doc_id AS VARCHAR) AS url,
+           CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 0 END AS noindex,
+           CAST(coalesce(ind.n, 0) AS BIGINT) AS n_inlinks,
+           CASE WHEN d.doc_id % 4 = 0 AND coalesce(ind.n, 0) > 0
+             THEN 1 ELSE 0 END AS wasted
+    FROM documents d LEFT JOIN ind ON ind.k = d.doc_id
+    """,
+)
+def q321_noindex_inlinks(spark, sf_dir):
+    """Noindex-but-linked contradiction audit (operators/meta.py
+    noindex_inlink_audit): robots directives (q267's channel)
+    cross-referenced with link in-degree — link equity into
+    unrankable pages is architecture waste, and a frontier can
+    deprioritize those families. Fixture: every 4th page noindexed,
+    every page linking to the low-id URL family, so exactly the
+    noindexed members of that family light up ``wasted``; the oracle
+    states in-degree closed-form per id. One in-degree partial agg +
+    one url-keyed left join."""
+    from .operators.meta import noindex_inlink_audit
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("u"), sid)
+    html = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('<html><head><meta name="robots" content="noindex">'
+              "</head><body>x</body></html>"),
+    ).otherwise(F.lit("<html><body>x</body></html>"))
+    pages = d.select(url.alias("url"), html.alias("html"))
+    edges = d.select(
+        url.alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 50).cast("string"))
+        .alias("dst"),
+    )
+    return noindex_inlink_audit(pages, edges)
+
+
+@q(
+    "q322_title_duplication",
+    """
+    WITH p AS (
+      SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 3 = 0 THEN 'Template Title'
+               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title
+      FROM documents
+    )
+    SELECT host, title, CAST(count(*) AS BIGINT) AS n_pages,
+           CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM p GROUP BY host, title
+    """,
+)
+def q322_title_duplication(spark, sf_dir):
+    """Per-host duplicate-title clusters (operators/meta.py
+    title_duplication): the metadata-level template-farm signal —
+    titles duplicate even when body text was spun, complementing
+    body-level template detection (q94/q96). Fixture: every 3rd page
+    on each of 20 hosts shares one boilerplate title; the oracle
+    replays the same (host, title) rollup. One map-combined groupBy
+    on a host-prefixed key."""
+    from .operators.meta import title_duplication
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    title = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("Template Title")
+    ).otherwise(F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
+    return title_duplication(
+        d.select(host.alias("host"), title.alias("title"))
+    )

@@ -840,3 +840,62 @@ def amp_pages(pages: DataFrame, url_col: str = "url",
         F.when(F.col("is_amp") == 1, F.col("canonical_url"))
         .otherwise(F.col("amphtml_url")).alias("pair_url"),
     )
+
+
+def noindex_inlink_audit(pages: DataFrame, edges: DataFrame,
+                         url_col: str = "url",
+                         html_col: str = "html",
+                         src_col: str = "src", dst_col: str = "dst",
+                         ) -> DataFrame:
+    """NOINDEX-but-LINKED contradiction audit: ``(url, noindex,
+    n_inlinks, wasted)`` — pages whose robots meta says noindex yet
+    receive internal links. The two consumers: SEO (link equity
+    flowing into pages that can't rank is site-architecture waste —
+    the reference's report surface never cross-references its link
+    inventory with directives) and crawl economics (a frontier can
+    deprioritize fetching well-linked-but-noindexed URL families).
+    Composes robots_meta_flags (q267) with the link-edge relation
+    (q270's rel-aware edges are the natural feed).
+
+    Shape: per-page codegen flags + ONE partial-agg in-degree groupBy
+    on dst + a url-keyed left join — at 10^12 pages both sides are
+    url-bucketed; no windows."""
+    flags = robots_meta_flags(pages, html_col=html_col, id_col=url_col)
+    indeg = edges.groupBy(F.col(dst_col).alias(url_col)).agg(
+        F.count("*").cast("bigint").alias("n_inlinks")
+    )
+    return (
+        flags.join(indeg, url_col, "left")
+        .select(
+            url_col, "noindex",
+            F.coalesce("n_inlinks", F.lit(0)).cast("bigint")
+            .alias("n_inlinks"),
+            F.when(
+                (F.col("noindex") == 1)
+                & (F.coalesce("n_inlinks", F.lit(0)) > 0), 1
+            ).otherwise(0).cast("int").alias("wasted"),
+        )
+    )
+
+
+def title_duplication(pages: DataFrame, host_col: str = "host",
+                      title_col: str = "title") -> DataFrame:
+    """Per-host DUPLICATE-TITLE clusters: ``(host, title, n_pages,
+    is_dup)`` — the metadata-level template-farm signal (every page
+    of a scraped site shares one boilerplate title) and the classic
+    SEO duplicate-title audit row. Complements body-level template
+    detection (q94/q96): titles duplicate even when body text was
+    spun. One map-combined groupBy on the (host, title) key — at
+    10^12 pages the key is host-prefixed, co-locating with every
+    other host-bucketed rollup; no windows, no Python."""
+    return (
+        pages.groupBy(
+            F.col(host_col).alias("host"), F.col(title_col).alias("title")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+        .select(
+            "host", "title", "n_pages",
+            F.when(F.col("n_pages") > 1, 1).otherwise(0).cast("int")
+            .alias("is_dup"),
+        )
+    )
