@@ -17630,3 +17630,88 @@ def q322_title_duplication(spark, sf_dir):
     return title_duplication(
         d.select(host.alias("host"), title.alias("title"))
     )
+
+
+# --- wave: article completeness + sentence-level dedup (q323-q324) ------------
+
+
+@q(
+    "q323_article_completeness",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS has_title,
+      CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS has_date,
+      CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END AS has_author,
+      CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2
+        ELSE 0 END AS completeness
+    FROM documents
+    """,
+)
+def q323_article_completeness(spark, sf_dir):
+    """Article-metadata completeness card (operators/meta.py
+    article_completeness): title/date/author presence unified across
+    every structured-data channel the engine extracts — og/meta
+    (q268), JSON-LD (q269), microdata (q308), the publish-date
+    ladder incl. URL permalinks (q309). Fixture strata: fully-bylined
+    article (3/3), titled page with a microdata author but no date,
+    og-titled page dated only by its /YYYY/MM/ permalink, and a bare
+    shell (0/3). Codegen probes on one row; no shuffle."""
+    from .operators.meta import article_completeness
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.lit(
+            '<html><head><meta property="og:title" content="T">'
+            '<meta property="article:published_time" '
+            'content="2024-01-03T00:00:00Z">'
+            '<meta name="author" content="A"></head>'
+            "<body>x</body></html>"))
+        .when(m == 1, F.lit(
+            "<html><head><title>Doc</title></head><body>"
+            '<span itemprop="author">B</span></body></html>'))
+        .when(m == 2, F.lit(
+            '<html><head><meta property="og:title" content="T2">'
+            "</head><body>y</body></html>"))
+        .otherwise(F.lit("<html><body>shell</body></html>"))
+    )
+    url = F.when(
+        m == 2, F.concat(F.lit("https://a.example.com/2022/05/p-"), sid)
+    ).otherwise(F.concat(F.lit("https://a.example.com/p/"), sid))
+    return article_completeness(
+        d.select("doc_id", url.alias("url"), html.alias("html"))
+    )
+
+
+@q(
+    "q324_sentence_dedup",
+    """
+    SELECT doc_id,
+      CASE WHEN doc_id = 0
+        THEN 'Common intro here. Body 0 text.'
+        ELSE 'Body ' || CAST(doc_id AS VARCHAR) || ' text.' END
+        AS kept_text,
+      2 AS n_sentences,
+      CASE WHEN doc_id = 0 THEN 2 ELSE 1 END AS n_kept
+    FROM documents
+    """,
+)
+def q324_sentence_dedup(spark, sf_dir):
+    """Corpus-wide sentence-level dedup, keep-first (operators/
+    dedup.py dedup_sentences): every distinct sentence survives only
+    in its canonical document (global min (doc, idx) — an
+    aggregation, never a corpus sort), documents re-assembled in
+    original order. The C4 discipline at linguistic granularity,
+    composing the q310 segmentation with the exact-dedup canonical-
+    pick machinery. Fixture: every doc opens with one shared intro
+    sentence that only doc 0 may keep; the oracle states each
+    reassembled text closed-form."""
+    from .operators.dedup import dedup_sentences
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Common intro here. Body "), sid, F.lit(" text.")
+    )
+    return dedup_sentences(d.select("doc_id", text.alias("text")))

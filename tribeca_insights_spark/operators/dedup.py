@@ -2000,3 +2000,56 @@ def shared_quotes(df, id_col: str = "doc_id", text_col: str = "text",
         "quote", F.md5("quote").alias("quote_md5"),
         "n_docs", "n_occurrences", "sample_doc_id",
     )
+
+
+def dedup_sentences(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-wide SENTENCE-level dedup, keep-first (the C4 discipline
+    at sentence granularity — line dedup (q155) splits on newlines,
+    this splits on linguistic boundaries via
+    textstats.sentence_spans): each distinct sentence survives only
+    in its canonical document = global min (doc_id, sent_idx); every
+    other occurrence is excised and the document re-assembled in
+    original order. Output: (doc_id, kept_text, n_sentences, n_kept).
+
+    Shape: sentence explode (codegen) → ONE min(struct) partial agg
+    on the sentence key (md5 at 10^12 scale — same hashed-key regime
+    as exact-substring dedup) → equi-join back on (sentence, doc,
+    idx) → per-doc array_sort re-assembly. No windows over the
+    corpus, no all-pairs; the canonical pick is an aggregation, not
+    a sort."""
+    from pyspark.sql import functions as F
+
+    from .textstats import sentence_spans
+
+    sents = sentence_spans(df, id_col=id_col, text_col=text_col)
+    canon = sents.groupBy("sentence").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"),
+                     F.col("sent_idx").alias("x"))
+        ).alias("own")
+    )
+    marked = sents.join(canon, "sentence").select(
+        id_col, "sent_idx", "sentence",
+        F.when(
+            (F.col("own.i") == F.col(id_col))
+            & (F.col("own.x") == F.col("sent_idx")), 1
+        ).otherwise(0).alias("_keep"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep") == 1,
+                            F.struct("sent_idx", "sentence"),
+                        )
+                    )
+                ),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count("*").cast("int").alias("n_sentences"),
+        F.sum("_keep").cast("int").alias("n_kept"),
+    )
