@@ -54,3 +54,30 @@ def test_unpaginated_page(spark):
     assert (got["solo"]["next_url"], got["solo"]["prev_url"],
             got["solo"]["is_first"], got["solo"]["is_last"]) == (
         None, None, 1, 1)
+
+
+def test_page_roles_precedence(spark):
+    from tribeca_insights_spark.operators.meta import page_roles
+
+    rows = [
+        # redirect wins even with amp attribute
+        ("r", '<html amp><meta http-equiv="refresh" '
+              'content="0;url=https://x/n">'),
+        ("a", '<html amp><link rel="canonical" href="c">'),
+        # continuation wins over noindex
+        ("p2", '<link rel="prev" href="p1">'
+               '<meta name="robots" content="noindex">'),
+        ("n", '<meta name="robots" content="noindex">'),
+        ("c", "<body>plain</body>"),
+    ]
+    df = spark.createDataFrame(
+        [Row(url=u, html=h) for u, h in rows]
+    )
+    got = {r["url"]: r["role"] for r in page_roles(df).collect()}
+    assert got == {
+        "r": "redirect-shell",
+        "a": "amp-variant",
+        "p2": "pagination-continuation",
+        "n": "noindex",
+        "c": "content",
+    }

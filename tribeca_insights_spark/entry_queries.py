@@ -17715,3 +17715,60 @@ def q324_sentence_dedup(spark, sf_dir):
         F.lit("Common intro here. Body "), sid, F.lit(" text.")
     )
     return dedup_sentences(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: unified page-role taxonomy (q325) ----------------------------------
+
+
+@q(
+    "q325_page_roles",
+    """
+    SELECT 'https://r.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+      CASE doc_id % 5
+        WHEN 0 THEN 'redirect-shell'
+        WHEN 1 THEN 'amp-variant'
+        WHEN 2 THEN 'pagination-continuation'
+        WHEN 3 THEN 'noindex'
+        ELSE 'content'
+      END AS role
+    FROM documents
+    """,
+)
+def q325_page_roles(spark, sf_dir):
+    """Unified page-role taxonomy capstone (operators/meta.py
+    page_roles): one label per page from four audited channels with
+    declared precedence — redirect shells (q291) beat AMP variants
+    (q319) beat pagination continuations (q317) beat noindex (q267)
+    beat content. The single key a scheduler dedups fetches on and a
+    corpus builder filters on. The fixture seeds precedence
+    violations deliberately (the redirect page ALSO carries the amp
+    attribute; the continuation page is ALSO noindexed) so the
+    ladder's order is what the oracle checks, not just channel
+    presence. Three url-keyed left joins over per-page codegen
+    relations."""
+    from .operators.meta import page_roles
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    url = F.concat(F.lit("https://r.example.com/p"), sid)
+    html = (
+        F.when(m == 0, F.lit(
+            '<html amp><head><meta http-equiv="refresh" '
+            'content="0;url=https://r.example.com/new">'
+            "</head><body>moved</body></html>"))
+        .when(m == 1, F.concat(
+            F.lit('<html amp><head><link rel="canonical" '
+                  'href="https://r.example.com/c/'), sid,
+            F.lit('"></head><body>a</body></html>')))
+        .when(m == 2, F.concat(
+            F.lit('<html><head><link rel="prev" '
+                  'href="https://r.example.com/p0">'
+                  '<meta name="robots" content="noindex"></head>'
+                  "<body>page 2</body></html>")))
+        .when(m == 3, F.lit(
+            '<html><head><meta name="robots" content="noindex">'
+            "</head><body>hidden</body></html>"))
+        .otherwise(F.lit("<html><body>real content</body></html>"))
+    )
+    return page_roles(d.select(url.alias("url"), html.alias("html")))

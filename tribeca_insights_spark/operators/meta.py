@@ -958,3 +958,49 @@ def article_completeness(pages: DataFrame, id_col: str = "doc_id",
             .cast("int").alias("completeness"),
         )
     )
+
+
+def page_roles(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """Unified PAGE-ROLE taxonomy: ``(url, role)`` with role ∈
+    {'redirect-shell', 'amp-variant', 'pagination-continuation',
+    'noindex', 'content'} by declared precedence — the single label a
+    crawl scheduler and a corpus builder both key on. Precedence
+    (most-disqualifying first): a client-redirecting page is a shell
+    whatever else it claims; an AMP variant is a duplicate of its
+    canonical; a non-first paginated page is a continuation (fetch
+    with its chain, don't count as a document); a noindexed page is
+    excluded by site policy; everything else is content.
+
+    Composes four audited channels on one row: client_redirects
+    (q291), amp_pages (q319), pagination_audit (q317),
+    robots_meta_flags (q267). Each channel is codegen; the
+    composition is three url-keyed left joins against per-page
+    relations (url-bucketed co-location at scale), no windows."""
+    red = client_redirects(pages, id_col=url_col, html_col=html_col) \
+        .select(F.col(url_col).alias("url")).distinct() \
+        .withColumn("_redirect", F.lit(1))
+    amp = amp_pages(pages, url_col=url_col, html_col=html_col).select(
+        "url", F.col("is_amp").alias("_amp")
+    )
+    pag = pagination_audit(pages, url_col=url_col, html_col=html_col) \
+        .select("url", F.col("is_first").alias("_first"))
+    rob = robots_meta_flags(pages, html_col=html_col, id_col=url_col) \
+        .select(F.col(url_col).alias("url"),
+                F.col("noindex").alias("_noindex"))
+    base = pages.select(F.col(url_col).alias("url")).distinct()
+    j = (
+        base.join(red, "url", "left")
+        .join(amp, "url", "left")
+        .join(pag, "url", "left")
+        .join(rob, "url", "left")
+    )
+    return j.select(
+        "url",
+        F.when(F.col("_redirect") == 1, "redirect-shell")
+        .when(F.col("_amp") == 1, "amp-variant")
+        .when(F.coalesce("_first", F.lit(1)) == 0,
+              "pagination-continuation")
+        .when(F.col("_noindex") == 1, "noindex")
+        .otherwise("content").alias("role"),
+    )
