@@ -95,3 +95,8 @@ def test_psl_plan_no_page_shuffle(spark):
     df = spark.createDataFrame([Row(host="a.example.com")])
     plan = registrable_domains(df)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_surt_ipv6_literal_untouched(spark):
+    # IPv6 authorities have no dot hierarchy to reverse
+    assert _surt(spark, "http://[::1]:8080/p") == "[::1]:8080)/p"

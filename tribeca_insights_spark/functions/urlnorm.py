@@ -299,8 +299,14 @@ def surt_key(url, strip_www: bool = True, sort_query: bool = True):
     # ("com,example,a:8080)") so they never pollute the TLD-first prefix
     host_only = F.regexp_replace(authority, r":[0-9]+$", "")
     port = F.regexp_extract(authority, r"(:[0-9]+)$", 1)
-    rev_host = F.concat(
-        F.array_join(F.reverse(F.split(host_only, r"\.")), ","), port
+    # IPv6 literals ([::1]) have no dot hierarchy — reversing their
+    # colon-groups would corrupt the address; keep them verbatim
+    rev_host = F.when(
+        authority.startswith("["), authority
+    ).otherwise(
+        F.concat(
+            F.array_join(F.reverse(F.split(host_only, r"\.")), ","), port
+        )
     )
     no_frag = F.regexp_replace(u, r"#.*$", "")
     rest = F.regexp_extract(
