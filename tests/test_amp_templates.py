@@ -60,3 +60,25 @@ def test_clean_text_with_decoys(spark):
     assert r["leaky"] == 0
     assert (r["n_mustache"], r["n_erb"], r["n_jinja_tags"], r["n_php"]) == (
         0, 0, 0, 0)
+
+
+def test_error_leak_families(spark):
+    from tribeca_insights_spark.operators.textstats import error_leak_audit
+
+    rows = [
+        (1, "PHP Warning: include() failed"),
+        (2, 'Traceback (most recent call last):\n  File "x.py", line 9'),
+        (3, 'Exception in thread "main" X\n  at a.b.C.d(C.java:1)'),
+        (4, "SQLSTATE[42000] syntax error"),
+        (5, "discussing a warning about errors in prose"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+    got = {r["doc_id"]: r.asDict() for r in error_leak_audit(df).collect()}
+    assert got[1]["n_php"] == 1 and got[1]["leaky"] == 1
+    assert got[2]["n_traceback"] == 2
+    assert got[3]["n_java"] == 2
+    assert got[4]["n_sql"] == 1
+    assert got[5] == {"doc_id": 5, "n_php": 0, "n_traceback": 0,
+                      "n_java": 0, "n_sql": 0, "leaky": 0}

@@ -17772,3 +17772,93 @@ def q325_page_roles(spark, sf_dir):
         .otherwise(F.lit("<html><body>real content</body></html>"))
     )
     return page_roles(d.select(url.alias("url"), html.alias("html")))
+
+
+# --- wave: image-sharing similarity + error-leak audit (q326-q327) ------------
+
+
+@q(
+    "q326_host_image_sharing",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 8 AS VARCHAR) AS src,
+             'img' || CAST(doc_id % 16 AS VARCHAR) AS dst
+      FROM documents
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+    p AS (
+      SELECT a.src AS host_a, b.src AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT p.host_a, p.host_b, p.n_shared, da.d AS n_a, db.d AS n_b,
+           CAST(1000000 * p.n_shared // (da.d + db.d - p.n_shared)
+                AS BIGINT) AS jaccard_micros
+    FROM p
+    JOIN deg da ON da.src = p.host_a
+    JOIN deg db ON db.src = p.host_b
+    """,
+)
+def q326_host_image_sharing(spark, sf_dir):
+    """Host IMAGE-sharing similarity: host_cocitation (q313) applied
+    to the (host, image-fingerprint) relation instead of outlink
+    edges — hosts serving overlapping image sets are mirrors,
+    white-label affiliates or template farms even when their text was
+    rewritten AND their outlinks differ. Demonstrates the operator's
+    generality: the inverted-index pair join is payload-agnostic
+    (dHash values from q105/q277 are the production feed; the fixture
+    uses deterministic fingerprint ids). Oracle replays the identical
+    algebra."""
+    from .operators.linkgraph import host_cocitation
+
+    d = _read(spark, sf_dir, "documents")
+    e = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("img"), (F.col("doc_id") % 16).cast("string"))
+        .alias("dst_host"),
+    )
+    return host_cocitation(e)
+
+
+@q(
+    "q327_error_leaks",
+    """
+    SELECT doc_id,
+      CASE doc_id % 5 WHEN 0 THEN 1 ELSE 0 END AS n_php,
+      CASE doc_id % 5 WHEN 1 THEN 2 ELSE 0 END AS n_traceback,
+      CASE doc_id % 5 WHEN 2 THEN 2 ELSE 0 END AS n_java,
+      CASE doc_id % 5 WHEN 3 THEN 1 ELSE 0 END AS n_sql,
+      CASE WHEN doc_id % 5 IN (0, 1, 2, 3) THEN 1 ELSE 0 END AS leaky
+    FROM documents
+    """,
+)
+def q327_error_leaks(spark, sf_dir):
+    """Server-error leak audit — soft-500 detection (operators/
+    textstats.py error_leak_audit): PHP warnings, Python tracebacks,
+    JVM stack frames and SQL errors served as page text. The sibling
+    of q320 (unrendered templates) and q191 (soft-404): error pages
+    return 200 and poison a corpus with path/version strings.
+    Fixture strata carry one leak family each (the traceback stratum
+    counts both the header and a File line; the Java stratum an
+    'at ...' frame plus the thread banner), last stratum clean prose
+    with decoy words. Codegen regexp counts, zero shuffle."""
+    from .operators.textstats import error_leak_audit
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    text = (
+        F.when(m == 0, F.lit(
+            "PHP Fatal error: Uncaught Error in /var/www/app.php"))
+        .when(m == 1, F.lit(
+            'Traceback (most recent call last): File "app.py", line 3'))
+        .when(m == 2, F.lit(
+            'Exception in thread "main" java.lang.NullPointerException\n'
+            "  at com.example.App.run(App.java:42)"))
+        .when(m == 3, F.lit(
+            "You have an error in your SQL syntax near SELECT"))
+        .otherwise(F.lit(
+            "a clean page discussing error handling and warnings"))
+    )
+    return error_leak_audit(d.select("doc_id", text.alias("text")))

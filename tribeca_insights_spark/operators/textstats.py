@@ -2404,3 +2404,47 @@ def template_leak_audit(df: DataFrame, id_col: str = "doc_id",
             n_mustache + n_erb + n_jinja + n_php > 0, 1
         ).otherwise(0).cast("int").alias("leaky"),
     )
+
+
+def error_leak_audit(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """SERVER-ERROR leak audit — soft-500 detection: ``(id, n_php,
+    n_traceback, n_java, n_sql, leaky)`` counting the four dominant
+    error-output families served as page text: PHP warnings/fatals,
+    Python tracebacks, Java/JVM stack-trace frames, SQL error
+    strings. The sibling of the template-leak audit (q320) and the
+    soft-404 detector (q191): a 200-status page whose "prose" is a
+    stack trace is corpus poison, and sitewide leakage marks a broken
+    origin for the q300 health card (plus an operational-exposure
+    signal — leaked traces reveal paths and versions). Four codegen
+    regexp counts; zero shuffle, zero Python."""
+    t = F.col(text_col)
+
+    def _n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("int")
+
+    n_php = _n(
+        r"(?i)(PHP (Warning|Notice|Fatal error|Parse error):|"
+        r"Warning: \w+\(\) expects)"
+    )
+    n_tb = _n(
+        r"(Traceback \(most recent call last\):|"
+        r'File "[^"]+", line \d+)'
+    )
+    n_java = _n(
+        r"(?m)(^\s*at [\w.$]+\([\w.]+:\d+\)|"
+        r"Exception in thread \"[^\"]+\")"
+    )
+    n_sql = _n(
+        r"(?i)(You have an error in your SQL syntax|"
+        r"ORA-\d{5}|SQLSTATE\[\w+\])"
+    )
+    return df.select(
+        F.col(id_col),
+        n_php.alias("n_php"),
+        n_tb.alias("n_traceback"),
+        n_java.alias("n_java"),
+        n_sql.alias("n_sql"),
+        F.when(n_php + n_tb + n_java + n_sql > 0, 1).otherwise(0)
+        .cast("int").alias("leaky"),
+    )
