@@ -17862,3 +17862,56 @@ def q327_error_leaks(spark, sf_dir):
             "a clean page discussing error handling and warnings"))
     )
     return error_leak_audit(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: change-rate recrawl scheduling (q328) ------------------------------
+
+
+@q(
+    "q328_change_rate_schedule",
+    """
+    SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+           4 AS n_captures,
+           CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+             AS n_changes,
+           CAST(259200 AS BIGINT) AS span_s,
+           CASE doc_id % 3 WHEN 0 THEN CAST(1000000 AS BIGINT)
+             WHEN 1 THEN CAST(333333 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS lambda_micros_per_day,
+           CASE doc_id % 3 WHEN 0 THEN CAST(750000 AS BIGINT)
+             WHEN 1 THEN CAST(1500000 AS BIGINT)
+             ELSE CAST(3000000 AS BIGINT) END AS revisit_days_micros
+    FROM documents
+    """,
+)
+def q328_change_rate_schedule(spark, sf_dir):
+    """Change-rate estimation → adaptive revisit scheduling (plans/
+    snapshot.py change_rate_schedule; Cho & Garcia-Molina TOIT'03):
+    per-url Poisson-rate estimate from the full capture history and a
+    proportional revisit period — the observed-behavior side the
+    scheduler reconciles against q283's publisher-declared TTLs, and
+    the whole-history upgrade of q95's last-delta ranking. Fixture:
+    4 daily captures per url with always/once/never-changing hash
+    strata; every rate and period stated closed-form in exact integer
+    micros. One bounded url-partitioned lag window + one partial-agg
+    groupBy."""
+    from .plans.snapshot import change_rate_schedule
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    caps = d.select(
+        F.concat(F.lit("u"), sid).alias("url"),
+        m.alias("_m"),
+        F.posexplode(
+            F.array(*[F.lit(f"2026-01-0{k} 00:00:00") for k in (1, 2, 3, 4)])
+        ).alias("_k", "_ts"),
+    ).select(
+        "url",
+        F.to_timestamp("_ts").alias("warc_ts"),
+        F.when(F.col("_m") == 0, F.concat(F.lit("h"), F.col("_k")))
+        .when(F.col("_m") == 1,
+              F.when(F.col("_k") < 2, F.lit("h0")).otherwise(F.lit("h1")))
+        .otherwise(F.lit("h0")).alias("content_hash"),
+    )
+    return change_rate_schedule(caps)

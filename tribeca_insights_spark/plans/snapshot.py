@@ -152,3 +152,65 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def change_rate_schedule(captures: DataFrame, url_col: str = "url",
+                         ts_col: str = "warc_ts",
+                         hash_col: str = "content_hash") -> DataFrame:
+    """CHANGE-RATE estimation over capture history → revisit schedule
+    (Cho & Garcia-Molina, "Estimating frequency of change", TOIT
+    2003 — the published model behind adaptive recrawl): per url,
+    ``(url, n_captures, n_changes, span_s, lambda_micros_per_day,
+    revisit_days_micros)`` where a "change" is a capture whose
+    content hash differs from the previous capture's,
+    ``lambda = changes / span`` is the naive Poisson-rate estimate in
+    changes-per-day micros, and ``revisit = span / (changes+1)`` days
+    — proportional-to-period scheduling: a page that changed at every
+    observation gets revisited at the observation granularity, a
+    static page backs off to its full observed span. (The paper's
+    bias-corrected ``-ln(1 - X/n)·n/T`` refinement is a documented
+    swap; the naive ratio keeps every value exact-integer so the
+    oracle is closed-form at any SF.)
+
+    Complements q95 (recrawl_priority ranks by LAST delta; this
+    estimates the underlying rate from the WHOLE history) and q283
+    (publisher-declared TTLs; this is the observed-behavior side the
+    scheduler reconciles declared TTLs against).
+
+    Shape: ONE url-partitioned lag window (bounded — captures per
+    url, never corpus-wide) + one partial-agg groupBy on url. At
+    10^12 captures both are url-bucketed, co-located with the CDX
+    store's SURT layout (q305)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    marked = captures.select(
+        F.col(url_col),
+        F.col(ts_col),
+        F.when(
+            F.lag(hash_col).over(w).isNotNull()
+            & (F.col(hash_col) != F.lag(hash_col).over(w)), 1
+        ).otherwise(0).alias("_chg"),
+    )
+    agg = marked.groupBy(url_col).agg(
+        F.count("*").cast("int").alias("n_captures"),
+        F.sum("_chg").cast("int").alias("n_changes"),
+        (F.unix_timestamp(F.max(ts_col))
+         - F.unix_timestamp(F.min(ts_col))).cast("bigint").alias("span_s"),
+    )
+    day = 86_400
+    return agg.select(
+        url_col, "n_captures", "n_changes", "span_s",
+        F.when(
+            F.col("span_s") > 0,
+            F.expr(f"1000000L * {day}L * n_changes div span_s"),
+        ).otherwise(F.lit(0)).cast("bigint")
+        .alias("lambda_micros_per_day"),
+        F.when(
+            F.col("span_s") > 0,
+            F.expr(
+                f"1000000L * span_s div ({day}L * (n_changes + 1))"
+            ),
+        ).otherwise(F.lit(0)).cast("bigint")
+        .alias("revisit_days_micros"),
+    )
