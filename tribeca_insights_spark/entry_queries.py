@@ -17915,3 +17915,94 @@ def q328_change_rate_schedule(spark, sf_dir):
         .otherwise(F.lit("h0")).alias("content_hash"),
     )
     return change_rate_schedule(caps)
+
+
+# --- wave: BM25F fielded ranking (q329) ---------------------------------------
+
+
+@q(
+    "q329_bm25f_topk",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+    f AS (
+      SELECT doc_id, 'title' AS field,
+        CASE m WHEN 0 THEN 'spark shuffle guide'
+          WHEN 1 THEN 'cooking tips today'
+          WHEN 2 THEN 'spark basics' ELSE 'misc notes' END AS txt,
+        2.0 AS w, 0.5 AS b FROM d
+      UNION ALL
+      SELECT doc_id, 'text',
+        CASE m WHEN 0 THEN 'partition notes more'
+          WHEN 1 THEN 'shuffle shuffle spark details'
+          WHEN 2 THEN 'random words only here'
+          ELSE 'spark appears once' END,
+        1.0, 0.75 FROM d
+    ),
+    tok AS (SELECT doc_id, field, w, b,
+                   list_filter(string_split(txt, ' '),
+                               x -> length(x) > 0) AS t
+            FROM f),
+    stats AS (SELECT field, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(len(t)) AS BIGINT) AS sumdl
+              FROM tok GROUP BY field),
+    hits AS (SELECT doc_id, field, w, b, CAST(len(t) AS BIGINT) AS dl,
+                    unnest(list_filter(t,
+                      x -> x IN ('spark', 'shuffle'))) AS term
+             FROM tok),
+    tf AS (SELECT doc_id, field, term, any_value(w) AS w,
+                  any_value(b) AS b, CAST(count(*) AS BIGINT) AS tf,
+                  min(dl) AS dl
+           FROM hits GROUP BY doc_id, field, term),
+    dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM hits GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+    tft AS (
+      SELECT doc_id, term,
+             sum((w * CAST(tf AS DOUBLE))
+                 / (1.0 - b + b * (CAST(dl AS DOUBLE)
+                      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               AS tft
+      FROM tf JOIN stats USING (field) GROUP BY doc_id, term
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(floor(1e6 * ln((ndocs - df + 0.5) / (df + 0.5) + 1.0)
+                  * (tft / (1.2 + tft))) AS BIGINT) AS c
+      FROM tft JOIN dft USING (term), nd
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micros,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_micros DESC, doc_id LIMIT 20
+    """,
+)
+def q329_bm25f_topk(spark, sf_dir):
+    """BM25F fielded ranking (operators/retrieval.py bm25f_topk;
+    Robertson & Zaragoza simple-BM25F) for query (spark, shuffle)
+    over title (w=2, b=0.5) + body (w=1, b=0.75): per-field
+    normalized term frequencies SUM into one pseudo-frequency scored
+    once per term — a title hit outweighs a body hit without
+    double-counting idf, the reason fielded BM25 beats adding two
+    BM25s. Fixture strata give title-only, body-heavy, title-partial
+    and body-single hits so field weighting visibly reorders the
+    ranking vs q114's flat scoring. Oracle replays the full fielded
+    pipeline; integer-micros contributions keep per-doc sums
+    order-free, top-k plans as TakeOrderedAndProject."""
+    from .operators.retrieval import bm25f_topk
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    title = (
+        F.when(m == 0, F.lit("spark shuffle guide"))
+        .when(m == 1, F.lit("cooking tips today"))
+        .when(m == 2, F.lit("spark basics"))
+        .otherwise(F.lit("misc notes"))
+    )
+    body = (
+        F.when(m == 0, F.lit("partition notes more"))
+        .when(m == 1, F.lit("shuffle shuffle spark details"))
+        .when(m == 2, F.lit("random words only here"))
+        .otherwise(F.lit("spark appears once"))
+    )
+    docs = d.select("doc_id", title.alias("title"), body.alias("text"))
+    return bm25f_topk(docs, ["spark", "shuffle"])

@@ -321,3 +321,124 @@ def ranking_metrics(
             ).alias("ndcg_micros"),
         )
     )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, tuple[float, float]] | None = None,
+    k1: float = 1.2,
+    topk: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F fielded ranking (Robertson & Zaragoza's simple-BM25F —
+    the web-search standard where a title hit outweighs a body hit
+    WITHOUT double-counting idf): ``fields`` maps column → (weight
+    w_f, length-norm b_f); per-field normalized term frequencies
+
+        tfn_f(d,t) = w_f · tf_f / (1 − b_f + b_f · dl_f/avgdl_f)
+
+    are SUMMED across fields into one pseudo-frequency, then scored
+    once per term: ``score = Σ_t floor(1e6 · idf(t) ·
+    tfn/(k1+tfn))`` with the Lucene idf over documents matching in
+    ANY field. Anchor-text ranking (q85/q260) plugs in as a third
+    field — the Robertson AND-of-fields insight is exactly why
+    anchors shouldn't be scored as a separate BM25 and added.
+
+    Shape: per-field hit streams (query-filtered BEFORE the explode,
+    hit stream ≪ token stream) union → one (doc, field, term) partial
+    agg → per-field 1-row avgdl dims broadcast → per-(doc,term) sum →
+    per-doc sum; top-k plans as TakeOrderedAndProject, never a global
+    sort. Integer-micros contributions keep the per-doc sum
+    aggregation-order-free (q114 discipline)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if fields is None:
+        fields = {"title": (2.0, 0.5), "text": (1.0, 0.75)}
+
+    hit_parts = []
+    len_parts = []
+    for col, (_w, _b) in fields.items():
+        toks = F.filter(F.split(F.col(col), " "),
+                        lambda w: F.length(w) > 0)
+        base = docs.select(F.col(id_col).alias("doc_id"),
+                           toks.alias("_t"))
+        len_parts.append(base.select(
+            F.lit(col).alias("field"),
+            F.size("_t").cast("long").alias("dl"),
+        ))
+        hit_parts.append(base.select(
+            "doc_id",
+            F.lit(col).alias("field"),
+            F.size("_t").cast("long").alias("dl"),
+            F.explode(
+                F.filter(F.col("_t"), lambda w: w.isin(*query_terms))
+            ).alias("term"),
+        ))
+    hits = hit_parts[0]
+    for p in hit_parts[1:]:
+        hits = hits.unionByName(p)
+    lens = len_parts[0]
+    for p in len_parts[1:]:
+        lens = lens.unionByName(p)
+
+    # per-field corpus stats: |fields|-row dim, broadcast
+    stats = lens.groupBy("field").agg(
+        F.count("*").alias("_n"), F.sum("dl").alias("_sumdl")
+    )
+    tf = hits.groupBy("doc_id", "field", "term").agg(
+        F.count("*").alias("_tf"), F.first("dl").alias("dl")
+    )
+    df_t = (
+        hits.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("_df"))
+    )
+    n_docs = docs.select(F.count("*").alias("_nd"))
+
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    w_expr = None
+    b_expr = None
+    for col, (w_f, b_f) in fields.items():
+        w_expr = (F.when(F.col("field") == col, F.lit(float(w_f)))
+                  if w_expr is None
+                  else w_expr.when(F.col("field") == col,
+                                   F.lit(float(w_f))))
+        b_expr = (F.when(F.col("field") == col, F.lit(float(b_f)))
+                  if b_expr is None
+                  else b_expr.when(F.col("field") == col,
+                                   F.lit(float(b_f))))
+    tfn = (w_expr * F.col("_tf").cast("double")) / (
+        F.lit(1.0) - b_expr
+        + b_expr * (F.col("dl").cast("double") / avgdl)
+    )
+    per_term = (
+        tf.join(F.broadcast(stats), "field")
+        .select("doc_id", "term", tfn.alias("_tfn"))
+        .groupBy("doc_id", "term")
+        .agg(F.sum("_tfn").alias("_tft"))
+    )
+    idf = F.log(
+        (F.col("_nd") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        per_term.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1e6) * idf
+                * (F.col("_tft") / (F.lit(float(k1)) + F.col("_tft")))
+            ).cast("bigint").alias("_c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("_c").cast("bigint").alias("score_micros"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(int(topk))
+    )
