@@ -18006,3 +18006,70 @@ def q329_bm25f_topk(spark, sf_dir):
     )
     docs = d.select("doc_id", title.alias("title"), body.alias("text"))
     return bm25f_topk(docs, ["spark", "shuffle"])
+
+
+# --- wave: declared-vs-observed change-rate calibration (q330) ----------------
+
+
+@q(
+    "q330_changefreq_calibration",
+    """
+    SELECT 'daily' AS changefreq,
+           (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+             AS n_urls,
+           CAST(1000000 AS BIGINT) AS mean_lambda_micros
+    UNION ALL
+    SELECT 'weekly',
+           (SELECT count(*) FROM documents WHERE doc_id % 3 = 1),
+           CAST(333333 AS BIGINT)
+    UNION ALL
+    SELECT 'never',
+           (SELECT count(*) FROM documents WHERE doc_id % 3 = 2),
+           CAST(0 AS BIGINT)
+    """,
+)
+def q330_changefreq_calibration(spark, sf_dir):
+    """Declared-vs-observed change-rate calibration: sitemap
+    changefreq declarations (q288's channel) joined against the
+    observed Poisson rates from capture history (q328) and rolled up
+    per declared class — the data-quality question every adaptive
+    scheduler must answer before trusting publisher hints ('do
+    daily-declared pages actually change daily?'). Fixture ties each
+    declared class to a distinct observed-rate stratum so the
+    calibration table is closed-form; in production the interesting
+    rows are the miscalibrated ones. One url-keyed join + one
+    partial-agg groupBy on the tiny changefreq key."""
+    from .plans.snapshot import change_rate_schedule
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    caps = d.select(
+        F.concat(F.lit("u"), sid).alias("url"),
+        m.alias("_m"),
+        F.posexplode(
+            F.array(*[F.lit(f"2026-01-0{k} 00:00:00") for k in (1, 2, 3, 4)])
+        ).alias("_k", "_ts"),
+    ).select(
+        "url",
+        F.to_timestamp("_ts").alias("warc_ts"),
+        F.when(F.col("_m") == 0, F.concat(F.lit("h"), F.col("_k")))
+        .when(F.col("_m") == 1,
+              F.when(F.col("_k") < 2, F.lit("h0")).otherwise(F.lit("h1")))
+        .otherwise(F.lit("h0")).alias("content_hash"),
+    )
+    rates = change_rate_schedule(caps)
+    declared = d.select(
+        F.concat(F.lit("u"), sid).alias("url"),
+        F.when(m == 0, "daily").when(m == 1, "weekly")
+        .otherwise("never").alias("changefreq"),
+    )
+    return (
+        rates.join(declared, "url")
+        .groupBy("changefreq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.floor(F.avg("lambda_micros_per_day")).cast("bigint")
+            .alias("mean_lambda_micros"),
+        )
+    )
