@@ -18073,3 +18073,45 @@ def q330_changefreq_calibration(spark, sf_dir):
             .alias("mean_lambda_micros"),
         )
     )
+
+
+# --- wave: Misra-Gries heavy hitters (q331) -----------------------------------
+
+
+@q(
+    "q331_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)) AS item
+      FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM t),
+    c AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM t
+          GROUP BY item)
+    SELECT item, c.n,
+           CAST(1000000 * c.n // total_n AS BIGINT) AS share_micros
+    FROM c, tot WHERE 1000000 * c.n > 20000 * total_n
+    """,
+)
+def q331_heavy_hitters(spark, sf_dir):
+    """φ-heavy hitters via per-partition Misra-Gries + exact
+    verification (operators/sketches.py heavy_hitters_mg; MG'82,
+    mergeability per Agarwal PODS'12): all tokens above 2% corpus
+    share over the REAL documents token stream. The two-pass shape —
+    bounded per-partition summaries (pigeonhole superset guarantee)
+    then a broadcast-candidate exact recount — is how heavy hitters
+    are actually computed at 10^12 rows where a raw-vocabulary
+    groupBy is the bottleneck; the exact second pass is also why the
+    oracle is plain closed-form SQL. Deterministic under any
+    partitioning by construction (pinned in pytest by comparing
+    repartitioned runs)."""
+    from .operators.sketches import heavy_hitters_mg
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("token")
+    )
+    return heavy_hitters_mg(toks, "token", phi_micros=20_000)

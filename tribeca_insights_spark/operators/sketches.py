@@ -419,3 +419,75 @@ def bottomk_jaccard(sketch: DataFrame, k: int = 32) -> DataFrame:
             ).alias("jaccard_micros"),
         )
     )
+
+
+def heavy_hitters_mg(df: DataFrame, key_col: str,
+                     phi_micros: int = 10_000) -> DataFrame:
+    """φ-HEAVY HITTERS via per-partition Misra-Gries summaries + an
+    exact verification pass (Misra & Gries 1982; the merge argument
+    is Agarwal et al. PODS'12): every item whose global frequency
+    exceeds ``φ·N`` (φ in micros: 10_000 = 1%) — EXACTLY, with NO
+    false positives or negatives. Output: ``(item, n,
+    share_micros)``.
+
+    Why the sketch matters at 10^12 rows: a plain groupBy on the raw
+    key materializes the full vocabulary (billions of groups); the
+    MG pass keeps ≤ ⌈1/φ⌉ counters PER PARTITION and — by pigeonhole
+    — an item with global count > φ·ΣN_p must exceed φ·N_p on at
+    least one partition, so the union of partition summaries is a
+    guaranteed SUPERSET of the true heavy hitters. The second pass
+    recounts only that candidate set (broadcast semi-join → one
+    small groupBy), so the exact threshold filter makes the final
+    answer sketch-free — which is also why the ORACLE is closed-form
+    (plain exact SQL) while the distributed machinery is the sketch.
+    Deterministic under any partitioning by construction.
+
+    Python touches rows once, Arrow-batched (mapInPandas with
+    per-partition state); everything after is broadcast join +
+    partial agg.
+    """
+    if not 0 < phi_micros <= 1_000_000:
+        raise ValueError("phi_micros must be in (0, 1e6]")
+    cap = (1_000_000 + phi_micros - 1) // phi_micros  # ceil(1/phi)
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[pdf.columns[0]]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    dead = [k for k in counters
+                            if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    src = df.select(F.col(key_col).alias("item"))
+    cands = (
+        src.mapInPandas(_mg, "item string").distinct()
+    )
+    # total rides as a broadcast 1-row scalar — no separate driver
+    # action, the whole operator stays ONE lazy plan
+    totals = src.agg(F.count("*").cast("bigint").alias("_N"))
+    exact = (
+        src.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.lit(1_000_000) * F.col("n") > F.lit(phi_micros) * F.col("_N")
+        )
+    )
+    return exact.select(
+        "item", "n",
+        F.expr("1000000L * n div _N").alias("share_micros"),
+    )
