@@ -18115,3 +18115,112 @@ def q331_heavy_hitters(spark, sf_dir):
         ).alias("token")
     )
     return heavy_hitters_mg(toks, "token", phi_micros=20_000)
+
+
+# --- wave: non-content families + articleBody cross-check (q332-q333) ---------
+
+
+@q(
+    "q332_noncontent_flags",
+    """
+    SELECT doc_id,
+      CASE doc_id % 5 WHEN 0 THEN 1 ELSE 0 END AS parked,
+      CASE doc_id % 5 WHEN 1 THEN 1 ELSE 0 END AS consent_wall,
+      CASE doc_id % 5 WHEN 2 THEN 1 ELSE 0 END AS under_construction,
+      CASE doc_id % 5 WHEN 3 THEN 1 ELSE 0 END AS paywall_hint,
+      CASE WHEN doc_id % 5 IN (0, 1, 2, 3) THEN 1 ELSE 0 END
+        AS n_families
+    FROM documents
+    """,
+)
+def q332_noncontent_flags(spark, sf_dir):
+    """Non-content page-family flags (operators/textstats.py
+    noncontent_page_flags): registrar parking landers, cookie-consent
+    interstitials, under-construction placeholders, paywall stubs —
+    the four remaining systematic junk families after soft-404
+    (q191), soft-500 (q327) and template leaks (q320), each a
+    production corpus-exclusion rule. Fixture: one family per
+    stratum (two phrases of the same family must count ONCE in
+    n_families) and clean prose whose lone word 'cookies' must not
+    trip the consent pattern. Codegen rlike probes, zero shuffle."""
+    from .operators.textstats import noncontent_page_flags
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    text = (
+        F.when(m == 0, F.lit(
+            "This domain is for sale. Contact the broker today."))
+        .when(m == 1, F.lit(
+            "We use cookies. Accept all cookies to proceed."))
+        .when(m == 2, F.lit("Site under construction, coming soon."))
+        .when(m == 3, F.lit("Subscribe to continue reading this story."))
+        .otherwise(F.lit(
+            "ordinary prose about baking biscuits and cookies recipes"))
+    )
+    return noncontent_page_flags(d.select("doc_id", text.alias("text")))
+
+
+@q(
+    "q333_articlebody_crosscheck",
+    """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 1 THEN 0 ELSE 1 END AS has_articlebody,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST(length(
+          'full article body text with every sentence present here')
+          AS INT)
+        WHEN 2 THEN CAST(length('teaser only') AS INT)
+        ELSE NULL END AS body_len,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST(length('full article body text') AS INT)
+        WHEN 1 THEN CAST(length('standalone extracted text') AS INT)
+        ELSE CAST(length(
+          'teaser only plus navigation junk appended') AS INT)
+      END AS extracted_len,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST(1000000 * length('full article body text')
+          // length(
+          'full article body text with every sentence present here')
+          AS BIGINT)
+        WHEN 2 THEN CAST(1000000 *
+          length('teaser only plus navigation junk appended')
+          // length('teaser only') AS BIGINT)
+        ELSE NULL END AS len_ratio_micros
+    FROM documents
+    """,
+)
+def q333_articlebody_crosscheck(spark, sf_dir):
+    """JSON-LD articleBody extraction cross-check (operators/meta.py
+    jsonld_article_body): publishers who embed the full article text
+    in NewsArticle markup supply a per-page reference for the DOM
+    extractor — ratio ≪ 1 means over-stripping, ratio ≫ 1 means the
+    markup serves a teaser (paywall stub, composing with q332). The
+    fixture covers both directions plus the no-markup NULL row, and
+    the oracle states lengths/ratios via length() of the same
+    literals — no magic numbers. Codegen regexp pull + exact integer
+    division."""
+    from .operators.meta import jsonld_article_body
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    body = (
+        F.when(m == 0, F.lit(
+            "full article body text with every sentence present here"))
+        .when(m == 2, F.lit("teaser only"))
+    )
+    html = F.when(
+        m != 1,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"NewsArticle","articleBody":"'),
+            body, F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit("<html><body>no jsonld</body></html>"))
+    text = (
+        F.when(m == 0, F.lit("full article body text"))
+        .when(m == 1, F.lit("standalone extracted text"))
+        .otherwise(F.lit("teaser only plus navigation junk appended"))
+    )
+    return jsonld_article_body(
+        d.select("doc_id", html.alias("html"), text.alias("text"))
+    )

@@ -1004,3 +1004,41 @@ def page_roles(pages: DataFrame, url_col: str = "url",
         .when(F.col("_noindex") == 1, "noindex")
         .otherwise("content").alias("role"),
     )
+
+
+def jsonld_article_body(pages: DataFrame, id_col: str = "doc_id",
+                        html_col: str = "html",
+                        text_col: str = "text") -> DataFrame:
+    """JSON-LD ``articleBody`` as an extraction CROSS-CHECK channel:
+    ``(id, has_articlebody, body_len, extracted_len,
+    len_ratio_micros)`` — news publishers embed the full article
+    text in their NewsArticle JSON-LD, which gives a per-page
+    ground-truth-ish reference for the DOM extractor: a much longer
+    articleBody than extracted text means the extractor dropped
+    content (over-aggressive boilerplate stripping); a much shorter
+    one means the page serves a teaser in markup (paywall stub,
+    composing with q332's paywall_hint). ratio = floor(1e6 ·
+    extracted/body), NULL when no articleBody. The extraction-eval
+    composition next to q259's golden fixtures — this one needs no
+    fixtures, the web supplies the reference. Codegen regexp pull +
+    length arithmetic; zero shuffle."""
+    h = F.col(html_col).cast("string")
+    body = F.regexp_extract(h, r'"articleBody"\s*:\s*"([^"]*)"', 1)
+    has = F.when(body != "", 1).otherwise(0)
+    staged = pages.select(
+        F.col(id_col),
+        has.cast("int").alias("has_articlebody"),
+        F.length(body).cast("long").alias("_blen"),
+        F.length(F.col(text_col)).cast("long").alias("_elen"),
+    )
+    return staged.select(
+        id_col,
+        "has_articlebody",
+        F.when(F.col("has_articlebody") == 1, F.col("_blen"))
+        .cast("int").alias("body_len"),
+        F.col("_elen").cast("int").alias("extracted_len"),
+        F.when(
+            (F.col("has_articlebody") == 1) & (F.col("_blen") > 0),
+            F.expr("1000000L * _elen div _blen"),
+        ).cast("bigint").alias("len_ratio_micros"),
+    )

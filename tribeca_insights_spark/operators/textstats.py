@@ -2448,3 +2448,51 @@ def error_leak_audit(df: DataFrame, id_col: str = "doc_id",
         F.when(n_php + n_tb + n_java + n_sql > 0, 1).otherwise(0)
         .cast("int").alias("leaky"),
     )
+
+
+def noncontent_page_flags(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """NON-CONTENT page-family flags: ``(id, parked, consent_wall,
+    under_construction, paywall_hint, n_families)`` — the four
+    remaining systematic junk families after soft-404 (q191),
+    soft-500 (q327) and template leaks (q320): registrar parking
+    landers ('this domain is for sale'), cookie-consent interstitials
+    served as the whole document, 'under construction' placeholders,
+    and paywall stubs ('subscribe to continue reading') whose visible
+    text is a teaser, not the article. Every family is a
+    corpus-exclusion rule in production web pipelines; the per-host
+    rate of each feeds the q300 health card. Flags are pattern-based
+    and case-insensitive; ``n_families`` counts distinct families
+    hit (a consent phrase on a real article page is fine — callers
+    gate on n_words, composing with q26's quality scores).
+    Codegen regexp probes; zero shuffle, zero Python."""
+    t = F.col(text_col)
+
+    def _has(pat):
+        return F.when(t.rlike(pat), 1).otherwise(0)
+
+    parked = _has(
+        r"(?i)(this domain (is|may be) for sale|buy this domain|"
+        r"domain parking|parked free|registrar placeholder)"
+    )
+    consent = _has(
+        r"(?i)(accept all cookies|we use cookies|manage cookie "
+        r"(settings|preferences)|consent to (the use of )?cookies)"
+    )
+    constr = _has(
+        r"(?i)(under construction|coming soon|site is being built)"
+    )
+    paywall = _has(
+        r"(?i)(subscribe to continue|to continue reading|"
+        r"already a subscriber|this (article|content) is for "
+        r"subscribers)"
+    )
+    return df.select(
+        F.col(id_col),
+        parked.cast("int").alias("parked"),
+        consent.cast("int").alias("consent_wall"),
+        constr.cast("int").alias("under_construction"),
+        paywall.cast("int").alias("paywall_hint"),
+        (parked + consent + constr + paywall).cast("int")
+        .alias("n_families"),
+    )
