@@ -18224,3 +18224,56 @@ def q333_articlebody_crosscheck(spark, sf_dir):
     return jsonld_article_body(
         d.select("doc_id", html.alias("html"), text.alias("text"))
     )
+
+
+# --- wave: gzipped sitemap ingestion (q334) -----------------------------------
+
+# deterministic fixture blobs (gzip mtime=0, level 6): a 2-loc gzipped
+# sitemap, and a corrupt payload wearing the gzip magic
+_GZ_SITEMAP_B64 = (
+    "H4sIAAAAAAAAA7Oxr8jNUShLLSrOzM+zVTLUM1Cyt7MpLcopTi0B03Y2OfnJdhkl"
+    "JQXFVvr66VV6qRWJuQU5qXrJ+bn6iTb6IFkbfbBCQqqTUFTrQy0BAIJJ2h2CAAAA"
+)
+_GZ_CORRUPT_B64 = "H4sAY29ycnVwdGVkLXBheWxvYWQ="
+
+
+@q(
+    "q334_gzip_sitemap_locs",
+    """
+    SELECT doc_id, 'https://gz.example.com/a' AS url
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'https://gz.example.com/b'
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'https://plain.example.com/c'
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q334_gzip_sitemap_locs(spark, sf_dir):
+    """Gzipped sitemap ingestion (sources/sitemap.py gunzip_text →
+    sitemap_locs): real sitemap fleets serve sitemap.xml.gz (the
+    sitemaps.org spec allows gzip; Common Crawl seeds arrive
+    compressed), so the decompression column is the missing first
+    step before the existing codegen <loc> parse. Tolerant-reader
+    matrix proven by the oracle: gzipped payloads decode (2 locs),
+    plain XML passes through unchanged (1 loc), corrupt bytes
+    wearing the gzip magic yield NULL and emit nothing. Blobs enter
+    via unbase64 literals — bit-deterministic (gzip mtime=0). Plan:
+    Scan → ArrowEvalPython → codegen explode, zero shuffle."""
+    from .sources.sitemap import gunzip_text, sitemap_locs
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    blob = (
+        F.when(m == 0, F.unbase64(F.lit(_GZ_SITEMAP_B64)))
+        .when(m == 1, F.encode(F.lit(
+            '<?xml version="1.0"?><urlset><url>'
+            "<loc>https://plain.example.com/c</loc></url></urlset>"),
+            "UTF-8"))
+        .otherwise(F.unbase64(F.lit(_GZ_CORRUPT_B64)))
+    )
+    sitemaps = d.select(
+        "doc_id", gunzip_text(blob).alias("sitemap_xml")
+    )
+    return sitemap_locs(sitemaps, keep_cols=("doc_id",))
