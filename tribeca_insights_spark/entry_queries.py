@@ -18277,3 +18277,50 @@ def q334_gzip_sitemap_locs(spark, sf_dir):
         "doc_id", gunzip_text(blob).alias("sitemap_xml")
     )
     return sitemap_locs(sitemaps, keep_cols=("doc_id",))
+
+
+# --- wave: bow-tie decomposition (q335) ---------------------------------------
+
+
+@q(
+    "q335_bowtie",
+    """
+    WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS g FROM documents)
+    SELECT 'c0@' || g AS node, 'core' AS component,
+           0 AS fwd_dist, 0 AS bwd_dist FROM b
+    UNION ALL SELECT 'c1@' || g, 'core', 1, 2 FROM b
+    UNION ALL SELECT 'c2@' || g, 'core', 2, 1 FROM b
+    UNION ALL SELECT 'i0@' || g, 'in', NULL, 1 FROM b
+    UNION ALL SELECT 'o0@' || g, 'out', 3, NULL FROM b
+    UNION ALL SELECT 'd0@' || g, 'disconnected', NULL, NULL FROM b
+    UNION ALL SELECT 'd1@' || g, 'disconnected', NULL, NULL FROM b
+    """,
+)
+def q335_bowtie(spark, sf_dir):
+    """Bow-tie decomposition of the link graph relative to a seed
+    set (operators/linkgraph.py bowtie_decomposition; Broder WWW'00
+    — the canonical web macro-structure): CORE / IN / OUT /
+    DISCONNECTED with forward and backward hop distances. Pure
+    composition of the audited level-synchronous BFS run over the
+    edges and their reversal — no new traversal code. Fixture: every
+    doc spawns a namespaced 7-node bow-tie (3-cycle core, an
+    in-tentacle, an out-tentacle, a detached pair); every label and
+    distance is stated closed-form."""
+    from .operators.linkgraph import bowtie_decomposition
+
+    d = _read(spark, sf_dir, "documents")
+    g = F.col("doc_id").cast("string")
+
+    def n(prefix):
+        return F.concat(F.lit(prefix + "@"), g)
+
+    pairs = [("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+             ("i0", "c0"), ("c2", "o0"), ("d0", "d1")]
+    edges = d.select(
+        F.explode(F.array(*[
+            F.struct(n(a).alias("src"), n(b).alias("dst"))
+            for a, b in pairs
+        ])).alias("e")
+    ).select("e.src", "e.dst")
+    seeds = d.select(n("c0").alias("node"))
+    return bowtie_decomposition(edges, seeds, k=3)

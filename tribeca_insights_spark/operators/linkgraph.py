@@ -1432,3 +1432,48 @@ def host_cocitation(edges, src_col: str = "src_host",
             .cast("bigint").alias("jaccard_micros"),
         )
     )
+
+
+def bowtie_decomposition(edges, seeds, k: int,
+                         src: str = "src", dst: str = "dst"):
+    """Web-graph BOW-TIE decomposition relative to a seed set (Broder
+    et al., WWW 2000 — the canonical macro-structure of the web):
+    ``(node, component, fwd_dist, bwd_dist)`` with component ∈
+    {'core', 'in', 'out', 'disconnected'} — nodes that both reach
+    and are reached by the seeds within ``k`` hops form the CORE,
+    reachable-only nodes are OUT, reaching-only nodes are IN,
+    neither is DISCONNECTED. Crawl economics read straight off the
+    labels: IN pages feed discovery but can't be discovered from the
+    core (seed them explicitly), OUT is reachable inventory,
+    DISCONNECTED needs external seeds (sitemaps, feeds — q39/q244).
+
+    Pure composition of the audited BFS machinery: bfs_min_dist
+    forward over the edges and forward over the REVERSED edges (=
+    backward reachability), then one full-outer join on node — no
+    new traversal code, both passes level-synchronous joins-only
+    with zero actions in the loop."""
+    fwd = bfs_min_dist(edges, seeds, k, src=src, dst=dst).select(
+        F.col("node"), F.col("dist").alias("fwd_dist")
+    )
+    rev = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    bwd = bfs_min_dist(rev, seeds, k, src=src, dst=dst).select(
+        F.col("node"), F.col("dist").alias("bwd_dist")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .unionByName(seeds.select(F.col("node")))
+        .distinct()
+    )
+    j = nodes.join(fwd, "node", "left").join(bwd, "node", "left")
+    has_f = F.col("fwd_dist").isNotNull()
+    has_b = F.col("bwd_dist").isNotNull()
+    return j.select(
+        "node",
+        F.when(has_f & has_b, "core")
+        .when(has_f, "out")
+        .when(has_b, "in")
+        .otherwise("disconnected").alias("component"),
+        F.col("fwd_dist").cast("int").alias("fwd_dist"),
+        F.col("bwd_dist").cast("int").alias("bwd_dist"),
+    )
