@@ -18324,3 +18324,47 @@ def q335_bowtie(spark, sf_dir):
     ).select("e.src", "e.dst")
     seeds = d.select(n("c0").alias("node"))
     return bowtie_decomposition(edges, seeds, k=3)
+
+
+# --- wave: NFKC compatibility normalization (q337) ----------------------------
+
+
+@q(
+    "q337_nfkc_normalize",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'file A42'
+        WHEN 1 THEN '1⁄2 x2 VIII'
+        WHEN 2 THEN 'café'
+        ELSE 'plain ascii'
+      END AS nfkc_text,
+      CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS nfkc_changed
+    FROM documents
+    """,
+)
+def q337_nfkc_normalize(spark, sf_dir):
+    """Unicode NFKC compatibility normalization (functions/
+    normalize.py with_nfkc_text): ligatures decompose, fullwidth
+    forms fold, fractions/superscripts/roman numerals reduce — the
+    tokenizer-facing variant (HF tokenizer pipelines default to
+    NFKC) next to q101's canonical-only NFC, which keeps dedup keys
+    lossless. Fixture strata: ligature+fullwidth, numeric compat
+    forms (½ → 1⁄2 with U+2044), a decomposed e+COMBINING ACUTE that
+    NFKC also canonically folds, and unchanged ASCII; outputs stated
+    as literals (stdlib unicodedata tables ARE the spec). Arrow-
+    batched, zero shuffle."""
+    from .functions.normalize import with_nfkc_text
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.lit("ﬁle Ａ４２"))
+        .when(m == 1, F.lit("½ x² Ⅷ"))
+        .when(m == 2, F.lit("cafe\u0301"))  # decomposed e+COMBINING ACUTE
+        .otherwise(F.lit("plain ascii"))
+    )
+    return with_nfkc_text(d.select("doc_id", text.alias("text"))).select(
+        "doc_id", "nfkc_text",
+        F.col("nfkc_changed").cast("int").alias("nfkc_changed"),
+    )

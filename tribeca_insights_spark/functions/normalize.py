@@ -162,3 +162,42 @@ def with_repaired_text(df, text_col: str = "text",
     return df.withColumn(out_col, repaired).withColumn(
         "n_repairs", n.cast("long")
     )
+
+
+# --- Unicode NFKC normalization (compat folding; Arrow-batched) -------------
+
+def _nfkc_batch(texts):
+    import unicodedata
+
+    import pandas as pd
+
+    return pd.Series(
+        [
+            unicodedata.normalize("NFKC", t) if t is not None else None
+            for t in texts
+        ]
+    )
+
+
+def nfkc_udf():
+    """Pandas UDF computing Unicode NFKC — lazy-built like nfc_udf."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    return pandas_udf(_nfkc_batch, StringType())
+
+
+def with_nfkc_text(df, text_col: str = "text", out_col: str = "nfkc_text"):
+    """Adds ``out_col`` = NFKC(text) plus ``nfkc_changed`` —
+    COMPATIBILITY normalization on top of NFC's canonical folding:
+    ligatures decompose (ﬁ→fi), fullwidth forms fold (Ａ４２→A42),
+    superscripts/roman numerals/circled digits reduce to plain
+    characters. This is the tokenizer-facing variant (Hugging Face
+    tokenizer pipelines normalize NFKC by default) — canonical-only
+    NFC leaves ﬁle ≠ file and splits token statistics across
+    presentation forms, while NFKC is intentionally LOSSY (q101's
+    dedup keys stay on NFC; NFKC feeds tokenization and matching).
+    Same Arrow-batched stdlib unicodedata regime as NFC."""
+    c = F.col(text_col)
+    out = df.withColumn(out_col, nfkc_udf()(c))
+    return out.withColumn("nfkc_changed", F.col(out_col) != c)
