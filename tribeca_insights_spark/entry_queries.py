@@ -18368,3 +18368,97 @@ def q337_nfkc_normalize(spark, sf_dir):
         "doc_id", "nfkc_text",
         F.col("nfkc_changed").cast("int").alias("nfkc_changed"),
     )
+
+
+# --- wave: one-plan page-curation mart (q336) ---------------------------------
+
+
+@q(
+    "q336_curation_mart",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'content' WHEN 1 THEN 'amp-variant'
+        WHEN 2 THEN 'pagination-continuation' ELSE 'noindex'
+      END AS role,
+      CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+        AS completeness,
+      CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END AS template_leaky,
+      CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS noncontent_families,
+      CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS admit
+    FROM documents
+    """,
+)
+def q336_curation_mart(spark, sf_dir):
+    """ONE-PLAN page-curation mart: page role (q325) × article
+    completeness (q323) × template-leak flag (q320) × non-content
+    families (q332) joined into the single wide row a corpus builder
+    filters on, plus the composed ``admit`` verdict (content role,
+    no leaks, no nuisance family). The point is the PLAN: four
+    operator families over one page fixture collapse into one
+    Catalyst plan whose only joins are the url/doc-keyed per-page
+    relations — proving the audited operators compose without
+    re-scanning the corpus per signal. Fixture strata: admissible
+    article, AMP variant wearing a consent wall, noindexed paginated
+    continuation leaking template syntax, bare noindex shell."""
+    from .operators.meta import article_completeness, page_roles
+    from .operators.textstats import (
+        noncontent_page_flags,
+        template_leak_audit,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = F.concat(F.lit("https://m.example.com/p"), sid)
+    html = (
+        F.when(m == 0, F.lit(
+            '<html><head><title>T</title>'
+            '<meta property="article:published_time" '
+            'content="2024-03-05T00:00:00Z">'
+            '<meta name="author" content="A"></head>'
+            "<body>real article</body></html>"))
+        .when(m == 1, F.concat(
+            F.lit('<html amp><head><title>T</title>'
+                  '<link rel="canonical" href="https://m.example.com/c/'),
+            sid, F.lit('"></head><body>amp</body></html>')))
+        .when(m == 2, F.lit(
+            '<html><head><link rel="prev" href="https://m.example.com/p0">'
+            '<meta name="robots" content="noindex"></head>'
+            "<body>page 2</body></html>"))
+        .otherwise(F.lit(
+            '<html><head><meta name="robots" content="noindex"></head>'
+            "<body>hidden</body></html>"))
+    )
+    text = (
+        F.when(m == 1, F.lit("Accept all cookies to continue"))
+        .when(m == 2, F.lit("Welcome {{ user.name }} to page two"))
+        .otherwise(F.lit("ordinary prose body"))
+    )
+    pages = d.select(
+        "doc_id", url.alias("url"), html.alias("html"), text.alias("text")
+    )
+    roles = page_roles(pages).withColumnRenamed("url", "_u")
+    comp = article_completeness(pages).select("doc_id", "completeness")
+    tpl = template_leak_audit(pages).select(
+        "doc_id", F.col("leaky").alias("template_leaky")
+    )
+    non = noncontent_page_flags(pages).select(
+        "doc_id", F.col("n_families").alias("noncontent_families")
+    )
+    base = pages.select("doc_id", F.col("url").alias("_u"))
+    mart = (
+        base.join(roles, "_u")
+        .join(comp, "doc_id")
+        .join(tpl, "doc_id")
+        .join(non, "doc_id")
+    )
+    return mart.select(
+        "doc_id", "role", "completeness", "template_leaky",
+        "noncontent_families",
+        F.when(
+            (F.col("role") == "content")
+            & (F.col("template_leaky") == 0)
+            & (F.col("noncontent_families") == 0), 1
+        ).otherwise(0).cast("int").alias("admit"),
+    )
