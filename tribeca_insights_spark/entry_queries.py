@@ -18462,3 +18462,94 @@ def q336_curation_mart(spark, sf_dir):
             & (F.col("noncontent_families") == 0), 1
         ).otherwise(0).cast("int").alias("admit"),
     )
+
+
+# --- wave: de-hyphenation repair (q338) ---------------------------------------
+
+
+@q(
+    "q338_dehyphenate",
+    """
+    SELECT doc_id,
+      CASE doc_id % 3
+        WHEN 0 THEN 'the extraction of data'
+        WHEN 1 THEN 'state-of-the-art systems work'
+        ELSE 'plain single line'
+      END AS repaired
+    FROM documents
+    """,
+)
+def q338_dehyphenate(spark, sf_dir):
+    """Line-break de-hyphenation for extracted PDF/columnar text
+    (functions/normalize.py dehyphenate_col — the pdfminer/Grobid
+    postprocessing convention): hyphen+newline between lowercase
+    letters joins the word, remaining newlines become soft-wrap
+    spaces, mid-line hyphens (state-of-the-art) are untouched.
+    Skipping this splits every column-edge word into two junk tokens
+    and corrupts TF/LM/dedup downstream of the q93 layout parse.
+    Fixture: a hyphen-broken word across a wrapped line, a compound
+    that must survive, a line-break-free control; outputs closed-
+    form. Three codegen regexp ops."""
+    from .functions.normalize import dehyphenate_col
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    text = (
+        F.when(m == 0, F.lit("the extrac-\n  tion of\ndata"))
+        .when(m == 1, F.lit("state-of-the-art systems\nwork"))
+        .otherwise(F.lit("plain single line"))
+    )
+    return d.select(
+        "doc_id",
+        dehyphenate_col(text).alias("repaired"),
+    )
+
+
+# --- wave: chunk-stitch roundtrip integrity (q339) ----------------------------
+
+
+@q(
+    "q339_chunk_stitch",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             w -> length(w) > 0)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 + ceil(greatest(n - 8, 0) / 6.0) AS INT) AS n_chunks,
+           0 AS n_overlap_mismatches,
+           1 AS roundtrip_ok
+    FROM t WHERE n > 0
+    """,
+)
+def q339_chunk_stitch(spark, sf_dir):
+    """Chunk-stitch ROUNDTRIP integrity (operators/chunking.py
+    stitch_chunks — the inverse of q116's chunk_documents):
+    reassemble every real document from its overlapping (8,6)
+    token windows, verify each overlap equals the previous chunk's
+    tail, and check stitched ≡ the whitespace-normalized original.
+    The auditability contract for windowed pipelines (RAG stores,
+    sliding-window scoring): the oracle states chunk counts from the
+    token-count formula and asserts zero mismatches and a perfect
+    roundtrip over the REAL corpus text at any SF. One bounded
+    groupBy(doc) + a codegen aggregate fold — no windows, no
+    Python."""
+    from .operators.chunking import chunk_documents, stitch_chunks
+
+    d = _read(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk=8, stride=6)
+    st = stitch_chunks(ch, chunk=8, stride=6)
+    norm = d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0),
+            " ",
+        ).alias("_norm"),
+    )
+    return st.join(norm, "doc_id").select(
+        "doc_id", "n_chunks", "n_overlap_mismatches",
+        F.when(F.col("stitched_text") == F.col("_norm"), 1).otherwise(0)
+        .cast("int").alias("roundtrip_ok"),
+    )

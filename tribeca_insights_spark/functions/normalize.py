@@ -201,3 +201,26 @@ def with_nfkc_text(df, text_col: str = "text", out_col: str = "nfkc_text"):
     c = F.col(text_col)
     out = df.withColumn(out_col, nfkc_udf()(c))
     return out.withColumn("nfkc_changed", F.col(out_col) != c)
+
+
+# --- line-break de-hyphenation (PDF/columnar text repair) -------------------
+
+def dehyphenate_col(text_col):
+    """Repair HYPHENATED LINE BREAKS in extracted PDF/columnar text:
+    ``extrac-\\n tion`` → ``extraction`` — the standard postprocessing
+    step after layout extraction (htmlx/pdfx.py): justified print
+    text hyphenates at column edges, and skipping the repair splits
+    every broken word into two junk tokens, corrupting TF, LM and
+    dedup statistics downstream. Rule (conservative, the
+    pdfminer/Grobid convention): a lowercase letter, a hyphen,
+    optional spaces, a NEWLINE, optional spaces, a lowercase letter →
+    join with no hyphen; every other newline becomes a single space
+    (soft wrap), then runs of spaces collapse. Hyphens NOT at line
+    ends (``state-of-the-art``) are untouched. Three codegen
+    regexp_replace ops — zero Python, zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    joined = F.regexp_replace(
+        c, r"(\p{Ll})-[ \t]*\n[ \t]*(\p{Ll})", "$1$2"
+    )
+    unwrapped = F.regexp_replace(joined, r"[ \t]*\n[ \t]*", " ")
+    return F.regexp_replace(unwrapped, r" {2,}", " ")

@@ -340,3 +340,89 @@ def contrastive_triplets(docs: DataFrame, id_col: str = "doc_id",
         .join(neg_src, "neg_id")
         .select(id_col, "anchor", "positive", "neg_id", "negative")
     )
+
+
+def stitch_chunks(
+    chunks: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """INVERSE of :func:`chunk_documents` — reassemble each document
+    from its overlapping token-window chunks and VERIFY the overlaps:
+    ``(doc_id, stitched_text, n_chunks, n_overlap_mismatches)``.
+    Chunk ``i`` contributes its final ``stride`` tokens (its first
+    ``chunk − stride`` tokens must equal the previous chunk's tail —
+    each mismatch increments the integrity counter instead of
+    silently corrupting the reassembly). The round-trip contract
+    ``stitch(chunk(d)) ≡ d`` is what makes windowed pipelines
+    (RAG stores, sliding-window scoring) auditable, and the mismatch
+    counter is the corruption detector for chunk stores where a
+    shard was rewritten by a different chunking config.
+
+    Shape: one groupBy(doc) collect_list of (chunk_id, tokens) —
+    group size = chunks-per-doc, bounded by document length, never
+    corpus-scale — then a codegen aggregate fold over the sorted
+    array doing both the concatenation and the overlap equality
+    checks in one pass. No windows, no Python."""
+    if stride <= 0 or chunk <= 0 or stride > chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    overlap = chunk - stride
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda w: F.length(w) > 0)
+    grouped = (
+        chunks.select(
+            F.col(id_col).alias("doc_id"),
+            F.struct(
+                F.col(chunk_id_col).alias("i"), toks.alias("t")
+            ).alias("_c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("_c")).alias("_cs"))
+    )
+    first = F.element_at(F.col("_cs"), 1)["t"]
+    rest = F.slice(F.col("_cs"), 2, F.greatest(
+        F.size("_cs") - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest,
+        F.struct(
+            first.alias("acc"),
+            F.lit(0).cast("int").alias("bad"),
+        ),
+        lambda st, c: F.struct(
+            F.concat(
+                st["acc"],
+                F.slice(
+                    c["t"],
+                    F.least(F.lit(overlap + 1), F.size(c["t"]) + 1),
+                    F.greatest(F.size(c["t"]) - overlap, F.lit(0)),
+                ),
+            ).alias("acc"),
+            (
+                st["bad"]
+                + F.when(
+                    F.slice(c["t"], 1,
+                            F.least(F.lit(overlap), F.size(c["t"])))
+                    == F.slice(
+                        st["acc"],
+                        F.greatest(
+                            F.size(st["acc"])
+                            - F.least(F.lit(overlap), F.size(c["t"]))
+                            + 1,
+                            F.lit(1),
+                        ),
+                        F.least(F.lit(overlap), F.size(c["t"])),
+                    ),
+                    0,
+                ).otherwise(1)
+            ).cast("int").alias("bad"),
+        ),
+    )
+    return grouped.select(
+        "doc_id",
+        F.array_join(folded["acc"], " ").alias("stitched_text"),
+        F.size("_cs").cast("int").alias("n_chunks"),
+        folded["bad"].alias("n_overlap_mismatches"),
+    )
