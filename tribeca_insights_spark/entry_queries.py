@@ -18553,3 +18553,108 @@ def q339_chunk_stitch(spark, sf_dir):
         F.when(F.col("stitched_text") == F.col("_norm"), 1).otherwise(0)
         .cast("int").alias("roundtrip_ok"),
     )
+
+
+# --- wave: percent-encoding normalization (q340) ------------------------------
+
+
+@q(
+    "q340_percent_normalize",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://a.example.com/~user/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'https://a.example.com/p?q=a%2Fb%3Fc'
+        WHEN 2 THEN 'https://a.example.com/caf%C3%A9/'
+                 || CAST(doc_id AS VARCHAR)
+        ELSE 'https://a.example.com/plain/' || CAST(doc_id AS VARCHAR)
+      END AS normalized
+    FROM documents
+    """,
+)
+def q340_percent_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization (functions/
+    urlnorm.py percent_normalize): unreserved escapes decode
+    (%7E→~, %41→A), reserved escapes survive with UPPERCASED hex
+    (%2f→%2F — decoding them would change the URL's meaning),
+    non-ASCII escapes survive uppercased (%c3%a9→%C3%A9). The layer
+    canonical_url (q41) doesn't touch, composed before it in the
+    q316 intake ladder. Fixture strata exercise all three rules plus
+    a no-escape control; outputs closed-form. Arrow-batched UDF
+    (per-escape case transforms aren't expressible in Java regex
+    replacement), extractor plan shape."""
+    from .functions.urlnorm import percent_normalize
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://a.example.com/%7Euser/"), sid))
+        .when(m == 1, F.lit("https://a.example.com/p?q=a%2fb%3fc"))
+        .when(m == 2, F.concat(
+            F.lit("https://a.example.com/caf%c3%a9/"), sid))
+        .otherwise(F.concat(F.lit("https://a.example.com/plain/"), sid))
+    )
+    return d.select(
+        "doc_id", percent_normalize(url).alias("normalized")
+    )
+
+
+# --- wave: JSONL schema-drift audit (q341) ------------------------------------
+
+
+@q(
+    "q341_json_schema_audit",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 2 AS batch_id, doc_id % 4 AS m
+               FROM documents),
+    cnt AS (SELECT batch_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN m IN (0, 1, 2) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a_present,
+                   CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b_present,
+                   CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS corrupt
+            FROM d GROUP BY batch_id)
+    SELECT batch_id, 'a' AS field, n_rows, a_present AS n_present,
+           CAST(1000000 * a_present // n_rows AS BIGINT)
+             AS present_micros
+    FROM cnt
+    UNION ALL
+    SELECT batch_id, 'b', n_rows, b_present,
+           CAST(1000000 * b_present // n_rows AS BIGINT) FROM cnt
+    UNION ALL
+    SELECT batch_id, '_corrupt', n_rows, corrupt,
+           CAST(1000000 * corrupt // n_rows AS BIGINT) FROM cnt
+    """,
+)
+def q341_json_schema_audit(spark, sf_dir):
+    """JSONL schema-drift audit (sources/jsonl.py json_schema_audit):
+    per ingest batch, the presence rate of every expected field plus
+    a _corrupt row counting unparseable lines — the monitoring
+    relation that catches producer regressions (a field silently
+    dropping from 90% to 40% presence) while every job still
+    'succeeds'. Fixture strata: complete record, record missing
+    field b, record with an extra undeclared field (ignored by
+    PERMISSIVE parse), raw-garbage line; two interleaved batches so
+    the per-batch rates differ and are stated closed-form. JVM
+    Jackson parse + one (batch, field) partial agg."""
+    from .sources.jsonl import json_schema_audit
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    line = (
+        F.when(m == 0, F.concat(
+            F.lit('{"a": '), sid, F.lit(', "b": "x"}')))
+        .when(m == 1, F.concat(F.lit('{"a": '), sid, F.lit("}")))
+        .when(m == 2, F.concat(
+            F.lit('{"a": '), sid, F.lit(', "c": true}')))
+        .otherwise(F.lit("not json at all"))
+    )
+    rows = d.select(
+        (F.col("doc_id") % 2).alias("batch_id"), line.alias("line")
+    )
+    return json_schema_audit(rows, "line", "a long, b string")

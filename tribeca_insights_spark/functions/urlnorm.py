@@ -465,3 +465,42 @@ def embedded_url_params(pages, url_col: str = "url"):
         F.when(emb_host != F.col("_ph"), 1).otherwise(0).cast("int")
         .alias("is_external"),
     )
+
+
+def percent_normalize(url_col):
+    """RFC 3986 §6.2.2 percent-encoding normalization — the layer
+    :func:`canonical_url` doesn't touch: %-escapes of UNRESERVED
+    characters decode (``%7Euser`` → ``~user``, ``%41`` → ``A``) and
+    every remaining escape's hex digits uppercase (``%3a`` → ``%3A``),
+    because equivalent escapes otherwise split one resource across
+    multiple frontier/dedup keys. Reserved escapes (%2F, %3F, …) are
+    preserved — decoding them would CHANGE the URL's meaning.
+
+    Needs per-escape case transforms, so it's an Arrow-batched
+    pandas_udf (stdlib-only, deterministic) rather than codegen; the
+    plan is the extractor's Scan → ArrowEvalPython shape, zero
+    shuffle. Compose BEFORE canonical_url in the intake ladder
+    (q316)."""
+    _UNRESERVED = set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+
+    def _norm_batch(s):
+        import re
+
+        import pandas as pd
+
+        def fix(m):
+            h = m.group(1)
+            ch = chr(int(h, 16))
+            return ch if ch in _UNRESERVED else "%" + h.upper()
+
+        pat = re.compile(r"%([0-9A-Fa-f]{2})")
+        return pd.Series(
+            [pat.sub(fix, u) if u is not None else None for u in s]
+        )
+
+    _n = F.pandas_udf(_norm_batch, "string")
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return _n(c)
