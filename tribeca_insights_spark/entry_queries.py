@@ -18658,3 +18658,86 @@ def q341_json_schema_audit(spark, sf_dir):
         (F.col("doc_id") % 2).alias("batch_id"), line.alias("line")
     )
     return json_schema_audit(rows, "line", "a long, b string")
+
+
+# --- wave: citations + math routing (q342-q343) -------------------------------
+
+
+@q(
+    "q342_citation_ids",
+    """
+    SELECT doc_id, 'doi' AS kind,
+           '10.1145/3299869.' || CAST(doc_id AS VARCHAR) AS ident
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'arxiv', '2403.0' || CAST(1000 + doc_id % 9000
+             AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'pmid', CAST(7000000 + doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q342_citation_ids(spark, sf_dir):
+    """Scholarly-identifier extraction (operators/textstats.py
+    citation_ids): DOIs with trailing-punctuation strip, arXiv new-
+    form ids, PMIDs — the peS2o-style academic-corpus router and the
+    citation-level decontamination key (a paraphrased abstract still
+    cites the same DOI). Fixture: a DOI ending a sentence (the
+    trailing period must be stripped), an arXiv+PMID pair on one
+    document, and a citation-free stratum emitting nothing; all
+    closed-form. Codegen regexp channels + one flatten/explode."""
+    from .operators.textstats import citation_ids
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("As shown in doi:10.1145/3299869."), sid,
+            F.lit(". More text follows.")))
+        .when(m == 1, F.concat(
+            F.lit("See arXiv:2403.0"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" and PMID: "),
+            (F.lit(7000000) + F.col("doc_id")).cast("string"),
+            F.lit(" for details.")))
+        .otherwise(F.lit("no citations in this prose at all"))
+    )
+    return citation_ids(d.select("doc_id", text.alias("text")))
+
+
+@q(
+    "q343_math_signals",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 2 ELSE 0 END AS n_display,
+      CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS n_inline,
+      CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS n_environments,
+      CASE doc_id % 4 WHEN 2 THEN 6 ELSE 0 END AS n_math_symbols,
+      CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END AS is_mathy
+    FROM documents
+    """,
+)
+def q343_math_signals(spark, sf_dir):
+    """Math-content detection for corpus routing (operators/
+    textstats.py math_content_signals; the Minerva/DeepSeekMath
+    recipe — math docs get boosted sampling and must bypass prose
+    quality gates): display blocks ($$…$$ and \\[…\\]), inline
+    \\(…\\), LaTeX environments, Unicode math-symbol density with
+    the ≥5 threshold. Fixture strata: two display blocks, an
+    inline+align pair, symbol-dense prose with no LaTeX, plain text
+    whose lone '$5' price must not count. Codegen regexp counts."""
+    from .operators.textstats import math_content_signals
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.lit(
+            "Consider $$x^2+y^2=r^2$$ and also \\[e^{i\\pi}=-1\\] here."))
+        .when(m == 1, F.lit(
+            "Inline \\(a+b\\) and \\begin{align} x &= y \\end{align}"))
+        .when(m == 2, F.lit("sums ∑ and ∫ with ∂ √ ≤ ≥ bounds"))
+        .otherwise(F.lit("the price is $5 and that is all"))
+    )
+    return math_content_signals(d.select("doc_id", text.alias("text")))

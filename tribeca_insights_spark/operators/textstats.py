@@ -2496,3 +2496,92 @@ def noncontent_page_flags(df: DataFrame, id_col: str = "doc_id",
         (parked + consent + constr + paywall).cast("int")
         .alias("n_families"),
     )
+
+
+def citation_ids(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """SCHOLARLY-IDENTIFIER extraction: ``(id, kind, ident)`` — one
+    row per DOI (``10.NNNN/suffix``), arXiv id (new ``2403.01234``
+    form with optional version, or old ``math.GT/0309136`` form) or
+    PMID (``PMID: 12345678``) found in the text. The
+    scientific-corpus curation channel (peS2o / RedPajama-arXiv
+    style): identifier density routes documents to the academic
+    subset, the extracted ids JOIN against open citation graphs for
+    quality priors, and eval-set identifiers feed decontamination
+    (q57/q109) at the CITATION level — a paraphrased abstract still
+    cites the same DOI.
+
+    Three codegen regexp_extract_all channels + explode; DOIs strip
+    trailing punctuation (sentence-final periods aren't part of the
+    id). Zero shuffle, zero Python."""
+    t = F.col(text_col)
+    doi = F.transform(
+        F.regexp_extract_all(
+            t, F.lit(r"\b(10\.\d{4,9}/[^\s\"<>]+)"), 1
+        ),
+        lambda d: F.regexp_replace(d, r"[.,;)\]]+$", ""),
+    )
+    arxiv = F.regexp_extract_all(
+        t,
+        F.lit(r"(?i)arxiv:\s*(\d{4}\.\d{4,5}(?:v\d+)?"
+              r"|[a-z-]+(?:\.[A-Z]{2})?/\d{7})"),
+        1,
+    )
+    pmid = F.regexp_extract_all(
+        t, F.lit(r"(?i)PMID:?\s*(\d{5,9})"), 1
+    )
+    chans = [("doi", doi), ("arxiv", arxiv), ("pmid", pmid)]
+    rows = df.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.transform(
+                        c,
+                        lambda v: F.struct(
+                            F.lit(kind).alias("kind"), v.alias("ident")
+                        ),
+                    )
+                    for kind, c in chans
+                ])
+            )
+        ).alias("_e"),
+    )
+    return rows.select(id_col, "_e.kind", "_e.ident")
+
+
+def math_content_signals(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """MATH-CONTENT detection: ``(id, n_display, n_inline,
+    n_environments, n_math_symbols, is_mathy)`` — display blocks
+    (``$$…$$`` / ``\\[…\\]``), inline spans (``\\(…\\)``), LaTeX
+    environments (``\\begin{equation|align|...}``), and a Unicode
+    math-symbol count (∑∫∂√≤≥≠±×·→∞∈∀∃). The corpus ROUTER for
+    math-heavy training mixes (Minerva/DeepSeekMath recipe: math
+    documents get boosted sampling and math-aware tokenization, and
+    naive quality gates MUST NOT see them — symbol-dense text fails
+    prose heuristics like q26/q100). ``is_mathy`` = any structural
+    channel hit, or ≥ 5 math symbols. Codegen regexp counts; zero
+    shuffle."""
+    t = F.col(text_col)
+
+    def _n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("int")
+
+    n_display = _n(r"(?s)\$\$.+?\$\$|\\\[.+?\\\]")
+    n_inline = _n(r"(?s)\\\(.+?\\\)")
+    n_env = _n(
+        r"\\begin\{(equation|align|gather|eqnarray|cases|matrix|"
+        r"pmatrix|bmatrix)\*?\}"
+    )
+    n_sym = _n("[∑∫∂√≤≥≠±×·→∞∈∀∃]")
+    return df.select(
+        F.col(id_col),
+        n_display.alias("n_display"),
+        n_inline.alias("n_inline"),
+        n_env.alias("n_environments"),
+        n_sym.alias("n_math_symbols"),
+        F.when(
+            (n_display + n_inline + n_env > 0) | (n_sym >= 5), 1
+        ).otherwise(0).cast("int").alias("is_mathy"),
+    )
