@@ -18741,3 +18741,91 @@ def q343_math_signals(spark, sf_dir):
         .otherwise(F.lit("the price is $5 and that is all"))
     )
     return math_content_signals(d.select("doc_id", text.alias("text")))
+
+
+# --- wave: checksum identifiers + Clean-param (q344-q345) ---------------------
+
+
+@q(
+    "q344_checksum_ids",
+    """
+    SELECT doc_id, 'orcid' AS kind,
+           '0000-0002-1825-0097' AS ident, 1 AS valid
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'orcid', '0000-0002-1825-0096', 0
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'isbn13', '978-0-306-40615-7', 1
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'isbn13', '9780306406158', 0
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q344_checksum_ids(spark, sf_dir):
+    """Checksum-validated identifier extraction (operators/
+    textstats.py checksum_ids): ORCID (ISO 7064 mod 11-2) and
+    ISBN-13 (EAN weighted mod 10), with BOTH check digits computed
+    in pure codegen aggregate folds over the digit arrays — validity
+    turns the pattern-matching false-positive channel into a
+    measurable valid=0 row instead of corpus noise. Fixture pairs a
+    known-valid and an off-by-one identifier per kind (dashed ISBN
+    included); every row closed-form."""
+    from .operators.textstats import checksum_ids
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    text = (
+        F.when(m == 0, F.lit(
+            "authors 0000-0002-1825-0097 and 0000-0002-1825-0096 listed"))
+        .when(m == 1, F.lit(
+            "cite 978-0-306-40615-7 but beware 9780306406158 typo"))
+        .otherwise(F.lit("no identifiers here, just prose"))
+    )
+    return checksum_ids(d.select("doc_id", text.alias("text")))
+
+
+@q(
+    "q345_clean_param_rules",
+    """
+    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+           p.param AS param,
+           CASE doc_id % 2 WHEN 0 THEN '/forum/' ELSE '' END
+             AS path_prefix
+    FROM documents,
+         (SELECT unnest(['ref', 'sid']) AS param) AS p
+    WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR), 'utm_campaign', ''
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q345_clean_param_rules(spark, sf_dir):
+    """Clean-param directive extraction (sources/robots.py
+    clean_param_rules; the Yandex robots.txt extension — the only
+    publisher-DECLARED 'these parameters don't change content'
+    channel): the third leg of parameter hygiene beside the static
+    blocklist (q80) and the data-driven miner (q280), all three
+    feeding one frontier strip-list. Fixture: a path-scoped
+    two-param directive and an unscoped single-param directive amid
+    decoy Disallow lines; closed-form per host. Per-line codegen,
+    directive-sized explode."""
+    from .sources.robots import clean_param_rules
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 2
+    txt = (
+        F.when(m == 0, F.lit(
+            "User-agent: *\nDisallow: /tmp\n"
+            "Clean-param: ref&sid /forum/\n"))
+        .otherwise(F.lit(
+            "User-agent: *\nclean-param: utm_campaign\n"
+            "Disallow: /private\n"))
+    )
+    robots = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 6).cast("string"))
+        .alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return clean_param_rules(robots)

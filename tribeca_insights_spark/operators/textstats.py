@@ -2585,3 +2585,71 @@ def math_content_signals(df: DataFrame, id_col: str = "doc_id",
             (n_display + n_inline + n_env > 0) | (n_sym >= 5), 1
         ).otherwise(0).cast("int").alias("is_mathy"),
     )
+
+
+def checksum_ids(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """CHECKSUM-VALIDATED identifier extraction: ``(id, kind, ident,
+    valid)`` for ORCIDs (ISO 7064 mod 11-2 check digit) and ISBN-13s
+    (EAN-13 weighted mod 10). Pattern matching alone drowns in false
+    positives at corpus scale — phone numbers and part codes match
+    the shapes — but both standards carry a check digit, so validity
+    is COMPUTABLE per candidate and the false-positive channel
+    becomes measurable (the ``valid = 0`` rows). Author-identity
+    (ORCID joins the academic-identity graph next to q342's DOIs)
+    and book-corpus provenance (ISBN joins publisher metadata).
+
+    The checksums run in PURE CODEGEN — an ``aggregate`` fold over
+    the digit array per candidate (ORCID: total=(total+d)·2 then
+    (12−total mod 11) mod 11 with 10→X; ISBN-13: Σ d_i·(1,3,1,…)
+    mod 10 = 0) — no Python anywhere. Explode is candidate-sized,
+    zero shuffle."""
+    t = F.col(text_col)
+    orcid_rows = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                t, F.lit(r"\b(\d{4}-\d{4}-\d{4}-\d{3}[\dX])\b"), 1
+            )
+        ).alias("ident"),
+    )
+    o_digits = F.split(F.regexp_replace(F.col("ident"), "-", ""), "")
+    o_base = F.slice(o_digits, 1, 15)
+    o_total = F.aggregate(
+        o_base, F.lit(0),
+        lambda acc, d: (acc + d.cast("int")) * 2,
+    )
+    o_check = (F.lit(12) - (o_total % 11)) % 11
+    o_expected = F.when(o_check == 10, "X").otherwise(
+        o_check.cast("string")
+    )
+    orcid = orcid_rows.select(
+        id_col, F.lit("orcid").alias("kind"), "ident",
+        F.when(F.element_at(o_digits, 16) == o_expected, 1)
+        .otherwise(0).cast("int").alias("valid"),
+    )
+    isbn_rows = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                t, F.lit(r"\b(97[89](?:-?\d){10})\b"), 1
+            )
+        ).alias("ident"),
+    )
+    i_digits = F.split(F.regexp_replace(F.col("ident"), "-", ""), "")
+    i_sum = F.aggregate(
+        F.zip_with(
+            F.slice(i_digits, 1, 13),
+            F.sequence(F.lit(0), F.lit(12)),
+            lambda d, i: d.cast("int")
+            * F.when(i % 2 == 0, 1).otherwise(3),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    isbn = isbn_rows.select(
+        id_col, F.lit("isbn13").alias("kind"), "ident",
+        F.when(i_sum % 10 == 0, 1).otherwise(0).cast("int")
+        .alias("valid"),
+    )
+    return orcid.unionByName(isbn)

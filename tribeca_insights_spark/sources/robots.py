@@ -236,3 +236,33 @@ def google_robots_verdict(urls: DataFrame, rules: DataFrame,
             F.coalesce("spec", F.lit(0)).cast("bigint").alias("spec"),
         )
     )
+
+
+def clean_param_rules(robots: DataFrame, host_col: str = "host",
+                      txt_col: str = "robots_txt") -> DataFrame:
+    """``Clean-param`` directive extraction (the Yandex robots.txt
+    extension — the only ROBOTS-DECLARED channel for "these query
+    parameters don't change content"): ``(host, param, path_prefix)``
+    — one row per declared parameter, with the optional path scope
+    ('' = whole site). Directive microsyntax:
+    ``Clean-param: p1&p2 /path``.
+
+    This is the PUBLISHER-declared third leg of parameter hygiene,
+    beside the static tracking blocklist (q80) and the data-driven
+    significance miner (q280): a frontier canonicalizer merges all
+    three into its strip-list. Same per-line codegen regime as the
+    Disallow/Crawl-delay parsers in this module; explode is
+    directive-sized."""
+    line = F.col("_l")
+    rows = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("_l"),
+    ).filter(F.trim(line).rlike(r"(?i)^clean-param\s*:"))
+    body = F.trim(F.regexp_extract(line, r"(?i)^\s*clean-param\s*:(.*)$", 1))
+    params = F.split(F.regexp_extract(body, r"^(\S+)", 1), "&")
+    prefix = F.regexp_extract(body, r"^\S+\s+(\S+)", 1)
+    return rows.select(
+        "host",
+        F.explode(params).alias("param"),
+        prefix.alias("path_prefix"),
+    ).filter(F.col("param") != "")
