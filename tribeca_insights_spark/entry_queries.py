@@ -18829,3 +18829,103 @@ def q345_clean_param_rules(spark, sf_dir):
         txt.alias("robots_txt"),
     )
     return clean_param_rules(robots)
+
+
+# --- wave: social handles + MIME sniff audit (q346-q347) ----------------------
+
+
+@q(
+    "q346_social_profiles",
+    """
+    SELECT doc_id, 'github' AS platform,
+           'org' || CAST(doc_id % 9 AS VARCHAR) AS handle
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'x', 'handle' || CAST(doc_id % 9 AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'linkedin', 'person-' || CAST(doc_id % 9 AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'mastodon', '@user' || CAST(doc_id % 9 AS VARCHAR)
+             || '@fosstodon.org'
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def q346_social_profiles(spark, sf_dir):
+    """Social/developer profile-link extraction (operators/meta.py
+    social_profile_links): GitHub, X/Twitter (reserved paths like
+    /intent/ excluded), LinkedIn /in/ profiles, Mastodon
+    @user@host — the author-identity channel whose cross-page handle
+    reuse exposes content farms sharing one identity across
+    'independent' sites. Fixture: github+x pair (the x link written
+    UPPERCASE to prove case folding, plus an /intent/ decoy that
+    must not match), linkedin+mastodon pair, linkless stratum.
+    Codegen channels, distinct per (id, platform, handle)."""
+    from .operators.meta import social_profile_links
+
+    d = _read(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 9).cast("string")
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<a href="https://github.com/org'), g,
+            F.lit('/repo">gh</a> <a href="https://x.com/HANDLE'), g,
+            F.lit('">x</a> <a href="https://x.com/intent/tweet">no</a>')))
+        .when(m == 1, F.concat(
+            F.lit('<a href="https://www.linkedin.com/in/person-'), g,
+            F.lit('">li</a> follow @user'), g,
+            F.lit("@fosstodon.org for updates")))
+        .otherwise(F.lit("<p>no profiles here</p>"))
+    )
+    return social_profile_links(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q347_mime_mismatch",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+        WHEN 2 THEN 'image/png' ELSE 'application/pdf'
+      END AS declared,
+      CASE doc_id % 4
+        WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+        WHEN 2 THEN 'image/png' ELSE 'application/octet-stream'
+      END AS sniffed,
+      CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS mismatch
+    FROM documents
+    """,
+)
+def q347_mime_mismatch(spark, sf_dir):
+    """Declared-vs-sniffed MIME audit (operators/multimodal.py
+    mime_sniff_mismatch): magic-prefix sniffing in pure codegen
+    against the WARC-declared content type (q289's channel) — a
+    text/html response opening with %PDF routes to the wrong
+    extractor and produces silent garbage; polyglots are a crawler
+    attack surface. Fixture: honest HTML (with charset parameter
+    that must strip), PDF smuggled as text/html, honest PNG
+    (unbase64 magic bytes), and unknown bytes under a pdf claim
+    which must NOT count as mismatch (no evidence). Zero Python —
+    the deep imagex/mediax sniffers stay the escalation path."""
+    from .operators.multimodal import mime_sniff_mismatch
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.encode(F.lit("  <html><body>x</body></html>"),
+                                "UTF-8"))
+        .when(m == 1, F.encode(F.lit("%PDF-1.7 smuggled"), "UTF-8"))
+        .when(m == 2, F.unbase64(F.lit("iVBORw0KGgoAAAANSUhEUg==")))
+        .otherwise(F.encode(F.lit("randomopaquebytes"), "UTF-8"))
+    )
+    declared = (
+        F.when(m == 0, F.lit("text/html; charset=utf-8"))
+        .when(m == 1, F.lit("text/html"))
+        .when(m == 2, F.lit("image/png"))
+        .otherwise(F.lit("application/pdf"))
+    )
+    return mime_sniff_mismatch(
+        d.select("doc_id", declared.alias("content_type"),
+                 payload.alias("payload"))
+    )

@@ -1042,3 +1042,54 @@ def jsonld_article_body(pages: DataFrame, id_col: str = "doc_id",
             F.expr("1000000L * _elen div _blen"),
         ).cast("bigint").alias("len_ratio_micros"),
     )
+
+
+def social_profile_links(pages: DataFrame, id_col: str = "doc_id",
+                         html_col: str = "html") -> DataFrame:
+    """SOCIAL/DEVELOPER profile-link extraction: ``(id, platform,
+    handle)`` for GitHub, X/Twitter, LinkedIn and Mastodon
+    (``@user@host``) references — the author-identity channel next
+    to byline metadata (q323) and ORCID (q344): cross-page handle
+    reuse links documents to one author/organization for provenance
+    weighting, and per-host handle censuses expose content farms
+    sharing one social identity across "independent" sites.
+    Platform path conventions are honored (reserved paths like
+    /i/, /intent/, /share excluded for x/twitter; /in/ required for
+    LinkedIn profiles). Codegen regexp channels + flatten/explode;
+    handles lowercased (all four platforms are case-insensitive)."""
+    h = F.col(html_col).cast("string")
+    gh = F.regexp_extract_all(
+        h, F.lit(r"github\.com/([A-Za-z\d](?:[A-Za-z\d-]{0,37}))"
+                 r"(?:[\"'/?#\s]|$)"), 1
+    )
+    tw = F.regexp_extract_all(
+        h, F.lit(r"(?:twitter|x)\.com/(?!i/|intent/|share|home|search)"
+                 r"(\w{1,15})(?:[\"'/?#\s]|$)"), 1
+    )
+    li = F.regexp_extract_all(
+        h, F.lit(r"linkedin\.com/in/([A-Za-z\d%-]{3,100})"), 1
+    )
+    ma = F.regexp_extract_all(
+        h, F.lit(r"(?:^|[\s>\"'])(@[A-Za-z\d_]+@[A-Za-z\d.-]+"
+                 r"\.[A-Za-z]{2,})"), 1
+    )
+    chans = [("github", gh), ("x", tw), ("linkedin", li),
+             ("mastodon", ma)]
+    rows = pages.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.transform(
+                        c,
+                        lambda v: F.struct(
+                            F.lit(k).alias("platform"),
+                            F.lower(v).alias("handle"),
+                        ),
+                    )
+                    for k, c in chans
+                ])
+            )
+        ).alias("_e"),
+    )
+    return rows.select(id_col, "_e.platform", "_e.handle").distinct()

@@ -435,3 +435,59 @@ def inline_image_dhash(docs: DataFrame, html_col: str = "html",
             dhash_udf(payload).alias("dhash64"),
         )
     )
+
+
+def mime_sniff_mismatch(docs, id_col: str = "doc_id",
+                        declared_col: str = "content_type",
+                        payload_col: str = "payload"):
+    """DECLARED-vs-SNIFFED MIME audit: ``(id, declared, sniffed,
+    mismatch)`` — the content-smuggling / broken-origin check every
+    archive pipeline runs on WARC payloads (q289 carries the
+    declared header): a response declared ``text/html`` whose bytes
+    open with ``%PDF`` routes to the WRONG extractor and silently
+    produces garbage text, and polyglot payloads are a classic
+    crawler attack surface. Sniffing is MAGIC-PREFIX based and runs
+    entirely in codegen — ``hex(substring(payload))`` against the
+    public signatures (PDF/PNG/JPEG/GIF/ZIP/gzip/WebP+RIFF), with
+    markup detected by a trimmed leading ``<``; unknown bytes report
+    ``application/octet-stream`` and never count as mismatch (no
+    evidence either way). The full-fidelity Python sniffers
+    (imagex/mediax) stay the deep-inspection path; this is the
+    corpus-wide cheap pass that decides who needs them.
+    Zero Python, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    p = F.col(payload_col)
+    hx = F.upper(F.hex(F.substring(p, 1, 12)))
+    # regexp strip, not ltrim: leading newlines/tabs count as markup
+    # whitespace and ltrim only removes spaces
+    txt_head = F.regexp_replace(
+        F.decode(F.substring(p, 1, 64), "UTF-8"), r"^\s+", ""
+    )
+    sniffed = (
+        F.when(hx.startswith("25504446"), "application/pdf")
+        .when(hx.startswith("89504E47"), "image/png")
+        .when(hx.startswith("FFD8FF"), "image/jpeg")
+        .when(hx.startswith("474946383"), "image/gif")
+        .when(hx.startswith("1F8B"), "application/gzip")
+        .when(hx.startswith("504B0304"), "application/zip")
+        .when(
+            (hx.startswith("52494646"))
+            & (F.upper(F.hex(F.substring(p, 9, 4))) == "57454250"),
+            "image/webp",
+        )
+        .when(txt_head.startswith("<"), "text/html")
+        .otherwise("application/octet-stream")
+    )
+    declared = F.lower(
+        F.trim(F.regexp_extract(F.col(declared_col), r"^([^;]+)", 1))
+    )
+    return docs.select(
+        F.col(id_col),
+        declared.alias("declared"),
+        sniffed.alias("sniffed"),
+        F.when(
+            (sniffed != "application/octet-stream")
+            & (declared != sniffed), 1
+        ).otherwise(0).cast("int").alias("mismatch"),
+    )
