@@ -18929,3 +18929,90 @@ def q347_mime_mismatch(spark, sf_dir):
         d.select("doc_id", declared.alias("content_type"),
                  payload.alias("payload"))
     )
+
+
+# --- wave: semantic regions + hidden text (q348-q349) -------------------------
+
+
+@q(
+    "q348_semantic_census",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS has_main,
+      CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END AS has_article,
+      CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+        AS n_articles,
+      CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS has_nav,
+      CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END AS has_aside,
+      CASE doc_id % 4 WHEN 3 THEN 1 ELSE 0 END AS has_header,
+      CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END AS has_footer,
+      CASE doc_id % 4 WHEN 0 THEN 'anchored' WHEN 1 THEN 'feed'
+        WHEN 2 THEN 'anchored' ELSE 'heuristic' END AS extraction_tier
+    FROM documents
+    """,
+)
+def q348_semantic_census(spark, sf_dir):
+    """HTML5 semantic-region census and extraction-strategy routing
+    (operators/meta.py semantic_region_census): <main>/single-
+    <article> pages are 'anchored' (take the subtree, skip scoring),
+    multi-article pages are 'feed' (listing — per-article units),
+    div-soup is 'heuristic' (q44/q87's full boilerplate scoring).
+    Routing by markup tier is how production pipelines confine the
+    expensive scoring path to pages that need it. Fixture: all four
+    tiers with region flags stated closed-form."""
+    from .operators.meta import semantic_region_census
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.lit(
+            "<body><nav>menu</nav><main><p>prose</p></main></body>"))
+        .when(m == 1, F.lit(
+            "<body><article>a</article><article>b</article>"
+            "<article>c</article></body>"))
+        .when(m == 2, F.lit(
+            "<body><article>solo</article><aside>ads</aside>"
+            "<footer>f</footer></body>"))
+        .otherwise(F.lit(
+            '<body><header>h</header><div class="content">soup'
+            "</div></body>"))
+    )
+    return semantic_region_census(d.select("doc_id", html.alias("html")))
+
+
+@q(
+    "q349_hidden_text",
+    """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+        AS n_hidden_elements,
+      CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 249 ELSE 0 END
+        AS n_hidden_chars,
+      CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS cloaking_suspect
+    FROM documents
+    """,
+)
+def q349_hidden_text(spark, sf_dir):
+    """Hidden-text audit (operators/meta.py hidden_text_audit):
+    inline display:none / visibility:hidden / font-size:0 elements
+    and their immediate text — the extraction-correctness signal
+    (renderers hide what extractors keep) and the classic SEO
+    cloaking detector (≥200 invisible chars). Fixture: a two-element
+    hidden pair (display + visibility channels, 24 trimmed chars), a
+    keyword-stuffed 249-char invisible div tripping the suspect
+    flag, and a clean page; counts closed-form. Codegen regexp +
+    aggregate length fold."""
+    from .operators.meta import hidden_text_audit
+
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(m == 0, F.lit(
+            '<div style="display:none">hidden keywords here</div>'
+            '<span style="visibility:hidden">more</span>'))
+        .when(m == 1, F.lit(
+            '<div style="font-size:0;color:red">' + "spam " * 50
+            + "</div>"))
+        .otherwise(F.lit('<div style="color:blue">visible text</div>'))
+    )
+    return hidden_text_audit(d.select("doc_id", html.alias("html")))

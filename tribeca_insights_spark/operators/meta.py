@@ -1093,3 +1093,83 @@ def social_profile_links(pages: DataFrame, id_col: str = "doc_id",
         ).alias("_e"),
     )
     return rows.select(id_col, "_e.platform", "_e.handle").distinct()
+
+
+def semantic_region_census(pages: DataFrame, id_col: str = "doc_id",
+                           html_col: str = "html") -> DataFrame:
+    """HTML5 SEMANTIC-REGION census: ``(id, has_main, has_article,
+    n_articles, has_nav, has_aside, has_header, has_footer,
+    extraction_tier)`` — whether the page declares the regions that
+    let an extractor ANCHOR instead of guess: a ``<main>`` or single
+    ``<article>`` page is tier 'anchored' (take that subtree, stop
+    scoring), multi-article pages are 'feed' (index/listing — each
+    article is a separate unit), legacy div-soup is 'heuristic'
+    (full boilerplate scoring required, q44/q87's path). Routing
+    extraction strategy by markup tier is how production pipelines
+    cut the expensive scoring path to the pages that need it.
+    Codegen regexp counts; zero shuffle."""
+    h = F.col(html_col).cast("string")
+
+    def _n(tag):
+        return F.size(
+            F.regexp_extract_all(h, F.lit(r"(?i)<" + tag + r"[\s>]"), 0)
+        ).cast("int")
+
+    n_main = _n("main")
+    n_article = _n("article")
+    tier = (
+        F.when((n_main > 0) | (n_article == 1), "anchored")
+        .when(n_article > 1, "feed")
+        .otherwise("heuristic")
+    )
+    return pages.select(
+        F.col(id_col),
+        F.when(n_main > 0, 1).otherwise(0).cast("int").alias("has_main"),
+        F.when(n_article > 0, 1).otherwise(0).cast("int")
+        .alias("has_article"),
+        n_article.alias("n_articles"),
+        F.when(_n("nav") > 0, 1).otherwise(0).cast("int").alias("has_nav"),
+        F.when(_n("aside") > 0, 1).otherwise(0).cast("int")
+        .alias("has_aside"),
+        F.when(_n("header") > 0, 1).otherwise(0).cast("int")
+        .alias("has_header"),
+        F.when(_n("footer") > 0, 1).otherwise(0).cast("int")
+        .alias("has_footer"),
+        tier.alias("extraction_tier"),
+    )
+
+
+def hidden_text_audit(pages: DataFrame, id_col: str = "doc_id",
+                      html_col: str = "html") -> DataFrame:
+    """HIDDEN-TEXT audit: ``(id, n_hidden_elements, n_hidden_chars,
+    cloaking_suspect)`` — elements carrying inline
+    ``display:none`` / ``visibility:hidden`` / ``font-size:0``
+    styles and the immediate text inside them. Two consumers:
+    extraction CORRECTNESS (the tree walker honors script/style but
+    inline-hidden divs are invisible to renderers while remaining in
+    extracted text — pages where hidden chars dominate need
+    style-aware extraction) and SEO cloaking detection (keyword
+    stuffing in invisible elements — ``cloaking_suspect`` fires at
+    ≥ 200 hidden chars, the classic audit threshold). Immediate-text
+    approximation (up to the next tag) is documented and pinned —
+    nested hidden subtrees need the walker, this is the cheap
+    corpus-wide pass that finds the pages worth walking.
+    Codegen regexp; zero shuffle."""
+    h = F.col(html_col).cast("string")
+    pat = (
+        r'(?is)<[a-z][^>]*style\s*=\s*"[^"]*(?:display\s*:\s*none|'
+        r'visibility\s*:\s*hidden|font-size\s*:\s*0(?:px|;|"))'
+        r'[^"]*"[^>]*>([^<]*)'
+    )
+    hits = F.regexp_extract_all(h, F.lit(pat), 1)
+    n_el = F.size(hits)
+    n_chars = F.aggregate(
+        hits, F.lit(0), lambda acc, s: acc + F.length(F.trim(s))
+    )
+    return pages.select(
+        F.col(id_col),
+        n_el.cast("int").alias("n_hidden_elements"),
+        n_chars.cast("int").alias("n_hidden_chars"),
+        F.when(n_chars >= 200, 1).otherwise(0).cast("int")
+        .alias("cloaking_suspect"),
+    )
