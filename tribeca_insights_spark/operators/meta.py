@@ -1021,7 +1021,11 @@ def jsonld_article_body(pages: DataFrame, id_col: str = "doc_id",
     extracted/body), NULL when no articleBody. The extraction-eval
     composition next to q259's golden fixtures — this one needs no
     fixtures, the web supplies the reference. Codegen regexp pull +
-    length arithmetic; zero shuffle."""
+    length arithmetic; zero shuffle. Known bound: the regexp captures
+    up to the first unescaped quote, so bodies containing escaped
+    ``\"`` report a TRUNCATED body_len (ratio skews high, never
+    low) — the full JSON parse (q269's from_json channel) is the
+    escalation path when exact lengths matter."""
     h = F.col(html_col).cast("string")
     body = F.regexp_extract(h, r'"articleBody"\s*:\s*"([^"]*)"', 1)
     has = F.when(body != "", 1).otherwise(0)
