@@ -19016,3 +19016,86 @@ def q349_hidden_text(spark, sf_dir):
         .otherwise(F.lit('<div style="color:blue">visible text</div>'))
     )
     return hidden_text_audit(d.select("doc_id", html.alias("html")))
+
+
+# --- wave: robots drift + budget apportionment (q350-q351) --------------------
+
+
+@q(
+    "q350_robots_drift",
+    """
+    SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+      CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS n_added,
+      CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+        AS n_removed,
+      CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS tightened,
+      CASE WHEN doc_id % 3 IN (1, 2) THEN 1 ELSE 0 END AS loosened
+    FROM documents
+    """,
+)
+def q350_robots_drift(spark, sf_dir):
+    """Robots-policy drift between crawl snapshots (sources/
+    robots.py robots_policy_drift): Disallow-rule set diff per host —
+    added rules TIGHTEN policy (frontier re-filter + q304-style
+    retro-exclusion), removed rules LOOSEN it (URL space unlocked
+    for the next tick). Fixture: unchanged hosts, a swap host (one
+    added + one removed — both flags fire), and a host dropping all
+    rules. Two host-keyed anti-joins + one rollup; closed-form."""
+    from .sources.robots import robots_policy_drift
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"))
+    m = F.col("doc_id") % 3
+    old = d.select(
+        host.alias("host"),
+        F.lit("User-agent: *\nDisallow: /a\nDisallow: /b\n")
+        .alias("robots_txt"),
+    )
+    new = d.select(
+        host.alias("host"),
+        F.when(m == 0, F.lit(
+            "User-agent: *\nDisallow: /a\nDisallow: /b\n"))
+        .when(m == 1, F.lit(
+            "User-agent: *\nDisallow: /a\nDisallow: /c\n"))
+        .otherwise(F.lit("User-agent: *\n")).alias("robots_txt"),
+    )
+    return robots_policy_drift(old, new)
+
+
+@q(
+    "q351_budget_apportionment",
+    """
+    SELECT * FROM (VALUES
+      ('h0', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1, CAST(2 AS BIGINT)),
+      ('h1', 2, 3, 1, 4),
+      ('h2', 3, 5, 0, 5),
+      ('h3', 4, 7, 0, 7),
+      ('h4', 5, 9, 0, 9),
+      ('h5', 6, 10, 1, 11),
+      ('h6', 7, 12, 1, 13),
+      ('h7', 8, 14, 1, 15),
+      ('h8', 9, 16, 0, 16),
+      ('h9', 10, 18, 0, 18)
+    ) AS t(host, weight, quota_floor, extra, budget)
+    """,
+)
+def q351_budget_apportionment(spark, sf_dir):
+    """Integer crawl-budget apportionment by the largest-remainder
+    (Hamilton) method (plans/frontier.py apportion_budget): 100
+    fetch slots split across 10 hosts proportionally to weight
+    (e.g. summed q328 change rates), floors + the 5 leftover slots
+    to the largest fractional remainders — allocations sum EXACTLY
+    to the budget, which naive rounding cannot guarantee. Ranking is
+    distributed order statistics (256 remainder range buckets,
+    bucket-partitioned row_number, broadcast prefix-sum offsets) —
+    no global sort of the host dim. Every quota/remainder/award is
+    exact integer arithmetic; the oracle states the full table."""
+    from .plans.frontier import apportion_budget
+
+    d = _read(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 10
+    weights = d.select(
+        F.concat(F.lit("h"), g.cast("string")).alias("host"),
+        (g + 1).cast("long").alias("weight"),
+    ).distinct()
+    return apportion_budget(weights, total_budget=100)

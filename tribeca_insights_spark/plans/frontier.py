@@ -92,3 +92,78 @@ def cache_policy(headers: DataFrame, url_col: str = "url",
         F.when(has_val, 1).otherwise(0).cast("int")
         .alias("has_validator"),
     )
+
+
+def apportion_budget(weights, total_budget: int,
+                     key_col: str = "host",
+                     weight_col: str = "weight"):
+    """INTEGER budget apportionment by the largest-remainder (Hamilton)
+    method: split ``total_budget`` fetch slots across hosts
+    proportionally to ``weight`` (e.g. the summed change rates from
+    change_rate_schedule/q328) such that allocations are integers,
+    sum EXACTLY to the budget, and the rounding is the canonical
+    fair one — floor every quota, then hand the leftover slots to
+    the largest fractional remainders (ties by key ascending,
+    deterministic). Output: ``(key, weight, quota_floor, extra,
+    budget)``.
+
+    Why not proportional-floats: a scheduler needs integers that sum
+    to the fleet's exact capacity; naive rounding over- or
+    under-subscribes by up to n_hosts/2 slots. Shape: one 1-row
+    total (broadcast), per-row integer quota arithmetic, and the
+    remainder ranking via DISTRIBUTED order statistics — remainders
+    hash into 256 range buckets, a bucket-PARTITIONED row_number
+    ranks within buckets, and global ranks come from broadcast
+    bucket-offset prefix sums (the only unpartitioned window in the
+    plan is over the ≤256-row bucket dim). No global sort of the
+    host dim; the page table is never touched."""
+    from pyspark.sql import Window, functions as F
+
+    b = int(total_budget)
+    nb = 256
+    w = weights.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("_tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "key", "weight",
+        F.expr(f"{b}L * weight div _tw").alias("quota_floor"),
+        F.expr(f"({b}L * weight) % _tw").alias("_rem"),
+        F.expr(f"(({b}L * weight) % _tw) * {nb}L div _tw")
+        .alias("_bkt"),
+    )
+    # bucket offsets: how many remainders live in HIGHER buckets —
+    # a <=nb-row dim, windowed there (bounded by construction)
+    bkt_counts = q.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    off_win = Window.orderBy(F.desc("_bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bkt_counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_n").over(off_win), F.lit(0)).alias("_off"),
+    )
+    in_bkt = Window.partitionBy("_bkt").orderBy(
+        F.desc("_rem"), F.asc("key")
+    )
+    ranked = (
+        q.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "key", "weight", "quota_floor",
+            (F.col("_off") + F.row_number().over(in_bkt)).alias("_rk"),
+        )
+    )
+    total_floor = q.agg(
+        (F.lit(b) - F.sum("quota_floor")).cast("long").alias("_extra")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total_floor))
+        .select(
+            F.col("key").alias(key_col), "weight", "quota_floor",
+            F.when(F.col("_rk") <= F.col("_extra"), 1).otherwise(0)
+            .cast("int").alias("extra"),
+            (F.col("quota_floor")
+             + F.when(F.col("_rk") <= F.col("_extra"), 1).otherwise(0))
+            .cast("long").alias("budget"),
+        )
+    )

@@ -266,3 +266,55 @@ def clean_param_rules(robots: DataFrame, host_col: str = "host",
         F.explode(params).alias("param"),
         prefix.alias("path_prefix"),
     ).filter(F.col("param") != "")
+
+
+def robots_policy_drift(old: DataFrame, new: DataFrame,
+                        host_col: str = "host",
+                        txt_col: str = "robots_txt") -> DataFrame:
+    """ROBOTS-POLICY drift between two snapshots: per host —
+    ``(host, n_added, n_removed, tightened, loosened)`` over the
+    Disallow rule sets (a rule ADDED tightens policy: previously
+    crawlable URL space closed; a rule REMOVED loosens it). The
+    operational trigger relation: tightened hosts need frontier
+    re-filtering and possibly RTBF-style retro-exclusion (q304);
+    loosened hosts unlock URL space for the next crawl tick. Rule
+    extraction reuses this module's per-line codegen regime; the
+    diff is two host-keyed left-anti joins + one partial-agg rollup
+    — no windows, and both sides are host-bucketed at fleet scale.
+    """
+    def rules(df):
+        line = F.col("_l")
+        return df.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(txt_col), "\n")).alias("_l"),
+        ).filter(
+            F.trim(line).rlike(r"(?i)^disallow\s*:")
+        ).select(
+            "host",
+            F.trim(
+                F.regexp_extract(line, r"(?i)^\s*disallow\s*:(.*)$", 1)
+            ).alias("rule"),
+        ).filter(F.col("rule") != "").distinct()
+
+    r_old, r_new = rules(old), rules(new)
+    added = r_new.join(r_old, ["host", "rule"], "left_anti") \
+        .groupBy("host").agg(F.count("*").cast("int").alias("n_added"))
+    removed = r_old.join(r_new, ["host", "rule"], "left_anti") \
+        .groupBy("host").agg(F.count("*").cast("int").alias("n_removed"))
+    hosts = old.select(F.col(host_col).alias("host")).unionByName(
+        new.select(F.col(host_col).alias("host"))
+    ).distinct()
+    return (
+        hosts.join(added, "host", "left")
+        .join(removed, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_added", F.lit(0)).cast("int").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("int")
+            .alias("n_removed"),
+            F.when(F.coalesce("n_added", F.lit(0)) > 0, 1).otherwise(0)
+            .cast("int").alias("tightened"),
+            F.when(F.coalesce("n_removed", F.lit(0)) > 0, 1).otherwise(0)
+            .cast("int").alias("loosened"),
+        )
+    )
