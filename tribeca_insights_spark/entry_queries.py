@@ -19099,3 +19099,115 @@ def q351_budget_apportionment(spark, sf_dir):
         (g + 1).cast("long").alias("weight"),
     ).distinct()
     return apportion_budget(weights, total_budget=100)
+
+
+# --- wave: rendezvous hashing + dup-pair explanation (q352-q353) --------------
+
+
+@q(
+    "q352_rendezvous_resize",
+    """
+    WITH k AS (SELECT 'k' || CAST(doc_id AS VARCHAR) AS key
+               FROM documents),
+    b AS (SELECT key, arg_max(s, md5(key || '|' || s)) AS shard_before
+          FROM k, unnest(['s0', 's1', 's2', 's3']) AS t(s)
+          GROUP BY key),
+    a AS (SELECT key, arg_max(s, md5(key || '|' || s)) AS shard_after
+          FROM k, unnest(['s0', 's1', 's2', 's3', 's4']) AS t(s)
+          GROUP BY key)
+    SELECT b.key, shard_before, shard_after,
+           CASE WHEN shard_before != shard_after THEN 1 ELSE 0 END
+             AS moved
+    FROM b JOIN a USING (key)
+    """,
+)
+def q352_rendezvous_resize(spark, sf_dir):
+    """Rendezvous/HRW hashing under a shard-count resize (operators/
+    mixing.py rendezvous_assign; Thaler & Ravishankar 1996): md5
+    argmax per (key, shard), replayed EXACTLY by the oracle's
+    arg_max — the consistent-hashing scheme with cross-engine
+    portability (ring/jump hashing need float/LCG loops no SQL
+    replays). The resize invariant the fixture exercises 4→5 shards:
+    a key moves ONLY to the new shard (expected 1/5 of keys), so
+    sharded state (q106 dedup indexes, frontier stores) rebalances
+    incrementally instead of mod-N's near-total reshuffle. Per-row
+    codegen array_max; no explode, no shuffle."""
+    from .operators.mixing import rendezvous_assign
+
+    d = _read(spark, sf_dir, "documents")
+    keys = d.select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("key")
+    )
+    before = rendezvous_assign(keys, "key", ["s0", "s1", "s2", "s3"],
+                               out_col="shard_before")
+    both = rendezvous_assign(before, "key",
+                             ["s0", "s1", "s2", "s3", "s4"],
+                             out_col="shard_after")
+    return both.select(
+        "key", "shard_before", "shard_after",
+        F.when(F.col("shard_before") != F.col("shard_after"), 1)
+        .otherwise(0).cast("int").alias("moved"),
+    )
+
+
+@q(
+    "q353_pair_diff_spans",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m,
+                      CAST(length(CAST(doc_id AS VARCHAR)) AS INT)
+                        AS idlen
+               FROM documents)
+    SELECT doc_id AS a_id, doc_id AS b_id,
+      CAST(4 + idlen AS INT) AS lcp,
+      CASE m WHEN 0 THEN 4 ELSE 0 END AS lcs,
+      CASE m WHEN 0 THEN 4 ELSE 0 END AS mid_a,
+      CASE m WHEN 0 THEN 2 WHEN 2 THEN 5 ELSE 0 END AS mid_b,
+      CASE m WHEN 1 THEN 1 ELSE 0 END AS same
+    FROM d
+    """,
+)
+def q353_pair_diff_spans(spark, sf_dir):
+    """Near-dup PAIR EXPLANATION (operators/dedup.py
+    pair_diff_spans): longest common prefix/suffix and the differing
+    middles per candidate pair — near-dup detectors (q18/q21/q140)
+    say THAT two documents match, this says WHERE they differ (the
+    timestamp, the byline, the ad block), which is what threshold
+    review and template-hole mining consume. Fixture strata: changed
+    middle (lcp/lcs/mids all nonzero), identical pair (suffix capped
+    to 0 after the full-prefix match — the documented
+    lcp+lcs ≤ shorter rule), and pure extension (mid_a 0, mid_b 5).
+    Codegen zip_with + array_position on candidate pairs only."""
+    from .operators.dedup import pair_diff_spans
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    ta = (
+        F.when(m == 0, F.concat(F.lit("AAAA"), sid, F.lit("MMMMZZZZ")))
+        .when(m == 1, F.concat(F.lit("SAME"), sid))
+        .otherwise(F.concat(F.lit("PPPP"), sid))
+    )
+    tb = (
+        F.when(m == 0, F.concat(F.lit("AAAA"), sid, F.lit("QQZZZZ")))
+        .when(m == 1, F.concat(F.lit("SAME"), sid))
+        .otherwise(F.concat(F.lit("PPPP"), sid, F.lit("EXTRA")))
+    )
+    docs_a = d.select("doc_id", ta.alias("text"))
+    docs_b = d.select("doc_id", tb.alias("text"))
+    # the two sides enter one docs relation under even/odd ids so the
+    # operator's single-table contract applies unchanged
+    union_docs = docs_a.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        docs_b.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    pair_ids = d.select(
+        (F.col("doc_id") * 2).alias("a_id"),
+        (F.col("doc_id") * 2 + 1).alias("b_id"),
+    )
+    out = pair_diff_spans(pair_ids, union_docs)
+    return out.select(
+        F.expr("a_id div 2").alias("a_id"),
+        F.expr("b_id div 2").alias("b_id"),
+        "lcp", "lcs", "mid_a", "mid_b", "same",
+    )

@@ -2053,3 +2053,55 @@ def dedup_sentences(df, id_col: str = "doc_id", text_col: str = "text"):
         F.count("*").cast("int").alias("n_sentences"),
         F.sum("_keep").cast("int").alias("n_kept"),
     )
+
+
+def pair_diff_spans(pairs, docs, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    a_col: str = "a_id", b_col: str = "b_id"):
+    """NEAR-DUP PAIR EXPLANATION: for each candidate pair, the
+    longest common PREFIX and SUFFIX character lengths and the
+    differing middles — ``(a_id, b_id, lcp, lcs, mid_a, mid_b,
+    same)``. The human-review / QA relation behind every dedup
+    threshold decision: near-dup detectors (q18/q21/q140) say THAT
+    two documents match; this says WHERE they differ (typically a
+    timestamp, a byline, an injected ad block), which is what a
+    reviewer needs to accept a threshold and what template-hole
+    mining consumes. ``lcp + lcs`` is capped at the shorter text so
+    the middles never go negative (overlapping prefix/suffix on
+    near-identical texts).
+
+    Pure codegen on candidate pairs only: texts join in by id
+    (url/id-keyed equi-joins), characters zip positionally, and the
+    first mismatch index comes from ``array_position`` — no Python,
+    no corpus-pair blowup (input IS the candidate relation)."""
+    from pyspark.sql import functions as F
+
+    t = docs.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_t"))
+    j = (
+        pairs.select(F.col(a_col).alias("a_id"),
+                     F.col(b_col).alias("b_id"))
+        .join(t.withColumnsRenamed({"_id": "a_id", "_t": "_ta"}), "a_id")
+        .join(t.withColumnsRenamed({"_id": "b_id", "_t": "_tb"}), "b_id")
+    )
+    ca = F.split(F.col("_ta"), "")
+    cb = F.split(F.col("_tb"), "")
+    shorter = F.least(F.length("_ta"), F.length("_tb"))
+
+    def _first_mismatch(x, y):
+        z = F.zip_with(x, y, lambda p, q: p == q)
+        pos = F.array_position(z, F.lit(False))
+        return F.when(pos > 0, pos - 1).otherwise(shorter)
+
+    lcp = _first_mismatch(ca, cb)
+    lcs_raw = _first_mismatch(F.reverse(ca), F.reverse(cb))
+    lcs = F.least(lcs_raw, shorter - lcp)
+    return j.select(
+        "a_id", "b_id",
+        lcp.cast("int").alias("lcp"),
+        lcs.cast("int").alias("lcs"),
+        (F.length("_ta") - lcp - lcs).cast("int").alias("mid_a"),
+        (F.length("_tb") - lcp - lcs).cast("int").alias("mid_b"),
+        F.when(F.col("_ta") == F.col("_tb"), 1).otherwise(0)
+        .cast("int").alias("same"),
+    )

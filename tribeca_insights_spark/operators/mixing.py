@@ -596,3 +596,33 @@ def shard_mix_kl(
         "shard", "n_docs", "kl_micros", "max_class",
         "max_class_frac_micros",
     )
+
+
+def rendezvous_assign(df, key_col: str, shards: list[str],
+                      out_col: str = "shard"):
+    """RENDEZVOUS (highest-random-weight) hashing: each key goes to
+    the shard maximizing ``md5(key || '|' || shard)`` — Thaler &
+    Ravishankar 1996, the consistent-hashing scheme with EXACT
+    engine portability (md5 argmax replays in any SQL engine, unlike
+    ring or jump hashing's float/LCG loops). The property that makes
+    it the resize story for sharded state (dedup indexes q106,
+    frontier stores, embedding shards): adding a shard moves ONLY
+    the keys the new shard wins — expected 1/(n+1) of them — while
+    mod-N assignment (q193's static splitter) reshuffles nearly
+    everything. Pair this with q352's before/after relation for the
+    measured movement bound.
+
+    Per-row codegen: a shard-sized literal array → transform to
+    (digest, shard) structs → array_max; no explode, no shuffle, no
+    Python."""
+    from pyspark.sql import functions as F
+
+    k = F.col(key_col)
+    pairs = F.array(*[
+        F.struct(
+            F.md5(F.concat(k, F.lit("|" + s))).alias("d"),
+            F.lit(s).alias("s"),
+        )
+        for s in shards
+    ])
+    return df.withColumn(out_col, F.array_max(pairs)["s"])
