@@ -19211,3 +19211,56 @@ def q353_pair_diff_spans(spark, sf_dir):
         F.expr("b_id div 2").alias("b_id"),
         "lcp", "lcs", "mid_a", "mid_b", "same",
     )
+
+
+# --- wave: canonical dedup-key capstone (q354) --------------------------------
+
+
+@q(
+    "q354_canonical_dedup_key",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             'the café extraction report ' || CAST(doc_id // 3 AS VARCHAR)
+               AS dedup_key
+      FROM documents
+    )
+    SELECT doc_id, dedup_key, md5(dedup_key) AS dedup_md5,
+           (SELECT count(DISTINCT dedup_key) FROM k)
+             AS n_distinct_keys
+    FROM k
+    """,
+)
+def q354_canonical_dedup_key(spark, sf_dir):
+    """Canonical dedup-key capstone (functions/normalize.py
+    canonical_dedup_key — dehyphenate ∘ control-strip/whitespace ∘
+    NFC ∘ lowercase): three byte-DIFFERENT renderings of one
+    document — hyphen-wrapped with a BOM, decomposed-accent with
+    doubled spaces, case-mapped clean — collapse to ONE key per
+    doc-group, proven by the oracle stating the single canonical
+    string (precomposed é, single spaces) and the corpus-wide
+    distinct-key count. NFKC deliberately excluded (lossy; q337 is
+    tokenizer-side). The md5 column is the q16 groupBy key at
+    scale."""
+    from .functions.normalize import canonical_dedup_key
+
+    d = _read(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 3").cast("string")
+    m = F.col("doc_id") % 3
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("﻿the café extrac-\ntion report "), g))
+        .when(m == 1, F.concat(
+            # decomposed e+COMBINING ACUTE, written explicitly
+            F.lit("The  cafe\u0301  extraction report "), g))
+        .otherwise(F.concat(
+            F.lit("THE CAFÉ EXTRACTION REPORT "), g))
+    )
+    keyed = canonical_dedup_key(d.select("doc_id", text.alias("text")))
+    n_distinct = keyed.agg(
+        F.countDistinct("dedup_key").cast("bigint")
+        .alias("n_distinct_keys")
+    )
+    return keyed.select("doc_id", "dedup_key", "dedup_md5").crossJoin(
+        F.broadcast(n_distinct)
+    )

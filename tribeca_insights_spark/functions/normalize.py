@@ -224,3 +224,28 @@ def dehyphenate_col(text_col):
     )
     unwrapped = F.regexp_replace(joined, r"[ \t]*\n[ \t]*", " ")
     return F.regexp_replace(unwrapped, r" {2,}", " ")
+
+
+def canonical_dedup_key(df, text_col: str = "text",
+                        out_col: str = "dedup_key",
+                        hash_col: str = "dedup_md5"):
+    """CANONICAL DEDUP-KEY pipeline — the composition every exact-
+    dedup pass (q16) should key on instead of raw bytes:
+    de-hyphenate line breaks (column-wrapped words rejoin,
+    :func:`dehyphenate_col`) → strip control/zero-width junk +
+    collapse whitespace (:func:`normalize_text_col`) → Unicode NFC
+    (combining marks fold, :func:`nfc_udf`) → lowercase. Two
+    renderings of ONE document — different wrap points, different
+    accent encoding, a stray BOM, case-mapped navigation — collapse
+    to one key; NFKC is deliberately NOT applied (it is lossy — q337
+    keeps it tokenizer-side). Adds ``out_col`` and its md5
+    ``hash_col`` (the groupBy key at corpus scale).
+
+    Plan: codegen regexp chain → one ArrowEvalPython (NFC) → codegen
+    lower/md5 — the extractor's zero-shuffle shape."""
+    c = F.col(text_col)
+    staged = normalize_text_col(dehyphenate_col(c))
+    keyed = F.lower(nfc_udf()(staged))
+    return df.withColumn(out_col, keyed).withColumn(
+        hash_col, F.md5(F.col(out_col))
+    )
