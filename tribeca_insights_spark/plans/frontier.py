@@ -121,10 +121,12 @@ def apportion_budget(weights, total_budget: int,
 
     b = int(total_budget)
     nb = 256
+    # zero/negative weights carry no claim and would null the integer
+    # division when they were ALL of the input — dropped, documented
     w = weights.select(
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("long").alias("weight"),
-    )
+    ).filter(F.col("weight") > 0)
     tot = w.agg(F.sum("weight").alias("_tw"))
     q = w.crossJoin(F.broadcast(tot)).select(
         "key", "weight",
