@@ -19264,3 +19264,178 @@ def q354_canonical_dedup_key(spark, sf_dir):
     return keyed.select("doc_id", "dedup_key", "dedup_md5").crossJoin(
         F.broadcast(n_distinct)
     )
+
+
+# --- wave: domain cap + image-text pairs (q355-q356) --------------------------
+
+
+@q(
+    "q355_domain_cap",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 8 THEN 'big.example.com'
+               ELSE 'small' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.org' END AS registrable
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, registrable,
+             row_number() OVER (PARTITION BY registrable
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)))
+               AS rk
+      FROM h
+    ),
+    kept AS (SELECT registrable, count(*) AS n_kept
+             FROM ranked WHERE rk <= 25 GROUP BY registrable)
+    SELECT h.registrable,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(k.n_kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - min(k.n_kept) AS BIGINT) AS n_capped
+    FROM h JOIN kept k ON k.registrable = h.registrable
+    GROUP BY h.registrable
+    """,
+)
+def q355_domain_cap(spark, sf_dir):
+    """Per-REGISTRABLE document cap — the FineWeb/C4 'limit docs per
+    domain' recipe step: one mega-site must not dominate the corpus,
+    so each registrable domain (q306's grouping key) keeps at most K
+    documents by deterministic md5 rank (q104's exact-k machinery —
+    a domain-PARTITIONED window, never global). Fixture: one
+    big domain holding 80% of docs (capped hard at 25) beside small
+    domains under the cap (kept whole); the rollup states kept vs
+    capped per domain and the oracle replays the identical md5
+    ranking. The capped share is the datasheet number this emits."""
+    from .operators.mixing import stratified_topk_sample
+
+    d = _read(spark, sf_dir, "documents")
+    reg = F.when(
+        F.col("doc_id") % 10 < 8, F.lit("big.example.com")
+    ).otherwise(
+        F.concat(F.lit("small"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".example.org"))
+    )
+    docs = d.select("doc_id", reg.alias("registrable"))
+    kept = stratified_topk_sample(
+        docs, stratum_col="registrable", id_col="doc_id", k=25
+    )
+    n_kept = kept.groupBy("registrable").agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    )
+    return (
+        docs.groupBy("registrable")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(n_kept, "registrable")
+        .select(
+            "registrable", "n_docs", "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint")
+            .alias("n_capped"),
+        )
+    )
+
+
+@q(
+    "q356_image_text_pairs",
+    """
+    WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                      doc_id % 4 AS m FROM documents)
+    SELECT doc_id,
+      CASE m
+        WHEN 0 THEN 'https://cdn.example.com/og' || sid || '.jpg'
+        WHEN 1 THEN 'https://cdn.example.com/tw' || sid || '.jpg'
+        ELSE '/img/inline' || sid || '.png'
+      END AS image_url,
+      CASE m
+        WHEN 0 THEN 'OG caption ' || sid
+        WHEN 1 THEN 'Doc title ' || sid
+        ELSE 'inline alt text ' || sid
+      END AS caption,
+      CASE m WHEN 0 THEN 'og' WHEN 1 THEN 'twitter' ELSE 'img_alt'
+      END AS channel
+    FROM b WHERE m IN (0, 1, 2)
+    """,
+)
+def q356_image_text_pairs(spark, sf_dir):
+    """IMAGE-TEXT pair candidates — the LAION-style multimodal
+    harvest relation: ``(doc_id, image_url, caption, channel)`` with
+    a declared caption-quality ladder: ``og:image`` + ``og:
+    description`` (editorial caption, best) > ``twitter:image`` +
+    page title > first content ``<img>`` with non-empty alt text.
+    Pages with none emit nothing. The pair relation feeds CLIP-style
+    training and joins q105/q277's fingerprints for image-side
+    dedup. Fixture: one stratum per channel (the og stratum ALSO
+    carries a decoy inline img that must lose; the alt stratum's
+    empty-alt sibling must be skipped); closed-form. Codegen
+    meta_tags + img regexp channels, per-row precedence."""
+    from .operators.meta import meta_tags
+
+    d = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<meta property="og:image" '
+                  'content="https://cdn.example.com/og'), sid,
+            F.lit('.jpg"><meta property="og:description" '
+                  'content="OG caption '), sid,
+            F.lit('"><img src="/img/decoy.png" alt="decoy">')))
+        .when(m == 1, F.concat(
+            F.lit('<title>Doc title '), sid,
+            F.lit('</title><meta name="twitter:image" '
+                  'content="https://cdn.example.com/tw'), sid,
+            F.lit('.jpg">')))
+        .when(m == 2, F.concat(
+            F.lit('<img src="/img/skip.png" alt="">'
+                  '<img src="/img/inline'), sid,
+            F.lit('.png" alt="inline alt text '), sid, F.lit('">')))
+        .otherwise(F.lit("<p>no imagery</p>"))
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    tags = meta_tags(pages)
+    metas = tags.groupBy("doc_id").agg(
+        F.max(F.when(F.col("key") == "og:image", F.col("content")))
+        .alias("_og_img"),
+        F.max(F.when(F.col("key") == "og:description", F.col("content")))
+        .alias("_og_desc"),
+        F.max(F.when(F.col("key") == "twitter:image", F.col("content")))
+        .alias("_tw_img"),
+    )
+    title = F.regexp_extract(h, r"<title[^>]*>\s*([^<]*?)\s*</title>", 1)
+    first_img = F.element_at(
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(h, F.lit(r"(?s)<img\s[^>]*>"), 0),
+                lambda t: F.struct(
+                    F.regexp_extract(t, r'src\s*=\s*"([^"]*)"', 1)
+                    .alias("src"),
+                    F.regexp_extract(t, r'alt\s*=\s*"([^"]*)"', 1)
+                    .alias("alt"),
+                ),
+            ),
+            lambda s: (s["src"] != "") & (s["alt"] != ""),
+        ),
+        1,
+    )
+    base = pages.select(
+        "doc_id", title.alias("_title"), first_img.alias("_fi")
+    ).join(metas, "doc_id", "left")
+    og_ok = (F.col("_og_img").isNotNull() & (F.col("_og_img") != "")
+             & F.col("_og_desc").isNotNull() & (F.col("_og_desc") != ""))
+    tw_ok = (F.col("_tw_img").isNotNull() & (F.col("_tw_img") != "")
+             & (F.col("_title") != ""))
+    alt_ok = F.col("_fi").isNotNull()
+    return (
+        base.select(
+            "doc_id",
+            F.when(og_ok, F.col("_og_img"))
+            .when(tw_ok, F.col("_tw_img"))
+            .when(alt_ok, F.col("_fi")["src"]).alias("image_url"),
+            F.when(og_ok, F.col("_og_desc"))
+            .when(tw_ok, F.col("_title"))
+            .when(alt_ok, F.col("_fi")["alt"]).alias("caption"),
+            F.when(og_ok, "og").when(tw_ok, "twitter")
+            .when(alt_ok, "img_alt").alias("channel"),
+        )
+        .filter(F.col("channel").isNotNull())
+    )
