@@ -14,9 +14,11 @@ def test_domain_cap_big_capped_small_whole(spark):
             .collect()}
     big = rows["big.example.com"]
     assert big["n_kept"] == 25 and big["n_capped"] == big["n_docs"] - 25
-    for k, r in rows.items():
-        if k != "big.example.com":
-            assert r["n_capped"] == 0 and r["n_kept"] == r["n_docs"]
+    # every domain keeps exactly min(25, n_docs); at sf0.001 the small
+    # domains hold 50 docs each, so they hit the cap too
+    for r in rows.values():
+        assert r["n_kept"] == min(25, r["n_docs"])
+        assert r["n_capped"] == r["n_docs"] - r["n_kept"]
 
 
 def test_image_pairs_channels(spark):

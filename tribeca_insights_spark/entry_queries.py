@@ -19402,7 +19402,7 @@ def q356_image_text_pairs(spark, sf_dir):
         .alias("_tw_img"),
     )
     title = F.regexp_extract(h, r"<title[^>]*>\s*([^<]*?)\s*</title>", 1)
-    first_img = F.element_at(
+    first_img = F.try_element_at(
         F.filter(
             F.transform(
                 F.regexp_extract_all(h, F.lit(r"(?s)<img\s[^>]*>"), 0),
@@ -19415,7 +19415,7 @@ def q356_image_text_pairs(spark, sf_dir):
             ),
             lambda s: (s["src"] != "") & (s["alt"] != ""),
         ),
-        1,
+        F.lit(1),
     )
     base = pages.select(
         "doc_id", title.alias("_title"), first_img.alias("_fi")
