@@ -57,3 +57,34 @@ def test_empty_query_raises(spark):
     df = spark.createDataFrame([Row(doc_id=1, title="a", text="b")])
     with pytest.raises(ValueError):
         bm25f_topk(df, [])
+
+
+def test_null_field_treated_as_empty(spark):
+    # ADVICE r4: NULL field must not contribute dl=-1 to avgdl stats;
+    # scores must equal the same corpus with '' in place of NULL
+    from pyspark.sql import Row
+    from tribeca_insights_spark.operators.retrieval import bm25f_topk
+
+    rows_null = [
+        Row(doc_id=1, title="spark rocks", text="spark spark fast"),
+        Row(doc_id=2, title=None, text="spark slow"),
+        Row(doc_id=3, title="other", text=None),
+    ]
+    rows_empty = [
+        Row(doc_id=1, title="spark rocks", text="spark spark fast"),
+        Row(doc_id=2, title="", text="spark slow"),
+        Row(doc_id=3, title="other", text=""),
+    ]
+    got_null = {
+        (r["doc_id"], r["score_micros"])
+        for r in bm25f_topk(
+            spark.createDataFrame(rows_null), ["spark"], topk=10
+        ).collect()
+    }
+    got_empty = {
+        (r["doc_id"], r["score_micros"])
+        for r in bm25f_topk(
+            spark.createDataFrame(rows_empty), ["spark"], topk=10
+        ).collect()
+    }
+    assert got_null == got_empty and len(got_null) == 2

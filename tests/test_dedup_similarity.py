@@ -159,6 +159,9 @@ def test_multimodal_stub_plumbing(spark):
     assert out[1]["n_bytes"] == 16
     assert out[1]["format_guess"] in ("png", "jpeg", "webp")
     assert 64 <= out[1]["width"] < 256
+    # fabricated fallback rows are flagged (VERDICT-r4 #3): a corrupt
+    # payload must be filterable, never silently real-looking
+    assert out[1]["is_sniffed"] is False and out[2]["is_sniffed"] is False
     # real decode path is explicitly stubbed
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"x")

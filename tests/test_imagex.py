@@ -150,6 +150,7 @@ def test_media_ops_real_png(spark):
     for i in range(12):
         r = meta[i]
         assert r["format_guess"] == "png"
+        assert r["is_sniffed"] is True
         assert r["width"] == 20 + i % 9 and r["height"] == 120 + i % 9
         assert r["n_bytes"] == 68 + r["height"] * (r["width"] + 1)
 

@@ -57,3 +57,25 @@ def test_parse_jsonl_corrupt_carries_raw_line(spark):
     df = spark.createDataFrame([Row(batch_id=0, line="oops")])
     r = parse_jsonl(df, "line", "a long").collect()[0]["rec"]
     assert r["a"] is None and r["_corrupt"] == "oops"
+
+
+def test_audit_parameterized_and_nested_ddl(spark):
+    # ADVICE r4: field list must come from a real DDL parse —
+    # decimal(10,2)/array<struct<...>> broke the naive comma split
+    from pyspark.sql import Row
+    from tribeca_insights_spark.sources.jsonl import json_schema_audit
+
+    df = spark.createDataFrame([
+        Row(batch_id="b1",
+            line='{"price": 1.25, "tags": [{"k": "a", "v": 1}]}'),
+        Row(batch_id="b1", line='{"price": 2.50}'),
+        Row(batch_id="b1", line="not json"),
+    ])
+    out = {
+        (r["field"], r["n_present"])
+        for r in json_schema_audit(
+            df, "line",
+            "price decimal(10,2), tags array<struct<k:string,v:int>>",
+        ).collect()
+    }
+    assert out == {("price", 2), ("tags", 1), ("_corrupt", 1)}

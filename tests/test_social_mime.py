@@ -65,3 +65,51 @@ def test_gif_and_webp_magic(spark):
 
 def test_unknown_bytes_never_mismatch(spark):
     assert _mime(spark, "application/pdf", b"opaquedata")[2] == 0
+
+
+# --- round-5 ADVICE regressions ----------------------------------------------
+
+
+def test_host_boundary_rejects_substring_domains(spark):
+    # 'x.com/' inside dropbox.com / 'github.com/' inside mygithub.com
+    # must not emit handles (ADVICE r4, meta.py host boundary)
+    got = _soc(
+        spark,
+        '<a href="https://dropbox.com/sh12abc">d</a> '
+        '<a href="https://mygithub.com/evilco">g</a> '
+        '<a href="https://netflix.com/title/123">n</a> '
+        '<a href="https://wix.com/site">w</a>',
+    )
+    assert got == set()
+
+
+def test_host_boundary_accepts_www_and_bare(spark):
+    got = _soc(
+        spark,
+        '<a href="https://www.x.com/alice">1</a> '
+        'see x.com/bob and https://www.github.com/carol today',
+    )
+    assert got == {("x", "alice"), ("x", "bob"), ("github", "carol")}
+
+
+def test_declared_xml_not_mismatch_on_markup_sniff(spark):
+    # markup is a sniff CLASS: '<' bytes are consistent with any
+    # declared html/xml/svg type (ADVICE r4, multimodal.py)
+    assert _mime(spark, "application/xml",
+                 b'<?xml version="1.0"?><rss/>') == (
+        "application/xml", "text/xml", 0)
+    assert _mime(spark, "image/svg+xml",
+                 b'<svg xmlns="http://www.w3.org/2000/svg"/>') == (
+        "image/svg+xml", "image/svg+xml", 0)
+    assert _mime(spark, "application/rss+xml",
+                 b"<rss version=\"2.0\"><channel/></rss>") == (
+        "application/rss+xml", "text/html", 0)
+    assert _mime(spark, "application/atom+xml",
+                 b'<?xml version="1.0"?><feed/>')[2] == 0
+
+
+def test_markup_sniff_still_flags_nonmarkup_declared(spark):
+    # cross-class conflict stays a mismatch: html bytes under a
+    # declared image type
+    assert _mime(spark, "image/png", b"<html><body>x</body></html>") == (
+        "image/png", "text/html", 1)

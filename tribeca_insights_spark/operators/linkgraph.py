@@ -1427,8 +1427,11 @@ def host_cocitation(edges, src_col: str = "src_host",
               "host_b")
         .select(
             "host_a", "host_b", "n_shared", "n_a", "n_b",
-            (F.lit(1000000) * F.col("n_shared")
-             / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+            # exact integer div (q129/q220 discipline): double
+            # division + cast can cross an integer boundary for very
+            # large degree sums — a latent cross-engine hash mismatch
+            F.expr("1000000L * n_shared"
+                   " div (n_a + n_b - n_shared)")
             .cast("bigint").alias("jaccard_micros"),
         )
     )

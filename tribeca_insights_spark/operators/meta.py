@@ -1062,16 +1062,22 @@ def social_profile_links(pages: DataFrame, id_col: str = "doc_id",
     LinkedIn profiles). Codegen regexp channels + flatten/explode;
     handles lowercased (all four platforms are case-insensitive)."""
     h = F.col(html_col).cast("string")
+    # host boundary: the platform domain must start a host, not sit
+    # inside one — without it 'x.com/' matches inside dropbox.com/
+    # netflix.com and 'github.com/' matches mygithub.com, emitting
+    # bogus handles into the author-identity channel
+    _b = r"(?:^|[^A-Za-z\d.-])(?:www\.)?"
     gh = F.regexp_extract_all(
-        h, F.lit(r"github\.com/([A-Za-z\d](?:[A-Za-z\d-]{0,37}))"
+        h, F.lit(_b + r"github\.com/([A-Za-z\d](?:[A-Za-z\d-]{0,37}))"
                  r"(?:[\"'/?#\s]|$)"), 1
     )
     tw = F.regexp_extract_all(
-        h, F.lit(r"(?:twitter|x)\.com/(?!i/|intent/|share|home|search)"
+        h, F.lit(_b + r"(?:twitter|x)\.com/"
+                 r"(?!i/|intent/|share|home|search)"
                  r"(\w{1,15})(?:[\"'/?#\s]|$)"), 1
     )
     li = F.regexp_extract_all(
-        h, F.lit(r"linkedin\.com/in/([A-Za-z\d%-]{3,100})"), 1
+        h, F.lit(_b + r"linkedin\.com/in/([A-Za-z\d%-]{3,100})"), 1
     )
     ma = F.regexp_extract_all(
         h, F.lit(r"(?:^|[\s>\"'])(@[A-Za-z\d_]+@[A-Za-z\d.-]+"

@@ -25,6 +25,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -48,6 +49,7 @@ MEDIA_META_SCHEMA = StructType(
         StructField("format_guess", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("is_sniffed", BooleanType()),
     ]
 )
 
@@ -86,13 +88,19 @@ def media_metadata(media: DataFrame, id_col: str = "media_id",
     Format and dimensions come from real header parsing; payloads the
     sniffer can't identify get ``('unknown', NULL, NULL)`` — or, with
     ``deterministic_fake=True``, the legacy hash-derived pseudo-metadata
-    (kept so plumbing tests can run over arbitrary text bytes)."""
+    (kept so plumbing tests can run over arbitrary text bytes).
+
+    ``is_sniffed`` is the PROVENANCE flag (VERDICT-r4 #3): True only when
+    format/dims came from a real header parse; fabricated fallback rows
+    carry False so a production corpus can filter them — a corrupt JPEG
+    must never silently acquire fake dimensions."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {
                 "media_id": [], "n_bytes": [], "sha256": [],
                 "format_guess": [], "width": [], "height": [],
+                "is_sniffed": [],
             }
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
@@ -109,6 +117,7 @@ def media_metadata(media: DataFrame, id_col: str = "media_id",
                 rows["format_guess"].append(fmt)
                 rows["width"].append(w)
                 rows["height"].append(h)
+                rows["is_sniffed"].append(s is not None)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_batches, schema=MEDIA_META_SCHEMA)
@@ -476,18 +485,29 @@ def mime_sniff_mismatch(docs, id_col: str = "doc_id",
             & (F.upper(F.hex(F.substring(p, 9, 4))) == "57454250"),
             "image/webp",
         )
+        .when(F.lower(txt_head).startswith("<?xml"), "text/xml")
+        .when(F.lower(txt_head).startswith("<svg"), "image/svg+xml")
         .when(txt_head.startswith("<"), "text/html")
         .otherwise("application/octet-stream")
     )
     declared = F.lower(
         F.trim(F.regexp_extract(F.col(declared_col), r"^([^;]+)", 1))
     )
+    # markup is a sniff CLASS, not one type: a leading '<' cannot
+    # distinguish html from xml/svg/rss/atom/xhtml, so any declared
+    # markup type is consistent with any markup sniff (same
+    # no-evidence rule as octet-stream); only cross-class conflicts
+    # (e.g. %PDF under text/html) count as mismatch.
+    sniff_markup = sniffed.isin("text/html", "text/xml",
+                                "image/svg+xml")
+    decl_markup = declared.contains("html") | declared.contains("xml")
     return docs.select(
         F.col(id_col),
         declared.alias("declared"),
         sniffed.alias("sniffed"),
         F.when(
             (sniffed != "application/octet-stream")
+            & ~(sniff_markup & decl_markup)
             & (declared != sniffed), 1
         ).otherwise(0).cast("int").alias("mismatch"),
     )

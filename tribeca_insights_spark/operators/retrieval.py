@@ -359,7 +359,11 @@ def bm25f_topk(
     hit_parts = []
     len_parts = []
     for col, (_w, _b) in fields.items():
-        toks = F.filter(F.split(F.col(col), " "),
+        # coalesce first: a NULL field makes F.size return -1 under
+        # legacy semantics, feeding dl=-1 rows into the per-field
+        # avgdl stats and skewing normalization for every document
+        toks = F.filter(F.split(F.coalesce(F.col(col), F.lit("")),
+                                " "),
                         lambda w: F.length(w) > 0)
         base = docs.select(F.col(id_col).alias("doc_id"),
                            toks.alias("_t"))

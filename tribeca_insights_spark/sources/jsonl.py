@@ -46,10 +46,13 @@ def json_schema_audit(df: DataFrame, json_col: str, schema_ddl: str,
     (tiny, schema-sized) field list + ONE map-combined groupBy on
     (batch, field) — field cardinality is the schema's, so the agg
     output is batches × fields regardless of corpus size."""
-    fields = [
-        part.strip().split()[0].strip("`")
-        for part in schema_ddl.split(",")
-    ]
+    # parse the DDL properly — naive split(',') yields garbage field
+    # names for parameterized or nested types (decimal(10,2),
+    # array<...>, map<k,v>, struct<...>) and the audit breaks at
+    # analysis when getField probes a nonexistent name
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(schema_ddl).fieldNames()
     parsed = parse_jsonl(df, json_col, schema_ddl, out_col="_p")
     probes = [
         F.struct(
