@@ -48,11 +48,17 @@ DECOMPOSED_TAGS = frozenset({"script", "style", "header", "footer", "nav"})
 # bs4 and never appears in get_text output even on the undecomposed tree.
 RAWTEXT_TAGS = frozenset({"script", "style"})
 
-# HTML void elements — never pushed on the open-tag stack.
+# Void elements — never pushed on the open-tag stack. This is bs4's full
+# HTMLTreeBuilder.empty_element_tags: the HTML5 voids plus the legacy set
+# (basefont..spacer) that bs4 still treats as empty — a stray </frame> or
+# <image> must not perturb pop-to-tag depth if parity is byte-exact.
 VOID_TAGS = frozenset(
     {
         "area", "base", "br", "col", "embed", "hr", "img", "input",
-        "link", "meta", "param", "source", "track", "wbr",
+        "keygen", "link", "menuitem", "meta", "param", "source", "track",
+        "wbr",
+        "basefont", "bgsound", "command", "frame", "image", "isindex",
+        "nextid", "spacer",
     }
 )
 
@@ -155,13 +161,20 @@ class _Walker(FastTagPaths, HTMLParser):
         self.stack: List[str] = []  # open non-void tags, bs4-style
         self._buf: List[str] = []  # pending character data (merged node)
         self.visible: List[str] = []  # string nodes outside decomposed subtrees
-        # title capture: first <title>; emulate bs4 `.string` (None when the
-        # title element has element children)
+        # title capture: first <title>; emulates bs4 `.string` exactly —
+        # None unless the element has exactly one child, a single string
+        # child of ANY kind (text, Comment, Doctype, CData, PI) is
+        # returned, and a single *element* child recurses (bs4
+        # element.py Tag.string). The subtree is captured as a minimal
+        # nested-list tree: elements are ('e', children) tuples, strings
+        # are str — tiny (title-sized), built only inside the first
+        # <title>, and resolved iteratively at close (adversarial pages
+        # nest hundreds deep).
         self.title_value: Optional[str] = None
         self._title_seen = False
         self._title_depth: Optional[int] = None
-        self._title_parts: List[str] = []
-        self._title_has_elem = False
+        self._t_root: List[object] = []
+        self._t_stack: Optional[List[List[object]]] = None
         self.meta_description: Optional[str] = None
         # headings: list of (hashes_prefix, [string nodes]) being collected;
         # supports (degenerate) nested headings via a stack of collectors
@@ -180,13 +193,21 @@ class _Walker(FastTagPaths, HTMLParser):
             return
         data = "".join(self._buf)
         self._buf.clear()
+        if self._t_stack is not None:
+            # inside the first <title>: every string child (even typed
+            # Script/Stylesheet containers) is a tree child for `.string`
+            self._t_stack[-1].append(data)
         in_rawtext = any(t in RAWTEXT_TAGS for t in self.stack)
         if in_rawtext:
             return  # Script/Stylesheet string containers: never in get_text
+        if self.stack and self.stack[-1] == "template":
+            # bs4 >= 4.9 string containers: text whose IMMEDIATE parent is
+            # <template> is a TemplateString — excluded from get_text by
+            # the exact-type check (deeper-nested text is a plain
+            # NavigableString and stays visible)
+            return
         if not any(t in DECOMPOSED_TAGS for t in self.stack):
             self.visible.append(data)
-        if self._title_depth is not None and len(self.stack) > self._title_depth:
-            self._title_parts.append(data)
         for _level, _depth, parts in self._open_headings:
             parts.append(data)
 
@@ -195,7 +216,10 @@ class _Walker(FastTagPaths, HTMLParser):
         self._end_data()
         ad: Dict[str, Optional[str]] = {}
         for k, v in attrs:  # duplicate attribute: last wins (bs4 default)
-            ad[k] = v
+            # bs4 handle_starttag: "Change None attribute values to ''"
+            # — a valueless attribute (<a href>) is present-with-empty,
+            # not absent (find_all(href=True) matches it)
+            ad[k] = v if v is not None else ""
         if tag == "img":
             self.images.append((ad.get("src"), ad.get("alt")))
         elif tag == "a":
@@ -227,15 +251,18 @@ class _Walker(FastTagPaths, HTMLParser):
                 hl = ad.get("hreflang")
                 if hl:
                     self.hreflang.append((hl, ad.get("href") or ""))
-        if self._title_depth is not None:
-            self._title_has_elem = True
+        if self._t_stack is not None:
+            child: List[object] = []
+            self._t_stack[-1].append(("e", child))
+            if tag not in VOID_TAGS:
+                self._t_stack.append(child)
         if tag in VOID_TAGS:
             return
         if tag == "title" and not self._title_seen:
             self._title_seen = True
             self._title_depth = len(self.stack)
-            self._title_parts = []
-            self._title_has_elem = False
+            self._t_root = []
+            self._t_stack = [self._t_root]
         level = _HEADING_LEVEL.get(tag)
         if level is not None:
             self._open_headings.append((level, len(self.stack), []))
@@ -266,14 +293,30 @@ class _Walker(FastTagPaths, HTMLParser):
         self.stack.clear()
         self._close_collectors(0)
 
+    def _resolve_title_string(self) -> Optional[str]:
+        """bs4 ``Tag.string`` on the captured title subtree: None unless
+        exactly one child; a lone string child (any kind) is the value; a
+        lone element child recurses — iteratively (deep adversarial
+        nesting)."""
+        children: List[object] = self._t_root
+        while True:
+            if len(children) != 1:
+                return None
+            c = children[0]
+            if isinstance(c, str):
+                return c
+            children = c[1]  # ('e', children) element node
+
     def _close_collectors(self, depth: int) -> None:
-        if self._title_depth is not None and depth <= self._title_depth:
-            if self._title_has_elem:
-                self.title_value = None  # bs4 `.string` on multi-child tag
+        if self._title_depth is not None:
+            if depth <= self._title_depth:
+                self.title_value = self._resolve_title_string()
+                self._title_depth = None
+                self._t_stack = None
             else:
-                merged = "".join(self._title_parts) if self._title_parts else None
-                self.title_value = merged
-            self._title_depth = None
+                # pops inside the open title subtree: keep the capture
+                # stack aligned with the element stack
+                del self._t_stack[depth - self._title_depth:]
         while self._open_headings and depth <= self._open_headings[-1][1]:
             level, _d, parts = self._open_headings.pop()
             # bs4 get_text(strip=True): strip each string node, drop empties,
@@ -281,18 +324,25 @@ class _Walker(FastTagPaths, HTMLParser):
             text = "".join(p.strip() for p in parts if p.strip())
             self.headings.append("#" * level + " " + text)
 
-    # -- non-text events: never part of get_text --------------------------
-    def handle_comment(self, data: str) -> None:
+    # -- non-text events: never part of get_text, but Comment/Doctype/
+    # CData/PI are NavigableString subclasses in bs4 — they ARE children,
+    # and `.string` returns a lone one (safe_strip then strips it)
+    def _non_text_node(self, data: str) -> None:
         self._end_data()
+        if self._t_stack is not None:
+            self._t_stack[-1].append(data)
+
+    def handle_comment(self, data: str) -> None:
+        self._non_text_node(data)
 
     def handle_decl(self, decl: str) -> None:
-        self._end_data()
+        self._non_text_node(decl)
 
     def handle_pi(self, data: str) -> None:
-        self._end_data()
+        self._non_text_node(data)
 
     def unknown_decl(self, data: str) -> None:
-        self._end_data()
+        self._non_text_node(data)
 
     def handle_data(self, data: str) -> None:
         self._buf.append(data)
