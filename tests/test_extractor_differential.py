@@ -132,3 +132,42 @@ def test_differential_all_channels(name):
 def test_case_count_minimum():
     # the r4 verdict asks for >= 50 new differential cases
     assert len(CASES) >= 50
+
+
+# --- hypothesis tag-soup fuzz: random markup, all channels ------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _TAGS = [
+        "div", "p", "b", "i", "span", "title", "h1", "h2", "h3", "nav",
+        "header", "footer", "script", "style", "template", "table", "tr",
+        "td", "a", "img", "br", "meta", "frame", "image", "keygen",
+    ]
+    _TEXTS = ["x", " ", "a b", "&amp;", "&bogus;", "<", ">", "5<6",
+              "é中", "\t\n", "&#65;", "dup"]
+
+    def _frag():
+        return st.one_of(
+            st.sampled_from(_TEXTS),
+            st.sampled_from(_TAGS).map(lambda t: f"<{t}>"),
+            st.sampled_from(_TAGS).map(lambda t: f"</{t}>"),
+            st.sampled_from(_TAGS).map(lambda t: f"<{t}/>"),
+            st.sampled_from(_TAGS).map(
+                lambda t: f'<{t} href="/u" src="/s" alt="al" name="description" content="c">'
+            ),
+            st.sampled_from(["<!--c-->", "<!-- unterminated",
+                             "<![CDATA[z]]>", "<!DOCTYPE html>", "<?pi ?>"]),
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(_frag(), min_size=0, max_size=40).map("".join))
+    def test_random_tag_soup_differential(html):
+        assert extract_visible_text(html) == oracle.extract_visible_text(html)
+        o = oracle.page_metadata(html)
+        p = parse_page(html)
+        assert (p.title, p.meta_description, p.headings, p.images,
+                p.links) == o
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the image
+    pass

@@ -179,7 +179,11 @@ class _Walker(FastTagPaths, HTMLParser):
         # headings: list of (hashes_prefix, [string nodes]) being collected;
         # supports (degenerate) nested headings via a stack of collectors
         self.headings: List[str] = []
-        self._open_headings: List[Tuple[int, int, List[str]]] = []  # (level, depth, parts)
+        # (level, depth, parts, slot): slot = reserved index in
+        # self.headings — bs4 find_all order is DOCUMENT order (start
+        # tags), not close order, so nested headings fill pre-reserved
+        # slots instead of appending at close
+        self._open_headings: List[Tuple[int, int, List[str], int]] = []
         self.images: List[Tuple[Optional[str], Optional[str]]] = []  # raw attrs
         self.links: List[str] = []
         # SEO extension collectors: first occurrence wins (the meta-
@@ -208,7 +212,7 @@ class _Walker(FastTagPaths, HTMLParser):
             return
         if not any(t in DECOMPOSED_TAGS for t in self.stack):
             self.visible.append(data)
-        for _level, _depth, parts in self._open_headings:
+        for _level, _depth, parts, _slot in self._open_headings:
             parts.append(data)
 
     # -- tag events --------------------------------------------------------
@@ -265,7 +269,10 @@ class _Walker(FastTagPaths, HTMLParser):
             self._t_stack = [self._t_root]
         level = _HEADING_LEVEL.get(tag)
         if level is not None:
-            self._open_headings.append((level, len(self.stack), []))
+            self.headings.append("")  # reserve the document-order slot
+            self._open_headings.append(
+                (level, len(self.stack), [], len(self.headings) - 1)
+            )
         self.stack.append(tag)
 
     def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
@@ -318,11 +325,11 @@ class _Walker(FastTagPaths, HTMLParser):
                 # stack aligned with the element stack
                 del self._t_stack[depth - self._title_depth:]
         while self._open_headings and depth <= self._open_headings[-1][1]:
-            level, _d, parts = self._open_headings.pop()
+            level, _d, parts, slot = self._open_headings.pop()
             # bs4 get_text(strip=True): strip each string node, drop empties,
             # join with "" (crawler.py:73-76)
             text = "".join(p.strip() for p in parts if p.strip())
-            self.headings.append("#" * level + " " + text)
+            self.headings[slot] = "#" * level + " " + text
 
     # -- non-text events: never part of get_text, but Comment/Doctype/
     # CData/PI are NavigableString subclasses in bs4 — they ARE children,
