@@ -941,3 +941,73 @@ def test_containment_hot_token_not_a_key(spark):
     out = containment_join(_token_sets(spark, sets),
                            threshold_micros=500_000)
     assert out.collect() == []  # only 'the' is shared: C = 1/4 < 0.5
+
+
+def test_banded_jaccard_matches_exact_join(spark, sf_dir):
+    """banded_jaccard_pairs (q357, the BENCH_sf1 cutover) must recover the
+    exact All-Pairs join's qualifying pairs on the test corpus — same
+    output schema, same rows where LSH recall holds (it does here)."""
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.dedup import (
+        banded_jaccard_pairs,
+        char_shingles,
+        prefix_jaccard_join,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("tokens_str"))
+    )
+    sh = char_shingles(d)
+    exact = {
+        (r["a_id"], r["b_id"], r["jaccard_micros"])
+        for r in prefix_jaccard_join(sh, threshold_micros=500_000,
+                                     token_col="gram").collect()
+    }
+    banded = {
+        (r["a_id"], r["b_id"], r["jaccard_micros"])
+        for r in banded_jaccard_pairs(sh, threshold_micros=500_000)
+        .collect()
+    }
+    assert banded == exact and len(exact) > 0
+
+
+def test_banded_jaccard_plan_shape(spark, sf_dir):
+    """Candidate generation must be band-bucket equi-joins — no cartesian
+    or nested-loop anywhere in the composition."""
+    from pyspark.sql import functions as F
+
+    from tribeca_insights_spark.operators.dedup import (
+        banded_jaccard_pairs,
+        char_shingles,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("tokens_str"))
+    )
+    p = (banded_jaccard_pairs(char_shingles(d))
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semdedup_auto_k(spark):
+    """k='auto' applies the paper's k ∝ N rule (floor 8) and still
+    flags the planted duplicate."""
+    import math
+
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.semdedup import semdedup
+
+    rows = []
+    for i in range(40):
+        v = [math.sin(i * 7.1 + j) for j in range(8)]
+        rows.append(Row(vec_id=i, embedding=v))
+    rows.append(Row(vec_id=100, embedding=[x * 1.0001 for x in rows[3]["embedding"]]))
+    out = {r["vec_id"]: r["keep"]
+           for r in semdedup(spark.createDataFrame(rows), k="auto",
+                             tau=0.999).collect()}
+    assert out[3] is True and out[100] is False

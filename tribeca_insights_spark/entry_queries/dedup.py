@@ -1930,3 +1930,48 @@ def q354_canonical_dedup_key(spark, sf_dir):
     return keyed.select("doc_id", "dedup_key", "dedup_md5").crossJoin(
         F.broadcast(n_distinct)
     )
+
+
+# --- wave r5: banded-generator + exact-verify composition (q357) --------------
+
+
+@q(
+    "q357_banded_jaccard",
+    _MINHASH_CTES
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    , i AS (
+      SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh ga ON ga.doc_id = c.a_id
+      JOIN sh gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    )
+    SELECT i.a_id, i.b_id, n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+           CAST((n_inter * 1000000) // (sa.n + sb.n - n_inter)
+                AS BIGINT) AS jaccard_micros
+    FROM i JOIN s sa ON i.a_id = sa.doc_id
+           JOIN s sb ON i.b_id = sb.doc_id
+    WHERE n_inter * 1000000 >= 200000 * (sa.n + sb.n - n_inter)
+    """,
+)
+def q357_banded_jaccard(spark, sf_dir):
+    """Corpus-scale near-dup composition (operators/dedup.py
+    banded_jaccard_pairs): MinHash-LSH band buckets generate candidates,
+    exact BIGINT Jaccard verifies ONLY those pairs — the production
+    cutover BENCH_sf1.md demonstrates for q129's exact All-Pairs join
+    (linear wall at 10x where the exact join times out, 100% recall of
+    its output on every size it completes). Same 12-hash / 4x3-band
+    chain as q17/q18, threshold 0.2 to exercise verification on this
+    corpus; the oracle replays generator AND verifier closed-form."""
+    from ..operators.dedup import banded_jaccard_pairs, char_shingles
+
+    t = _tokstr_df(spark, sf_dir)
+    sh = char_shingles(t, text_col="tok_str", k=12)
+    return banded_jaccard_pairs(sh, threshold_micros=200_000)

@@ -912,6 +912,75 @@ def prefix_jaccard_join(
     return out
 
 
+def banded_jaccard_pairs(
+    tokens: DataFrame,
+    threshold_micros: int = 500_000,
+    n_hashes: int = 12,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+    token_col: str = "gram",
+) -> DataFrame:
+    """MinHash-LSH generator + EXACT Jaccard verification confined to the
+    banded candidates — the corpus-scale composition of
+    :func:`lsh_candidate_pairs` and :func:`prefix_jaccard_join`'s
+    verification discipline. Same output schema as the exact join:
+    ``(a_id, b_id, n_inter, n_union, jaccard_micros)``.
+
+    Why this exists as a first-class operator (BENCH_sf1.md): the exact
+    All-Pairs/PPJoin prefix filter is frequency-based, and on a
+    low-entropy corpus (the sf1 soak's uniform-vocab synthesis — or any
+    heavily templated web crawl) its candidate set grows quadratically
+    while the qualifying OUTPUT stays linear. MinHash signatures retain
+    entropy where token frequencies don't, so the banded candidate set
+    tracks the true near-dup density: measured on the identical corpus,
+    exact-join wall 27 s → 163 s → TIMEOUT>900 s at 5k/20k/50k docs vs
+    4.1 s → 7.4 s → 14.5 s for this composition, with 100% recall of the
+    exact join's output wherever the exact join completed. Probabilistic
+    completeness only (LSH recall curve set by n_hashes × rows_per_band);
+    use :func:`prefix_jaccard_join` when a no-false-negative guarantee is
+    required on bounded inputs.
+
+    Scale shape: candidate generation is band-bucket equi-joins (never a
+    product); verification drives FROM the candidate list so the shared-
+    token join is candidate-bounded; all arithmetic exact BIGINT."""
+    sh = tokens.select(F.col(id_col).alias("_id"),
+                       F.col(token_col).alias("gram")).distinct()
+    bands = lsh_bands(
+        minhash_signatures(sh, id_col="_id", n_hashes=n_hashes),
+        id_col="_id", rows_per_band=rows_per_band,
+    )
+    cand = lsh_candidate_pairs(bands, id_col="_id")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    ga = sh.select(F.col("_id").alias("a_id"), "gram")
+    gb = sh.select(F.col("_id").alias("b_id"), "gram")
+    inter = (
+        cand.join(ga, "a_id")
+        .join(gb, ["b_id", "gram"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("a_id"),
+                                F.col("n").alias("n_a")), "a_id")
+        .join(sizes.select(F.col("_id").alias("b_id"),
+                           F.col("n").alias("n_b")), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            .cast("long").alias("n_union"),
+        )
+        .filter(
+            F.col("n_inter") * 1_000_000
+            >= F.lit(threshold_micros) * F.col("n_union")
+        )
+        .withColumn(
+            "jaccard_micros",
+            F.expr("(n_inter * 1000000L) div n_union").cast("long"),
+        )
+    )
+
+
 def edit_distance_verify(
     pairs: DataFrame,
     docs: DataFrame,

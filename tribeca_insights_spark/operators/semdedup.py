@@ -48,7 +48,7 @@ def _bsum(pairwise):
 
 def semdedup(
     emb: DataFrame,
-    k: int = 8,
+    k=8,
     iters: int = 2,
     tau: float = 0.99,
     id_col: str = "vec_id",
@@ -58,8 +58,18 @@ def semdedup(
     an embedding table. ``keep`` is false iff a same-cluster vector with
     a smaller id has cosine ≥ ``tau``; ``n_dup_smaller`` counts those
     witnesses; ``max_cos_micros`` is floor(1e6·max cosine) over them
-    (NULL for kept rows)."""
-    base, cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+    (NULL for kept rows).
+
+    ``k``: cluster count. Pass ``"auto"`` to apply the SemDeDup paper's
+    k ∝ N rule (cluster size ≈ 256, floor 8) — the within-cluster pair
+    term is Θ(N²/k), so FIXED k turns 10× rows into ~100× pair work
+    (measured in BENCH_sf1.md: k=8 at 10× rows = ×22.5 wall, k scaled
+    ×10 = ×8.7, linear). ``"auto"`` costs one count() action up front;
+    at 10^12 rows pass the known row count as an explicit int instead.
+    Default stays 8 for oracle replayability at test SFs."""
+    if k == "auto":
+        k = max(8, emb.count() // 256)
+    base, cents = kmeans_fit(emb, k=int(k), iters=iters, id_col=id_col,
                              vec_col=vec_col)
     # the assignment feeds three consumers (both join sides + the final
     # report) — persist so training runs once; at 10^12 rows this is
