@@ -171,3 +171,50 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into the image
     pass
+
+
+# --- the SAME hostile cases through the ACTUAL Spark pandas-UDF path --------
+# closes the loop walker == Spark UDF == independent tree oracle, and
+# exercises the Arrow boundary on the nastiest payloads (null bytes,
+# non-ASCII, 70 KB attributes, 1000-deep nesting)
+
+
+def test_hostile_cases_through_spark_udf(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.extract import extract_pages
+    from tribeca_insights_spark.schemas import DOCS_SCHEMA
+
+    names = sorted(CASES)
+    rows = [
+        Row(
+            url=f"https://d.example.com/p/{i}",
+            warc_ts=None,
+            html=CASES[n].encode("utf-8"),
+            text="",
+            lang="en",
+        )
+        for i, n in enumerate(names)
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {
+        int(r["url"].rsplit("/", 1)[1]): r
+        for r in extract_pages(df, tokens=False).collect()
+    }
+    assert len(got) == len(names)
+    for i, n in enumerate(names):
+        o_title, o_desc, o_headings, o_images, _ = oracle.page_metadata(
+            CASES[n]
+        )
+        r = got[i]
+        assert r["text"] == oracle.extract_visible_text(CASES[n]), (
+            f"{n}: UDF visible-text divergence"
+        )
+        assert r["title"] == o_title, f"{n}: UDF title divergence"
+        assert r["meta_description"] == o_desc, f"{n}: UDF desc divergence"
+        assert list(r["headings"]) == o_headings, (
+            f"{n}: UDF headings divergence"
+        )
+        assert [
+            {"src": im["src"], "alt": im["alt"]} for im in r["images"]
+        ] == o_images, f"{n}: UDF images divergence"
