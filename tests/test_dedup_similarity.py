@@ -1011,3 +1011,18 @@ def test_semdedup_auto_k(spark):
            for r in semdedup(spark.createDataFrame(rows), k="auto",
                              tau=0.999).collect()}
     assert out[3] is True and out[100] is False
+
+
+def test_survivor_weights_exact_inverse_counts(spark):
+    from pyspark.sql import Row
+
+    from tribeca_insights_spark.operators.dedup import survivor_weights
+
+    clusters = spark.createDataFrame([
+        Row(doc_id=i, rep=rep)
+        for rep, size in ((0, 3), (10, 1), (20, 7))
+        for i in range(rep, rep + size)
+    ])
+    got = {r["doc_id"]: (r["multiplicity"], r["weight_micros"])
+           for r in survivor_weights(clusters).collect()}
+    assert got == {0: (3, 333333), 10: (1, 1000000), 20: (7, 142857)}

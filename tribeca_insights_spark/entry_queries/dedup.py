@@ -1975,3 +1975,39 @@ def q357_banded_jaccard(spark, sf_dir):
     t = _tokstr_df(spark, sf_dir)
     sh = char_shingles(t, text_col="tok_str", k=12)
     return banded_jaccard_pairs(sh, threshold_micros=200_000)
+
+
+@q(
+    "q358_survivor_weights",
+    """
+    SELECT doc_id, multiplicity,
+           CAST(1000000 // multiplicity AS BIGINT) AS weight_micros
+    FROM (
+      SELECT doc_id - doc_id % 4 AS doc_id,
+             CAST(count(*) AS BIGINT) AS multiplicity
+      FROM documents GROUP BY doc_id - doc_id % 4
+    )
+    """,
+)
+def q358_survivor_weights(spark, sf_dir):
+    """Dedup survivor LOSS-WEIGHTING (operators/dedup.py
+    survivor_weights — the SlimPajama-style alternative to hard
+    removal): one row per cluster representative with multiplicity and
+    inverse-count weight_micros, so training keeps one copy and scales
+    its loss instead of overweighting duplicated boilerplate. Clusters
+    come from the q50 connected-components machinery over the same
+    closed-form 4-chain edge list, so the oracle states multiplicities
+    directly."""
+    from ..operators.dedup import dedup_clusters, survivor_weights
+
+    d = _read(spark, sf_dir, "documents")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"))
+    pairs = (
+        d.filter(F.col("doc_id") % 4 != 3)
+        .join(nxt, "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("a_id"),
+            (F.col("doc_id") + 1).alias("b_id"),
+        )
+    )
+    return survivor_weights(dedup_clusters(pairs, d))

@@ -482,6 +482,32 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
     return out
 
 
+def survivor_weights(clusters: DataFrame, id_col: str = "doc_id",
+                     rep_col: str = "rep") -> DataFrame:
+    """Deduplicate-but-DOWNWEIGHT (the SlimPajama/loss-weighting
+    alternative to hard removal): from cluster labels ``(id, rep)`` emit
+    one row per surviving representative — ``(doc_id, multiplicity,
+    weight_micros = 1e6 div multiplicity)`` — so a trainer keeps one
+    copy of each duplicate cluster and scales its loss (or sampling
+    rate) by the inverse duplicate count instead of silently
+    overweighting popular boilerplate. Survivor = the cluster
+    representative (min-id by :func:`connected_components`
+    construction); compose :func:`keep_best` upstream for quality-aware
+    survivor choice.
+
+    Scale shape: ONE map-combined groupBy on the cluster key — output is
+    cluster-count-sized; exact integer weights (q129 discipline), no
+    windows, no joins."""
+    return (
+        clusters.groupBy(F.col(rep_col).alias(id_col))
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .withColumn(
+            "weight_micros",
+            F.expr("1000000L div multiplicity").cast("long"),
+        )
+    )
+
+
 def keep_best(df: DataFrame, cluster_col: str, id_col: str = "doc_id",
               score_col: str | None = None,
               carry_cols: tuple = ()) -> DataFrame:
